@@ -1,0 +1,161 @@
+"""Sort family: total-order sort, secondary sort, Unix-sort key specs.
+
+Reference surfaces:
+- TotalOrderPartitioner + InputSampler (src/mapred/org/apache/hadoop/
+  mapred/lib/TotalOrderPartitioner.java:85,135-162; InputSampler.java:101+)
+  → Spark's RangePartitioner inside `orderBy` samples automatically;
+  `repartition_by_range` exposes the partition-only form.
+- Secondary sort (examples/SecondarySort.java:57,140-152,230-231;
+  JobConf.setOutputValueGroupingComparator JobConf.java:676) → window
+  functions or repartition+sortWithinPartitions.
+- KeyFieldBasedComparator / KeyFieldHelper (src/mapred/org/apache/
+  hadoop/mapred/lib/KeyFieldBasedComparator.java:35,57-94) — Unix
+  `sort -k` style specs: ``-k f1[.c1][opts][,f2[.c2][opts]]`` with
+  ``n`` (numeric) and ``r`` (reverse) options; fields are 1-indexed.
+
+Scale notes: `orderBy` is a range-shuffle + per-partition sort — the
+same sampled-split-points strategy as TotalOrderPartitioner but
+automatic; survives 100 TB as long as key distribution isn't
+pathological (AQE handles moderate skew).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- total order
+def total_order_sort(df: DataFrame, *cols: Column | str, ascending: bool = True) -> DataFrame:
+    """Globally ordered output (TotalOrderPartitioner analog).
+
+    Spark samples the key distribution and range-partitions before the
+    per-partition sort — exactly the InputSampler + trie-partitioner
+    design, built in.
+    """
+    if ascending:
+        return df.orderBy(*cols)
+    return df.orderBy(*[F.desc(c) if isinstance(c, str) else c.desc() for c in cols])
+
+
+def repartition_by_range(df: DataFrame, num_partitions: int, *cols: str) -> DataFrame:
+    """Partition-only form: ranged placement without intra-partition sort."""
+    return df.repartitionByRange(num_partitions, *cols)
+
+
+# ------------------------------------------------------------- secondary sort
+def secondary_sort(
+    df: DataFrame, group_cols: list[str], order_cols: list[str], rank_col: str = "rn"
+) -> DataFrame:
+    """Partition by natural key, order by the value part, expose rank.
+
+    The window formulation keeps grouping and ordering declarative; for
+    pure emission order without a rank column use
+    `df.repartition(*group_cols).sortWithinPartitions(*group_cols, *order_cols)`
+    which is one shuffle and no window state.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def secondary_sort_emit(df: DataFrame, group_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """The reference's emission shape: grouped, value-sorted stream."""
+    return df.repartition(*[F.col(c) for c in group_cols]).sortWithinPartitions(
+        *group_cols, *order_cols
+    )
+
+
+# --------------------------------------------------------- key-field sort spec
+@dataclass(frozen=True)
+class KeySpec:
+    field1: int  # 1-indexed
+    char1: int  # 1-indexed char offset within field1
+    field2: int | None  # inclusive end field; None = to end of line
+    numeric: bool
+    reverse: bool
+
+
+_KEYSPEC_RE = re.compile(
+    r"^(?P<f1>\d+)(?:\.(?P<c1>\d+))?(?P<o1>[nr]*)"
+    r"(?:,(?P<f2>\d+)(?:\.(?P<c2>\d+))?(?P<o2>[nr]*))?$"
+)
+
+
+def parse_key_spec(spec: str) -> list[KeySpec]:
+    """Parse ``-k2,2n -k3r`` (or without ``-k``) into KeySpecs."""
+    out: list[KeySpec] = []
+    for token in spec.replace("-k", " ").split():
+        m = _KEYSPEC_RE.match(token)
+        if not m:
+            raise ValueError(f"bad key spec {token!r}")
+        opts = (m.group("o1") or "") + (m.group("o2") or "")
+        out.append(
+            KeySpec(
+                field1=int(m.group("f1")),
+                char1=int(m.group("c1") or 1),
+                field2=int(m.group("f2")) if m.group("f2") else None,
+                numeric="n" in opts,
+                reverse="r" in opts,
+            )
+        )
+    return out
+
+
+def key_spec_sort_columns(line_col: str, spec: str, sep: str = " ") -> list[Column]:
+    """Compile a `sort -k` spec into orderBy expressions over a line column."""
+    fields = F.split(F.col(line_col), re.escape(sep), -1)
+    cols: list[Column] = []
+    for ks in parse_key_spec(spec):
+        if ks.field2 is None:
+            length = F.greatest(F.size(fields) - F.lit(ks.field1 - 1), F.lit(0))
+            part = F.array_join(F.slice(fields, ks.field1, length), sep)
+        else:
+            part = F.array_join(
+                F.slice(fields, ks.field1, ks.field2 - ks.field1 + 1), sep
+            )
+        if ks.char1 > 1:
+            part = F.substring(part, ks.char1, 2**30)
+        expr: Column = part
+        if ks.numeric:
+            # Unix sort -n: leading numeric prefix, non-numeric → 0
+            expr = F.regexp_extract(part, r"^\s*(-?\d+\.?\d*)", 1).try_cast("double")
+            expr = F.coalesce(expr, F.lit(0.0))
+        cols.append(expr.desc() if ks.reverse else expr.asc())
+    return cols
+
+
+def sort_by_key_spec(df: DataFrame, line_col: str, spec: str, sep: str = " ") -> DataFrame:
+    """KeyFieldBasedComparator analog: total sort of lines by `-k` spec."""
+    return df.orderBy(*key_spec_sort_columns(line_col, spec, sep))
+
+
+def key_field_partition(df: DataFrame, line_col: str, num_partitions: int,
+                        field1: int, field2: int | None = None, sep: str = " ") -> DataFrame:
+    """KeyFieldBasedPartitioner analog (KeyFieldBasedPartitioner.java:33):
+    hash-partition on a subset of key fields."""
+    fields = F.split(F.col(line_col), re.escape(sep), -1)
+    end = field2 if field2 is not None else field1
+    part = F.array_join(F.slice(fields, field1, end - field1 + 1), sep)
+    return df.repartition(num_partitions, part)
+
+
+# ------------------------------------------------------------------ top-k
+def top_k(df: DataFrame, k: int, *order: Column) -> DataFrame:
+    """Global top-k without a total sort: Catalyst plans orderBy+limit as
+    TakeOrderedAndProject (per-partition heap + driver merge) — O(k)
+    memory per partition, no full shuffle. Safe at 100 TB."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], k: int, order: list[Column], rank_col: str = "rk"
+) -> DataFrame:
+    """Top-k per group via ranked window; one shuffle on the group key."""
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -1,0 +1,646 @@
+"""Driver-facing query inventory: each SURVEY.md §2 capability as a
+(spark_fn, oracle_sql) pair over the testdata tables.
+
+Conventions that make the DuckDB hash-compare deterministic:
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates are rounded (sum→2dp, avg/stddev→6dp) so engine-
+  order summation noise (~1e-10 relative) can't flip the value hash;
+- timestamp-returning queries pin the session timezone to UTC;
+- rankings always carry a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import aggregate as agg_ops
+from .operators import fieldsel, joins, sampling, sort, transforms
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read nanos as long and floor-truncate to micros —
+    the same truncation DuckDB applies, so oracles agree exactly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(e.dtypes).get("ts") == "bigint":
+        # TIMESTAMP_NTZ via pure arithmetic: no session/host timezone
+        # participates (timestamp_micros() would yield LTZ, whose
+        # Python collection renders in the *driver host* timezone).
+        e = e.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            ),
+        )
+    return e
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+# =====================================================================
+# Aggregation family (SURVEY §2.4)
+# =====================================================================
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → groupBy → 8 aggregates.
+
+    The reference computes this shape with a combiner + sort-based
+    reduce (mapred/lib/LongSumReducer.java, aggregate/*); here Catalyst
+    plans partial+final hash aggregation after one shuffle on the
+    2-value group key, with the shipdate filter pushed to parquet.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "aggregate_dsl",
+    """
+    SELECT l_returnflag,
+           sum(CAST(l_quantity AS BIGINT))      AS sum_qty,
+           max(l_orderkey)                      AS max_okey,
+           min(l_orderkey)                      AS min_okey,
+           max(l_linestatus)                    AS max_status,
+           min(l_linestatus)                    AS min_status,
+           round(sum(l_extendedprice), 2)       AS sum_price,
+           count(DISTINCT l_partkey)            AS uniq_parts,
+           least(count(DISTINCT l_suppkey), 5)  AS uniq_supp_bounded
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def aggregate_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-function ValueAggregator registry driven by descriptor
+    strings (ValueAggregatorBaseDescriptor.java:33-47 DSL analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg_ops.aggregate(
+        li,
+        ["l_returnflag"],
+        [
+            "LongValueSum:sum_qty:l_quantity",
+            "LongValueMax:max_okey:l_orderkey",
+            "LongValueMin:min_okey:l_orderkey",
+            "StringValueMax:max_status:l_linestatus",
+            "StringValueMin:min_status:l_linestatus",
+            "DoubleValueSum:sum_price:l_extendedprice",
+            "UniqValueCount:uniq_parts:l_partkey",
+            "UniqValueCount~5:uniq_supp_bounded:l_suppkey",
+        ],
+    )
+    return out.withColumn("sum_price", F.round("sum_price", 2))
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT l_returnflag,
+           count(*)                          AS hist_num_items,
+           min(n)                            AS hist_min,
+           quantile_cont(n, 0.5)             AS hist_median,
+           max(n)                            AS hist_max,
+           round(avg(n), 6)                  AS hist_mean,
+           round(stddev_pop(n), 6)           AS hist_stddev
+    FROM (
+      SELECT l_returnflag, l_quantity AS item, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) GROUP BY l_returnflag
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueHistogram report (ValueHistogram.java:76-134): stats over
+    per-item counts; exact interpolated median (see operators.aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg_ops.histogram_report(li, ["l_returnflag"], "l_quantity")
+    return out.withColumn("hist_mean", F.round("hist_mean", 6)).withColumn(
+        "hist_stddev", F.round("hist_stddev", 6)
+    )
+
+
+@query(
+    "histogram_detail",
+    """
+    SELECT l_returnflag, l_quantity AS item, count(*) AS item_count
+    FROM lineitem GROUP BY l_returnflag, l_quantity
+    """,
+)
+def histogram_detail_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueHistogram detailed (item, count) list (ValueHistogram.java:168)."""
+    return agg_ops.histogram_detail(_t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity")
+
+
+# =====================================================================
+# Transform family (SURVEY §2.3, §2.8)
+# =====================================================================
+
+@query(
+    "wordcount",
+    r"""
+    SELECT word, count(*) AS cnt FROM (
+      SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
+    ) WHERE word <> '' GROUP BY word
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount (examples/WordCount.java, TokenCountMapper): the
+    reference's canonical job, as tokenize→explode→count."""
+    return transforms.word_count(_t(spark, sf_dir, "documents"), "text")
+
+
+@query(
+    "grep_count",
+    r"""
+    SELECT match, count(*) AS cnt FROM (
+      SELECT unnest(regexp_extract_all(text, '\bs[a-z]+', 0)) AS match FROM documents
+    ) GROUP BY match ORDER BY cnt DESC, match ASC
+    """,
+)
+def grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep (examples/Grep.java:57-84): regex extract-all → count →
+    sort desc; RegexMapper + LongSumReducer + sort-by-count job chain."""
+    return transforms.grep(_t(spark, sf_dir, "documents"), "text", r"\bs[a-z]+")
+
+
+@query(
+    "field_selection",
+    """
+    SELECT  o_orderkey::VARCHAR || '|' || o_orderstatus                      AS key,
+            o_orderpriority || '|' || o_custkey::VARCHAR || '|' ||
+            strftime(o_orderdate, '%Y-%m-%d')                                AS value
+    FROM orders
+    """,
+)
+def field_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FieldSelectionMapReduce spec '0,1:3,2,4-' over synthesized
+    '|'-separated lines (FieldSelectionMapReduce.java:182-249)."""
+    o = _t(spark, sf_dir, "orders")
+    lines = o.select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderpriority"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ).alias("line")
+    )
+    return fieldsel.select_fields(lines, "line", "0,1:3,2,4-", sep="|")
+
+
+@query(
+    "kv_parse",
+    """
+    SELECT key, count(*) AS cnt, sum(length(value)) AS sum_len FROM (
+      SELECT CASE WHEN strpos(line, chr(9)) > 0
+                  THEN substr(line, 1, strpos(line, chr(9)) - 1) ELSE line END AS key,
+             CASE WHEN strpos(line, chr(9)) > 0
+                  THEN substr(line, strpos(line, chr(9)) + 1) ELSE '' END      AS value
+      FROM (SELECT lang || chr(9) || source || chr(9) || n_chars::VARCHAR AS line
+            FROM documents)
+    ) GROUP BY key
+    """,
+)
+def kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyValueLineRecordReader: split at FIRST tab; later tabs stay in
+    the value (KeyValueTextInputFormat.java semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    lines = d.select(
+        F.concat_ws("\t", F.col("lang"), F.col("source"), F.col("n_chars").cast("string")).alias("line")
+    )
+    kv = transforms.parse_kv_line(lines, "line", "\t")
+    return kv.groupBy("key").agg(
+        F.count("*").alias("cnt"), F.sum(F.length("value")).alias("sum_len")
+    )
+
+
+# =====================================================================
+# Join family (SURVEY §2.5)
+# =====================================================================
+
+def _kv_sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Three KV sources with overlapping-but-different key sets, the
+    TestDatamerge.java:77-160 fixture shape mapped onto testdata."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.select(F.col("c_custkey").alias("k"), F.col("c_name").alias("v"))
+    b = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("o_custkey").alias("k"), F.col("n").cast("string").alias("v"))
+    )
+    c = cust.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("v")
+    )
+    return {"a": a, "b": b, "c": c}
+
+
+_KV_SQL = {
+    "a": "SELECT c_custkey AS k, c_name AS v FROM customer",
+    "b": "SELECT o_custkey AS k, count(*)::VARCHAR AS v FROM orders GROUP BY o_custkey",
+    "c": "SELECT c_custkey AS k, c_mktsegment AS v FROM customer WHERE c_acctbal > 0",
+}
+
+
+@query(
+    "join_expr_inner",
+    f"""
+    SELECT a.k AS k, a.v AS v0, b.v AS v1, c.v AS v2
+    FROM ({_KV_SQL['a']}) a
+    JOIN ({_KV_SQL['b']}) b ON a.k = b.k
+    JOIN ({_KV_SQL['c']}) c ON a.k = c.k
+    """,
+)
+def join_expr_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite join language: inner(a,b,c) — emit iff all sources
+    have the key (InnerJoinRecordReader.java:30,41; Parser.java grammar)."""
+    srcs = _kv_sources(spark, sf_dir)
+    return joins.compile_join_expr("inner(tbl(a),tbl(b),tbl(c))", srcs.__getitem__)
+
+
+@query(
+    "join_expr_outer",
+    f"""
+    SELECT coalesce(a.k, b.k) AS k, a.v AS v0, b.v AS v1
+    FROM ({_KV_SQL['a']}) a
+    FULL OUTER JOIN ({_KV_SQL['b']}) b ON a.k = b.k
+    """,
+)
+def join_expr_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """outer(a,b): full outer with NULL absent slots
+    (OuterJoinRecordReader.java:30,41; TupleWritable absent bits)."""
+    srcs = _kv_sources(spark, sf_dir)
+    return joins.compile_join_expr("outer(tbl(a),tbl(b))", srcs.__getitem__)
+
+
+@query(
+    "join_expr_override",
+    f"""
+    SELECT coalesce(a.k, b.k) AS k, coalesce(b.v, a.v) AS v0
+    FROM ({_KV_SQL['a']}) a
+    FULL OUTER JOIN ({_KV_SQL['b']}) b ON a.k = b.k
+    """,
+)
+def join_expr_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """override(a,b): rightmost source defining the key wins
+    (OverrideRecordReader.java:36,49 — 'prefer newer source')."""
+    srcs = _kv_sources(spark, sf_dir)
+    return joins.compile_join_expr("override(tbl(a),tbl(b))", srcs.__getitem__)
+
+
+@query(
+    "revenue_per_nation",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 4-way join + agg. Dimension sides (customer,
+    nation) are broadcast — no shuffle touches lineitem except the
+    final group-by; at 100 TB only the fact-fact join (lineitem⋈orders)
+    shuffles, on the shared orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi — additive surface (SURVEY §2.5 'missing' row)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return joins.semi_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — additive surface."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return joins.anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+# =====================================================================
+# Sort / top-k family (SURVEY §2.6)
+# =====================================================================
+
+@query(
+    "secondary_sort",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def secondary_sort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort (examples/SecondarySort.java): partition by the
+    natural key, order values within the group; rank makes the order
+    observable to the hash compare."""
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    return sort.secondary_sort(o, ["o_custkey"], ["o_orderdate", "o_orderkey"], "rn")
+
+
+@query(
+    "total_order_sort",
+    """
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders
+    """,
+)
+def total_order_sort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TotalOrderPartitioner-style global sort; the global row_number
+    materializes the total order for the oracle. (The windowed rank
+    funnels through one task — for the 100 TB path use
+    sort.total_order_sort, which keeps the sampled range shuffle and no
+    global window; rank here is the *test observer*, not the operator.)"""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "top_k",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject (per-partition heaps), the
+    scalable form of the reference's single-reducer head idiom."""
+    o = _t(spark, sf_dir, "orders")
+    return sort.top_k(o, 10, F.desc("o_totalprice"), F.asc("o_orderkey")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "top_k_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def top_k_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return sort.top_k_per_group(
+        o, ["o_custkey"], 3, [F.desc("o_totalprice"), F.asc("o_orderkey")], "rk"
+    )
+
+
+@query(
+    "sort_key_spec",
+    """
+    SELECT line, row_number() OVER (ORDER BY f2n DESC, f1, line) AS rank FROM (
+      SELECT line,
+             coalesce(try_cast(regexp_extract(string_split(line, ' ')[2],
+                      '^\\s*(-?\\d+\\.?\\d*)', 1) AS DOUBLE), 0.0) AS f2n,
+             string_split(line, ' ')[1] AS f1
+      FROM (SELECT o_orderstatus || ' ' || o_totalprice::VARCHAR || ' ' ||
+                   o_orderkey::VARCHAR AS line FROM orders)
+    )
+    """,
+)
+def sort_key_spec_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyFieldBasedComparator: Unix `sort -k2,2nr -k1,1` over
+    space-separated lines (KeyFieldBasedComparator.java:35,57-94)."""
+    o = _t(spark, sf_dir, "orders")
+    lines = o.select(
+        F.concat_ws(
+            " ",
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("line")
+    )
+    cols = sort.key_spec_sort_columns("line", "-k2,2nr -k1,1", sep=" ")
+    w = Window.orderBy(*cols, F.asc("line"))
+    return lines.withColumn("rank", F.row_number().over(w))
+
+
+# =====================================================================
+# Sampling filters (SURVEY §2.1 SequenceFileInputFilter)
+# =====================================================================
+
+@query(
+    "percent_filter",
+    """
+    SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+)
+def percent_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    kept = sampling.percent_filter(li, "l_orderkey", 10)
+    return kept.agg(
+        F.count("*").alias("cnt"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
+    )
+
+
+@query(
+    "md5_filter",
+    """
+    SELECT count(*) AS cnt, sum(CAST(l_quantity AS BIGINT)) AS sum_qty FROM (
+      SELECT *,
+        ((((strpos('0123456789abcdef', substr(md5(l_orderkey::VARCHAR), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(l_orderkey::VARCHAR), 2, 1)) - 1)) * 16
+         + (strpos('0123456789abcdef', substr(md5(l_orderkey::VARCHAR), 3, 1)) - 1)) * 16
+         + (strpos('0123456789abcdef', substr(md5(l_orderkey::VARCHAR), 4, 1)) - 1)) AS bucket
+      FROM lineitem
+    ) WHERE bucket % 16 = 0
+    """,
+)
+def md5_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MD5Filter (SequenceFileInputFilter.java:198): deterministic
+    hash-bucket sampling, portable md5-hex-digit arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    kept = sampling.md5_filter(li, "l_orderkey", 16)
+    return kept.agg(
+        F.count("*").alias("cnt"), F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")
+    )
+
+
+# =====================================================================
+# Set operations (SURVEY §2.7)
+# =====================================================================
+
+@query(
+    "set_ops",
+    """
+    SELECT k, 'both' AS tag FROM (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      INTERSECT
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000
+    )
+    UNION ALL
+    SELECT k, 'only_big_bal' AS tag FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000
+      EXCEPT
+      SELECT DISTINCT o_custkey AS k FROM orders
+    )
+    """,
+)
+def set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except (distinct via UniqApp idiom §2.7)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000).select(
+        F.col("c_custkey").alias("k")
+    )
+    both = o.intersect(c).withColumn("tag", F.lit("both"))
+    only = c.exceptAll(o).distinct().withColumn("tag", F.lit("only_big_bal"))
+    return both.unionByName(only)
+
+
+# =====================================================================
+# Events: log-analysis family (Logalyzer / DBCountPageView shapes)
+# =====================================================================
+
+@query(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch aggregation over the events table (the
+    batch twin of the Structured Streaming operator)."""
+    e = _events(spark, sf_dir)
+    # hour bucket via NTZ part extraction — date_trunc would coerce
+    # NTZ→LTZ and pick up the driver host's timezone on collection
+    hour = F.expr("make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)")
+    return e.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@query(
+    "sessionization",
+    """
+    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events FROM (
+      SELECT user_id, session_id, count(*) AS n_events FROM (
+        SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM events
+        )
+      ) GROUP BY user_id, session_id
+    ) GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap → cumulative session id → two-level agg.
+    One shuffle on user_id; the windows reuse the same partitioning."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # micros-since-epoch from NTZ via pure arithmetic (unix_micros only
+    # accepts LTZ and would reintroduce timezone semantics)
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    gap = us - F.lag(us).over(w)
+    sessions = (
+        e.withColumn("is_new", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+        .withColumn("session_id", F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )

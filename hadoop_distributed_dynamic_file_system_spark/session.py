@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Defaults are chosen for the 100 TB design point but work on local[N]:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+shuffle partitions sized from the environment, Arrow enabled for the
+Pandas-UDF slow path, UTC session timezone so results are comparable
+across engines (the DuckDB oracle is UTC-naive).
+
+Reference analog: JobConf defaults in mapred-default.xml (io.sort.mb,
+io.sort.factor, parallel copies) — all subsumed by Spark's shuffle; the
+knobs that remain meaningful are partition counts and AQE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# On a real cluster these scale with executor count; locally with cores.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "hddfs-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Scale notes: `spark.sql.shuffle.partitions` here is a *floor*; with
+    AQE enabled Spark coalesces small shuffles and splits skewed ones at
+    runtime, so the same plan survives sf0.001 → 100 TB. On a real
+    cluster, set it to 2-3× total executor cores.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", _DEFAULT_CPUS))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
