@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hadoop_distributed_dynamic_file_system_spark import queries as _q  # noqa: E402
+from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query materializes via the `noop` sink (full execution, no
+driver-side collection cost). JVM/session startup is excluded; the
+value is the sum of per-query wall times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_distributed_dynamic_file_system_spark.session import get_spark  # noqa: E402
+from hadoop_distributed_dynamic_file_system_spark import queries as q  # noqa: E402
+
+# Headline set: one per operator family, weighted toward shuffle-heavy
+# shapes where the 100 TB design actually shows.
+HEADLINE = [
+    "q1_pricing_summary",
+    "wordcount",
+    "revenue_per_nation",
+    "join_expr_override",
+    "secondary_sort",
+    "total_order_sort",
+    "top_k_per_group",
+    "value_histogram",
+    "md5_filter",
+    "events_hourly",
+    "sessionization",
+    "set_ops",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

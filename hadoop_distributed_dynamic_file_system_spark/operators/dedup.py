@@ -1,0 +1,210 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+The reference has only the exact-distinct idiom (group-by-record,
+UniqValueCount — mapred/lib/aggregate/UniqValueCount.java, streaming
+UniqApp); the near-duplicate operators are the additive capability the
+new engine provides for LLM-data curation. All are pure Catalyst
+expression pipelines — no Python UDFs — so they scale with shuffle
+capacity, not Python throughput:
+
+- exact:        hash-groupBy on content (or md5(content) at 100 TB so
+                the shuffle carries 16 bytes, not documents)
+- minhash+LSH:  word-shingles → k salted-md5 minhashes → band keys →
+                bucket join for candidate pairs
+- simhash:      per-word 16-bit hash, per-bit majority vote
+- ngram-jaccard: exploded-shingle equi-join, |∩| / (|A|+|B|-|∩|)
+
+Design notes for 100 TB:
+- every pairwise step goes through an equi-join on a derived key
+  (band key / shingle), never a cross join;
+- minhash signature computation is embarrassingly parallel (no
+  shuffle); LSH bucketing is one shuffle on the band key;
+- candidate verification (exact jaccard) only touches candidate
+  pairs, the classic two-phase MinHash-LSH layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct content.
+
+    Returns (keeper id, n_copies) per group. At scale, group on
+    md5(content) rather than raw content to keep shuffle rows small.
+    """
+    key = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    return df.groupBy(key.alias("content_hash")).agg(
+        F.min(id_col).alias("keeper"), F.count("*").alias("n_copies")
+    )
+
+
+# ------------------------------------------------------------------ shingles
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> Column (whitespace
+    tokenization; empty/short docs yield an empty array)."""
+    words = F.split(text, r"\s+")
+    # sequence(1, 0) would yield a DESCENDING [1,0]; short docs must
+    # produce an empty shingle set instead
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+
+
+# ------------------------------------------------------------------ minhash
+def minhash_signature(text: Column, num_hashes: int, shingle_n: int = 3) -> list[Column]:
+    """k minhash values: for salt s, min over shingles of
+    md5(s || ':' || shingle), compared lexicographically.
+
+    The md5-hex-lexicographic hash family is engine-portable (the
+    DuckDB oracle computes the identical signature), deterministic,
+    and needs no registered UDF. Returns one Column per hash.
+    """
+    shingles = word_shingles(text, shingle_n)
+
+    def salted(s: int):
+        # closure factory — a `lambda x, s=s:` default arg would make the
+        # lambda arity-2 and PySpark would bind the array INDEX to `s`
+        prefix = F.lit(f"{s}:")
+        return lambda x: F.md5(F.concat(prefix, x))
+
+    return [
+        F.array_min(F.transform(shingles, salted(s))).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) signature table; narrow (no shuffle)."""
+    return df.select(F.col(id_col), *minhash_signature(F.col(text_col), num_hashes, shingle_n))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band key
+    are candidates. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    One shuffle on (band, band_key); the self-join is an equi-join so
+    Catalyst plans SMJ/broadcast — never a cross product.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("bkey"))
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.bkey")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ simhash
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash: per-word hash → per-bit majority vote → fingerprint.
+
+    Word hash = first 4 hex digits of md5(word) (16 bits), portable to
+    the oracle. Explode+groupBy keeps it one shuffle on the doc id and
+    streams at any scale (no per-doc array materialization limits).
+    """
+    hexpos = "0123456789abcdef"
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.md5(F.col("w"))
+    val = F.lit(0)
+    for i in range(4):
+        val = val * 16 + (F.instr(F.lit(hexpos), F.substring(h, i + 1, 1)) - 1)
+    hashed = words.select(F.col(id_col), val.alias("wh"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("wh"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    fp = F.lit(0)
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"bit_{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
+    """Popcount of XOR via bit_count (built-in, codegen'd)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ------------------------------------------------------------------ jaccard
+def ngram_jaccard_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard between two corpora via shingle equi-join.
+
+    |A∩B| from the join, |A|,|B| from per-doc distinct-shingle counts;
+    only pairs sharing ≥1 shingle ever materialize. Returns
+    (id_a, id_b, jaccard) with jaccard ≥ threshold, rounded 6dp.
+    """
+    def exploded(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(f"id_{side}"),
+                F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+            )
+            .distinct()
+        )
+
+    ea, eb = exploded(df_a, "a"), exploded(df_b, "b")
+    na = ea.groupBy("id_a").agg(F.count("*").alias("n_a"))
+    nb = eb.groupBy("id_b").agg(F.count("*").alias("n_b"))
+    common = (
+        ea.join(eb, "sh")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+Additive capability (no reference analog; closest kin is the contrib
+Lucene index build, contrib/index/.../mapred/IndexUpdateMapper.java,
+which routes documents to shards — the IVF layout below is the same
+route-then-search-one-shard idea for vectors).
+
+Two paths:
+- brute_force_topk: exact cosine top-k — broadcast the (small) query
+  set, one pass over the corpus, per-query heap via window rank.
+  At 100 TB the corpus scan is embarrassingly parallel and the only
+  shuffle is on query_id for the final top-k.
+- ivf_topk: IVF-style — assign every vector to its nearest centroid
+  (route), probe only the `nprobe` nearest centroid buckets per query.
+  Scan cost drops by ~n_centroids/nprobe. Centroids are caller-provided
+  (deterministic; k-means fitting is orthogonal and pluggable).
+
+All dot products run as Catalyst higher-order functions (zip_with +
+aggregate) over array<double> — JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right dot product (deterministic summation
+    order — bit-comparable with the DuckDB oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_sq(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of `corpus` for every row of `queries`.
+
+    Output: (query_id, vec_id, score, rk). Scores rounded to 6dp
+    BEFORE ranking so ranking is reproducible across engines; ties
+    break on vec_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col(id_col)).select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Route each vector to its nearest centroid (max cosine; ties →
+    lowest centroid id). Broadcast the centroids — one corpus pass."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    cen = centroids.select(
+        F.col(centroid_id), _as_double(F.col(vec_col)).alias("zv")
+    )
+    scored = c.join(F.broadcast(cen)).select(
+        id_col,
+        "cv",
+        centroid_id,
+        F.round(cosine(F.col("cv"), F.col("zv")), 6).alias("cscore"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cscore"), F.asc(centroid_id))
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") == 1)
+        .select(id_col, "cv", centroid_id)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: probe only the nprobe nearest centroid buckets.
+
+    Approximate (recall < 1 when the true neighbor lives in an
+    unprobed bucket) but deterministic given fixed centroids.
+    """
+    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cen = centroids.select(F.col("centroid_id"), _as_double(F.col(vec_col)).alias("zv"))
+    qprobe = q.join(F.broadcast(cen)).select(
+        "query_id",
+        "qv",
+        "centroid_id",
+        F.round(cosine(F.col("qv"), F.col("zv")), 6).alias("cscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("centroid_id"))
+    probes = (
+        qprobe.withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    # bucket-pruned scan: equi-join on centroid_id
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "query_id", id_col, F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def lsh_hyperplanes(dim: int, num_planes: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 hex-digit parity — plain
+    integer constants, so any engine (and the DuckDB oracle) projects
+    bit-identically."""
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        h = ""
+        i = 0
+        while len(h) < dim:
+            h += hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            i += 1
+        planes.append([1 if int(ch, 16) % 2 == 0 else -1 for ch in h[:dim]])
+    return planes
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH bucketing.
+
+    Bucket = sign bits of projections onto `num_planes` deterministic
+    ±1 hyperplanes (md5-parity constants baked into the plan). Pairs
+    sharing a bucket are verified exactly. A near-dup pair collides
+    when all sign bits agree; planes are cheap Σ±x_i projections.
+    """
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    bits = []
+    for plane in lsh_hyperplanes(dim, num_planes):
+        hp = F.array(*[F.lit(float(v)) for v in plane])
+        proj = dot(F.col("cv"), hp)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    bucketed = c.select(id_col, "cv", F.concat(*bits).alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return cand.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine(F.col("a.cv"), F.col("b.cv")), 6).alias("score"),
+    ).filter(F.col("score") >= threshold)

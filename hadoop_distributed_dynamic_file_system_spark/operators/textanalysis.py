@@ -1,0 +1,116 @@
+"""Text analysis for training-data curation: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+Additive over the reference (its only text kernels are regex match and
+whitespace tokenize, mapred/lib/RegexMapper.java / TokenCountMapper.java
+— these operators compose them into curation primitives). Everything
+is built-in expressions: at 100 TB these run embarrassingly parallel
+inside whole-stage codegen with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic.
+# Deliberately small + deterministic (the oracle replicates them).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "en"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic argmax order
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio."""
+    words = _words(text)
+
+    def in_set(sw):
+        # closure factory — a default-arg lambda would become arity-2
+        # and PySpark would bind the array index to the second param
+        return lambda w: F.array_contains(sw, w)
+
+    out = {}
+    for lang in LANGS:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(words, in_set(sw)))
+        out[lang] = hits / F.greatest(F.size(words), F.lit(1))
+    return out
+
+
+def detect_language(text: Column) -> Column:
+    """Argmax language by stopword ratio; 'und' (undetermined) when no
+    stopword hits at all. Ties break by language-name order."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in LANGS:  # later languages must BEAT (not tie) earlier ones
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Heuristic quality features: length, word stats, punct/stopword
+    ratios — the usual pre-training filter signals."""
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    en_sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(words, lambda w: F.array_contains(en_sw, w)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    mean_wlen = F.round(
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+        / F.greatest(n_words, F.lit(1)).cast("double"),
+        6,
+    )
+    return df.withColumns(
+        {
+            "n_chars": n_chars.cast("bigint"),
+            "n_words": n_words.cast("bigint"),
+            "mean_word_len": mean_wlen,
+            "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)).cast("double"), 6),
+            "stopword_ratio": F.round(sw_hits / F.greatest(n_words, F.lit(1)).cast("double"), 6),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Composite 0..1 quality score from the features (monotone,
+    deterministic; thresholds are curation knobs, not learned)."""
+    feat = quality_features(df, text_col)
+    score = (
+        F.when(F.col("n_words") >= 5, 0.25).otherwise(0.0)
+        + F.when((F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12), 0.25).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
+    )
+    return feat.withColumn("quality", F.round(score, 2))
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (letter runs,
+    digit runs, single punctuation — the GPT-2 pre-tokenizer shape)."""
+    text = F.col(text_col)
+    ws = F.size(_words(text))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)))
+    return df.withColumns(
+        {"ws_tokens": ws.cast("bigint"), "bpe_tokens": bpe.cast("bigint")}
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Normalized-content fingerprint: lowercase, collapse whitespace,
+    md5. (The reference's digest kernel is io/MD5Hash.java.)"""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(norm))

@@ -1,0 +1,437 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal — each with a DuckDB oracle generated programmatically so
+both engines compute the identical deterministic pipeline.
+
+Portability tricks shared with the operator modules:
+- md5-hex everywhere a hash is needed (identical in both engines);
+- hex→int via strpos('0123456789abcdef', digit) arithmetic;
+- ±1 LSH hyperplanes computed in Python and inlined as literals;
+- floats rounded 6dp before any ranking/threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, textanalysis
+from .queries import ORACLE, QUERIES, _t, query
+
+# ---------------------------------------------------------------- SQL helpers
+
+_HEX = "0123456789abcdef"
+
+
+def _sql_hexval(hexpr: str, start: int, ndigits: int) -> str:
+    """SQL: integer value of md5-hex digits [start, start+ndigits)."""
+    expr = "0"
+    for i in range(ndigits):
+        d = f"(strpos('{_HEX}', substr({hexpr}, {start + i}, 1)) - 1)"
+        expr = f"({expr} * 16 + {d})"
+    return expr
+
+
+_SQL_WORDS = r"list_filter(string_split_regex({t}, '\s+'), w -> w <> '')"
+_SQL_SHINGLES = (
+    r"list_transform(range(1, len(string_split_regex({t}, '\s+')) - 1), "
+    r"i -> string_split_regex({t}, '\s+')[i] || ' ' || "
+    r"string_split_regex({t}, '\s+')[i+1] || ' ' || "
+    r"string_split_regex({t}, '\s+')[i+2])"
+)
+
+# corpus with synthetic near-duplicates: original docs + copies with the
+# first word dropped (ids offset by 100000)
+_SQL_DOCS_DUP = r"""
+  docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\S+\s*', '') AS text
+    FROM documents
+  )
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+    )
+    return d.unionByName(mutated)
+
+
+# ================================================================ dedup family
+
+@query(
+    "dedup_exact",
+    """
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    )
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+    FROM docs2 GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with planted exact duplicates; the
+    shuffle key is md5(content), not the document (operators/dedup)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return dedup.exact_dedup(d.unionByName(dup), ["text"], "doc_id")
+
+
+def _minhash_sql(num_hashes: int, src: str = "documents") -> str:
+    sh = _SQL_SHINGLES.format(t="text")
+    cols = ",\n           ".join(
+        f"list_min(list_transform({sh}, x -> md5('{s}:' || x))) AS mh_{s}"
+        for s in range(num_hashes)
+    )
+    return f"SELECT doc_id,\n           {cols}\n    FROM {src}"
+
+
+@query("minhash_signatures", _minhash_sql(4))
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=4): shingle → salted md5 → lexicographic
+    min per salt. Narrow plan, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(d, "doc_id", "text", num_hashes=4)
+
+
+@query(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_SQL_DOCS_DUP.strip()},
+    sigs AS ({_minhash_sql(8, "docs2")}),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bkey FROM sigs
+      UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sigs
+      UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sigs
+      UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (k=8, bands=4) over a corpus with
+    planted near-duplicates (first word dropped)."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    wh = _sql_hexval("md5(w)", 1, 4)
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN ({wh} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN bit_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM words WHERE w <> '' GROUP BY doc_id
+    )
+    SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes
+    """
+
+
+@query("simhash_fingerprints", _simhash_sql())
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, md5-derived word hashes, per-bit majority)."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.simhash(d, "doc_id", "text", bits=16)
+    return out.withColumn("simhash", F.col("simhash").cast("bigint"))
+
+
+@query(
+    "ngram_jaccard",
+    f"""
+    WITH {_SQL_DOCS_DUP.strip()},
+    ea AS (
+      SELECT DISTINCT doc_id AS id_a, unnest({_SQL_SHINGLES.format(t="text")}) AS sh
+      FROM docs2 WHERE doc_id < 100000
+    ),
+    eb AS (
+      SELECT DISTINCT doc_id AS id_b, unnest({_SQL_SHINGLES.format(t="text")}) AS sh
+      FROM docs2 WHERE doc_id >= 100000
+    ),
+    na AS (SELECT id_a, count(*) AS n_a FROM ea GROUP BY id_a),
+    nb AS (SELECT id_b, count(*) AS n_b FROM eb GROUP BY id_b),
+    common AS (
+      SELECT id_a, id_b, count(*) AS n_common
+      FROM ea JOIN eb USING (sh) GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+    FROM common JOIN na USING (id_a) JOIN nb USING (id_b)
+    WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
+    """,
+)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard between originals and mutated copies via
+    shingle equi-join (never a cross join)."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    a = corpus.filter(F.col("doc_id") < 100000)
+    b = corpus.filter(F.col("doc_id") >= 100000)
+    return dedup.ngram_jaccard_pairs(a, b, "doc_id", "text", threshold=0.5)
+
+
+# ============================================================ similarity family
+
+_SQL_COS = (
+    "round(list_dot_product(qv, cv) /"
+    " sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 6)"
+)
+
+
+@query(
+    "ann_brute_force",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, vec_id, {_SQL_COS} AS score
+      FROM c CROSS JOIN q WHERE query_id <> vec_id
+    )
+    SELECT query_id, vec_id, score, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def ann_brute_force_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries, one
+    corpus pass, JVM-side higher-order-function dot products."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, qs, k=10).select(
+        "query_id", "vec_id", "score", "rk"
+    )
+
+
+@query(
+    "ann_ivf",
+    f"""
+    WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
+                 FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    assigned AS (
+      SELECT vec_id, cv, centroid_id FROM (
+        SELECT c.vec_id, c.cv, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(cv, zv) /
+                          sqrt(list_dot_product(cv, cv) * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS crk
+        FROM c CROSS JOIN cen
+      ) WHERE crk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 3),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(qv, zv) /
+                          sqrt(list_dot_product(qv, qv) * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS prk
+        FROM q CROSS JOIN cen
+      ) WHERE prk <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, {_SQL_COS} AS score
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, vec_id, score, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5: route corpus to 8 fixed centroids, probe the 2
+    nearest buckets per query — the scan-pruning scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_topk(emb, qs, centroids, k=5, nprobe=2).select(
+        "query_id", "vec_id", "score", "rk"
+    )
+
+
+def _near_dup_sql(dim: int, num_planes: int, threshold: float) -> str:
+    planes = similarity.lsh_hyperplanes(dim, num_planes)
+    bit_exprs = " || ".join(
+        f"(CASE WHEN list_dot_product(cv, {[float(v) for v in p]}::DOUBLE[]) >= 0"
+        f" THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+    WITH emb2 AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS cv, {bit_exprs} AS bucket FROM emb2
+    )
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           round(list_dot_product(a.cv, b2.cv) /
+                 sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b2.cv, b2.cv)), 6) AS score
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE round(list_dot_product(a.cv, b2.cv) /
+                sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b2.cv, b2.cv)), 6)
+          >= {threshold}
+    """
+
+
+@query("embedding_near_dup", _near_dup_sql(64, 8, 0.95))
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH near-dup pairs over a corpus with planted exact
+    duplicate vectors; bucket = 8 ±1-hyperplane sign bits."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    return similarity.embedding_near_dup_pairs(
+        corpus, dim=64, threshold=0.95, num_planes=8
+    )
+
+
+# =========================================================== text analysis
+
+def _lang_sql() -> str:
+    words = _SQL_WORDS.format(t="lower(text)")
+    scores = []
+    for lang in textanalysis.LANGS:
+        sw = ", ".join(f"'{w}'" for w in textanalysis.STOPWORDS[lang])
+        scores.append(
+            f"len(list_filter({words}, w -> list_contains([{sw}], w)))"
+            f" / greatest(len({words}), 1) AS s_{lang}"
+        )
+    score_cols = ",\n             ".join(scores)
+    langs = textanalysis.LANGS
+    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {g} <= 0 THEN 'und' "
+    for l in langs[:-1]:
+        case += f"WHEN s_{l} = {g} THEN '{l}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return f"""
+    SELECT doc_id, lang, {case} AS lang_pred FROM (
+      SELECT doc_id, lang,
+             {score_cols}
+      FROM documents
+    )
+    """
+
+
+@query("lang_id", _lang_sql())
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax stopword-hit ratio over small
+    per-language lexicons (earliest language wins ties)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", textanalysis.detect_language(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "quality_scores",
+    rf"""
+    SELECT doc_id, n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
+           round(CASE WHEN n_words >= 5 THEN 0.25 ELSE 0 END
+               + CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END
+               + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END
+               + CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0 END, 2)::DOUBLE AS quality
+    FROM (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars,
+             len({_SQL_WORDS.format(t="lower(text)")})::BIGINT AS n_words,
+             round(list_sum(list_transform({_SQL_WORDS.format(t="lower(text)")},
+                                           w -> length(w)))
+                   / greatest(len({_SQL_WORDS.format(t="lower(text)")}), 1), 6) AS mean_word_len,
+             round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round(len(list_filter({_SQL_WORDS.format(t="lower(text)")},
+                        w -> list_contains(['the','a','of','and','to','in','is','it'], w)))
+                   / greatest(len({_SQL_WORDS.format(t="lower(text)")}), 1), 6) AS stopword_ratio
+      FROM documents
+    )
+    """,
+)
+def quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality heuristics + composite score."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = textanalysis.quality_score(d, "text")
+    return out.select(
+        "doc_id", "n_chars", "n_words", "mean_word_len",
+        "punct_ratio", "stopword_ratio", "quality",
+    )
+
+
+@query(
+    "token_counts",
+    rf"""
+    SELECT doc_id,
+           len({_SQL_WORDS.format(t="lower(text)")})::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0))::BIGINT AS bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish (GPT-2 pre-tokenizer shape) token counts."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textanalysis.token_counts(d, "text").select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+@query(
+    "fingerprints",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint (io/MD5Hash.java kernel)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textanalysis.fingerprint(d, "text").select("doc_id", "fingerprint")
+
+
+# ============================================================== multimodal
+
+@query(
+    "multimodal_decode",
+    f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CASE ({_sql_hexval("md5(text)", 9, 1)}) % 3
+                WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+           (({_sql_hexval("md5(text)", 1, 4)}) % 1920 + 1)::INT AS width,
+           (({_sql_hexval("md5(text)", 5, 4)}) % 1080 + 1)::INT AS height
+    FROM documents
+    """,
+)
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: synthesize payload bytes, run the
+    Arrow-batched mapInPandas decode stage (stubbed deterministic
+    'header parse' — real plumbing, fake pixels)."""
+    d = _t(spark, sf_dir, "documents")
+    binaries = multimodal.attach_binary(d, "text", "doc_id")
+    return multimodal.decode_metadata(binaries)
