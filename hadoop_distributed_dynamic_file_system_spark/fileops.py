@@ -1,0 +1,221 @@
+"""Distributed file utilities: FsShell / DistCp / DistCh analogs.
+
+Reference surfaces:
+- FsShell (core/fs/FsShell.java:1538-1724): -ls -du -count -mv -cp -rm
+  -cat -text -tail -mkdir -touchz -test -stat -getmerge ...
+- FileSystem API (core/fs/FileSystem.java:327-593).
+- DistCp (tools/DistCp.java, 1356 LoC): parallel copy with -update /
+  -overwrite semantics → here a Spark job over a file-list DataFrame
+  with a mapPartitions copy stage.
+- DistCh (tools/DistCh.java): parallel chmod/chown.
+
+Metadata ops run through Hadoop's FileSystem via py4j (works for any
+scheme Spark's Hadoop client knows: file://, hdfs://, s3a://...); the
+data-plane copy runs in executors via Python I/O for local/NFS paths —
+on a cloud deployment swap `_copy_one` for an fsspec/boto call, the
+job shape (list → repartition → copy partitions) is the scalable part.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- FsShell analog
+class FsShell:
+    """Catalog/file-op surface backed by Hadoop FileSystem (py4j)."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        self._jvm = jvm
+        self._conf = jsc.hadoopConfiguration()
+        self._fs_cls = jvm.org.apache.hadoop.fs.FileSystem
+        self._path_cls = jvm.org.apache.hadoop.fs.Path
+
+    def _fs(self, path: str):
+        return self._fs_cls.get(self._path_cls(path).toUri(), self._conf)
+
+    def _p(self, path: str):
+        return self._path_cls(path)
+
+    def ls(self, path: str) -> list[dict]:
+        fs = self._fs(path)
+        out = []
+        for st in fs.listStatus(self._p(path)):
+            out.append(
+                {
+                    "path": st.getPath().toString(),
+                    "length": st.getLen(),
+                    "is_dir": st.isDirectory(),
+                    "mod_time": st.getModificationTime(),
+                    "replication": st.getReplication(),
+                }
+            )
+        return out
+
+    def du(self, path: str) -> int:
+        fs = self._fs(path)
+        return fs.getContentSummary(self._p(path)).getLength()
+
+    def count(self, path: str) -> dict:
+        fs = self._fs(path)
+        cs = fs.getContentSummary(self._p(path))
+        return {
+            "dirs": cs.getDirectoryCount(),
+            "files": cs.getFileCount(),
+            "bytes": cs.getLength(),
+        }
+
+    def mkdir(self, path: str) -> bool:
+        return self._fs(path).mkdirs(self._p(path))
+
+    def mv(self, src: str, dst: str) -> bool:
+        return self._fs(src).rename(self._p(src), self._p(dst))
+
+    def rm(self, path: str, recursive: bool = False) -> bool:
+        return self._fs(path).delete(self._p(path), recursive)
+
+    def exists(self, path: str) -> bool:
+        return self._fs(path).exists(self._p(path))
+
+    def touchz(self, path: str) -> None:
+        self._fs(path).create(self._p(path), True).close()
+
+    def stat(self, path: str) -> dict:
+        st = self._fs(path).getFileStatus(self._p(path))
+        return {
+            "length": st.getLen(),
+            "is_dir": st.isDirectory(),
+            "mod_time": st.getModificationTime(),
+            "access_time": st.getAccessTime(),
+            "replication": st.getReplication(),
+        }
+
+    def setrep(self, path: str, replication: int) -> bool:
+        """-setrep: real on HDFS; no-op on local/object stores (the
+        hot-set manager is the cache-level analog, hotset.py)."""
+        return self._fs(path).setReplication(self._p(path), replication)
+
+    def cat(self, path: str, max_bytes: int = 1 << 20) -> bytes:
+        fs = self._fs(path)
+        stream = fs.open(self._p(path))
+        try:
+            data = bytearray()
+            buf_sz = 65536
+            while len(data) < max_bytes:
+                b = bytearray(buf_sz)
+                n = stream.read(b)
+                if n <= 0:
+                    break
+                data.extend(b[:n])
+            return bytes(data[:max_bytes])
+        finally:
+            stream.close()
+
+
+# ------------------------------------------------------------------- DistCp
+@dataclass
+class CopyResult:
+    copied: int
+    skipped: int
+    bytes: int
+
+
+def _list_files(root: str) -> list[tuple[str, str, int, float]]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for name in files:
+            src = os.path.join(dirpath, name)
+            rel = os.path.relpath(src, root)
+            st = os.stat(src)
+            out.append((src, rel, st.st_size, st.st_mtime))
+    return out
+
+
+def distcp(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    update: bool = False,
+    overwrite: bool = False,
+    parallelism: int = 32,
+) -> CopyResult:
+    """DistCp: parallel tree copy as a Spark job.
+
+    The driver lists the tree (cheap metadata pass — the reference's
+    sequence-file copy list, DistCp.java 'setup'), the executors move
+    bytes. `update` skips same-size existing targets; `overwrite`
+    recopies unconditionally.
+    """
+    files = _list_files(src_root)
+    fl = spark.createDataFrame(
+        files, schema="src string, rel string, size long, mtime double"
+    ).repartition(min(parallelism, max(1, len(files))))
+
+    dst = dst_root
+    do_update, do_overwrite = update, overwrite
+
+    def copy_partition(rows):
+        copied = skipped = nbytes = 0
+        for r in rows:
+            target = os.path.join(dst, r.rel)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            if os.path.exists(target) and not do_overwrite:
+                if do_update and os.path.getsize(target) == r.size:
+                    skipped += 1
+                    continue
+                if not do_update:
+                    skipped += 1
+                    continue
+            shutil.copy2(r.src, target)
+            copied += 1
+            nbytes += r.size
+        yield (copied, skipped, nbytes)
+
+    stats = fl.rdd.mapPartitions(copy_partition).collect()
+    return CopyResult(
+        copied=sum(s[0] for s in stats),
+        skipped=sum(s[1] for s in stats),
+        bytes=sum(s[2] for s in stats),
+    )
+
+
+def distch(
+    spark: SparkSession, root: str, mode: int | None = None, parallelism: int = 32
+) -> int:
+    """DistCh: parallel chmod over a tree (owner changes need root —
+    exposed via the same job shape)."""
+    files = [f[0] for f in _list_files(root)]
+    if not files:
+        return 0
+    rdd = spark.sparkContext.parallelize(files, min(parallelism, len(files)))
+
+    def change(paths):
+        n = 0
+        for p in paths:
+            if mode is not None:
+                os.chmod(p, mode)
+                n += 1
+        yield n
+
+    return sum(rdd.mapPartitions(change).collect())
+
+
+def logalyzer(
+    spark: SparkSession, path: str, pattern: str, sort_cols: list[str] | None = None
+) -> DataFrame:
+    """Logalyzer (tools/Logalyzer.java:64-69,176-217): archive+grep+sort
+    → read, regex-filter, count per match, order by chosen columns."""
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    hits = lines.filter(F.col("line").rlike(pattern))
+    counts = hits.groupBy("line").agg(F.count("*").alias("cnt"))
+    if sort_cols:
+        return counts.orderBy(*sort_cols)
+    return counts.orderBy(F.desc("cnt"), F.asc("line"))

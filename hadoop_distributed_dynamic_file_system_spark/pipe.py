@@ -1,0 +1,86 @@
+"""Hadoop Streaming parity: run external executables as operators.
+
+Reference: contrib/streaming — PipeMapper/PipeReducer spawn the user
+command (PipeMapRed.java:166), feed ``key<sep>value\\n`` lines to stdin
+(:635), and split each stdout line back into key/value at the N-th
+separator (:342-355; configs `stream.map.output.field.separator`,
+`stream.num.map.output.key.fields`). A line with fewer separators than
+N keeps the whole line as key with an empty value.
+
+Spark-first: `rdd.pipe` does the process management; this wrapper
+reproduces the separator/key-fields contract and returns DataFrames.
+Each task pipes its partition through one process instance — same
+process model as the reference (one exec per task), so it scales with
+partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _to_lines(df: DataFrame, sep: str) -> "RDD[str]":  # noqa: F821
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+    lines = df.select(F.concat_ws(sep, *cols).alias("line"))
+    return lines.rdd.map(lambda r: r.line)
+
+
+def split_output_line(line: str, sep: str, num_key_fields: int) -> tuple[str, str]:
+    """PipeMapRed.java:342-355 semantics: split at the N-th separator;
+    too few separators → whole line is the key, value empty."""
+    parts = line.split(sep)
+    if len(parts) <= num_key_fields:
+        return line, ""
+    return sep.join(parts[:num_key_fields]), sep.join(parts[num_key_fields:])
+
+
+def pipe(
+    df: DataFrame,
+    command: str,
+    sep: str = "\t",
+    num_key_fields: int = 1,
+    env: dict[str, str] | None = None,
+) -> DataFrame:
+    """PipeMapper analog: DataFrame → lines → external command → (key, value).
+
+    `command` is run once per partition; stdin gets one
+    ``col1<sep>col2<sep>...`` line per row; stdout lines are split at
+    the `num_key_fields`-th separator.
+    """
+    spark = df.sparkSession
+    piped = _to_lines(df, sep).pipe(command, env=env or {})
+    nkf = num_key_fields
+    kv = piped.map(lambda line: split_output_line(line, sep, nkf))
+    return spark.createDataFrame(kv, schema="key string, value string")
+
+
+def pipe_reduce(
+    df: DataFrame,
+    command: str,
+    key_cols: list[str],
+    sep: str = "\t",
+    num_key_fields: int = 1,
+    env: dict[str, str] | None = None,
+) -> DataFrame:
+    """PipeReducer analog: repartition by key + sort within partitions
+    so the external reducer sees each key's records contiguously (the
+    reference's sorted-reduce contract), then pipe."""
+    grouped = df.repartition(*[F.col(c) for c in key_cols]).sortWithinPartitions(*key_cols)
+    return pipe(grouped, command, sep=sep, num_key_fields=num_key_fields, env=env)
+
+
+def pipe_aggregate(
+    df: DataFrame,
+    mapper_command: str,
+    descriptors: list[str],
+    group_col: str = "key",
+    sep: str = "\t",
+) -> DataFrame:
+    """StreamAggregate shape: external mapper emits descriptor-tagged
+    KV lines, the aggregate DSL reduces them (ValueAggregatorJob over
+    streaming, contrib/streaming + mapred/lib/aggregate)."""
+    from .operators.aggregate import aggregate
+
+    mapped = pipe(df, mapper_command, sep=sep)
+    return aggregate(mapped, [group_col], descriptors)

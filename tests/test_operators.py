@@ -1,0 +1,173 @@
+"""Operator semantics on TestDatamerge-shaped fixtures (reference:
+src/test/.../mapred/join/TestDatamerge.java:77-160 for join tuple
+shapes; TestFieldSelection for the selector; KeyFieldBasedComparator
+for sort specs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_distributed_dynamic_file_system_spark.operators import (
+    aggregate as agg_ops,
+)
+from hadoop_distributed_dynamic_file_system_spark.operators import (
+    fieldsel,
+    joins,
+    sampling,
+    sort,
+    transforms,
+)
+
+
+@pytest.fixture(scope="module")
+def kv_sources(spark):
+    # overlapping-but-different key sets; duplicate key 2 in source a
+    a = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (2, "a2x"), (3, "a3")], "k int, v string"
+    )
+    b = spark.createDataFrame([(2, "b2"), (3, "b3"), (4, "b4")], "k int, v string")
+    c = spark.createDataFrame([(3, "c3"), (4, "c4"), (5, "c5")], "k int, v string")
+    return {"a": a, "b": b, "c": c}
+
+
+class TestJoinSemantics:
+    def test_inner_requires_all_sources(self, kv_sources):
+        out = joins.compile_join_expr(
+            "inner(tbl(a),tbl(b),tbl(c))", kv_sources.__getitem__
+        )
+        rows = {(r.k, r.v0, r.v1, r.v2) for r in out.collect()}
+        assert rows == {(3, "a3", "b3", "c3")}
+
+    def test_outer_has_null_slots(self, kv_sources):
+        out = joins.compile_join_expr("outer(tbl(a),tbl(b))", kv_sources.__getitem__)
+        rows = {(r.k, r.v0, r.v1) for r in out.collect()}
+        assert (1, "a1", None) in rows
+        assert (4, None, "b4") in rows
+        # duplicate key 2 in a → cross product rows
+        assert (2, "a2", "b2") in rows and (2, "a2x", "b2") in rows
+
+    def test_override_rightmost_wins(self, kv_sources):
+        out = joins.compile_join_expr(
+            "override(tbl(a),tbl(b))", kv_sources.__getitem__
+        )
+        vals = {r.k: r.v0 for r in out.collect() if r.k in (1, 3, 4)}
+        assert vals == {1: "a1", 3: "b3", 4: "b4"}  # b overrides a where present
+
+    def test_nested_composition(self, kv_sources):
+        out = joins.compile_join_expr(
+            "inner(tbl(a),override(tbl(b),tbl(c)))", kv_sources.__getitem__
+        )
+        rows = {(r.k, r.v0, r.v1) for r in out.collect()}
+        # key 2: a2/a2x with b2 (c absent); key 3: c3 overrides b3
+        assert (2, "a2", "b2") in rows and (2, "a2x", "b2") in rows
+        assert (3, "a3", "c3") in rows
+        assert all(k != 5 for k, *_ in rows)  # 5 not in a
+
+    def test_semi_anti(self, kv_sources):
+        a, b = kv_sources["a"], kv_sources["b"]
+        semi = {r.k for r in joins.semi_join(a, b, "k").collect()}
+        anti = {r.k for r in joins.anti_join(a, b, "k").collect()}
+        assert semi == {2, 3} and anti == {1}
+
+
+class TestFieldSelection:
+    def test_short_records_skip_missing_fields(self, spark):
+        df = spark.createDataFrame([("a-b",), ("a-b-c-d-e",)], "line string")
+        out = fieldsel.select_fields(df, "line", "0,4:1,2-", sep="-")
+        rows = {(r.key, r.value) for r in out.collect()}
+        # short record: field 4 absent from key, fields 2- absent from value
+        assert ("a", "b") in rows
+        assert ("a-e", "b-c-d-e") in rows
+
+    def test_reorder(self, spark):
+        df = spark.createDataFrame([("x-y-z",)], "line string")
+        out = fieldsel.select_fields(df, "line", "2,0:1", sep="-")
+        r = out.collect()[0]
+        assert (r.key, r.value) == ("z-x", "y")
+
+
+class TestKvParse:
+    def test_first_separator_only(self, spark):
+        df = spark.createDataFrame(
+            [("k\tv1\tv2",), ("noseparator",), ("k2\t",)], "line string"
+        )
+        out = transforms.parse_kv_line(df, "line", "\t")
+        rows = {(r.key, r.value) for r in out.collect()}
+        assert ("k", "v1\tv2") in rows
+        assert ("noseparator", "") in rows  # reference edge case
+        assert ("k2", "") in rows
+
+
+class TestSortSpec:
+    def test_numeric_reverse_matches_unix_sort(self, spark):
+        lines = ["b 10 x", "a 2 y", "c 10 z", "d -1 w", "e foo v"]
+        df = spark.createDataFrame([(l,) for l in lines], "line string")
+        out = sort.sort_by_key_spec(df, "line", "-k2,2nr -k1,1", sep=" ")
+        got = [r.line for r in out.collect()]
+        # sort -k2,2nr -k1,1: 10s first (b,c by field1), then 2, then foo→0, then -1
+        assert got == ["b 10 x", "c 10 z", "a 2 y", "e foo v", "d -1 w"]
+
+    def test_char_offset(self, spark):
+        df = spark.createDataFrame([("aa zb",), ("ab za",)], "line string")
+        out = sort.sort_by_key_spec(df, "line", "-k2.2,2", sep=" ")
+        got = [r.line for r in out.collect()]
+        assert got == ["ab za", "aa zb"]  # compares 'a' vs 'b' (2nd char of field2)
+
+
+class TestAggregates:
+    def test_descriptor_aggregation(self, spark):
+        # TestAggregates.java shape: word_i appears i times (i=1..5)
+        rows = [(f"word_{i:04d}", 1) for i in range(1, 6) for _ in range(i)]
+        df = spark.createDataFrame(rows, "word string, one int")
+        out = agg_ops.aggregate(
+            df.withColumn("g", F.lit("all")),
+            ["g"],
+            [
+                "LongValueSum:total:one",
+                "StringValueMax:max_w:word",
+                "StringValueMin:min_w:word",
+                "UniqValueCount:uniq:word",
+                "UniqValueCount~3:uniq_bounded:word",
+            ],
+        ).collect()[0]
+        assert out.total == 15
+        assert out.max_w == "word_0005" and out.min_w == "word_0001"
+        assert out.uniq == 5 and out.uniq_bounded == 3
+
+    def test_histogram_report(self, spark):
+        # counts per item: a→3, b→2, c→1  → median 2, mean 2, min 1, max 3
+        df = spark.createDataFrame(
+            [("g", x) for x in ["a", "a", "a", "b", "b", "c"]], "g string, v string"
+        )
+        r = agg_ops.histogram_report(df, ["g"], "v").collect()[0]
+        assert r.hist_num_items == 3
+        assert (r.hist_min, r.hist_median, r.hist_max) == (1, 2.0, 3)
+        assert abs(r.hist_mean - 2.0) < 1e-9
+
+
+class TestSampling:
+    def test_percent_filter(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+        assert sampling.percent_filter(df, "k", 10).count() == 10
+
+    def test_md5_filter_deterministic(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+        n1 = sampling.md5_filter(df, "k", 16).count()
+        n2 = sampling.md5_filter(df, "k", 16).count()
+        assert n1 == n2 and 0 < n1 < 40  # ~12.5 expected, loose bounds
+
+    def test_regex_filter(self, spark):
+        df = spark.createDataFrame([("apple",), ("banana",)], "k string")
+        assert sampling.regex_filter(df, "k", "^a").count() == 1
+
+
+class TestTopK:
+    def test_top_k_plan_uses_take_ordered(self, spark):
+        df = spark.createDataFrame([(i, i % 7) for i in range(100)], "a int, b int")
+        plan = sort.top_k(df, 5, F.desc("a"))._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_top_k_per_group(self, spark):
+        df = spark.createDataFrame([(i % 3, i) for i in range(30)], "g int, v int")
+        out = sort.top_k_per_group(df, ["g"], 2, [F.desc("v")])
+        assert out.count() == 6
+        assert out.groupBy("g").count().agg(F.max("count")).collect()[0][0] == 2

@@ -1,0 +1,99 @@
+"""Unit tests for the four reference DSL parsers (SURVEY §4.3) —
+semantic cases modeled on the reference's own parser tests
+(TestKeyFieldHelper, TestFieldSelection, Parser.java grammar)."""
+
+import pytest
+
+from hadoop_distributed_dynamic_file_system_spark.operators.aggregate import (
+    Descriptor,
+    parse_descriptor,
+)
+from hadoop_distributed_dynamic_file_system_spark.operators.fieldsel import (
+    FieldRange,
+    parse_field_spec,
+    parse_field_spec_list,
+)
+from hadoop_distributed_dynamic_file_system_spark.operators.joins import (
+    parse_join_expr,
+)
+from hadoop_distributed_dynamic_file_system_spark.operators.sort import parse_key_spec
+
+
+class TestFieldSpec:
+    def test_survey_example(self):
+        key, value = parse_field_spec("0-2:3,4,5-")
+        assert key == [FieldRange(0, 2)]
+        assert value == [FieldRange(3, 3), FieldRange(4, 4), FieldRange(5, None)]
+
+    def test_single_and_ranges(self):
+        assert parse_field_spec_list("7") == [FieldRange(7, 7)]
+        assert parse_field_spec_list("1-3,5") == [FieldRange(1, 3), FieldRange(5, 5)]
+        assert parse_field_spec_list("-2") == [FieldRange(0, 2)]  # open start
+        assert parse_field_spec_list("4-") == [FieldRange(4, None)]
+
+    def test_key_only(self):
+        key, value = parse_field_spec("0,1")
+        assert key == [FieldRange(0, 0), FieldRange(1, 1)]
+        assert value == []
+
+
+class TestKeySpec:
+    def test_basic(self):
+        (ks,) = parse_key_spec("-k2,2")
+        assert (ks.field1, ks.field2, ks.numeric, ks.reverse) == (2, 2, False, False)
+
+    def test_numeric_reverse(self):
+        (ks,) = parse_key_spec("-k2,2nr")
+        assert ks.numeric and ks.reverse
+
+    def test_multi_spec_and_char_offset(self):
+        a, b = parse_key_spec("-k2.3,4n -k1r")
+        assert (a.field1, a.char1, a.field2, a.numeric) == (2, 3, 4, True)
+        assert (b.field1, b.field2, b.reverse) == (1, None, True)
+
+    def test_no_dash_k(self):
+        (ks,) = parse_key_spec("3n")
+        assert ks.field1 == 3 and ks.numeric
+
+    def test_bad_spec(self):
+        with pytest.raises(ValueError):
+            parse_key_spec("-kx")
+
+
+class TestJoinExpr:
+    def test_nested(self):
+        node = parse_join_expr('inner(tbl(fmt,"a"),outer(b,c))')
+        assert node.op == "inner"
+        assert node.children[0].op == "tbl" and node.children[0].ident == "a"
+        assert node.children[1].op == "outer"
+        assert [c.ident for c in node.children[1].children] == ["b", "c"]
+
+    def test_override(self):
+        node = parse_join_expr("override(a,b,c)")
+        assert node.op == "override" and len(node.children) == 3
+
+    def test_arity_error(self):
+        with pytest.raises(ValueError):
+            parse_join_expr("inner(a)")
+
+    def test_trailing_garbage(self):
+        with pytest.raises(ValueError):
+            parse_join_expr("inner(a,b))")
+
+
+class TestDescriptor:
+    def test_full(self):
+        d = parse_descriptor("LongValueSum:sum_qty:l_quantity")
+        assert d == Descriptor("LongValueSum", "sum_qty", "l_quantity", None)
+
+    def test_bare_alias_is_expr(self):
+        d = parse_descriptor("DoubleValueSum:price")
+        assert d.expr == "price"
+
+    def test_bounded_uniq(self):
+        d = parse_descriptor("UniqValueCount~100:u:k")
+        assert d.bound == 100
+
+    def test_unknown_function(self):
+        with pytest.raises(ValueError):
+            parse_descriptor("MedianValue:x:y")
