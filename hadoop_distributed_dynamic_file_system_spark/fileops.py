@@ -104,18 +104,14 @@ class FsShell:
         return self._fs(path).setReplication(self._p(path), replication)
 
     def cat(self, path: str, max_bytes: int = 1 << 20) -> bytes:
+        # py4j copies (never mutates) Python byte arrays passed to Java,
+        # so the bytes must be accumulated JVM-side and returned whole.
         fs = self._fs(path)
         stream = fs.open(self._p(path))
         try:
-            data = bytearray()
-            buf_sz = 65536
-            while len(data) < max_bytes:
-                b = bytearray(buf_sz)
-                n = stream.read(b)
-                if n <= 0:
-                    break
-                data.extend(b[:n])
-            return bytes(data[:max_bytes])
+            baos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+            return bytes(baos.toByteArray())[:max_bytes]
         finally:
             stream.close()
 

@@ -20,6 +20,7 @@ All built-ins — no Python UDFs in any hot path.
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 from typing import Callable
 

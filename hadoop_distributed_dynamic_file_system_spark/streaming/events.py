@@ -39,9 +39,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet; ts rebuilt as
     TIMESTAMP_NTZ→TIMESTAMP for watermarking (event-time ops need LTZ)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source lists a DIRECTORY; events.parquet is one file, so
+    # stream the parent dir with a glob filter selecting just it
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

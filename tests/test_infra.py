@@ -1,0 +1,262 @@
+"""Infrastructure surfaces: pipe (Hadoop Streaming parity), sinks,
+sources, file utilities, job control, catalog EWMA + hot-set manager.
+
+Reference models: contrib/streaming TestStreaming siblings (pipe),
+fs/FileSystemContractBaseTest (FsShell ops), TestMultipleOutputs,
+jobcontrol tests, and the fork's DynamicReplicationMonitor behavior
+(FSNamesystem.java:4389-4560)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_distributed_dynamic_file_system_spark import fileops, pipe, sinks
+from hadoop_distributed_dynamic_file_system_spark.catalog import Catalog
+from hadoop_distributed_dynamic_file_system_spark.hotset import HotSetManager
+from hadoop_distributed_dynamic_file_system_spark.plans.jobcontrol import JobControl, State
+from hadoop_distributed_dynamic_file_system_spark.plans.jobspec import JobSpec, run_job
+from hadoop_distributed_dynamic_file_system_spark.sources import text as text_src
+
+
+class TestPipe:
+    def test_split_output_line_semantics(self):
+        # PipeMapRed.java:342-355: split at N-th separator
+        assert pipe.split_output_line("a\tb\tc", "\t", 1) == ("a", "b\tc")
+        assert pipe.split_output_line("a\tb\tc", "\t", 2) == ("a\tb", "c")
+        # too few separators -> whole line is key, empty value
+        assert pipe.split_output_line("a", "\t", 1) == ("a", "")
+        assert pipe.split_output_line("a\tb", "\t", 5) == ("a\tb", "")
+
+    def test_pipe_external_command(self, spark):
+        df = spark.createDataFrame([("hello", 1), ("world", 2)], "w string, n int")
+        out = pipe.pipe(df, "tr '[:lower:]' '[:upper:]'")
+        rows = {(r.key, r.value) for r in out.collect()}
+        assert rows == {("HELLO", "1"), ("WORLD", "2")}
+
+    def test_pipe_reduce_groups_contiguous(self, spark):
+        # external reducer sees each key's rows contiguously: uniq -c works
+        df = spark.createDataFrame(
+            [("a",), ("b",), ("a",), ("b",), ("a",)], "k string"
+        ).repartition(4)
+        out = pipe.pipe_reduce(df, "uniq -c", ["k"])
+        # uniq -c output: "   3 a" — whole line becomes the key (no tab)
+        counts = {}
+        for r in out.collect():
+            n, k = r.key.strip().split(None, 1)
+            counts[k] = counts.get(k, 0) + int(n)
+        assert counts == {"a": 3, "b": 2}
+
+
+class TestSinks:
+    def test_write_text_and_getmerge(self, spark, tmp_path):
+        df = spark.createDataFrame([("k1", "v1"), ("k2", None)], "k string, v string")
+        out_dir = str(tmp_path / "txt")
+        sinks.write_text(df, out_dir, sep="\t")
+        merged = str(tmp_path / "merged.txt")
+        sinks.getmerge(spark, out_dir, merged)
+        lines = sorted(open(merged).read().splitlines())
+        assert lines == ["k1\tv1", "k2\t"]  # null -> empty, TextOutputFormat style
+
+    def test_multiple_outputs_single_pass(self, spark, tmp_path):
+        df = spark.createDataFrame([(i, i % 2) for i in range(10)], "v int, par int")
+        base = str(tmp_path / "multi")
+        sinks.multiple_outputs(
+            df,
+            {
+                "evens": (lambda d: d.filter(F.col("par") == 0), "evens"),
+                "sums": (lambda d: d.groupBy("par").agg(F.sum("v").alias("s")), "sums"),
+            },
+            base,
+        )
+        assert spark.read.parquet(os.path.join(base, "evens")).count() == 5
+        assert spark.read.parquet(os.path.join(base, "sums")).count() == 2
+
+    def test_partitioned_routing(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], "v int, route string")
+        path = str(tmp_path / "routed")
+        sinks.write_partitioned_by_key(df, path, "route")
+        assert sorted(
+            d for d in os.listdir(path) if d.startswith("route=")
+        ) == ["route=x", "route=y"]
+
+    def test_compaction(self, spark, tmp_path):
+        small = tmp_path / "small"
+        small.mkdir()
+        for i in range(20):
+            (small / f"f{i:02d}.txt").write_text(f"content-{i}")
+        packed = sinks.compact_small_files(
+            spark, str(small / "*.txt"), str(tmp_path / "packed")
+        )
+        assert packed.count() == 20
+        row = packed.filter(F.col("path").endswith("f07.txt")).collect()[0]
+        assert bytes(row.content) == b"content-7"
+
+
+class TestSources:
+    def test_kv_text_roundtrip(self, spark, tmp_path):
+        p = tmp_path / "kv.txt"
+        p.write_text("k1\tv1\nk2\tv2a\tv2b\nlonekey\n")
+        out = text_src.read_kv_text(spark, str(p))
+        rows = {(r.key, r.value) for r in out.collect()}
+        assert rows == {("k1", "v1"), ("k2", "v2a\tv2b"), ("lonekey", "")}
+
+    def test_delimited_records(self, spark, tmp_path):
+        p = tmp_path / "recs.xml"
+        p.write_text("junk<rec>one</rec>mid\n<rec>two\nlines</rec>tail")
+        out = text_src.read_delimited_records(spark, str(p), "<rec>", "</rec>")
+        recs = sorted(r.record for r in out.collect())
+        assert recs == ["<rec>one</rec>", "<rec>two\nlines</rec>"]
+
+    def test_multiple_inputs_tagged_union(self, spark):
+        readers = {
+            "a": lambda s: s.createDataFrame([(1, "x")], "k int, va string"),
+            "b": lambda s: s.createDataFrame([(2, "y")], "k int, vb string"),
+        }
+        out = text_src.multiple_inputs(spark, readers)
+        rows = {(r.k, r.va, r.vb, r.source) for r in out.collect()}
+        assert rows == {(1, "x", None, "a"), (2, None, "y", "b")}
+
+    def test_empty_input(self, spark):
+        df = text_src.empty_input(spark, "a int, b string")
+        assert df.count() == 0 and df.columns == ["a", "b"]
+
+    def test_sequencefile_roundtrip(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.sources import sequencefile
+
+        path = str(tmp_path / "seq")
+        data = [(1, "one"), (2, "two"), (3, "three")]
+        spark.sparkContext.parallelize(data, 2).saveAsSequenceFile(path)
+        df = sequencefile.read_sequence_file(spark, path)
+        assert {(r.key, r.value) for r in df.collect()} == set(data)
+
+
+class TestFileOps:
+    def test_fsshell_metadata_ops(self, spark, tmp_path):
+        sh = fileops.FsShell(spark)
+        d = str(tmp_path / "dir")
+        assert sh.mkdir(d)
+        assert sh.exists(d)
+        sh.touchz(d + "/a.txt")
+        (tmp_path / "dir" / "b.txt").write_text("hello")
+        names = {e["path"].rsplit("/", 1)[-1] for e in sh.ls(d)}
+        assert names == {"a.txt", "b.txt"}
+        assert sh.du(d) == 5
+        assert sh.count(d)["files"] == 2
+        assert sh.stat(d + "/b.txt")["length"] == 5
+        assert sh.mv(d + "/b.txt", d + "/c.txt")
+        assert sh.cat(d + "/c.txt") == b"hello"
+        assert sh.rm(d, recursive=True)
+        assert not sh.exists(d)
+
+    def test_distcp_update_semantics(self, spark, tmp_path):
+        src = tmp_path / "src"
+        (src / "sub").mkdir(parents=True)
+        (src / "a.txt").write_text("aaa")
+        (src / "sub" / "b.txt").write_text("bbbb")
+        dst = tmp_path / "dst"
+
+        r1 = fileops.distcp(spark, str(src), str(dst))
+        assert (r1.copied, r1.bytes) == (2, 7)
+        assert (dst / "sub" / "b.txt").read_text() == "bbbb"
+        # update: same-size targets skipped
+        r2 = fileops.distcp(spark, str(src), str(dst), update=True)
+        assert (r2.copied, r2.skipped) == (0, 2)
+        # changed source re-copied under update
+        (src / "a.txt").write_text("aaaa")
+        r3 = fileops.distcp(spark, str(src), str(dst), update=True)
+        assert r3.copied == 1
+
+    def test_logalyzer(self, spark, tmp_path):
+        p = tmp_path / "log.txt"
+        p.write_text("ERROR x\nINFO y\nERROR x\nERROR z\n")
+        out = fileops.logalyzer(spark, str(p), "^ERROR").collect()
+        assert [(r.line, r.cnt) for r in out] == [("ERROR x", 2), ("ERROR z", 1)]
+
+
+class TestJobPlans:
+    def test_jobcontrol_dag_and_failure(self):
+        jc = JobControl()
+        order = []
+        jc.add_job("a", lambda: order.append("a"))
+        jc.add_job("b", lambda: 1 / 0, deps=["a"])
+        jc.add_job("c", lambda: order.append("c"), deps=["a"])
+        jc.add_job("d", lambda: order.append("d"), deps=["b"])
+        states = jc.run()
+        assert states["a"] == State.SUCCESS
+        assert states["b"] == State.FAILED
+        assert states["c"] == State.SUCCESS
+        assert states["d"] == State.DEPENDENT_FAILED
+        assert order == ["a", "c"]
+
+    def test_run_job_wordcount_shape(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import transforms
+
+        df = spark.createDataFrame([("a b a",), ("b a",)], "line string")
+        spec = JobSpec(
+            mapper=lambda d: transforms.tokenize(d, "line"),
+            key_cols=["word"],
+            agg_exprs=[F.count("*").alias("cnt")],
+        )
+        out = {(r.word, r.cnt) for r in run_job(df, spec).collect()}
+        assert out == {("a", 3), ("b", 2)}
+
+    def test_run_job_map_only(self, spark):
+        df = spark.createDataFrame([(1,), (2,)], "v int")
+        spec = JobSpec(mapper=lambda d: d.withColumn("v2", F.col("v") * 2))
+        assert {r.v2 for r in run_job(df, spec).collect()} == {2, 4}
+
+
+class TestCatalogAndHotSet:
+    def _catalog(self, spark, sf_dir, clock):
+        cat = Catalog(spark, clock=clock)
+        cat.register_dir(sf_dir, names=("nation", "orders", "lineitem"))
+        return cat
+
+    def test_ewma_formula_and_precision_clamp(self, spark, sf_dir):
+        t = {"now": 1_000_000.0}
+        cat = self._catalog(spark, sf_dir, clock=lambda: t["now"])
+        cat.table("orders")
+        e = cat.entry("orders")
+        assert e.access_time_ewma_ms == 1_000_000.0  # first access seeds
+        t["now"] += 20_000  # within 30 s of stored (EWMA) atime -> skipped,
+        cat.table("orders")  # the FSDirectory.java:1352 precision clamp
+        assert e.access_time_ewma_ms == pytest.approx(1_000_000.0)
+        t["now"] += 40_000
+        cat.table("orders")
+        # new = 0.5*old + 0.5*now (FSDirectory.java:1365-1373)
+        assert e.access_time_ewma_ms == pytest.approx(1_030_000.0)
+        assert e.access_count == 3
+
+    def test_promotion_and_cold_half_demotion(self, spark, sf_dir):
+        t = {"now": 0.0}
+        usage = {"pct": 10.0}
+        cat = self._catalog(spark, sf_dir, clock=lambda: t["now"])
+        mgr = HotSetManager(cat, usage_fn=lambda: usage["pct"])
+
+        for name in ("orders", "lineitem"):
+            t["now"] += 100_000
+            cat.table(name)
+            cat.entry(name).num_partitions = 4  # sf0.001 files are 1 block
+            mgr.on_access(name)
+        # both promoted to the hottest level (empty sets accept anyone)
+        top = max(mgr.sets)
+        assert set(mgr.levels_snapshot()[top]) == {"orders", "lineitem"}
+
+        # capacity pressure: colder half (orders, older EWMA) demoted
+        usage["pct"] = 95.0
+        t["now"] += 100_000
+        cat.table("lineitem")
+        mgr.on_access("lineitem")
+        snap = mgr.levels_snapshot()
+        assert "orders" not in snap[top] and "lineitem" in snap[top]
+        assert mgr.level_of["orders"] == top - 1
+
+    def test_single_partition_exemption(self, spark, sf_dir):
+        t = {"now": 0.0}
+        cat = self._catalog(spark, sf_dir, clock=lambda: t["now"])
+        mgr = HotSetManager(cat, usage_fn=lambda: 0.0)
+        t["now"] = 100_000.0
+        cat.table("nation")  # single parquet file -> 1 partition
+        mgr.on_access("nation")
+        assert mgr.level_of.get("nation", 0) == 0  # exempt, stayed base
