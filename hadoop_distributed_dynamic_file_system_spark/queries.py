@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .operators import aggregate as agg_ops
 from .operators import fieldsel, joins, sampling, sort, transforms
+from .sources import text as text_src
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -580,6 +581,116 @@ def set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = o.intersect(c).withColumn("tag", F.lit("both"))
     only = c.exceptAll(o).distinct().withColumn("tag", F.lit("only_big_bal"))
     return both.unionByName(only)
+
+
+# =====================================================================
+# Heterogeneous inputs / UDAF / bad records / pipe (SURVEY §2.1, §2.3,
+# §2.10, §3.3)
+# =====================================================================
+
+@query(
+    "multi_input_union",
+    """
+    SELECT c_name AS name, c_nationkey AS nationkey, round(c_acctbal, 2) AS bal,
+           NULL::BIGINT AS suppkey, 'customer' AS source
+    FROM customer
+    UNION ALL
+    SELECT s_name, s_nationkey, NULL, s_suppkey, 'supplier' FROM supplier
+    """,
+)
+def multi_input_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultipleInputs (mapred/lib/MultipleInputs.java:43-65): per-path
+    readers → tagged union; columns absent from a source become NULLs
+    (DelegatingInputFormat + TupleWritable absent slots)."""
+    readers = {
+        "customer": lambda s: _t(s, sf_dir, "customer").select(
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.round("c_acctbal", 2).alias("bal"),
+        ),
+        "supplier": lambda s: _t(s, sf_dir, "supplier").select(
+            F.col("s_name").alias("name"),
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_suppkey").alias("suppkey"),
+        ),
+    }
+    return text_src.multiple_inputs(spark, readers).select(
+        "name", "nationkey", "bal", "suppkey", "source"
+    )
+
+
+@query(
+    "udaf_geomean",
+    """
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UserDefinedValueAggregatorDescriptor analog (mapred/lib/aggregate/
+    UserDefinedValueAggregatorDescriptor.java): a user aggregation
+    function plugged into the grouped-agg surface. Arrow-batched
+    GROUPED_AGG pandas UDF — the 100 TB path for custom aggregates the
+    built-in F.* can't express (geometric mean here as the example)."""
+    from .operators.udaf import count_agg, geomean
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(geomean("l_extendedprice"), 4).alias("geomean_price"),
+        count_agg("l_extendedprice").alias("n"),
+    )
+
+
+@query(
+    "bad_records_skip",
+    """
+    SELECT count(*) AS good, round(sum(price), 2) AS sum_price FROM (
+      SELECT try_cast(
+        CASE WHEN o_orderkey % 7 = 0 THEN 'garbage' ELSE o_totalprice::VARCHAR END
+        AS DOUBLE) AS price
+      FROM orders
+    ) WHERE price IS NOT NULL
+    """,
+)
+def bad_records_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkipBadRecords analog (mapred/SkipBadRecords.java:51): corrupt
+    records are skipped, not fatal. Spark-first: PERMISSIVE parse via
+    try_cast — a null, not an exception, per bad record; the job keeps
+    its throughput (no task re-execution binary search needed)."""
+    o = _t(spark, sf_dir, "orders")
+    dirty = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("garbage"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("raw")
+    )
+    parsed = dirty.select(F.col("raw").try_cast("double").alias("price"))
+    return parsed.filter(F.col("price").isNotNull()).agg(
+        F.count("*").alias("good"), F.round(F.sum("price"), 2).alias("sum_price")
+    )
+
+
+@query(
+    "pipe_translate",
+    """
+    SELECT upper(text) AS line, count(*) AS cnt
+    FROM documents GROUP BY upper(text)
+    """,
+)
+def pipe_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop Streaming parity (PipeMapper, contrib/streaming/.../
+    PipeMapper.java:35,83): documents.text piped through an external
+    `tr 'a-z' 'A-Z'` process, one exec per partition, stdout split at
+    the first tab (none here → whole line is the key). The oracle is
+    upper() — documents text is ASCII, so tr and upper() agree."""
+    from . import pipe as pipe_mod
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    piped = pipe_mod.pipe(d, "tr 'a-z' 'A-Z'")
+    return piped.groupBy(F.col("key").alias("line")).agg(F.count("*").alias("cnt")).select(
+        "line", "cnt"
+    )
 
 
 # =====================================================================
