@@ -86,18 +86,40 @@ def minhash_signature(text: Column, num_hashes: int, shingle_n: int = 3) -> list
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) signature table; narrow (no shuffle)."""
-    return df.select(F.col(id_col), *minhash_signature(F.col(text_col), num_hashes, shingle_n))
+    """(id, mh_0..mh_{k-1}) signature table.
+
+    Formulated as explode_outer(shingles) → groupBy(id).agg(k × min)
+    rather than k × array_min(transform(...)): the array form inlines
+    the shingle expression once per salt and Catalyst/codegen cost
+    grows superlinearly (~13 s plan+JIT for k=8 vs <1 s for this
+    shape). The groupBy shuffles only the post-combine signature rows
+    (map-side partial min ⇒ ~1 row per doc per partition), so shuffle
+    volume is the signature table, not the shingle stream. explode_outer
+    keeps shingle-less docs (mh_* = NULL, matching list_min([]) = NULL
+    in the oracle)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("_sh")))).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int, cache: bool = True
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band key
     are candidates. Returns distinct (id_a, id_b) with id_a < id_b.
 
     One shuffle on (band, band_key); the self-join is an equi-join so
-    Catalyst plans SMJ/broadcast — never a cross product.
+    Catalyst plans SMJ/broadcast — never a cross product. The banded
+    table is persisted before the self-join: without it each join side
+    re-derives the full signature pipeline from the raw corpus (2×
+    scan + 2× k·shingles md5 work — measured 30× slower). At 100 TB
+    write signatures to a parquet stage table instead of memory cache.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -109,6 +131,12 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "bk.band", "bk.bkey")
+    if cache:
+        # eager: a lazy persist doesn't help here — both self-join sides
+        # race to scan before the cache fills, so each recomputes the
+        # signature pipeline anyway
+        banded = banded.persist()
+        banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -170,21 +198,29 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard between two corpora via shingle equi-join.
 
     |A∩B| from the join, |A|,|B| from per-doc distinct-shingle counts;
     only pairs sharing ≥1 shingle ever materialize. Returns
     (id_a, id_b, jaccard) with jaccard ≥ threshold, rounded 6dp.
+
+    Each exploded-shingle table feeds both its count agg and the
+    intersection join — persisted so shingling runs once per corpus.
     """
     def exploded(df: DataFrame, side: str) -> DataFrame:
-        return (
+        out = (
             df.select(
                 F.col(id_col).alias(f"id_{side}"),
                 F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
             )
             .distinct()
         )
+        if cache:
+            out = out.persist()
+            out.count()  # eager — both consumers race otherwise
+        return out
 
     ea, eb = exploded(df_a, "a"), exploded(df_b, "b")
     na = ea.groupBy("id_a").agg(F.count("*").alias("n_a"))

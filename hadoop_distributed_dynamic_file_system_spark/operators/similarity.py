@@ -166,6 +166,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     num_planes: int = 8,
+    cache: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH bucketing.
 
@@ -173,6 +174,9 @@ def embedding_near_dup_pairs(
     ±1 hyperplanes (md5-parity constants baked into the plan). Pairs
     sharing a bucket are verified exactly. A near-dup pair collides
     when all sign bits agree; planes are cheap Σ±x_i projections.
+
+    The bucketed table is persisted before the self-join so the
+    projection pass over the corpus runs once, not once per side.
     """
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
     bits = []
@@ -181,6 +185,9 @@ def embedding_near_dup_pairs(
         proj = dot(F.col("cv"), hp)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     bucketed = c.select(id_col, "cv", F.concat(*bits).alias("bucket"))
+    if cache:
+        bucketed = bucketed.persist()
+        bucketed.count()  # eager — both self-join sides race otherwise
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = a.join(
         b,

@@ -208,6 +208,14 @@ class TestJobPlans:
 
 
 class TestCatalogAndHotSet:
+    @pytest.fixture(autouse=True)
+    def _clear_cache(self, spark):
+        # hot-set promotion persists tables; a lingering cache entry
+        # would be substituted into OTHER tests' identical scans
+        # (cache manager matches by logical plan) and hide pushdowns
+        yield
+        spark.catalog.clearCache()
+
     def _catalog(self, spark, sf_dir, clock):
         cat = Catalog(spark, clock=clock)
         cat.register_dir(sf_dir, names=("nation", "orders", "lineitem"))

@@ -1,0 +1,72 @@
+"""Physical-plan quality gates for the 100 TB design point.
+
+These assert the *plan shape*, not results: filters reach the parquet
+scan, projection is pruned to the read schema, small dimensions
+broadcast, top-k avoids a total sort. A correct-but-unscalable plan
+fails here before it ever costs anything on a cluster."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_distributed_dynamic_file_system_spark import queries as q
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+class TestPlanQuality:
+    def test_q1_filter_pushed_and_columns_pruned(self, spark, sf_dir):
+        df = q.q1_pricing_summary(spark, sf_dir)
+        plan = formatted(df)
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+        # read schema must NOT include unused wide columns
+        read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+        assert "l_quantity" in read_schema
+
+    def test_q1_partial_aggregation(self, spark, sf_dir):
+        # combiner analog: partial (map-side) agg before the shuffle
+        plan = plan_of(q.q1_pricing_summary(spark, sf_dir))
+        assert plan.count("HashAggregate") >= 2  # partial + final
+
+    def test_revenue_per_nation_broadcasts_dims(self, spark, sf_dir):
+        plan = plan_of(q.revenue_per_nation(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 2  # customer, nation
+
+    def test_top_k_no_total_sort(self, spark, sf_dir):
+        plan = plan_of(q.top_k_q(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_wordcount_whole_stage_codegen(self, spark, sf_dir):
+        df = q.wordcount(spark, sf_dir)
+        df.collect()  # AQE: codegen spans only visible in the final plan
+        plan = plan_of(df)
+        # codegen stages render as `*(n)` in the executed-plan string
+        assert "isFinalPlan=true" in plan and "*(1)" in plan
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+    def test_no_python_udf_in_relational_queries(self, spark, sf_dir):
+        # every §2-parity operator must stay JVM-side (udaf_geomean and
+        # multimodal are the *declared* Arrow-batched exceptions)
+        exempt = {"udaf_geomean", "multimodal_decode", "pipe_translate"}
+        for name, fn in q.QUERIES.items():
+            if name in exempt:
+                continue
+            plan = plan_of(fn(spark, sf_dir))
+            assert "BatchEvalPython" not in plan, f"{name} uses row Python UDF"
+
+    def test_semi_join_plans_left_semi(self, spark, sf_dir):
+        plan = plan_of(q.semi_join_q(spark, sf_dir))
+        assert "LeftSemi" in plan
+
+    def test_events_hourly_partial_agg(self, spark, sf_dir):
+        plan = plan_of(q.events_hourly(spark, sf_dir))
+        assert plan.count("HashAggregate") >= 2
