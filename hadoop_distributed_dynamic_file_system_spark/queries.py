@@ -584,6 +584,56 @@ def set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# SQL surface + MapFile-style lookup (SURVEY §1.4, §7 step 10)
+# =====================================================================
+
+_Q3_SQL = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+@query("sql_order_revenue", _Q3_SQL)
+def sql_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: all tables registered as views, the query
+    text IS the plan (identical string runs on the DuckDB oracle).
+    TPC-H Q3 shape — two selective pushed filters + 3-way join + agg;
+    customer broadcasts, the lineitem⋈orders shuffle carries only
+    post-filter rows."""
+    _utc(spark)
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3_SQL)
+
+
+@query(
+    "point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey IN (42, 4242, 42424)
+    """,
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapFile.Reader.get analog (io/MapFile.java): keyed random lookup
+    becomes a pushed IN-filter over (sorted) parquet — row-group min/max
+    stats prune everything else, the columnar twin of MapFile's sparse
+    index."""
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey").isin(42, 4242, 42424)).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+# =====================================================================
 # Heterogeneous inputs / UDAF / bad records / pipe (SURVEY §2.1, §2.3,
 # §2.10, §3.3)
 # =====================================================================

@@ -70,3 +70,13 @@ class TestPlanQuality:
     def test_events_hourly_partial_agg(self, spark, sf_dir):
         plan = plan_of(q.events_hourly(spark, sf_dir))
         assert plan.count("HashAggregate") >= 2
+
+    def test_point_lookup_pushes_in_filter(self, spark, sf_dir):
+        plan = formatted(q.point_lookup(spark, sf_dir))
+        assert "PushedFilters: [In(o_orderkey" in plan
+
+    def test_sql_surface_pushes_both_filters(self, spark, sf_dir):
+        plan = formatted(q.sql_order_revenue(spark, sf_dir))
+        assert "LessThan(o_orderdate" in plan
+        assert "GreaterThan(l_shipdate" in plan
+        assert "EqualTo(c_mktsegment,BUILDING)" in plan
