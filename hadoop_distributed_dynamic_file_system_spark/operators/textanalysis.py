@@ -28,8 +28,18 @@ def _words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
+def _with_words(df: DataFrame, text_col: str) -> DataFrame:
+    """Tokenize ONCE behind a projection boundary. Derived columns then
+    reference the bound `_words` attribute; inlining the split into
+    every consumer re-tokenizes per reference (CollapseProject won't
+    inline a non-cheap alias used more than once — that boundary is the
+    optimization)."""
+    return df.withColumn("_words", _words(F.col(text_col)))
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language stopword-hit ratio."""
+    """Per-language stopword-hit ratio (Column form; for data paths use
+    detect_language_df, which tokenizes once)."""
     words = _words(text)
 
     def in_set(sw):
@@ -59,11 +69,38 @@ def detect_language(text: Column) -> Column:
     return best_lang
 
 
+def detect_language_df(
+    df: DataFrame, text_col: str, out_col: str = "lang_pred"
+) -> DataFrame:
+    """DataFrame form of detect_language with two projection barriers:
+    words computed once, per-language scores computed once each — the
+    Column form nests each score expression into the argmax when-chain
+    (and the chain into itself), duplicating work exponentially in the
+    language count."""
+    words_df = _with_words(df, text_col)
+    w = F.col("_words")
+    score_cols = {}
+    for lang in LANGS:
+        sw = F.array(*[F.lit(x) for x in STOPWORDS[lang]])
+        hits = F.size(F.filter(w, (lambda s: lambda x: F.array_contains(s, x))(sw)))
+        score_cols[f"_s_{lang}"] = hits / F.greatest(F.size(w), F.lit(1))
+    scored = words_df.withColumns(score_cols)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in LANGS:
+        s = F.col(f"_s_{lang}")  # attribute ref — cheap to repeat
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return scored.withColumn(out_col, best_lang).drop("_words", *score_cols)
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Heuristic quality features: length, word stats, punct/stopword
-    ratios — the usual pre-training filter signals."""
+    ratios — the usual pre-training filter signals. Tokenizes once
+    behind a projection boundary (see _with_words)."""
     text = F.col(text_col)
-    words = _words(text)
+    words = F.col("_words")
     n_words = F.size(words)
     n_chars = F.length(text)
     en_sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
@@ -74,7 +111,7 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
         / F.greatest(n_words, F.lit(1)).cast("double"),
         6,
     )
-    return df.withColumns(
+    return _with_words(df, text_col).withColumns(
         {
             "n_chars": n_chars.cast("bigint"),
             "n_words": n_words.cast("bigint"),
@@ -82,7 +119,7 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
             "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)).cast("double"), 6),
             "stopword_ratio": F.round(sw_hits / F.greatest(n_words, F.lit(1)).cast("double"), 6),
         }
-    )
+    ).drop("_words")
 
 
 def quality_score(df: DataFrame, text_col: str) -> DataFrame:

@@ -346,8 +346,8 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: argmax stopword-hit ratio over small
     per-language lexicons (earliest language wins ties)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", "lang", textanalysis.detect_language(F.col("text")).alias("lang_pred")
+    return textanalysis.detect_language_df(d, "text").select(
+        "doc_id", "lang", "lang_pred"
     )
 
 
