@@ -78,7 +78,8 @@ class Catalog:
             if os.path.exists(p):
                 self.register_path(name, p)
                 if as_views:
-                    self.table(name).createOrReplaceTempView(name)
+                    # registration is not an access — don't heat the EWMA
+                    self.table(name, track_access=False).createOrReplaceTempView(name)
 
     def names(self) -> list[str]:
         return sorted(self._tables)

@@ -1,0 +1,215 @@
+"""Command-line surface: the `bin/hadoop` analog.
+
+Reference entry points → subcommands:
+  hadoop fs -ls/-du/-count/-mkdir/-mv/-rm/-cat/-stat/-touchz
+                                → fs -ls PATH ... (core/fs/FsShell.java)
+  hadoop jar streaming.jar -input -output -mapper -reducer
+                                → streaming ...   (contrib/streaming StreamJob)
+  hadoop distcp [-update] [-overwrite] SRC DST
+                                → distcp ...      (tools/DistCp.java)
+  hadoop jar examples.jar wordcount/grep/sort
+                                → wordcount/grep/sort (examples/*.java)
+  (fork) NameNode allocationLog → heat DATA_DIR [QUERY...]
+
+Usage: python -m hadoop_distributed_dynamic_file_system_spark.cli <cmd> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark("hddfs-cli")
+
+
+def cmd_fs(args: argparse.Namespace) -> int:
+    from .fileops import FsShell
+
+    sh = FsShell(_spark())
+    op, paths = args.op, args.paths
+    if op == "-ls":
+        for e in sh.ls(paths[0]):
+            kind = "d" if e["is_dir"] else "-"
+            print(f"{kind} rep={e['replication']} {e['length']:>12} {e['path']}")
+    elif op == "-du":
+        print(sh.du(paths[0]))
+    elif op == "-count":
+        c = sh.count(paths[0])
+        print(f"{c['dirs']} {c['files']} {c['bytes']} {paths[0]}")
+    elif op == "-mkdir":
+        sh.mkdir(paths[0])
+    elif op == "-mv":
+        sh.mv(paths[0], paths[1])
+    elif op == "-rm":
+        sh.rm(paths[0], recursive=False)
+    elif op == "-rmr":
+        sh.rm(paths[0], recursive=True)
+    elif op == "-cat":
+        sys.stdout.buffer.write(sh.cat(paths[0]))
+    elif op == "-stat":
+        print(json.dumps(sh.stat(paths[0])))
+    elif op == "-touchz":
+        sh.touchz(paths[0])
+    elif op == "-test":
+        return 0 if sh.exists(paths[0]) else 1
+    elif op == "-getmerge":
+        from .sinks import getmerge
+
+        getmerge(_spark(), paths[0], paths[1])
+    else:
+        print(f"unknown fs op {op}", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_streaming(args: argparse.Namespace) -> int:
+    """StreamJob analog (contrib/streaming/.../StreamJob.java:251-284):
+    -input/-output/-mapper/-reducer/-numReduceTasks over text files."""
+    from . import pipe as pipe_mod
+    from .sinks import write_text
+    from .sources.text import read_text_lines
+
+    spark = _spark()
+    df = read_text_lines(spark, args.input)
+    out = pipe_mod.pipe(df, args.mapper, sep=args.separator,
+                        num_key_fields=args.num_key_fields)
+    if args.reducer:
+        if args.num_reduce_tasks:
+            out = out.repartition(args.num_reduce_tasks, F.col("key"))
+        out = pipe_mod.pipe_reduce(
+            out, args.reducer, ["key"], sep=args.separator,
+            num_key_fields=args.num_key_fields,
+        )
+    write_text(out, args.output, sep=args.separator)
+    return 0
+
+
+def cmd_distcp(args: argparse.Namespace) -> int:
+    from .fileops import distcp
+
+    r = distcp(_spark(), args.src, args.dst, update=args.update,
+               overwrite=args.overwrite)
+    print(f"copied={r.copied} skipped={r.skipped} bytes={r.bytes}")
+    return 0
+
+
+def cmd_wordcount(args: argparse.Namespace) -> int:
+    from .operators.transforms import word_count
+    from .sinks import write_text
+    from .sources.text import read_text_lines
+
+    spark = _spark()
+    wc = word_count(read_text_lines(spark, args.input), "line")
+    write_text(wc.orderBy(F.desc("cnt"), F.asc("word")), args.output)
+    return 0
+
+
+def cmd_grep(args: argparse.Namespace) -> int:
+    from .operators.transforms import grep
+    from .sinks import write_text
+    from .sources.text import read_text_lines
+
+    spark = _spark()
+    write_text(grep(read_text_lines(spark, args.input), "line", args.regex),
+               args.output)
+    return 0
+
+
+def cmd_sort(args: argparse.Namespace) -> int:
+    """Sort example: total-order sort of text lines (optionally by a
+    `sort -k` key spec, KeyFieldBasedComparator analog)."""
+    from .operators.sort import sort_by_key_spec, total_order_sort
+    from .sinks import write_text
+    from .sources.text import read_text_lines
+
+    spark = _spark()
+    df = read_text_lines(spark, args.input)
+    out = (sort_by_key_spec(df, "line", args.key_spec, sep=args.separator)
+           if args.key_spec else total_order_sort(df, "line"))
+    write_text(out, args.output)
+    return 0
+
+
+def cmd_heat(args: argparse.Namespace) -> int:
+    """Run queries through the Engine and print the heat report."""
+    from .engine import Engine
+
+    eng = Engine(data_dir=args.data_dir)
+    for q in args.query:
+        eng.sql(q).collect()
+    for row in eng.heat_report():
+        print(json.dumps(row))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hddfs-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    fs = sub.add_parser("fs", help="FsShell file operations")
+    fs.add_argument("op")
+    fs.add_argument("paths", nargs="+")
+    fs.set_defaults(fn=cmd_fs)
+
+    st = sub.add_parser("streaming", help="Hadoop Streaming analog")
+    st.add_argument("-input", dest="input", required=True)
+    st.add_argument("-output", dest="output", required=True)
+    st.add_argument("-mapper", dest="mapper", required=True)
+    st.add_argument("-reducer", dest="reducer", default=None)
+    st.add_argument("-numReduceTasks", dest="num_reduce_tasks", type=int, default=0)
+    st.add_argument("-separator", dest="separator", default="\t")
+    st.add_argument("-numKeyFields", dest="num_key_fields", type=int, default=1)
+    st.set_defaults(fn=cmd_streaming)
+
+    dc = sub.add_parser("distcp", help="parallel tree copy")
+    dc.add_argument("src")
+    dc.add_argument("dst")
+    dc.add_argument("-update", action="store_true")
+    dc.add_argument("-overwrite", action="store_true")
+    dc.set_defaults(fn=cmd_distcp)
+
+    wc = sub.add_parser("wordcount")
+    wc.add_argument("input")
+    wc.add_argument("output")
+    wc.set_defaults(fn=cmd_wordcount)
+
+    gr = sub.add_parser("grep")
+    gr.add_argument("input")
+    gr.add_argument("output")
+    gr.add_argument("regex")
+    gr.set_defaults(fn=cmd_grep)
+
+    so = sub.add_parser("sort")
+    so.add_argument("input")
+    so.add_argument("output")
+    so.add_argument("-k", dest="key_spec", default=None)
+    so.add_argument("-separator", dest="separator", default=" ")
+    so.set_defaults(fn=cmd_sort)
+
+    he = sub.add_parser("heat", help="access-heat report after queries")
+    he.add_argument("data_dir")
+    he.add_argument("query", nargs="*")
+    he.set_defaults(fn=cmd_heat)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "fs":
+        # FsShell ops are dash-leading (-ls, -mkdir, ...) — argparse
+        # would parse them as options; dispatch directly like bin/hadoop
+        ns = argparse.Namespace(op=argv[1], paths=argv[2:])
+        return cmd_fs(ns)
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
+        # reader rejects; read nanos as long engine-wide (queries
+        # rebuild TIMESTAMP_NTZ micros from it — see queries._events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,75 @@
+"""Engine facade + CLI surface (the bin/hadoop analog)."""
+
+import json
+
+from hadoop_distributed_dynamic_file_system_spark import cli
+from hadoop_distributed_dynamic_file_system_spark.engine import Engine
+
+
+class TestEngine:
+    def test_table_access_updates_heat(self, spark, sf_dir):
+        eng = Engine(data_dir=sf_dir, spark=spark, hot_set=True)
+        eng.table("orders")
+        eng.table("orders")
+        eng.table("nation")
+        rep = {r["table"]: r for r in eng.heat_report()}
+        assert rep["orders"]["accesses"] == 2
+        assert rep["nation"]["accesses"] == 1
+        assert rep["lineitem"]["accesses"] == 0
+        spark.catalog.clearCache()
+
+    def test_sql_over_registered_views(self, spark, sf_dir):
+        eng = Engine(data_dir=sf_dir, spark=spark, hot_set=False)
+        n = eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n
+        assert n == 25
+
+
+class TestCli:
+    def test_fs_roundtrip(self, spark, tmp_path, capsys):
+        d = str(tmp_path / "x")
+        assert cli.main(["fs", "-mkdir", d]) == 0
+        assert cli.main(["fs", "-test", d]) == 0
+        (tmp_path / "x" / "f.txt").write_text("hello")
+        assert cli.main(["fs", "-ls", d]) == 0
+        out = capsys.readouterr().out
+        assert "f.txt" in out
+        assert cli.main(["fs", "-stat", d + "/f.txt"]) == 0
+        assert json.loads(capsys.readouterr().out)["length"] == 5
+        assert cli.main(["fs", "-rmr", d]) == 0
+        assert cli.main(["fs", "-test", d]) == 1
+
+    def test_wordcount_job(self, spark, tmp_path):
+        src = tmp_path / "in.txt"
+        src.write_text("b a a\na b a\n")
+        out = str(tmp_path / "out")
+        assert cli.main(["wordcount", str(src), out]) == 0
+        merged = {}
+        import glob
+
+        for p in glob.glob(out + "/part-*"):
+            for line in open(p).read().splitlines():
+                w, c = line.split("\t")
+                merged[w] = int(c)
+        assert merged == {"a": 4, "b": 2}
+
+    def test_streaming_job_mapper_only(self, spark, tmp_path):
+        src = tmp_path / "in.txt"
+        src.write_text("x1\nx2\n")
+        out = str(tmp_path / "sout")
+        assert cli.main(
+            ["streaming", "-input", str(src), "-output", out,
+             "-mapper", "tr 'x' 'y'"]
+        ) == 0
+        import glob
+
+        lines = set()
+        for p in glob.glob(out + "/part-*"):
+            lines.update(open(p).read().splitlines())
+        assert lines == {"y1\t", "y2\t"}  # key<TAB>value, empty values
+
+    def test_distcp_cli(self, spark, tmp_path, capsys):
+        (tmp_path / "s").mkdir()
+        (tmp_path / "s" / "a").write_text("abc")
+        assert cli.main(["distcp", str(tmp_path / "s"), str(tmp_path / "d")]) == 0
+        assert "copied=1" in capsys.readouterr().out
+        assert (tmp_path / "d" / "a").read_text() == "abc"
