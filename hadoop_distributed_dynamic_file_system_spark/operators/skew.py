@@ -1,0 +1,105 @@
+"""Skew & co-location utilities for the 100 TB design point.
+
+Reference analogs:
+- Map-side merge join over identically-partitioned, key-sorted inputs
+  (mapred/join/CompositeRecordReader.java, package.html): the whole
+  point of that framework is joining WITHOUT a shuffle because the
+  data is pre-partitioned. Spark twin: bucketed tables → sort-merge
+  join with zero Exchange (`write_bucketed` + `bucketed_join`).
+- The reference had no skew story beyond "pick a better partitioner"
+  (custom Partitioner, TotalOrderPartitioner sampling). Here: AQE
+  skew-join splitting is on by default (session.py); `salted_join` /
+  `salted_aggregate` cover the cases AQE can't re-plan (hash-agg on a
+  hot key, non-AQE engines, deliberate layout control).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_salt"
+
+
+# ------------------------------------------------------------- bucketed join
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed+sorted table (saveAsTable — bucketing
+    metadata lives in the session catalog). Two tables bucketed the
+    same way join with NO shuffle and NO sort: the disk layout IS the
+    shuffle, paid once at write time — exactly the reference's
+    'identically partitioned, key-sorted sources' precondition."""
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables; plan should contain no Exchange
+    on the bucketed key (assert via tests/test_plan_quality)."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+# --------------------------------------------------------------- salted join
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a salted key: the large (skewed) side scatters
+    each hot key across `salt` shuffle partitions; the small side is
+    replicated `salt`× via explode. Deterministic salt (xxhash64 of the
+    whole row id-ish columns, not rand()) so retries reproduce.
+
+    Use when a single join key carries an outsized share of rows AND
+    AQE's skew splitting can't apply (e.g. the skewed side feeds an
+    aggregation in the same stage)."""
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in large.columns], F.monotonically_increasing_id()),
+        F.lit(salt),
+    ).cast("int")
+    l_salted = large.withColumn(_SALT, salt_col)
+    s_salted = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l_salted.join(s_salted, on=on + [_SALT], how=how).drop(_SALT)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, Column]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial agg on
+    (key, salt), final re-agg on key. Supports the decomposable
+    aggregates (sum, count, min, max) — the same restriction the
+    reference's Combiner had.
+
+    `aggs` maps output name → (final_fn_name, partial_expr); e.g.
+    {"cnt": ("sum", F.count("*")), "mx": ("max", F.max("v"))}.
+    """
+    salt_col = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int")
+    partial = (
+        df.withColumn(_SALT, salt_col)
+        .groupBy(*key_cols, _SALT)
+        .agg(*[expr.alias(f"_p_{name}") for name, (_fn, expr) in aggs.items()])
+    )
+    finals = [
+        getattr(F, fn)(F.col(f"_p_{name}")).alias(name)
+        for name, (fn, _expr) in aggs.items()
+    ]
+    return partial.groupBy(*key_cols).agg(*finals)

@@ -38,6 +38,16 @@ class JobSpec:
     sort_within: list[str] = field(default_factory=list)
     num_partitions: int | None = None
     counters: dict[str, Column] = field(default_factory=dict)
+    # populated by run_job when counters are declared; read values with
+    # spec.counter_values() after an action (Counters.findCounter analog)
+    _observation: object = field(default=None, repr=False, compare=False)
+
+    def counter_values(self) -> dict:
+        """Counter totals after the job's action ran (blocking get,
+        like Counters after job completion)."""
+        if self._observation is None:
+            return {}
+        return dict(self._observation.get)
 
 
 def run_job(df: DataFrame, spec: JobSpec) -> DataFrame:
@@ -50,7 +60,12 @@ def run_job(df: DataFrame, spec: JobSpec) -> DataFrame:
     """
     out = spec.mapper(df) if spec.mapper else df
     if spec.counters:
-        out = out.observe("job_counters", *[c.alias(n) for n, c in spec.counters.items()])
+        from pyspark.sql import Observation
+
+        spec._observation = Observation()
+        out = out.observe(
+            spec._observation, *[c.alias(n) for n, c in spec.counters.items()]
+        )
     if not spec.key_cols:
         return out
 
