@@ -96,6 +96,70 @@ def sessionize_stream(
     )
 
 
+def running_user_totals(
+    events: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value sum) emitted on every batch — the
+    'arbitrary Java Reducer with state' case no built-in covers
+    (SURVEY §2.9: the reference has no stateful surface at all; this is
+    the additive custom-operator path). State is one row per user.
+
+    `timeout_minutes` evicts idle users' state via processing-time
+    timers — set it on real continuous sources. Default None: with
+    timers armed the engine schedules batches forever to fire them, so
+    a finite file source never quiesces (processAllAvailable hangs)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming query to completion against the file source
     (synchronous; for tests/local verification). Returns the result."""

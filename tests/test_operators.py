@@ -160,6 +160,69 @@ class TestSampling:
         assert sampling.regex_filter(df, "k", "^a").count() == 1
 
 
+class TestTransformsMisc:
+    def test_inverse(self, spark):
+        df = spark.createDataFrame([("k", "v")], "a string, b string")
+        r = transforms.inverse(df, "a", "b").collect()[0]
+        assert tuple(r) == ("v", "k")
+
+    def test_chain_composes_in_order(self, spark):
+        df = spark.createDataFrame([("a b", )], "line string")
+        pipeline = transforms.chain(
+            lambda d: transforms.tokenize(d, "line"),
+            lambda d: d.filter(F.col("word") == "a"),
+        )
+        assert [r.word for r in pipeline(df).collect()] == ["a"]
+
+    def test_n_line_partitions(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.sources.text import (
+            n_line_partitions,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(100)], "v int")
+        assert n_line_partitions(df, 10).rdd.getNumPartitions() == 10
+
+    def test_key_field_partition_colocates_keys(self, spark):
+        lines = [f"{k} {v}" for k in ("x", "y", "z") for v in range(20)]
+        df = spark.createDataFrame([(l,) for l in lines], "line string")
+        parted = sort.key_field_partition(df, "line", 4, field1=1)
+        per_part = parted.rdd.mapPartitions(
+            lambda rows: [set(r.line.split(" ")[0] for r in rows)]
+        ).collect()
+        seen = {}
+        for i, keys in enumerate(per_part):
+            for k in keys:
+                assert k not in seen, f"key {k} split across partitions"
+                seen[k] = i
+        assert set(seen) == {"x", "y", "z"}
+
+    def test_secondary_sort_emit_order(self, spark):
+        df = spark.createDataFrame(
+            [(1, 3), (2, 9), (1, 1), (2, 4), (1, 2)], "g int, v int"
+        )
+        out = sort.secondary_sort_emit(df, ["g"], ["v"])
+        per_part = out.rdd.mapPartitions(
+            lambda rows: [[(r.g, r.v) for r in rows]]
+        ).collect()
+        for part in per_part:
+            assert part == sorted(part)  # grouped + value-ordered stream
+
+
+class TestPipeAggregate:
+    def test_stream_aggregate_shape(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark import pipe as pipe_mod
+
+        # external mapper emits "word<TAB>1"; DSL sums per word
+        df = spark.createDataFrame(
+            [("apple",), ("banana",), ("apple",)], "w string"
+        )
+        out = pipe_mod.pipe_aggregate(
+            df, r"sed 's/$/\t1/'", ["LongValueSum:total:value"], group_col="key"
+        )
+        got = {(r.key, r.total) for r in out.collect()}
+        assert got == {("apple", 2), ("banana", 1)}
+
+
 class TestTopK:
     def test_top_k_plan_uses_take_ordered(self, spark):
         df = spark.createDataFrame([(i, i % 7) for i in range(100)], "a int, b int")

@@ -1,0 +1,141 @@
+"""Property-based semantics tests (hypothesis) for the mini-DSL
+surfaces, checked against plain-Python models of the reference
+semantics (KeyValueLineRecordReader, FieldSelectionMapReduce spec,
+Unix sort -k, PipeMapRed output split)."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_distributed_dynamic_file_system_spark.operators import (
+    fieldsel,
+    sort,
+    transforms,
+)
+from hadoop_distributed_dynamic_file_system_spark.pipe import split_output_line
+
+# words that survive concat_ws/split round trips unambiguously
+_word = st.text(alphabet="abcxyz019", min_size=1, max_size=6)
+_line = st.lists(_word, min_size=1, max_size=8).map(" ".join)
+
+
+class TestPipeSplitProperties:
+    @given(st.lists(_word, min_size=0, max_size=6), st.integers(1, 4))
+    def test_split_rejoins_to_original(self, parts, nkf):
+        line = "\t".join(parts)
+        k, v = split_output_line(line, "\t", nkf)
+        rejoined = k + ("\t" + v if v else "")
+        assert rejoined == line or (v == "" and k == line)
+
+    @given(st.lists(_word, min_size=1, max_size=8), st.integers(1, 4))
+    def test_key_has_at_most_n_fields(self, parts, nkf):
+        line = "\t".join(parts)
+        k, _ = split_output_line(line, "\t", nkf)
+        assert len(k.split("\t")) <= max(nkf, len(parts))
+
+
+def _model_kv(line: str, sep: str) -> tuple[str, str]:
+    """KeyValueLineRecordReader reference model: split at FIRST sep."""
+    i = line.find(sep)
+    if i < 0:
+        return line, ""
+    return line[:i], line[i + len(sep):]
+
+
+class TestKvParseProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.text(alphabet="ab\tc", min_size=0, max_size=8), min_size=1, max_size=5))
+    def test_matches_reference_model(self, spark, lines):
+        df = spark.createDataFrame([(l,) for l in lines], "line string")
+        got = [
+            (r.key, r.value)
+            for r in transforms.parse_kv_line(df, "line", "\t").collect()
+        ]
+        want = [_model_kv(l, "\t") for l in lines]
+        assert sorted(got) == sorted(want)
+
+
+def _model_fieldsel(line: str, spec: str, sep: str) -> tuple[str, str]:
+    """FieldSelectionMapReduce model (FieldSelectionMapReduce.java:182-249):
+    key_spec:value_spec, each a comma list of indices or ranges with
+    open ends; missing fields are skipped."""
+    fields = line.split(sep)
+
+    def pick(spec_part: str) -> str:
+        out = []
+        if not spec_part:
+            return ""
+        for tok in spec_part.split(","):
+            if "-" in tok:
+                a, b = tok.split("-")
+                start = int(a) if a else 0
+                end = int(b) + 1 if b else len(fields)
+                out.extend(fields[start:min(end, len(fields))])
+            else:
+                i = int(tok)
+                if i < len(fields):
+                    out.append(fields[i])
+        return sep.join(out)
+
+    k_spec, _, v_spec = spec.partition(":")
+    return pick(k_spec), pick(v_spec)
+
+
+_fs_tok = st.one_of(
+    st.integers(0, 5).map(str),
+    st.tuples(st.integers(0, 3), st.integers(3, 5)).map(lambda t: f"{t[0]}-{t[1]}"),
+    st.integers(0, 4).map(lambda i: f"{i}-"),
+)
+_fs_spec = st.tuples(
+    st.lists(_fs_tok, min_size=1, max_size=3).map(",".join),
+    st.lists(_fs_tok, min_size=1, max_size=3).map(",".join),
+).map(lambda t: f"{t[0]}:{t[1]}")
+
+
+class TestFieldSelectionProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(st.lists(_word, min_size=1, max_size=7).map("-".join),
+                 min_size=1, max_size=4),
+        _fs_spec,
+    )
+    def test_matches_reference_model(self, spark, lines, spec):
+        df = spark.createDataFrame([(l,) for l in lines], "line string")
+        got = sorted(
+            (r.key, r.value)
+            for r in fieldsel.select_fields(df, "line", spec, sep="-").collect()
+        )
+        want = sorted(_model_fieldsel(l, spec, "-") for l in lines)
+        assert got == want
+
+
+def _unix_sort_key(line: str, sep: str):
+    """Model for '-k2,2nr -k1,1': numeric-desc on field 2, asc field 1."""
+    fields = line.split(sep)
+    f2 = fields[1] if len(fields) > 1 else ""
+    m = re.match(r"^\s*(-?\d+\.?\d*)", f2)
+    num = float(m.group(1)) if m else 0.0
+    f1 = fields[0] if fields else ""
+    return (-num, f1, line)
+
+
+class TestSortSpecProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(_word, st.integers(-99, 99).map(str), _word).map(" ".join),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_numeric_reverse_matches_model(self, spark, lines):
+        df = spark.createDataFrame([(l,) for l in lines], "line string")
+        out = sort.sort_by_key_spec(df, "line", "-k2,2nr -k1,1", sep=" ")
+        got = [r.line for r in out.collect()]
+        # model is a total order incl. the line tiebreak Spark lacks;
+        # compare as multiset of (sort position by model key)
+        want = sorted(lines, key=lambda l: _unix_sort_key(l, " "))
+        assert [_unix_sort_key(l, " ")[:2] for l in got] == [
+            _unix_sort_key(l, " ")[:2] for l in want
+        ]

@@ -54,6 +54,29 @@ class TestStreaming:
         ids = out.select("event_id").distinct().count()
         assert n == ids > 0
 
+    def test_stateful_user_totals_match_batch(self, spark, sf_dir, event_stream):
+        out = ev.run_to_memory(
+            ev.running_user_totals(event_stream), "user_totals", output_mode="update"
+        )
+        rows = out.collect()
+        assert len(rows) > 0
+        # LAST emitted row per user == the batch total (update mode may
+        # emit intermediates if the source splits into several batches)
+        import os
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        batch = {
+            r.user_id: (r.n, round(r.s, 6))
+            for r in raw.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        last = {}
+        for r in rows:  # memory sink appends in batch order
+            last[r.user_id] = (r.n_events, round(r.sum_value, 6))
+        assert last == batch
+
     def test_session_window_gap(self, spark, event_stream):
         out = ev.run_to_memory(
             ev.sessionize_stream(event_stream, gap="30 minutes"), "sessions"
