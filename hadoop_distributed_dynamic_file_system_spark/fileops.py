@@ -204,6 +204,31 @@ def distch(
     return sum(rdd.mapPartitions(change).collect())
 
 
+def rebalance_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Balancer analog (hdfs/server/balancer/Balancer.java): the
+    reference moved blocks to even out datanode utilization; the
+    engine-level twin rewrites a table into evenly sized partitions
+    (fixes small-file buildup and skewed partition sizes after
+    incremental appends). Returns the new partition count."""
+    df = spark.read.format(fmt).load(src_path)
+    total_bytes = sum(
+        f.getLen()
+        for f in spark.sparkContext._jvm.org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        ).listStatus(spark.sparkContext._jvm.org.apache.hadoop.fs.Path(src_path))
+        if not f.isDirectory()
+    )
+    n = max(1, round(total_bytes / target_partition_bytes))
+    df.repartition(n).write.mode("overwrite").format(fmt).save(dst_path)
+    return n
+
+
 def logalyzer(
     spark: SparkSession, path: str, pattern: str, sort_cols: list[str] | None = None
 ) -> DataFrame:

@@ -189,14 +189,12 @@ def simhash(
     the oracle. Explode+groupBy keeps it one shuffle on the doc id and
     streams at any scale (no per-doc array materialization limits).
     """
-    hexpos = "0123456789abcdef"
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
-    h = F.md5(F.col("w"))
-    val = F.lit(0)
-    for i in range(4):
-        val = val * 16 + (F.instr(F.lit(hexpos), F.substring(h, i + 1, 1)) - 1)
+    # 16-bit word hash: built-in base conversion of the md5 prefix (the
+    # oracle spells the same value as per-digit strpos arithmetic)
+    val = F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long")
     hashed = words.select(F.col(id_col), val.alias("wh"))
     votes = [
         F.sum(

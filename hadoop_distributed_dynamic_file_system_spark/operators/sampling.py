@@ -35,18 +35,13 @@ def percent_filter(df: DataFrame, key_col: str, frequency: int) -> DataFrame:
 
 
 def md5_bucket(key: Column, num_hex_digits: int = 4) -> Column:
-    """Integer bucket from the leading hex digits of md5(key).
-
-    Portable across engines (the DuckDB oracle lacks a hex→int cast):
-    each hex digit is mapped through position-in-alphabet, giving
-    bucket = Σ digit_value * 16^i. 4 digits = 65536 buckets.
-    """
+    """Integer bucket from the leading hex digits of md5(key): one
+    built-in base conversion (`conv(hex,16,10)`); the DuckDB oracle
+    lacks conv and spells the same value as per-digit strpos
+    arithmetic — values agree, engines differ in idiom.
+    4 digits = 65536 buckets."""
     h = F.md5(key.cast("string"))
-    total = F.lit(0)
-    for i in range(num_hex_digits):
-        d = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
-        total = total * 16 + d
-    return total
+    return F.conv(F.substring(h, 1, num_hex_digits), 16, 10).cast("long")
 
 
 def md5_filter(df: DataFrame, key_col: str, frequency: int) -> DataFrame:

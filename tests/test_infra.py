@@ -167,6 +167,16 @@ class TestFileOps:
         r3 = fileops.distcp(spark, str(src), str(dst), update=True)
         assert r3.copied == 1
 
+    def test_rebalance_table(self, spark, tmp_path, sf_dir):
+        import os
+
+        src = os.path.join(sf_dir, "lineitem.parquet")
+        dst = str(tmp_path / "rebalanced")
+        n = fileops.rebalance_table(spark, src, dst, target_partition_bytes=32 * 1024)
+        assert n >= 2  # ~115 KB source → several 32 KB targets
+        back = spark.read.parquet(dst)
+        assert back.count() == spark.read.parquet(src).count()
+
     def test_logalyzer(self, spark, tmp_path):
         p = tmp_path / "log.txt"
         p.write_text("ERROR x\nINFO y\nERROR x\nERROR z\n")
