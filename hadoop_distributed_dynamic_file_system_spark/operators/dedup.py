@@ -179,6 +179,35 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_estimate(
+    sigs: DataFrame, pairs: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs: fraction of agreeing
+    minhash components (E[agree] = J(A,B) — the MinHash identity).
+    Joins the signature table to the pair list twice (broadcast-able:
+    the pair list is tiny relative to the corpus); only candidates are
+    ever scored — the LSH → estimate → verify funnel."""
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)]
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ simhash
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16

@@ -583,6 +583,37 @@ def set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
+@query(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via rollup — the §2.4 'missing in the
+    reference' row (no grouping-sets anywhere in MapReduce; users ran
+    one job per level). One pass, Catalyst expands the grouping sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
 # =====================================================================
 # SQL surface + MapFile-style lookup (SURVEY §1.4, §7 step 10)
 # =====================================================================

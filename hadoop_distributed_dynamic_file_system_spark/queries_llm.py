@@ -123,6 +123,44 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
 
 
+_MH_AGREE = " + ".join(
+    f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+
+@query(
+    "minhash_estimate",
+    f"""
+    WITH {_SQL_DOCS_DUP.strip()},
+    sigs AS ({_minhash_sql(8, "docs2")}),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bkey FROM sigs
+      UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sigs
+      UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sigs
+      UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(({_MH_AGREE}) / 8.0, 6) AS est_jaccard
+    FROM pairs
+    JOIN sigs sa ON sa.doc_id = id_a
+    JOIN sigs sb ON sb.doc_id = id_b
+    """,
+)
+def minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash funnel: signatures → LSH candidates → estimated
+    Jaccard per candidate (fraction of agreeing components)."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
+    sigs = sigs.persist()
+    sigs.count()  # reused by the LSH join and both estimate joins
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    return dedup.minhash_estimate(sigs, pairs, "doc_id", num_hashes=8)
+
+
 def _simhash_sql(bits: int = 16) -> str:
     wh = _sql_hexval("md5(w)", 1, 4)
     votes = ",\n             ".join(
