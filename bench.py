@@ -79,6 +79,17 @@ def main() -> None:
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    # TeraSort-shaped sort throughput (datagen → total-order sort),
+    # scaled with the SF so the number tracks data volume
+    from hadoop_distributed_dynamic_file_system_spark import datagen
+    from hadoop_distributed_dynamic_file_system_spark.operators import sort as sort_ops
+
+    n_rows = int(2_000_000 * (float(sf) if sf.replace(".", "").isdigit() else 0.1))
+    materialize(sort_ops.total_order_sort(datagen.teragen(spark, 10_000), "key10"))  # warm
+    t0 = time.time()
+    materialize(sort_ops.total_order_sort(datagen.teragen(spark, n_rows), "key10"))
+    timings["terasort"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",

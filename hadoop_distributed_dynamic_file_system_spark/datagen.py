@@ -61,6 +61,44 @@ def random_text(spark: SparkSession, n_lines: int, words_per_line: int = 10,
     return base.select(F.concat_ws(" ", *words).alias("line"), F.col("id"))
 
 
+def pi_estimate(spark: SparkSession, n_samples: int, parts: int = 32) -> float:
+    """PiEstimator analog (examples/PiEstimator.java, 353 LoC): Monte
+    Carlo π from the 2,3-Halton low-discrepancy sequence — the same
+    deterministic point set as the reference, so the estimate is exact
+    for a given n at any parallelism.
+
+    Spark shape: range → mapInPandas (vectorized numpy Halton, no
+    per-point Python) → one count-style agg."""
+    import numpy as np
+    import pandas as pd
+
+    def halton_hits(batches):
+        for pdf in batches:
+            idx = pdf["id"].to_numpy() + 1  # Halton index is 1-based
+            xy = []
+            for base in (2, 3):
+                i = idx.astype(np.float64) * 0  # accum
+                f = np.ones_like(idx, dtype=np.float64)
+                rem = idx.copy()
+                while rem.max() > 0:
+                    f = f / base
+                    i = i + f * (rem % base)
+                    rem = rem // base
+                xy.append(i)
+            x, y = xy[0] - 0.5, xy[1] - 0.5
+            inside = (x * x + y * y <= 0.25).sum()
+            yield pd.DataFrame({"hits": [int(inside)], "n": [len(idx)]})
+
+    totals = (
+        spark.range(0, n_samples, 1, parts)
+        .mapInPandas(halton_hits, schema="hits long, n long")
+        .groupBy()
+        .sum("hits", "n")
+        .collect()[0]
+    )
+    return 4.0 * totals[0] / totals[1]
+
+
 # ------------------------------------------------------------------ validator
 @dataclass
 class SortValidation:

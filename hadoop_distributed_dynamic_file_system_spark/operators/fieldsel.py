@@ -80,10 +80,15 @@ def select_fields(
     key_name: str = "key",
     value_name: str = "value",
 ) -> DataFrame:
-    """FieldSelectionMapReduce as a projection: line → (key, value)."""
+    """FieldSelectionMapReduce as a projection: line → (key, value).
+
+    The split lands in a bound column first so key and value slices
+    read the same array (inline, the split would run once per side)."""
     key_ranges, value_ranges = parse_field_spec(spec)
-    fields = F.split(F.col(line_col), re.escape(sep), -1)
-    return df.select(
+    fields = F.col("_fields")
+    return df.withColumn(
+        "_fields", F.split(F.col(line_col), re.escape(sep), -1)
+    ).select(
         F.array_join(_ranges_to_array(fields, key_ranges), sep).alias(key_name),
         F.array_join(_ranges_to_array(fields, value_ranges), sep).alias(value_name),
     )

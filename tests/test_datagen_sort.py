@@ -59,6 +59,14 @@ class TestSortValidator:
         assert not v.multiset_equal
         assert v.input_count == 1000 and v.output_count == 999
 
+    def test_pi_estimate_converges_and_is_deterministic(self, spark):
+        import math
+
+        est1 = datagen.pi_estimate(spark, 40_000, parts=4)
+        est2 = datagen.pi_estimate(spark, 40_000, parts=8)
+        assert est1 == est2  # Halton: same points at any parallelism
+        assert abs(est1 - math.pi) < 0.01
+
     def test_wordcount_over_random_text(self, spark):
         # RandomTextWriter → WordCount: totals must equal n*words
         df = datagen.random_text(spark, 200, words_per_line=8)
