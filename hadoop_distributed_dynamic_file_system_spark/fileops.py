@@ -204,6 +204,35 @@ def distch(
     return sum(rdd.mapPartitions(change).collect())
 
 
+def table_report(spark: SparkSession, path: str, fmt: str = "parquet") -> dict:
+    """fsck / `hadoop fsck` analog at the table level: file inventory +
+    row count + per-partition row distribution (min/max/avg), the
+    numbers that tell you a table needs `rebalance_table`."""
+    df = spark.read.format(fmt).load(path)
+    from pyspark.sql import functions as F  # local to avoid shadowing
+
+    per_part = (
+        df.groupBy(F.spark_partition_id().alias("p")).count().agg(
+            F.count("*").alias("n_parts"),
+            F.min("count").alias("min_rows"),
+            F.max("count").alias("max_rows"),
+            F.avg("count").alias("avg_rows"),
+            F.sum("count").alias("rows"),
+        )
+    ).collect()[0]
+    files = _list_files(path) if os.path.isdir(path) else [(path, "", os.path.getsize(path), 0)]
+    return {
+        "path": path,
+        "files": len(files),
+        "bytes": sum(f[2] for f in files),
+        "rows": per_part.rows,
+        "read_partitions": per_part.n_parts,
+        "min_partition_rows": per_part.min_rows,
+        "max_partition_rows": per_part.max_rows,
+        "avg_partition_rows": round(per_part.avg_rows, 1),
+    }
+
+
 def rebalance_table(
     spark: SparkSession,
     src_path: str,

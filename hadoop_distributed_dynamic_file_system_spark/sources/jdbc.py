@@ -7,8 +7,9 @@ source does the same partitioned-read with (partitionColumn,
 lowerBound, upperBound, numPartitions) — predicates push into each
 partition query — and `df.write.jdbc` batches inserts.
 
-No JDBC driver ships in this container; the API is complete and
-driver-agnostic (pass any `driver` + classpath at deploy time).
+Tested against the embedded Derby that ships with Spark (jdbc:derby:
+URLs, auto-loaded driver) — see tests/test_infra.py::TestJdbc; any
+other driver is a classpath + `driver` option at deploy time.
 """
 
 from __future__ import annotations

@@ -177,11 +177,37 @@ class TestFileOps:
         back = spark.read.parquet(dst)
         assert back.count() == spark.read.parquet(src).count()
 
+    def test_table_report(self, spark, sf_dir):
+        import os
+
+        rep = fileops.table_report(spark, os.path.join(sf_dir, "orders.parquet"))
+        assert rep["rows"] == 1500 and rep["files"] == 1
+        assert rep["min_partition_rows"] <= rep["avg_partition_rows"] <= rep["max_partition_rows"]
+
     def test_logalyzer(self, spark, tmp_path):
         p = tmp_path / "log.txt"
         p.write_text("ERROR x\nINFO y\nERROR x\nERROR z\n")
         out = fileops.logalyzer(spark, str(p), "^ERROR").collect()
         assert [(r.line, r.cnt) for r in out] == [("ERROR x", 2), ("ERROR z", 1)]
+
+
+class TestJdbc:
+    def test_roundtrip_partitioned_read(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.sources import jdbc
+
+        # embedded Derby ships with Spark — a real JDBC database,
+        # in-process (DBInput/DBOutputFormat parity without a server)
+        url = f"jdbc:derby:{tmp_path}/db;create=true"
+        df = spark.range(0, 200).selectExpr("id AS k", "id * 3 AS v")
+        jdbc.write_jdbc(df, url, "kv", mode="overwrite")
+        back = jdbc.read_jdbc(
+            spark, url, "kv",
+            partition_column="k", lower_bound=0, upper_bound=200,
+            num_partitions=4,
+        )
+        assert back.rdd.getNumPartitions() == 4
+        assert back.count() == 200
+        assert back.agg(F.sum("v")).collect()[0][0] == 3 * sum(range(200))
 
 
 class TestJobPlans:
