@@ -130,6 +130,19 @@ class TestSources:
         df = sequencefile.read_sequence_file(spark, path)
         assert {(r.key, r.value) for r in df.collect()} == set(data)
 
+    def test_sequencefile_write_and_as_text(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.sources import sequencefile
+
+        df = spark.createDataFrame([("k1", 10), ("k2", 20)], "key string, value int")
+        path = str(tmp_path / "seqw")
+        sequencefile.write_sequence_file(df, path)
+        txt = sequencefile.read_sequence_file_as_text(spark, path)
+        assert {(r.key, r.value) for r in txt.collect()} == {("k1", "10"), ("k2", "20")}
+
+    def test_null_sink_counts(self, spark):
+        df = spark.createDataFrame([(1,), (2,)], "v int")
+        assert sinks.null_sink(df) == 2
+
 
 class TestFileOps:
     def test_fsshell_metadata_ops(self, spark, tmp_path):

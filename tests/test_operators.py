@@ -208,6 +208,35 @@ class TestTransformsMisc:
             assert part == sorted(part)  # grouped + value-ordered stream
 
 
+class TestJoinHelpers:
+    def test_tagged_join_suffixes_values(self, spark, kv_sources):
+        a, b = kv_sources["a"], kv_sources["b"]
+        out = joins.tagged_join({"x": a, "y": b})
+        assert set(out.columns) == {"k", "v_x", "v_y"}
+        rows = {(r.k, r.v_x, r.v_y) for r in out.collect()}
+        assert (3, "a3", "b3") in rows
+        assert all(k in (2, 3) for k, *_ in rows)  # inner across tags
+
+    def test_broadcast_join_plans_broadcast(self, spark, kv_sources):
+        out = joins.broadcast_join(kv_sources["a"], kv_sources["b"], on="k")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestMultimodalStubs:
+    def test_resize_and_frame_sample_plumbing(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [(1, b"x" * 2048), (2, b"y" * 600)], "doc_id long, payload binary"
+        )
+        resized = multimodal.resize_stub(df, max_side=128).collect()
+        assert {r.target_side for r in resized} == {128}
+        frames = multimodal.frame_sample_stub(df, every_n=2).collect()
+        assert len(frames) >= 2  # doc 1: 4 pseudo-frames, sampled every 2
+        assert all(len(r.frame) == 16 for r in frames)  # md5-sized
+
+
 class TestPipeAggregate:
     def test_stream_aggregate_shape(self, spark):
         from hadoop_distributed_dynamic_file_system_spark import pipe as pipe_mod
