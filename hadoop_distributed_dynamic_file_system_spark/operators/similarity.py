@@ -142,6 +142,69 @@ def ivf_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means in pure DataFrame ops — learned centroids for
+    ivf_topk (the 'iterative algorithm' shape: a driver-side loop over
+    declarative assign+recenter jobs, each one broadcast-join + one
+    groupBy shuffle; nothing iterative runs per-row in Python).
+
+    Deterministic: init = the k lowest-id vectors; cosine assignment
+    with lowest-centroid-id tie break. Returns (centroid_id, embedding).
+    Empty clusters keep their previous centroid."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    w = Window.orderBy(F.asc(id_col))
+    centroids = (
+        c.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select((F.col("_r") - 1).alias("centroid_id"), F.col("cv").alias("zv"))
+    )
+    for _ in range(iterations):
+        assigned = (
+            c.join(F.broadcast(centroids))
+            .select(
+                id_col,
+                "cv",
+                "centroid_id",
+                F.round(cosine(F.col("cv"), F.col("zv")), 6).alias("cscore"),
+            )
+        )
+        wa = Window.partitionBy(id_col).orderBy(F.desc("cscore"), F.asc("centroid_id"))
+        best = (
+            assigned.withColumn("_rk", F.row_number().over(wa))
+            .filter(F.col("_rk") == 1)
+            .select("centroid_id", "cv")
+        )
+        # recenter: element-wise mean via posexplode + groupBy — scales
+        # with vectors × dim, no per-group array collection
+        means = (
+            best.select("centroid_id", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s.m).alias("zv_new"),
+            )
+        )
+        centroids = (
+            centroids.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("zv_new", "zv").alias("zv"),
+            )
+        )
+        centroids = centroids.persist()
+        centroids.count()  # materialize per iteration: cut lineage growth
+    return centroids.select("centroid_id", F.col("zv").alias("embedding"))
+
+
 def lsh_hyperplanes(dim: int, num_planes: int) -> list[list[int]]:
     """Deterministic ±1 hyperplanes from md5 hex-digit parity — plain
     integer constants, so any engine (and the DuckDB oracle) projects

@@ -41,15 +41,18 @@ def pipe(
     sep: str = "\t",
     num_key_fields: int = 1,
     env: dict[str, str] | None = None,
+    check_code: bool = False,
 ) -> DataFrame:
     """PipeMapper analog: DataFrame → lines → external command → (key, value).
 
     `command` is run once per partition; stdin gets one
     ``col1<sep>col2<sep>...`` line per row; stdout lines are split at
-    the `num_key_fields`-th separator.
+    the `num_key_fields`-th separator. `check_code=True` fails the task
+    on a non-zero exit (the reference's PipeMapRed failure contract);
+    default False matches `rdd.pipe`.
     """
     spark = df.sparkSession
-    piped = _to_lines(df, sep).pipe(command, env=env or {})
+    piped = _to_lines(df, sep).pipe(command, env=env or {}, checkCode=check_code)
     nkf = num_key_fields
     kv = piped.map(lambda line: split_output_line(line, sep, nkf))
     return spark.createDataFrame(kv, schema="key string, value string")

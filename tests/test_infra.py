@@ -34,6 +34,18 @@ class TestPipe:
         rows = {(r.key, r.value) for r in out.collect()}
         assert rows == {("HELLO", "1"), ("WORLD", "2")}
 
+    def test_pipe_env_passthrough(self, spark):
+        df = spark.createDataFrame([("x",)], "a string").coalesce(1)
+        out = pipe.pipe(df, "printenv MYVAR", env={"MYVAR": "hello"})
+        assert [r.key for r in out.collect()] == ["hello"]
+
+    def test_pipe_nonzero_exit_fails_task_when_checked(self, spark):
+        df = spark.createDataFrame([("x",)], "a string").coalesce(1)
+        ok = pipe.pipe(df, "false")  # default: exit code ignored
+        assert ok.count() == 0
+        with pytest.raises(Exception, match="[Pp]ipe"):
+            pipe.pipe(df, "false", check_code=True).count()
+
     def test_pipe_reduce_groups_contiguous(self, spark):
         # external reducer sees each key's rows contiguously: uniq -c works
         df = spark.createDataFrame(

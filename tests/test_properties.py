@@ -110,6 +110,42 @@ class TestFieldSelectionProperties:
         assert got == want
 
 
+_join_ast = st.recursive(
+    st.sampled_from(["a", "b", "c", "d"]).map(lambda n: ("tbl", n)),
+    lambda kids: st.tuples(
+        st.sampled_from(["inner", "outer", "override"]),
+        st.lists(kids, min_size=2, max_size=3),
+    ),
+    max_leaves=6,
+)
+
+
+def _ast_to_expr(node) -> str:
+    op, rest = node
+    if op == "tbl":
+        return f"tbl({rest})"
+    return f"{op}({','.join(_ast_to_expr(c) for c in rest)})"
+
+
+class TestJoinExprParserProperties:
+    @given(_join_ast)
+    def test_parse_roundtrips_ast(self, ast):
+        from hadoop_distributed_dynamic_file_system_spark.operators.joins import (
+            parse_join_expr,
+        )
+
+        def check(node, parsed):
+            op, rest = node
+            if op == "tbl":
+                assert parsed.op == "tbl" and parsed.ident == rest
+            else:
+                assert parsed.op == op and len(parsed.children) == len(rest)
+                for child, pchild in zip(rest, parsed.children):
+                    check(child, pchild)
+
+        check(ast, parse_join_expr(_ast_to_expr(ast)))
+
+
 def _unix_sort_key(line: str, sep: str):
     """Model for '-k2,2nr -k1,1': numeric-desc on field 2, asc field 1."""
     fields = line.split(sep)

@@ -77,6 +77,38 @@ class TestStreaming:
             last[r.user_id] = (r.n_events, round(r.sum_value, 6))
         assert last == batch
 
+    def test_stateful_accumulates_across_batches(self, spark, tmp_path):
+        # several files + maxFilesPerTrigger=1 → several micro-batches;
+        # state must carry between them (single-batch tests can't see
+        # a reset-state bug)
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        # the SAME user appears in every file — its state must carry
+        for i in range(3):
+            spark.createDataFrame(
+                [(100, float(i + 1)), (200 + i, 10.0)], "user_id long, value double"
+            ).coalesce(1).write.mode("append").parquet(str(src / f"b{i}"))
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        out = ev.run_to_memory(
+            ev.running_user_totals(stream), "acc_totals", output_mode="update"
+        )
+        rows = out.collect()
+        emits_for_100 = [
+            (r.n_events, r.sum_value) for r in rows if r.user_id == 100
+        ]
+        # one emit per batch, running totals 1, 1+2, 1+2+3
+        assert len(emits_for_100) == 3
+        assert sorted(emits_for_100) == [(1, 1.0), (2, 3.0), (3, 6.0)]
+        last = {}
+        for r in rows:
+            last[r.user_id] = (r.n_events, r.sum_value)
+        assert last[100] == (3, 6.0)
+        assert last[200] == (1, 10.0) and last[202] == (1, 10.0)
+
     def test_session_window_gap(self, spark, event_stream):
         out = ev.run_to_memory(
             ev.sessionize_stream(event_stream, gap="30 minutes"), "sessions"
