@@ -73,9 +73,12 @@ def query(name: str, oracle: str | None = None):
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                                                                            AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE)            AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE)            AS sum_charge,
            round(avg(l_quantity), 6)                                        AS avg_qty,
            round(avg(l_extendedprice), 6)                                   AS avg_price,
            round(avg(l_discount), 6)                                        AS avg_disc,
@@ -92,17 +95,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce (mapred/lib/LongSumReducer.java, aggregate/*); here Catalyst
     plans partial+final hash aggregation after one shuffle on the
     2-value group key, with the shipdate filter pushed to parquet.
+    Money sums go through per-term DECIMAL casts: double summation
+    order differs between engines and flips the rounded cent at scale.
     """
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(18,6)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(F.col("l_extendedprice").cast(dec)), 2)
+            .cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast(dec)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast(dec)), 2)
+            .cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -347,7 +355,8 @@ def join_expr_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_per_nation",
     """
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -371,7 +380,10 @@ def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -620,7 +632,8 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_SQL = """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -638,7 +651,9 @@ def sql_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     text IS the plan (identical string runs on the DuckDB oracle).
     TPC-H Q3 shape — two selective pushed filters + 3-way join + agg;
     customer broadcasts, the lineitem⋈orders shuffle carries only
-    post-filter rows."""
+    post-filter rows. Each revenue term is cast to DECIMAL before the
+    sum: double summation order differs between engines and flips the
+    last cent at round-to-2dp boundaries (seen at sf0.1)."""
     _utc(spark)
     for t in ("customer", "orders", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)

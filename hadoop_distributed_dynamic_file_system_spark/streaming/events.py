@@ -160,6 +160,47 @@ def running_user_totals(
     )
 
 
+def stream_stream_join(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: for each `right_type` event, the
+    `left_type` events by the same user in the preceding `within`
+    interval (view→purchase attribution shape). Watermarks bound the
+    join state on both sides — without them the engine would buffer
+    each stream forever."""
+    lhs = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_event"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    rhs = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_event"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return lhs.join(
+        rhs,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_ts") < F.col("r_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("l_user").alias("user_id"), "l_event", "r_event", "l_ts", "r_ts", "r_value"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming query to completion against the file source
     (synchronous; for tests/local verification). Returns the result."""

@@ -262,6 +262,24 @@ class TestJobPlans:
         out = {(r.word, r.cnt) for r in run_job(df, spec).collect()}
         assert out == {("a", 3), ("b", 2)}
 
+    def test_run_job_grouped_map_reducer(self, spark):
+        # the arbitrary-Java-Reducer case: reduce_fn via applyInPandas
+        def center(key, pdf):
+            pdf = pdf.copy()
+            pdf["v"] = pdf["v"] - pdf["v"].mean()
+            return pdf
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (1, 20.0), (2, 5.0)], "g int, v double"
+        )
+        spec = JobSpec(
+            key_cols=["g"],
+            reduce_fn=center,
+            reduce_schema="g int, v double",
+        )
+        out = {(r.g, r.v) for r in run_job(df, spec).collect()}
+        assert out == {(1, -5.0), (1, 5.0), (2, 0.0)}
+
     def test_run_job_map_only(self, spark):
         df = spark.createDataFrame([(1,), (2,)], "v int")
         spec = JobSpec(mapper=lambda d: d.withColumn("v2", F.col("v") * 2))

@@ -109,6 +109,39 @@ class TestStreaming:
         assert last[100] == (3, 6.0)
         assert last[200] == (1, 10.0) and last[202] == (1, 10.0)
 
+    def test_stream_stream_join_matches_batch(self, spark, sf_dir, event_stream):
+        out = ev.run_to_memory(
+            ev.stream_stream_join(event_stream), "ss_join"
+        )
+        got = {(r.user_id, r.l_event, r.r_event) for r in out.collect()}
+        # batch twin: same interval join over the static table
+        import os
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        v = raw.filter(F.col("event_type") == "view").selectExpr(
+            "user_id AS l_user", "ts AS l_ts", "event_id AS l_event"
+        )
+        p = raw.filter(F.col("event_type") == "purchase").selectExpr(
+            "user_id AS r_user", "ts AS r_ts", "event_id AS r_event"
+        )
+        want = {
+            (r.l_user, r.l_event, r.r_event)
+            for r in v.join(
+                p,
+                (F.col("l_user") == F.col("r_user"))
+                & (F.col("l_ts") < F.col("r_ts"))
+                & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 hour")),
+            ).collect()
+        }
+        # a finite stream may hold back pairs within the final
+        # watermark; everything emitted must be correct and the bulk
+        # of the batch result must be present
+        assert got <= want
+        assert len(got) >= 0.8 * len(want) > 0
+
     def test_session_window_gap(self, spark, event_stream):
         out = ev.run_to_memory(
             ev.sessionize_stream(event_stream, gap="30 minutes"), "sessions"
