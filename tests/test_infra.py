@@ -235,6 +235,30 @@ class TestJdbc:
         assert back.agg(F.sum("v")).collect()[0][0] == 3 * sum(range(200))
 
 
+    def test_db_count_pageview_job(self, spark, tmp_path):
+        """examples/DBCountPageView.java shape: read an access log from
+        a database, count per URL, write the pageview table back."""
+        from hadoop_distributed_dynamic_file_system_spark.sources import jdbc
+
+        url = f"jdbc:derby:{tmp_path}/pv;create=true"
+        access = spark.createDataFrame(
+            [("/home", f"u{i % 3}") for i in range(9)] + [("/about", "u0")],
+            "url string, referrer string",
+        )
+        jdbc.write_jdbc(access, url, "access", mode="overwrite")
+        counts = (
+            jdbc.read_jdbc(spark, url, "access")
+            .groupBy("url")
+            .agg(F.count("*").alias("pageview"))
+        )
+        jdbc.write_jdbc(counts, url, "pageview", mode="overwrite")
+        back = {
+            (r.url, r.pageview)
+            for r in jdbc.read_jdbc(spark, url, "pageview").collect()
+        }
+        assert back == {("/home", 9), ("/about", 1)}
+
+
 class TestJobPlans:
     def test_jobcontrol_dag_and_failure(self):
         jc = JobControl()
