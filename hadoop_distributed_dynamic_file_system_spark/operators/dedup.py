@@ -208,6 +208,36 @@ def minhash_estimate(
     )
 
 
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The user-facing dedup funnel: signatures → LSH candidates →
+    estimated Jaccard → drop every doc similar to a lower-id doc.
+
+    Greedy keep-lowest-id semantics (a doc survives unless it matches a
+    LOWER id): same contract as common corpus-dedup pipelines; not full
+    connected components — a chain a~b~c with a≁c keeps a and c. One
+    anti-join against the (small) drop list; the corpus is never
+    re-shuffled."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = sigs.persist()
+    sigs.count()
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    est = minhash_estimate(sigs, pairs, id_col, num_hashes)
+    drop = (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drop, on=id_col, how="left_anti")
+
+
 # ------------------------------------------------------------------ simhash
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16

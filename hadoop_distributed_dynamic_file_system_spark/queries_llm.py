@@ -161,6 +161,42 @@ def minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_estimate(sigs, pairs, "doc_id", num_hashes=8)
 
 
+@query(
+    "near_dedup_kept",
+    f"""
+    WITH {_SQL_DOCS_DUP.strip()},
+    sigs AS ({_minhash_sql(8, "docs2")}),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bkey FROM sigs
+      UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sigs
+      UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sigs
+      UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    drops AS (
+      SELECT DISTINCT id_b FROM pairs
+      JOIN sigs sa ON sa.doc_id = id_a
+      JOIN sigs sb ON sb.doc_id = id_b
+      WHERE round(({_MH_AGREE}) / 8.0, 6) >= 0.5
+    )
+    SELECT doc_id, count(*) AS n FROM docs2
+    WHERE doc_id NOT IN (SELECT id_b FROM drops)
+    GROUP BY doc_id
+    """,
+)
+def near_dedup_kept_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: the corpus that SURVIVES the MinHash-LSH
+    funnel (keep-lowest-id semantics). Planted near-duplicates (ids
+    ≥ 100000) should mostly be dropped."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    kept = dedup.near_dedup(corpus, "doc_id", "text", threshold=0.5)
+    return kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+
 def _simhash_sql(bits: int = 16) -> str:
     wh = _sql_hexval("md5(w)", 1, 4)
     votes = ",\n             ".join(

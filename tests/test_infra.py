@@ -129,6 +129,26 @@ class TestSources:
         rows = {(r.k, r.va, r.vb, r.source) for r in out.collect()}
         assert rows == {(1, "x", None, "a"), (2, None, "y", "b")}
 
+    def test_permissive_csv_bad_records(self, spark, tmp_path):
+        # SkipBadRecords' read-mode twin: malformed rows land in the
+        # corrupt-record column instead of failing the job
+        p = tmp_path / "data.csv"
+        p.write_text("1,a\n2,b\nnot-an-int,c\n3,d\n")
+        df = (
+            spark.read.schema("k int, v string, _corrupt string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(str(p))
+            .cache()  # Spark disallows corrupt-column-only queries on raw files
+        )
+        try:
+            good = df.filter(F.col("_corrupt").isNull())
+            bad = df.filter(F.col("_corrupt").isNotNull())
+            assert good.count() == 3
+            assert [r._corrupt for r in bad.collect()] == ["not-an-int,c"]
+        finally:
+            df.unpersist()
+
     def test_empty_input(self, spark):
         df = text_src.empty_input(spark, "a int, b string")
         assert df.count() == 0 and df.columns == ["a", "b"]
