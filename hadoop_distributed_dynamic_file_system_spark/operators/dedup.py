@@ -273,6 +273,46 @@ def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str,
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    band_shift: int = 8,
+    cache: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, banded so the
+    self-join is an equi-join: candidates must share the top
+    (bits - band_shift) bits. Approximate — a near pair whose flipped
+    bits fall in the band prefix is missed; the standard fix is to
+    join on several rotations (add rotations at scale). Never a cross
+    join; bucket sizes bound the pair blow-up."""
+    banded = fingerprints.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.shiftright(F.col(hash_col), band_shift).alias("_band"),
+    )
+    if cache:
+        banded = banded.persist()
+        banded.count()
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming_distance(F.col(f"a.{hash_col}"), F.col(f"b.{hash_col}")).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ------------------------------------------------------------------ jaccard
 def ngram_jaccard_pairs(
     df_a: DataFrame,

@@ -197,7 +197,7 @@ def near_dedup_kept_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("doc_id").agg(F.count("*").alias("n"))
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_sql(bits: int = 16, src: str = "documents") -> str:
     wh = _sql_hexval("md5(w)", 1, 4)
     votes = ",\n             ".join(
         f"sum(CASE WHEN ({wh} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{b}"
@@ -207,24 +207,47 @@ def _simhash_sql(bits: int = 16) -> str:
         f"CASE WHEN bit_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
     )
     return f"""
-    WITH words AS (
-      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+    words AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM {src}
     ),
     votes AS (
       SELECT doc_id,
              {votes}
       FROM words WHERE w <> '' GROUP BY doc_id
-    )
-    SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes
+    ),
+    fps AS (SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes)
     """
 
 
-@query("simhash_fingerprints", _simhash_sql())
+@query("simhash_fingerprints", f"WITH {_simhash_sql()} SELECT doc_id, simhash FROM fps")
 def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit, md5-derived word hashes, per-bit majority)."""
     d = _t(spark, sf_dir, "documents")
     out = dedup.simhash(d, "doc_id", "text", bits=16)
     return out.withColumn("simhash", F.col("simhash").cast("bigint"))
+
+
+@query(
+    "simhash_near_pairs",
+    f"""
+    WITH {_SQL_DOCS_DUP.strip()},
+    {_simhash_sql(src="docs2").strip()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM fps a JOIN fps b
+      ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded (shared top byte) hamming ≤ 3
+    over a corpus with planted near-duplicates."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    fps = dedup.simhash(corpus, "doc_id", "text", bits=16).withColumn(
+        "simhash", F.col("simhash").cast("bigint")
+    )
+    out = dedup.simhash_near_pairs(fps, "doc_id", max_hamming=3, band_shift=8)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 @query(
