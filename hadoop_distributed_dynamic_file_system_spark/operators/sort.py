@@ -142,6 +142,21 @@ def key_field_partition(df: DataFrame, line_col: str, num_partitions: int,
     return df.repartition(num_partitions, part)
 
 
+def sample_partition_bounds(
+    df: DataFrame, col: str, num_partitions: int, rel_error: float = 0.01
+) -> list:
+    """InputSampler analog (mapred/lib/InputSampler.java:314 +
+    TotalOrderPartitioner's _partition.lst): the n-1 split points that
+    would balance `num_partitions` ranges, from an approximate-quantile
+    sketch (one pass, driver gets only the bounds). Spark's orderBy
+    already does this internally; exposed for explicit layout control
+    (repartitionByRange + persist-by-range, pre-splitting sinks)."""
+    if num_partitions < 2:
+        return []
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+    return df.approxQuantile(col, qs, rel_error)
+
+
 # ------------------------------------------------------------------ top-k
 def top_k(df: DataFrame, k: int, *order: Column) -> DataFrame:
     """Global top-k without a total sort: Catalyst plans orderBy+limit as

@@ -67,6 +67,14 @@ class TestCli:
             lines.update(open(p).read().splitlines())
         assert lines == {"y1\t", "y2\t"}  # key<TAB>value, empty values
 
+    def test_heat_report_cli(self, spark, sf_dir, capsys):
+        assert cli.main(
+            ["heat", sf_dir, "SELECT count(*) FROM nation", "SELECT 1"]
+        ) == 0
+        lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+        assert {r["table"] for r in lines} >= {"nation", "orders"}
+        spark.catalog.clearCache()
+
     def test_distcp_cli(self, spark, tmp_path, capsys):
         (tmp_path / "s").mkdir()
         (tmp_path / "s" / "a").write_text("abc")

@@ -67,6 +67,14 @@ class TestSortValidator:
         assert est1 == est2  # Halton: same points at any parallelism
         assert abs(est1 - math.pi) < 0.01
 
+    def test_sample_partition_bounds_balance(self, spark):
+        df = spark.range(0, 10000).selectExpr("id AS v")
+        bounds = sort.sample_partition_bounds(df, "v", 4, rel_error=0.001)
+        assert len(bounds) == 3
+        # quartile split points of 0..9999, within the sketch error
+        for got, want in zip(bounds, [2500, 5000, 7500]):
+            assert abs(got - want) <= 100
+
     def test_wordcount_over_random_text(self, spark):
         # RandomTextWriter → WordCount: totals must equal n*words
         df = datagen.random_text(spark, 200, words_per_line=8)
