@@ -90,6 +90,36 @@ def main() -> None:
     materialize(sort_ops.total_order_sort(datagen.teragen(spark, n_rows), "key10"))
     timings["terasort"] = round(time.time() - t0, 3)
 
+    # shuffle-free SMJ over bucketed tables (layout write NOT timed —
+    # it's the amortized cost the layout exists to amortize)
+    from pyspark.sql import functions as F
+    from hadoop_distributed_dynamic_file_system_spark.operators import skew
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    for t in ("bench_li", "bench_o"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    skew.write_bucketed(li, "bench_li", ["l_orderkey"], num_buckets=16)
+    skew.write_bucketed(o, "bench_o", ["o_orderkey"], num_buckets=16)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        joined = spark.table("bench_li").join(
+            spark.table("bench_o"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        materialize(joined)
+        timings["bucketed_join"] = round(time.time() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bench_li", "bench_o"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",

@@ -53,6 +53,17 @@ def cmd_fs(args: argparse.Namespace) -> int:
         sh.rm(paths[0], recursive=True)
     elif op == "-cat":
         sys.stdout.buffer.write(sh.cat(paths[0]))
+    elif op == "-text":
+        # FsShell -text: decode SequenceFiles ('SEQ' magic) to
+        # key<TAB>value lines; plain files pass through like -cat
+        head = sh.cat(paths[0], max_bytes=3)
+        if head == b"SEQ":
+            from .sources.sequencefile import read_sequence_file_as_text
+
+            for r in read_sequence_file_as_text(_spark(), paths[0]).collect():
+                print(f"{r.key}\t{r.value}")
+        else:
+            sys.stdout.buffer.write(sh.cat(paths[0]))
     elif op == "-stat":
         print(json.dumps(sh.stat(paths[0])))
     elif op == "-touchz":

@@ -16,12 +16,13 @@ Reference → Spark mapping:
 - EmptyInputFormat (test/.../EmptyInputFormat.java): empty frame.
 - CombineFileInputFormat (mapred/lib/CombineFileInputFormat.java):
   small-file packing — built into Spark via files.maxPartitionBytes /
-  openCostInBytes; `packed_read` sets them explicitly.
+  openCostInBytes; `small_file_packing` scopes them to a job.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,6 +89,36 @@ def empty_input(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+@contextmanager
+def small_file_packing(
+    spark: SparkSession,
+    max_partition_bytes: int = 128 * 1024 * 1024,
+    open_cost_bytes: int = 4 * 1024 * 1024,
+) -> Iterator[None]:
+    """CombineFileInputFormat analog: pack many small files into few
+    read partitions by sizing the per-file open cost. Spark plans file
+    scans at ACTION time from session conf (per-read options are
+    ignored by the FilePartition planner), so the packing must scope
+    the actions — run the reads and the downstream job inside the
+    `with` block; prior values are restored on exit. Mirrors Hadoop,
+    where CombineFileInputFormat was likewise job-level config."""
+    keys = {
+        "spark.sql.files.maxPartitionBytes": str(max_partition_bytes),
+        "spark.sql.files.openCostInBytes": str(open_cost_bytes),
+    }
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def packed_read(
     spark: SparkSession,
     path: str,
@@ -95,9 +126,8 @@ def packed_read(
     max_partition_bytes: int = 128 * 1024 * 1024,
     open_cost_bytes: int = 4 * 1024 * 1024,
 ) -> DataFrame:
-    """CombineFileInputFormat analog: pack many small files into few
-    partitions by raising the per-file open cost. These are session
-    confs — set, read, and the FilePartition planner does the packing."""
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost_bytes))
-    return spark.read.format(fmt).load(path)
+    """Convenience wrapper: a lazy read whose actions should run inside
+    `small_file_packing` with the same sizes — otherwise the scan plans
+    with whatever conf is current when the action fires."""
+    with small_file_packing(spark, max_partition_bytes, open_cost_bytes):
+        return spark.read.format(fmt).load(path)

@@ -75,6 +75,16 @@ class TestCli:
         assert {r["table"] for r in lines} >= {"nation", "orders"}
         spark.catalog.clearCache()
 
+    def test_fs_text_decodes_sequencefile(self, spark, tmp_path, capsys):
+        path = str(tmp_path / "seqt")
+        spark.sparkContext.parallelize([("a", "1"), ("b", "2")], 1).saveAsSequenceFile(path)
+        import glob
+
+        part = sorted(glob.glob(path + "/part-*"))[0]
+        assert cli.main(["fs", "-text", part]) == 0
+        out = capsys.readouterr().out
+        assert "a\t1" in out and "b\t2" in out
+
     def test_distcp_cli(self, spark, tmp_path, capsys):
         (tmp_path / "s").mkdir()
         (tmp_path / "s" / "a").write_text("abc")

@@ -129,6 +129,21 @@ class TestSources:
         rows = {(r.k, r.va, r.vb, r.source) for r in out.collect()}
         assert rows == {(1, "x", None, "a"), (2, None, "y", "b")}
 
+    def test_packed_read_combines_small_files(self, spark, tmp_path):
+        many = tmp_path / "many"
+        many.mkdir()
+        for i in range(40):
+            (many / f"f{i:02d}.txt").write_text(f"line-{i}\n")
+        with text_src.small_file_packing(
+            spark, max_partition_bytes=1 << 20, open_cost_bytes=16
+        ):
+            packed = text_src.packed_read(spark, str(many), fmt="text")
+            assert packed.count() == 40
+            # 40 tiny files pack into far fewer read partitions
+            assert packed.rdd.getNumPartitions() <= 8
+        # conf restored on exit — later reads plan with prior sizes
+        assert spark.conf.get("spark.sql.files.openCostInBytes") != "16"
+
     def test_permissive_csv_bad_records(self, spark, tmp_path):
         # SkipBadRecords' read-mode twin: malformed rows land in the
         # corrupt-record column instead of failing the job
