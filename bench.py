@@ -120,6 +120,51 @@ def main() -> None:
         for t in ("bench_li", "bench_o"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+    # Skew study: 90% of lineitem rows collapse onto one join key, the
+    # dim is non-broadcastable (threshold -1). Three strategies over the
+    # identical plan shape: plain SMJ (one fat partition), AQE skew-join
+    # (thresholds lowered so sf0.1 partitions qualify for splitting),
+    # salted join (explicit scatter). At cluster scale AQE's defaults
+    # (256 MB threshold) kick in without tuning; salting remains for
+    # skew-under-aggregation where AQE can't re-plan.
+    skewed = li.select(
+        F.when(F.pmod("l_orderkey", F.lit(10)) < 9, F.lit(0))
+        .otherwise(F.pmod("l_orderkey", F.lit(1000)))
+        .cast("long")
+        .alias("k"),
+        "l_extendedprice",
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+    }
+    saved = {k: spark.conf.get(k) for k in skew_confs}
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        t0 = time.time()
+        materialize(skewed.join(dim, on="k"))
+        timings["skew_join_plain"] = round(time.time() - t0, 3)
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        t0 = time.time()
+        materialize(skewed.join(dim, on="k"))
+        timings["skew_join_aqe"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        materialize(skew.salted_join(skewed, dim, ["k"], salt=32))
+        timings["skew_join_salted"] = round(time.time() - t0, 3)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",

@@ -160,6 +160,33 @@ def cmd_heat(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export_sql(args: argparse.Namespace) -> int:
+    """Cross-engine export: every built-in query carries an equivalent
+    ANSI-SQL text (the oracle pair). Emit those as .sql files (or to
+    stdout) so the same logic runs on DuckDB/Trino/anything that reads
+    the parquet tables — a portability escape hatch the reference's
+    compiled jobs never had. No SparkSession needed."""
+    import os
+
+    from . import queries as q
+    from . import queries_llm  # noqa: F401  (registers its pairs)
+
+    names = args.name or sorted(q.ORACLE)
+    missing = [n for n in names if n not in q.ORACLE]
+    if missing:
+        print(f"no SQL form for: {', '.join(missing)}", file=sys.stderr)
+        return 2
+    for n in names:
+        text = q.ORACLE[n].strip() + "\n"
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            with open(os.path.join(args.out_dir, f"{n}.sql"), "w") as f:
+                f.write(f"-- {n}: ANSI-SQL twin of queries()[{n!r}]\n{text}")
+        else:
+            print(f"-- {n}\n{text}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hddfs-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -203,6 +230,11 @@ def build_parser() -> argparse.ArgumentParser:
     so.add_argument("-k", dest="key_spec", default=None)
     so.add_argument("-separator", dest="separator", default=" ")
     so.set_defaults(fn=cmd_sort)
+
+    ex = sub.add_parser("export-sql", help="emit ANSI-SQL twins of built-in queries")
+    ex.add_argument("name", nargs="*")
+    ex.add_argument("-o", dest="out_dir", default=None)
+    ex.set_defaults(fn=cmd_export_sql)
 
     he = sub.add_parser("heat", help="access-heat report after queries")
     he.add_argument("data_dir")

@@ -35,6 +35,13 @@ def total_order_sort(df: DataFrame, *cols: Column | str, ascending: bool = True)
     Spark samples the key distribution and range-partitions before the
     per-partition sort — exactly the InputSampler + trie-partitioner
     design, built in.
+
+    String-key order parity: the reference's Text.Comparator is memcmp
+    over UTF-8 bytes (io/Text.java). Spark's default UTF8_BINARY
+    collation is the SAME order — UTF8String compares stored UTF-8
+    bytes, not UTF-16 code units — including on supplementary-plane
+    characters (pinned by test_byte_order_sort_matches_utf8_memcmp).
+    Only a non-default session collation would diverge.
     """
     if ascending:
         return df.orderBy(*cols)
@@ -44,6 +51,16 @@ def total_order_sort(df: DataFrame, *cols: Column | str, ascending: bool = True)
 def repartition_by_range(df: DataFrame, num_partitions: int, *cols: str) -> DataFrame:
     """Partition-only form: ranged placement without intra-partition sort."""
     return df.repartitionByRange(num_partitions, *cols)
+
+
+def byte_order_key(col: Column | str) -> Column:
+    """Explicit UTF-8 byte sort key (BinaryType = unsigned memcmp) for
+    a string column — guarantees the reference's Text.Comparator order
+    (io/Text.java) regardless of session collation settings. With the
+    default UTF8_BINARY collation this is redundant: Spark already
+    compares stored UTF-8 bytes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.encode(c, "utf-8")
 
 
 # ------------------------------------------------------------- secondary sort

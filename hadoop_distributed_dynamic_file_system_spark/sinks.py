@@ -96,3 +96,32 @@ def compact_small_files(
     )
     packed.write.mode(mode).parquet(dst_path)
     return spark.read.parquet(dst_path)
+
+
+def extract_archive(spark: SparkSession, archive_path: str, dst_dir: str) -> int:
+    """HadoopArchives inverse (har extract): unpack a
+    `compact_small_files` parquet archive back into individual files
+    under `dst_dir`, preserving the tail of each stored path below the
+    archive members' common directory. Extraction happens on the
+    executors (foreachPartition) — content bytes never funnel through
+    the driver. Targets a filesystem path visible to the executors
+    (local mount / NFS / fuse); for object stores, swap the `open` for
+    the store's client inside the same partition loop. Returns the
+    member count."""
+    files = spark.read.parquet(archive_path).select("path", "content")
+    lo, hi = files.agg(F.min("path"), F.max("path")).first()
+    if lo is None:
+        return 0
+    common = os.path.commonprefix([lo, hi])
+    prefix_len = common.rfind("/") + 1  # cut at a directory boundary
+
+    def _write(rows) -> None:
+        for r in rows:
+            rel = r.path[prefix_len:].lstrip("/")
+            out = os.path.join(dst_dir, rel)
+            os.makedirs(os.path.dirname(out) or dst_dir, exist_ok=True)
+            with open(out, "wb") as f:
+                f.write(bytes(r.content))
+
+    files.foreachPartition(_write)
+    return files.count()

@@ -91,3 +91,27 @@ class TestCli:
         assert cli.main(["distcp", str(tmp_path / "s"), str(tmp_path / "d")]) == 0
         assert "copied=1" in capsys.readouterr().out
         assert (tmp_path / "d" / "a").read_text() == "abc"
+
+
+class TestSqlExport:
+    def test_export_sql_runs_on_duckdb(self, tmp_path, capsys):
+        # the exported twin is genuinely cross-engine: run it in DuckDB
+        assert cli.main(["export-sql", "q1_pricing_summary", "-o", str(tmp_path)]) == 0
+        sql = (tmp_path / "q1_pricing_summary.sql").read_text()
+        assert "sum_qty" in sql  # aliased like the Spark side
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+        )
+        rows = con.execute(sql).fetchall()
+        assert len(rows) >= 4  # returnflag/linestatus groups
+
+    def test_export_sql_all_and_unknown(self, tmp_path, capsys):
+        assert cli.main(["export-sql", "-o", str(tmp_path)]) == 0
+        import glob
+
+        assert len(glob.glob(str(tmp_path / "*.sql"))) >= 40
+        assert cli.main(["export-sql", "no_such_query"]) == 2

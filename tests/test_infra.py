@@ -104,6 +104,18 @@ class TestSinks:
         row = packed.filter(F.col("path").endswith("f07.txt")).collect()[0]
         assert bytes(row.content) == b"content-7"
 
+    def test_extract_archive_roundtrip(self, spark, tmp_path):
+        # har pack → har extract restores the original files/bytes
+        small = tmp_path / "orig"
+        small.mkdir()
+        for i in range(8):
+            (small / f"f{i}.txt").write_bytes(b"\x00bin-%d" % i)
+        sinks.compact_small_files(spark, str(small / "*.txt"), str(tmp_path / "arc"))
+        n = sinks.extract_archive(spark, str(tmp_path / "arc"), str(tmp_path / "out"))
+        assert n == 8
+        for i in range(8):
+            assert (tmp_path / "out" / f"f{i}.txt").read_bytes() == b"\x00bin-%d" % i
+
 
 class TestSources:
     def test_kv_text_roundtrip(self, spark, tmp_path):

@@ -112,6 +112,21 @@ class TestSortSpec:
         got = [r.line for r in out.collect()]
         assert got == ["ab za", "aa zb"]  # compares 'a' vs 'b' (2nd char of field2)
 
+    def test_byte_order_sort_matches_utf8_memcmp(self, spark):
+        # U+FFFD (UTF-8: EF BF BD; UTF-16 code unit 0xFFFD) vs U+1F600
+        # (UTF-8: F0 9F 98 80; UTF-16 surrogate pair D83D DE00). A
+        # UTF-16-code-unit comparator (Java String.compareTo) would put
+        # the emoji FIRST; the reference's Text memcmp puts it LAST
+        # (F0 > EF). Spark's default UTF8_BINARY collation compares the
+        # stored UTF-8 bytes, so it matches the reference with no
+        # special-casing — pin that, and that the explicit binary key
+        # agrees.
+        df = spark.createDataFrame([("�",), ("\U0001f600",)], "k string")
+        native = [r.k for r in sort.total_order_sort(df, "k").collect()]
+        assert native == ["�", "\U0001f600"]  # memcmp over utf-8
+        explicit = [r.k for r in df.orderBy(sort.byte_order_key("k")).collect()]
+        assert explicit == native
+
 
 class TestAggregates:
     def test_descriptor_aggregation(self, spark):
