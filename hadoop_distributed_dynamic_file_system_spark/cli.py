@@ -89,15 +89,28 @@ def cmd_streaming(args: argparse.Namespace) -> int:
 
     spark = _spark()
     df = read_text_lines(spark, args.input)
-    out = pipe_mod.pipe(df, args.mapper, sep=args.separator,
-                        num_key_fields=args.num_key_fields)
+    if args.files:
+        # -file: ship local scripts to the tasks (commands refer to
+        # them by basename; resolved executor-side)
+        out = pipe_mod.ship_and_pipe(df, args.mapper, args.files,
+                                     sep=args.separator,
+                                     num_key_fields=args.num_key_fields)
+    else:
+        out = pipe_mod.pipe(df, args.mapper, sep=args.separator,
+                            num_key_fields=args.num_key_fields)
     if args.reducer:
         if args.num_reduce_tasks:
             out = out.repartition(args.num_reduce_tasks, F.col("key"))
-        out = pipe_mod.pipe_reduce(
-            out, args.reducer, ["key"], sep=args.separator,
-            num_key_fields=args.num_key_fields,
-        )
+        if args.files:
+            grouped = out.repartition(F.col("key")).sortWithinPartitions("key")
+            out = pipe_mod.ship_and_pipe(grouped, args.reducer, args.files,
+                                         sep=args.separator,
+                                         num_key_fields=args.num_key_fields)
+        else:
+            out = pipe_mod.pipe_reduce(
+                out, args.reducer, ["key"], sep=args.separator,
+                num_key_fields=args.num_key_fields,
+            )
     write_text(out, args.output, sep=args.separator)
     return 0
 
@@ -204,6 +217,7 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("-numReduceTasks", dest="num_reduce_tasks", type=int, default=0)
     st.add_argument("-separator", dest="separator", default="\t")
     st.add_argument("-numKeyFields", dest="num_key_fields", type=int, default=1)
+    st.add_argument("-file", dest="files", action="append", default=[])
     st.set_defaults(fn=cmd_streaming)
 
     dc = sub.add_parser("distcp", help="parallel tree copy")

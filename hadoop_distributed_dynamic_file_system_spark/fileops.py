@@ -184,21 +184,35 @@ def distcp(
 
 
 def distch(
-    spark: SparkSession, root: str, mode: int | None = None, parallelism: int = 32
+    spark: SparkSession,
+    root: str,
+    mode: int | None = None,
+    owner: str | None = None,
+    group: str | None = None,
+    parallelism: int = 32,
 ) -> int:
-    """DistCh: parallel chmod over a tree (owner changes need root —
-    exposed via the same job shape)."""
+    """DistCh (tools/DistCh.java): parallel owner/group/mode change
+    over a tree, as a distributed job. Any of the three may be None
+    (DistCh's ':'-separated spec leaves blanks unchanged). chown needs
+    root, matching the reference's superuser requirement."""
     files = [f[0] for f in _list_files(root)]
     if not files:
         return 0
     rdd = spark.sparkContext.parallelize(files, min(parallelism, len(files)))
 
     def change(paths):
+        import shutil
+
         n = 0
         for p in paths:
+            changed = False
             if mode is not None:
                 os.chmod(p, mode)
-                n += 1
+                changed = True
+            if owner is not None or group is not None:
+                shutil.chown(p, user=owner, group=group)
+                changed = True
+            n += int(changed)
         yield n
 
     return sum(rdd.mapPartitions(change).collect())

@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 from functools import reduce
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -124,6 +124,7 @@ def compile_join_expr(
     resolver: Resolver,
     key: str = "k",
     value: str = "v",
+    key_transform: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Compile a join expression to a DataFrame.
 
@@ -132,6 +133,16 @@ def compile_join_expr(
     (TupleWritable analog — absent slots are NULL), except `override`
     which collapses its children to a single value column where the
     rightmost non-null wins (OverrideRecordReader.java:36,49).
+
+    `key_transform` is the `mapred.join.keycomparator` analog (Parser.
+    java's comparator class option): a custom WritableComparator there
+    defines which keys count as equal; in relational terms that's a
+    normalization into equivalence classes, so here it's a Column
+    function applied to every leaf's key before joining (e.g.
+    `F.lower` for a case-insensitive comparator). The output key is
+    the normalized representative. Comparators that only reORDER keys
+    without changing equality don't affect a hash join and need no
+    analog.
     """
     node = parse_join_expr(expr) if isinstance(expr, str) else expr
     counter = [0]
@@ -140,7 +151,12 @@ def compile_join_expr(
         if n.op == "tbl":
             slot = f"v{counter[0]}"
             counter[0] += 1
-            df = resolver(n.ident).select(F.col(key), F.col(value).alias(slot))
+            k_expr = (
+                key_transform(F.col(key)).alias(key)
+                if key_transform is not None
+                else F.col(key)
+            )
+            df = resolver(n.ident).select(k_expr, F.col(value).alias(slot))
             return df, [slot]
 
         parts = [build(c) for c in n.children]

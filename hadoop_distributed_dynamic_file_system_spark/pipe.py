@@ -58,6 +58,82 @@ def pipe(
     return spark.createDataFrame(kv, schema="key string, value string")
 
 
+def ship_and_pipe(
+    df: DataFrame,
+    command: str,
+    files: list[str],
+    sep: str = "\t",
+    num_key_fields: int = 1,
+    env: dict[str, str] | None = None,
+    check_code: bool = True,
+) -> DataFrame:
+    """Hadoop Streaming ``-file`` analog (StreamJob.java packageJobJar):
+    ship local scripts to every task and run them as the pipe command.
+
+    `files` are distributed via SparkContext.addFile; `command` refers
+    to them by BASENAME. Resolution to the task-local copy happens
+    INSIDE the task (SparkFiles.get in the python worker) — each
+    executor resolves against its own download root, so the same code
+    is correct on a real cluster, not just local mode. Streams stdin
+    from a writer thread (the PipedRDD pattern) so partitions larger
+    than the pipe buffer can't deadlock."""
+    import os as _os
+
+    spark = df.sparkSession
+    for f in files:
+        spark.sparkContext.addFile(f)
+    shipped = {_os.path.basename(f) for f in files}
+    nkf = num_key_fields
+    extra_env = dict(env or {})
+
+    def run_partition(it):
+        import os
+        import shlex
+        import subprocess
+        import threading
+
+        from pyspark import SparkFiles
+
+        argv = []
+        for tok in shlex.split(command):
+            if tok in shipped:
+                local = SparkFiles.get(tok)
+                try:  # addFile doesn't promise the executable bit
+                    os.chmod(local, 0o755)
+                except OSError:
+                    pass
+                argv.append(local)
+            else:
+                argv.append(tok)
+        proc = subprocess.Popen(
+            argv,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            env={**os.environ, **extra_env},
+            text=True,
+        )
+
+        def feed() -> None:
+            try:
+                for line in it:
+                    proc.stdin.write(line + "\n")
+            finally:
+                proc.stdin.close()
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        for out_line in proc.stdout:
+            yield out_line.rstrip("\n")
+        t.join()
+        rc = proc.wait()
+        if check_code and rc != 0:
+            raise RuntimeError(f"pipe command {argv[0]} exited {rc}")
+
+    piped = _to_lines(df, sep).mapPartitions(run_partition)
+    kv = piped.map(lambda line: split_output_line(line, sep, nkf))
+    return spark.createDataFrame(kv, schema="key string, value string")
+
+
 def pipe_reduce(
     df: DataFrame,
     command: str,

@@ -115,3 +115,40 @@ class TestSqlExport:
 
         assert len(glob.glob(str(tmp_path / "*.sql"))) >= 40
         assert cli.main(["export-sql", "no_such_query"]) == 2
+
+
+class TestShippedScripts:
+    def test_streaming_file_ships_mapper_script(self, spark, tmp_path):
+        # Hadoop Streaming -file: the mapper is a LOCAL script referenced
+        # by basename, shipped to tasks via addFile
+        script = tmp_path / "upmap.py"
+        script.write_text(
+            "#!/usr/bin/env python3\n"
+            "import sys\n"
+            "for line in sys.stdin:\n"
+            "    print(line.strip().upper())\n"
+        )
+        src = tmp_path / "in.txt"
+        src.write_text("ab\ncd\n")
+        out = str(tmp_path / "fout")
+        assert cli.main([
+            "streaming", "-input", str(src), "-output", out,
+            "-mapper", "upmap.py", "-file", str(script),
+        ]) == 0
+        import glob
+
+        lines = set()
+        for p in glob.glob(out + "/part-*"):
+            lines |= {l.split("\t")[0] for l in open(p).read().splitlines()}
+        assert lines == {"AB", "CD"}
+
+    def test_ship_and_pipe_nonzero_exit_fails_task(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark import pipe as pipe_mod
+
+        bad = tmp_path / "bad.sh"
+        bad.write_text("#!/bin/sh\ncat >/dev/null\nexit 3\n")
+        df = spark.createDataFrame([("x",)], "line string").coalesce(1)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="exited 3"):
+            pipe_mod.ship_and_pipe(df, "bad.sh", [str(bad)]).collect()

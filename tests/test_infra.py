@@ -239,6 +239,23 @@ class TestFileOps:
         r3 = fileops.distcp(spark, str(src), str(dst), update=True)
         assert r3.copied == 1
 
+    def test_distch_mode_owner_group(self, spark, tmp_path):
+        import os
+        import stat
+
+        tree = tmp_path / "t"
+        tree.mkdir()
+        for i in range(3):
+            (tree / f"f{i}").write_text("x")
+        n = fileops.distch(spark, str(tree), mode=0o640)
+        assert n == 3
+        assert stat.S_IMODE(os.stat(tree / "f0").st_mode) == 0o640
+        if os.geteuid() == 0:  # chown needs root, as in the reference
+            n = fileops.distch(spark, str(tree), owner="daemon", group="daemon")
+            assert n == 3
+            st = os.stat(tree / "f1")
+            assert (st.st_uid, st.st_gid) == (1, 1)
+
     def test_rebalance_table(self, spark, tmp_path, sf_dir):
         import os
 

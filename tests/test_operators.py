@@ -62,6 +62,19 @@ class TestJoinSemantics:
         assert (3, "a3", "c3") in rows
         assert all(k != 5 for k, *_ in rows)  # 5 not in a
 
+    def test_key_transform_comparator_analog(self, spark):
+        # mapred.join.keycomparator analog: a case-insensitive
+        # comparator makes "X" and "x" the same key
+        src = {
+            "a": spark.createDataFrame([("X", "a1"), ("y", "a2")], "k string, v string"),
+            "b": spark.createDataFrame([("x", "b1"), ("Y", "b2")], "k string, v string"),
+        }
+        out = joins.compile_join_expr(
+            "inner(tbl(a),tbl(b))", src.__getitem__, key_transform=F.lower
+        )
+        rows = {(r.k, r.v0, r.v1) for r in out.collect()}
+        assert rows == {("x", "a1", "b1"), ("y", "a2", "b2")}
+
     def test_semi_anti(self, kv_sources):
         a, b = kv_sources["a"], kv_sources["b"]
         semi = {r.k for r in joins.semi_join(a, b, "k").collect()}
