@@ -42,3 +42,32 @@ class TestKMeans:
         a = {(r.query_id, r.vec_id) for r in approx.collect()}
         # IVF probing half the space should still recover most of top-5
         assert len(a & e) / len(e) >= 0.5
+
+
+class TestIvfIndex:
+    def test_indexed_matches_unindexed_and_skips_routing(self, spark, embeddings):
+        import shutil
+
+        cents = similarity.kmeans_fit(embeddings, k=4, iterations=2)
+        cents = cents.persist()
+        cents.count()  # freeze centroids: both paths must see identical values
+        table = "ivf_index_test"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(os.path.join("spark-warehouse", table), ignore_errors=True)
+        try:
+            similarity.build_ivf_index(embeddings, cents, table, num_buckets=4)
+            qs = embeddings.filter(F.col("vec_id") < 3)
+            direct = similarity.ivf_topk(embeddings, qs, cents, k=5, nprobe=2)
+            indexed = similarity.ivf_topk_indexed(spark, table, qs, cents, k=5, nprobe=2)
+            d = sorted((r.query_id, r.vec_id, r.score, r.rk) for r in direct.collect())
+            i = sorted((r.query_id, r.vec_id, r.score, r.rk) for r in indexed.collect())
+            assert d == i and len(d) > 0
+            # the indexed plan reads the bucketed table and drops the
+            # per-vector routing Window the direct path pays every query
+            direct_plan = direct._jdf.queryExecution().optimizedPlan().toString()
+            indexed_plan = indexed._jdf.queryExecution().optimizedPlan().toString()
+            assert table in indexed_plan
+            assert indexed_plan.count("Window") < direct_plan.count("Window")
+        finally:
+            cents.unpersist()
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
