@@ -322,6 +322,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     cache: bool = True,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard between two corpora via shingle equi-join.
 
@@ -331,13 +332,22 @@ def ngram_jaccard_pairs(
 
     Each exploded-shingle table feeds both its count agg and the
     intersection join — persisted so shingling runs once per corpus.
+
+    `hash_shingles` replaces each shingle string with xxhash64(sh)
+    before the distinct/join: 8-byte fixed shuffle keys instead of
+    arbitrary-length strings, which at 100 TB is the difference
+    between shuffling the corpus text twice and shuffling one long
+    per shingle. Exact up to 64-bit collisions (P ≈ n²/2⁶⁵ — for a
+    billion distinct shingles, ~3%·ε; disable for a provably exact
+    answer).
     """
     def exploded(df: DataFrame, side: str) -> DataFrame:
-        out = (
-            exploded_shingles(df, id_col, text_col, shingle_n)
-            .withColumnRenamed(id_col, f"id_{side}")
-            .distinct()
+        out = exploded_shingles(df, id_col, text_col, shingle_n).withColumnRenamed(
+            id_col, f"id_{side}"
         )
+        if hash_shingles:
+            out = out.select(f"id_{side}", F.xxhash64("sh").alias("sh"))
+        out = out.distinct()
         if cache:
             out = out.persist()
             out.count()  # eager — both consumers race otherwise

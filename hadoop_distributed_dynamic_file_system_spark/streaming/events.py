@@ -35,18 +35,46 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the events parquet; ts rebuilt as
-    TIMESTAMP_NTZ→TIMESTAMP for watermarking (event-time ops need LTZ)."""
+    TIMESTAMP_NTZ→TIMESTAMP for watermarking (event-time ops need LTZ).
+
+    `max_files_per_trigger` rate-limits ingestion: each micro-batch
+    consumes at most that many files, so a backlog drains in bounded
+    increments instead of one giant batch — the ingestion-side
+    backpressure knob (Kafka twin: maxOffsetsPerTrigger, see
+    streaming/kafka.py). At 100 TB a cold start over an existing
+    directory MUST be rate-limited or the first batch shuffles the
+    whole history at once."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source lists a DIRECTORY; events.parquet is one file, so
     # stream the parent dir with a glob filter selecting just it
-    raw = (
+    reader = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def read_parquet_dir_stream(
+    spark: SparkSession,
+    path: str,
+    schema: "T.StructType",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Generic rate-limited file-source stream over a parquet directory
+    (no events-specific ts rebuild)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
 
 
 def windowed_counts(

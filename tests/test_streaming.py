@@ -159,6 +159,39 @@ class TestStreaming:
         assert all(a_end <= b_start for (_, a_end), (b_start, _) in zip(spans, spans[1:]))
 
 
+class TestRateLimitedIngestion:
+    def test_max_files_per_trigger_bounds_each_batch(self, spark, tmp_path):
+        # a 4-file backlog with maxFilesPerTrigger=1 must drain in 4
+        # bounded micro-batches, not one giant batch — the cold-start
+        # backpressure story for streaming over an existing directory
+        src = tmp_path / "rl_src"
+        src.mkdir()
+        per_file = 5
+        for i in range(4):
+            spark.createDataFrame(
+                [(i * per_file + j, float(j)) for j in range(per_file)],
+                "id long, v double",
+            ).coalesce(1).write.mode("append").parquet(str(src / f"f{i}"))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src) + "/*", "id long, v double", max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("rl_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        finally:
+            q.stop()
+        assert spark.sql("SELECT count(*) c FROM rl_out").collect()[0].c == 4 * per_file
+        # one batch per file, each bounded to a single file's rows
+        assert len(progress) == 4
+        assert all(p["numInputRows"] == per_file for p in progress)
+
+
 class TestKafkaSurface:
     """Broker-less coverage: option normalization, wire-format decode
     on a kafka-shaped batch frame, checkpoint conventions."""
