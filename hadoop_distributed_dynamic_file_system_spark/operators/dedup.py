@@ -135,17 +135,27 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, num_hashes: int, bands: int, cache: bool = True
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    cache: bool = True,
+    hash_band_keys: bool = True,
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band key
     are candidates. Returns distinct (id_a, id_b) with id_a < id_b.
 
-    One shuffle on (band, band_key); the self-join is an equi-join so
+    One shuffle on the band key; the self-join is an equi-join so
     Catalyst plans SMJ/broadcast — never a cross product. The banded
     table is persisted before the self-join: without it each join side
     re-derives the full signature pipeline from the raw corpus (2×
     scan + 2× k·shingles md5 work — measured 30× slower). At 100 TB
     write signatures to a parquet stage table instead of memory cache.
+
+    `hash_band_keys` folds (band, concat of md5 components) to one
+    xxhash64 long: an 8-byte join key instead of a ~32·rows_per_band
+    char string — same shuffle-width argument as hashed shingles in
+    ngram_jaccard_pairs; exact up to 64-bit collisions.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -156,7 +166,13 @@ def lsh_candidate_pairs(
         )
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, "bk.band", "bk.bkey")
+    )
+    if hash_band_keys:
+        banded = banded.select(
+            id_col, F.xxhash64("bk.band", "bk.bkey").alias("band"), F.lit(0).alias("bkey")
+        )
+    else:
+        banded = banded.select(id_col, "bk.band", "bk.bkey")
     if cache:
         # eager: a lazy persist doesn't help here — both self-join sides
         # race to scan before the cache fills, so each recomputes the
