@@ -123,7 +123,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate_dsl",
     """
     SELECT l_returnflag,
-           sum(CAST(l_quantity AS BIGINT))      AS sum_qty,
+           CAST(sum(l_quantity) AS BIGINT)      AS sum_qty,
            max(l_orderkey)                      AS max_okey,
            min(l_orderkey)                      AS min_okey,
            max(l_linestatus)                    AS max_status,
@@ -254,7 +254,7 @@ def field_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "kv_parse",
     """
-    SELECT key, count(*) AS cnt, sum(length(value)) AS sum_len FROM (
+    SELECT key, count(*) AS cnt, CAST(sum(length(value)) AS BIGINT) AS sum_len FROM (
       SELECT CASE WHEN strpos(line, chr(9)) > 0
                   THEN substr(line, 1, strpos(line, chr(9)) - 1) ELSE line END AS key,
              CASE WHEN strpos(line, chr(9)) > 0
@@ -544,7 +544,7 @@ def percent_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "md5_filter",
     """
-    SELECT count(*) AS cnt, sum(CAST(l_quantity AS BIGINT)) AS sum_qty FROM (
+    SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM (
       SELECT *,
         ((((strpos('0123456789abcdef', substr(md5(l_orderkey::VARCHAR), 1, 1)) - 1) * 16
          + (strpos('0123456789abcdef', substr(md5(l_orderkey::VARCHAR), 2, 1)) - 1)) * 16
@@ -847,7 +847,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sessionization",
     """
-    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events FROM (
+    SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
       SELECT user_id, session_id, count(*) AS n_events FROM (
         SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id

@@ -10,6 +10,7 @@ Usage: python tools/check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -29,16 +30,32 @@ TABLES = (
 
 
 def canon_cell(v):
+    """Type-tagged canonical form.
+
+    The driver's value-hash is type-sensitive (Arrow-level): DuckDB
+    sum(BIGINT) -> HUGEINT surfaces as Decimal while Spark emits int64,
+    and a bare str(v) would canonicalize both to the same text — the
+    exact class of mismatch round 1 shipped four times. Tag every cell
+    with a type prefix so Decimal(42) != int 42 here too.
+    """
     if v is None:
         return "∅"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return f"i:{int(v)}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return "f:nan"
         # driver-unknown float canon; we demand near-exactness and report diffs
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
+        return f"f:{v:.9g}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, (bytes, bytearray)):  # Spark binary -> bytearray, DuckDB -> bytes
+        return f"b:{bytes(v).hex()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
 
 
 def canon_rows(cols, rows):
