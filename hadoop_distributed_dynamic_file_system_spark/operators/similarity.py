@@ -216,11 +216,15 @@ def kmeans_fit(
     with lowest-centroid-id tie break. Returns (centroid_id, embedding).
     Empty clusters keep their previous centroid."""
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
-    w = Window.orderBy(F.asc(id_col))
-    centroids = (
-        c.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k)
-        .select((F.col("_r") - 1).alias("centroid_id"), F.col("cv").alias("zv"))
+    # init = k lowest-id vectors via orderBy+limit (TakeOrderedAndProject:
+    # per-partition top-k heaps, merged on the driver) — NOT a global
+    # row_number window, which would funnel the whole corpus through one
+    # task. k rows are driver-side metadata; numbering them here is free.
+    seeds = c.orderBy(F.asc(id_col)).limit(k).select(id_col, "cv").collect()
+    seeds.sort(key=lambda r: r[0])
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, list(r["cv"])) for i, r in enumerate(seeds)],
+        schema="centroid_id INT, zv ARRAY<DOUBLE>",
     )
     for _ in range(iterations):
         assigned = (
