@@ -53,6 +53,63 @@ def repartition_by_range(df: DataFrame, num_partitions: int, *cols: str) -> Data
     return df.repartitionByRange(num_partitions, *cols)
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Total-order rank WITHOUT a global window (the scale-safe form of
+    ``row_number() OVER (ORDER BY ...)``, which funnels every row
+    through one task).
+
+    TotalOrderPartitioner semantics in the artifact itself (ref
+    src/mapred/org/apache/hadoop/mapred/lib/TotalOrderPartitioner.java:
+    85,135-162 — sampled split points, ranged partitions, in-partition
+    sort, partition index = rank prefix):
+
+    1. ``repartitionByRange`` on the sort key — Spark samples bounds
+       (the InputSampler analog) and range-shuffles once.
+    2. ``sortWithinPartitions`` — per-partition sort, no merge needed.
+    3. Per-partition row index from ``monotonically_increasing_id``'s
+       low 33 bits (assigned in emission order AFTER the sort; the
+       expression is nondeterministic so Catalyst will not reorder it
+       across the Sort).
+    4. A count-per-partition job (driver gets num_partitions longs =
+       metadata) → cumulative offsets → broadcast join.
+
+    One range shuffle over the data total; rank = offset + index + 1.
+    ``order_cols`` must be a total order (include a tie-break key) or
+    ranks at partition boundaries are nondeterministic.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out_cols = list(df.columns)
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    ranged.count()  # freeze the layout: count job + output job must agree
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = F.broadcast(spark.createDataFrame(offsets, "_pid INT, _off BIGINT"))
+    idx_in_part = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        ranged.join(off, "_pid")
+        .withColumn(rank_col, (F.col("_off") + idx_in_part + 1).cast("int"))
+        .select(*out_cols, rank_col)
+    )
+
+
 def byte_order_key(col: Column | str) -> Column:
     """Explicit UTF-8 byte sort key (BinaryType = unsigned memcmp) for
     a string column — guarantees the reference's Text.Comparator order

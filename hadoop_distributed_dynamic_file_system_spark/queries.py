@@ -448,14 +448,13 @@ def secondary_sort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def total_order_sort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TotalOrderPartitioner-style global sort; the global row_number
-    materializes the total order for the oracle. (The windowed rank
-    funnels through one task — for the 100 TB path use
-    sort.total_order_sort, which keeps the sampled range shuffle and no
-    global window; rank here is the *test observer*, not the operator.)"""
+    """TotalOrderPartitioner-style global sort with a materialized
+    total-order rank. Uses sort.global_rank — range shuffle +
+    per-partition index + broadcast prefix-sum of partition counts —
+    so the checked artifact itself is the scale-safe plan (no
+    single-task WindowExec)."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return o.withColumn("rank", F.row_number().over(w))
+    return sort.global_rank(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], "rank")
 
 
 @query(
@@ -518,8 +517,7 @@ def sort_key_spec_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("line")
     )
     cols = sort.key_spec_sort_columns("line", "-k2,2nr -k1,1", sep=" ")
-    w = Window.orderBy(*cols, F.asc("line"))
-    return lines.withColumn("rank", F.row_number().over(w))
+    return sort.global_rank(lines, [*cols, F.asc("line")], "rank")
 
 
 # =====================================================================

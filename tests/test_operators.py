@@ -141,6 +141,32 @@ class TestSortSpec:
         assert explicit == native
 
 
+class TestGlobalRank:
+    def test_matches_global_window_and_has_no_window_node(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, rng.randrange(0, 50)) for i in range(997)]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "id INT, v INT").repartition(8)
+        try:
+            got = sort.global_rank(
+                df, [F.desc("v"), F.asc("id")], "rank", num_partitions=6
+            )
+            from pyspark.sql import Window
+
+            w = Window.orderBy(F.desc("v"), F.asc("id"))
+            want = df.withColumn("rank", F.row_number().over(w))
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, want.collect())
+            )
+            # the point of the operator: rank without any WindowExec
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert "Window" not in plan
+        finally:
+            spark.catalog.clearCache()
+
+
 class TestAggregates:
     def test_descriptor_aggregation(self, spark):
         # TestAggregates.java shape: word_i appears i times (i=1..5)
