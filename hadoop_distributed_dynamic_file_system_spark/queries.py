@@ -797,6 +797,37 @@ def bad_records_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "crash_skip",
+    """
+    SELECT count(*) AS good, CAST(sum(text_len) AS BIGINT) AS sum_len FROM (
+      SELECT length(text) AS text_len FROM documents WHERE doc_id % 97 <> 0
+    )
+    """,
+)
+def crash_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkipBadRecords crash-skip (mapred/SkipBadRecords.java:51,
+    SortedRanges.java): user map code that RAISES on certain records is
+    not fatal — the batch is bisected to isolate the crashing rows,
+    which land in a quarantine column; the survivors keep flowing. The
+    oracle is the equivalent filter, because the crash predicate here
+    is deterministic (doc_id % 97 == 0 → the user fn raises)."""
+    from .operators import skipbad
+
+    def user_fn(pdf):
+        if (pdf["doc_id"] % 97 == 0).any():
+            raise ValueError("poison record")
+        return pdf.assign(text_len=pdf["text"].str.len())[["doc_id", "text_len"]]
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clean, _quarantine = skipbad.split_skipped(
+        skipbad.map_with_skip(d, user_fn, "doc_id bigint, text_len bigint")
+    )
+    return clean.agg(
+        F.count("*").alias("good"), F.sum("text_len").alias("sum_len")
+    )
+
+
+@query(
     "pipe_translate",
     """
     SELECT upper(text) AS line, count(*) AS cnt

@@ -167,6 +167,54 @@ class TestGlobalRank:
             spark.catalog.clearCache()
 
 
+class TestSkipBadRecords:
+    def test_crashing_records_are_quarantined_not_fatal(self, spark):
+        import json
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import skipbad
+
+        poison = {5, 13, 14}  # includes adjacent rows: bisect must split them
+        rows = [(i, f"r{i}") for i in range(20)]
+        df = spark.createDataFrame(rows, "id INT, s STRING").coalesce(1)
+
+        def fn(pdf):
+            if pdf["id"].isin(poison).any():
+                raise RuntimeError("boom")
+            return pdf.assign(doubled=pdf["id"] * 2)[["id", "doubled"]]
+
+        try:
+            clean, quarantine = skipbad.split_skipped(
+                skipbad.map_with_skip(df, fn, "id int, doubled int")
+            )
+            got = {(r.id, r.doubled) for r in clean.collect()}
+            assert got == {(i, 2 * i) for i in range(20) if i not in poison}
+            bad = [json.loads(r[skipbad.BAD_COL]) for r in quarantine.collect()]
+            assert sorted(b["id"] for b in bad) == sorted(poison)
+            assert all(b["s"] == f"r{b['id']}" for b in bad)
+        finally:
+            spark.catalog.clearCache()
+
+    def test_quarantine_path_written(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.operators import skipbad
+
+        df = spark.createDataFrame([(i,) for i in range(10)], "id INT")
+
+        def fn(pdf):
+            if (pdf["id"] == 7).any():
+                raise RuntimeError("boom")
+            return pdf
+
+        try:
+            out = skipbad.run_map_with_quarantine(
+                df, fn, "id int", bad_records_path=str(tmp_path / "skip")
+            )
+            assert out.count() == 9
+            logged = spark.read.text(str(tmp_path / "skip")).collect()
+            assert len(logged) == 1 and '"id": 7' in logged[0].value
+        finally:
+            spark.catalog.clearCache()
+
+
 class TestAggregates:
     def test_descriptor_aggregation(self, spark):
         # TestAggregates.java shape: word_i appears i times (i=1..5)
