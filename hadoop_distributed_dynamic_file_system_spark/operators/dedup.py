@@ -296,26 +296,55 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     band_shift: int = 8,
     cache: bool = True,
+    rotations: int = 1,
+    bits: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, banded so the
     self-join is an equi-join: candidates must share the top
-    (bits - band_shift) bits. Approximate — a near pair whose flipped
-    bits fall in the band prefix is missed; the standard fix is to
-    join on several rotations (add rotations at scale). Never a cross
-    join; bucket sizes bound the pair blow-up."""
+    (bits - band_shift) bits of at least one of `rotations` rotated
+    copies of the fingerprint. Recall is the parameter: rotations=1 is
+    the bare prefix band (misses pairs whose flipped bits fall in the
+    prefix); each extra rotation moves a different bit block into the
+    band (pigeonhole: max_hamming+1 disjoint blocks catch every pair).
+    Still never a cross join — one row per (id, rotation), equi-join on
+    (rotation, band), distinct pairs; bucket sizes bound the blow-up
+    and the explode factor is `rotations`, not corpus size."""
+    step = bits // rotations
+    h = F.col(hash_col)
+    mask = (1 << bits) - 1
+    bands = []
+    for i in range(rotations):
+        s = i * step
+        rotated = (
+            h
+            if s == 0
+            else F.shiftleft(h, s)
+            .bitwiseOR(F.shiftright(h, bits - s))
+            .bitwiseAND(F.lit(mask))
+        )
+        bands.append(
+            F.struct(
+                F.lit(i).alias("rot"),
+                F.shiftright(rotated, band_shift).alias("band"),
+            )
+        )
     banded = fingerprints.select(
         F.col(id_col),
         F.col(hash_col),
-        F.shiftright(F.col(hash_col), band_shift).alias("_band"),
+        F.explode(F.array(*bands)).alias("_rb"),
+    ).select(
+        F.col(id_col), F.col(hash_col), F.col("_rb.rot").alias("_rot"),
+        F.col("_rb.band").alias("_band"),
     )
     if cache:
         banded = banded.persist()
         banded.count()
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
-            (F.col("a._band") == F.col("b._band"))
+            (F.col("a._rot") == F.col("b._rot"))
+            & (F.col("a._band") == F.col("b._band"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -327,6 +356,9 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    # a pair can match in several rotations; hamming is functionally
+    # dependent on the pair, so distinct over all three is pair-distinct
+    return pairs.distinct() if rotations > 1 else pairs
 
 
 # ------------------------------------------------------------------ jaccard

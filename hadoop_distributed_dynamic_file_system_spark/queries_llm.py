@@ -232,21 +232,29 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SQL_DOCS_DUP.strip()},
     {_simhash_sql(src="docs2").strip()}
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash))::INT AS hamming
     FROM fps a JOIN fps b
-      ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+      ON a.doc_id < b.doc_id
+     AND ((a.simhash >> 8) = (b.simhash >> 8)
+       OR (a.simhash & 255) = (b.simhash & 255))
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: banded (shared top byte) hamming ≤ 3
-    over a corpus with planted near-duplicates."""
+    """SimHash near-dup pairs, hamming ≤ 3, with rotations=2: candidates
+    share the top byte of the fingerprint OR of its 8-bit rotation
+    (= the low byte), so a pair whose flipped bits all fall in one byte
+    is always caught. The oracle spells the 2-rotation union as an
+    OR-join + DISTINCT — fine at oracle scale; the Spark side keeps the
+    equi-join-per-rotation form that scales."""
     corpus = _docs_with_dups(spark, sf_dir)
     fps = dedup.simhash(corpus, "doc_id", "text", bits=16).withColumn(
         "simhash", F.col("simhash").cast("bigint")
     )
-    out = dedup.simhash_near_pairs(fps, "doc_id", max_hamming=3, band_shift=8)
+    out = dedup.simhash_near_pairs(
+        fps, "doc_id", max_hamming=3, band_shift=8, rotations=2, bits=16
+    )
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 

@@ -167,6 +167,47 @@ class TestGlobalRank:
             spark.catalog.clearCache()
 
 
+class TestSimhashRotations:
+    def test_prefix_flip_pair_needs_second_rotation(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        # B differs from A in 2 bits of the TOP byte only: the r=1
+        # prefix band (simhash >> 8) differs, so r=1 misses the pair;
+        # the 8-bit rotation bands on the LOW byte, which is identical.
+        a, b = 0x0F33, 0x0F33 ^ 0x0300
+        fps = spark.createDataFrame(
+            [(1, a), (2, b), (3, 0xA5C1)], "doc_id INT, simhash BIGINT"
+        )
+        try:
+            r1 = dedup.simhash_near_pairs(
+                fps, "doc_id", max_hamming=3, band_shift=8, rotations=1, cache=False
+            )
+            assert r1.count() == 0
+            r2 = dedup.simhash_near_pairs(
+                fps, "doc_id", max_hamming=3, band_shift=8, rotations=2, cache=False
+            )
+            got = [(r.id_a, r.id_b, r.hamming) for r in r2.collect()]
+            assert got == [(1, 2, 2)]
+        finally:
+            spark.catalog.clearCache()
+
+    def test_both_rotations_match_yields_one_pair(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        # identical fingerprints match in every rotation; distinct must
+        # collapse them to a single pair row
+        fps = spark.createDataFrame(
+            [(1, 0x1234), (2, 0x1234)], "doc_id INT, simhash BIGINT"
+        )
+        try:
+            out = dedup.simhash_near_pairs(
+                fps, "doc_id", max_hamming=0, band_shift=8, rotations=2, cache=False
+            )
+            assert [(r.id_a, r.id_b, r.hamming) for r in out.collect()] == [(1, 2, 0)]
+        finally:
+            spark.catalog.clearCache()
+
+
 class TestSkipBadRecords:
     def test_crashing_records_are_quarantined_not_fatal(self, spark):
         import json
