@@ -81,14 +81,33 @@ def cmd_fs(args: argparse.Namespace) -> int:
 
 
 def cmd_streaming(args: argparse.Namespace) -> int:
-    """StreamJob analog (contrib/streaming/.../StreamJob.java:251-284):
-    -input/-output/-mapper/-reducer/-numReduceTasks over text files."""
+    """StreamJob analog (contrib/streaming/.../StreamJob.java:251-284,
+    360-371): -input/-output/-mapper/-reducer plus the option-parity
+    flags -combiner, -partitioner, -inputformat, -outputformat,
+    -inputreader over text files."""
+    import re as _re
+
     from . import pipe as pipe_mod
     from .sinks import write_text
-    from .sources.text import read_text_lines
+    from .sources import text as text_src
 
     spark = _spark()
-    df = read_text_lines(spark, args.input)
+
+    # -inputformat / -inputreader (StreamJob.java:360-371): class names
+    # are accepted fully-qualified or bare
+    fmt = (args.input_format or "TextInputFormat").rsplit(".", 1)[-1]
+    if args.input_reader:
+        # "StreamXmlRecordReader,begin=<page>,end=</page>"
+        parts = args.input_reader.split(",")
+        opts = dict(kv.split("=", 1) for kv in parts[1:] if "=" in kv)
+        df = text_src.read_delimited_records(
+            spark, args.input, opts.get("begin", "<"), opts.get("end", ">")
+        ).withColumnRenamed("record", "line")
+    elif fmt == "KeyValueTextInputFormat":
+        df = text_src.read_kv_text(spark, args.input, sep=args.separator)
+    else:  # TextInputFormat / LineDoc default
+        df = text_src.read_text_lines(spark, args.input)
+
     if args.files:
         # -file: ship local scripts to the tasks (commands refer to
         # them by basename; resolved executor-side)
@@ -98,20 +117,58 @@ def cmd_streaming(args: argparse.Namespace) -> int:
     else:
         out = pipe_mod.pipe(df, args.mapper, sep=args.separator,
                             num_key_fields=args.num_key_fields)
+
+    if args.combiner:
+        # -combiner runs map-side on each map task's key-sorted spill
+        # (PipeCombiner): sort within the map partitions -- NO shuffle --
+        # and pipe through the combiner command
+        out = pipe_mod.pipe(out.sortWithinPartitions("key"), args.combiner,
+                            sep=args.separator,
+                            num_key_fields=args.num_key_fields)
+
     if args.reducer:
-        if args.num_reduce_tasks:
-            out = out.repartition(args.num_reduce_tasks, F.col("key"))
-        if args.files:
-            grouped = out.repartition(F.col("key")).sortWithinPartitions("key")
-            out = pipe_mod.ship_and_pipe(grouped, args.reducer, args.files,
-                                         sep=args.separator,
-                                         num_key_fields=args.num_key_fields)
-        else:
-            out = pipe_mod.pipe_reduce(
-                out, args.reducer, ["key"], sep=args.separator,
-                num_key_fields=args.num_key_fields,
+        partitioner = (args.partitioner or "").rsplit(".", 1)[-1]
+        if partitioner == "KeyFieldBasedPartitioner":
+            # route on the first numKeyFieldsForPartition fields of the
+            # key (KeyFieldBasedPartitioner.java:33 + the streaming
+            # num.key.fields.for.partition config)
+            fields = F.split(F.col("key"), _re.escape(args.separator), -1)
+            pk = F.array_join(
+                F.slice(fields, 1, args.num_key_fields_for_partition),
+                args.separator,
             )
-    write_text(out, args.output, sep=args.separator)
+            n = args.num_reduce_tasks or int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            grouped = out.repartition(n, pk).sortWithinPartitions("key")
+            out = (pipe_mod.ship_and_pipe(grouped, args.reducer, args.files,
+                                          sep=args.separator,
+                                          num_key_fields=args.num_key_fields)
+                   if args.files else
+                   pipe_mod.pipe(grouped, args.reducer, sep=args.separator,
+                                 num_key_fields=args.num_key_fields))
+        else:  # HashPartitioner default: group by the whole key
+            if args.num_reduce_tasks:
+                out = out.repartition(args.num_reduce_tasks, F.col("key"))
+            if args.files:
+                grouped = out.repartition(F.col("key")).sortWithinPartitions("key")
+                out = pipe_mod.ship_and_pipe(grouped, args.reducer, args.files,
+                                             sep=args.separator,
+                                             num_key_fields=args.num_key_fields)
+            else:
+                out = pipe_mod.pipe_reduce(
+                    out, args.reducer, ["key"], sep=args.separator,
+                    num_key_fields=args.num_key_fields,
+                )
+
+    # -outputformat (StreamJob.java:251-284): text (default) or SequenceFile
+    ofmt = (args.output_format or "TextOutputFormat").rsplit(".", 1)[-1]
+    if ofmt == "SequenceFileOutputFormat":
+        from .sources.sequencefile import write_sequence_file
+
+        write_sequence_file(out, args.output)
+    else:
+        write_text(out, args.output, sep=args.separator)
     return 0
 
 
@@ -218,6 +275,13 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("-separator", dest="separator", default="\t")
     st.add_argument("-numKeyFields", dest="num_key_fields", type=int, default=1)
     st.add_argument("-file", dest="files", action="append", default=[])
+    st.add_argument("-combiner", dest="combiner", default=None)
+    st.add_argument("-partitioner", dest="partitioner", default=None)
+    st.add_argument("-inputformat", dest="input_format", default=None)
+    st.add_argument("-outputformat", dest="output_format", default=None)
+    st.add_argument("-inputreader", dest="input_reader", default=None)
+    st.add_argument("-numKeyFieldsForPartition",
+                    dest="num_key_fields_for_partition", type=int, default=1)
     st.set_defaults(fn=cmd_streaming)
 
     dc = sub.add_parser("distcp", help="parallel tree copy")

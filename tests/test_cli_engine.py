@@ -67,6 +67,81 @@ class TestCli:
             lines.update(open(p).read().splitlines())
         assert lines == {"y1\t", "y2\t"}  # key<TAB>value, empty values
 
+    def test_streaming_combiner_runs_map_side(self, spark, tmp_path):
+        # -combiner (StreamJob.java:251-284): visible because the
+        # combiner command rewrites the mapper's output keys
+        src = tmp_path / "in.txt"
+        src.write_text("a1\nc2\n")
+        out = str(tmp_path / "cout")
+        assert cli.main(
+            ["streaming", "-input", str(src), "-output", out,
+             "-mapper", "cat", "-combiner", "tr 'ac' 'bd'"]
+        ) == 0
+        import glob
+
+        lines = set()
+        for p in glob.glob(out + "/part-*"):
+            lines |= {l.split("\t")[0] for l in open(p).read().splitlines()}
+        assert lines == {"b1", "d2"}
+
+    def test_streaming_keyfield_partitioner_coalesces_key_prefix(
+        self, spark, tmp_path
+    ):
+        # all keys share field1 "a" -> KeyFieldBasedPartitioner with
+        # numKeyFieldsForPartition=1 must route every record to the SAME
+        # reducer process even across 8 reduce partitions; the reducer
+        # prints its record count, so exactly one non-empty line appears
+        src = tmp_path / "in.txt"
+        src.write_text("".join(f"a\t{i}\tv\n" for i in range(6)))
+        out = str(tmp_path / "pout")
+        assert cli.main(
+            ["streaming", "-input", str(src), "-output", out,
+             "-mapper", "cat", "-numKeyFields", "2",
+             "-reducer", "awk 'END {if (NR>0) print NR}'",
+             "-partitioner", "KeyFieldBasedPartitioner",
+             "-numKeyFieldsForPartition", "1",
+             "-numReduceTasks", "8"]
+        ) == 0
+        import glob
+
+        lines = []
+        for p in glob.glob(out + "/part-*"):
+            lines += [l for l in open(p).read().splitlines() if l.strip("\t")]
+        assert [l.split("\t")[0] for l in lines] == ["6"]
+
+    def test_streaming_inputreader_xml_records(self, spark, tmp_path):
+        src = tmp_path / "in.xml"
+        src.write_text("<r>a</r>junk<r>b</r>")
+        out = str(tmp_path / "xout")
+        assert cli.main(
+            ["streaming", "-input", str(src), "-output", out,
+             "-mapper", "cat",
+             "-inputreader", "StreamXmlRecordReader,begin=<r>,end=</r>"]
+        ) == 0
+        import glob
+
+        lines = set()
+        for p in glob.glob(out + "/part-*"):
+            lines |= {l.split("\t")[0] for l in open(p).read().splitlines()}
+        assert lines == {"<r>a</r>", "<r>b</r>"}
+
+    def test_streaming_kv_inputformat_and_seqfile_output(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.sources.sequencefile import (
+            read_sequence_file,
+        )
+
+        src = tmp_path / "in.txt"
+        src.write_text("k1\tv1\nk2\tv2\n")
+        out = str(tmp_path / "sqout")
+        assert cli.main(
+            ["streaming", "-input", str(src), "-output", out,
+             "-mapper", "cat",
+             "-inputformat", "KeyValueTextInputFormat",
+             "-outputformat", "SequenceFileOutputFormat"]
+        ) == 0
+        got = {(r.key, r.value) for r in read_sequence_file(spark, out).collect()}
+        assert got == {("k1", "v1"), ("k2", "v2")}
+
     def test_heat_report_cli(self, spark, sf_dir, capsys):
         assert cli.main(
             ["heat", sf_dir, "SELECT count(*) FROM nation", "SELECT 1"]
