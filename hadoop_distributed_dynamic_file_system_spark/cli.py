@@ -54,16 +54,20 @@ def cmd_fs(args: argparse.Namespace) -> int:
     elif op == "-cat":
         sys.stdout.buffer.write(sh.cat(paths[0]))
     elif op == "-text":
-        # FsShell -text: decode SequenceFiles ('SEQ' magic) to
-        # key<TAB>value lines; plain files pass through like -cat
-        head = sh.cat(paths[0], max_bytes=3)
-        if head == b"SEQ":
-            from .sources.sequencefile import read_sequence_file_as_text
-
-            for r in read_sequence_file_as_text(_spark(), paths[0]).collect():
-                print(f"{r.key}\t{r.value}")
-        else:
-            sys.stdout.buffer.write(sh.cat(paths[0]))
+        print(sh.text(paths[0]))
+    elif op == "-tail":
+        sys.stdout.buffer.write(sh.tail(paths[0]))
+    elif op == "-chmod":
+        sh.chmod(paths[1], paths[0])
+    elif op == "-chown":
+        owner, _, group = paths[0].partition(":")
+        sh.chown(paths[1], owner or None, group or None)
+    elif op == "-chgrp":
+        sh.chgrp(paths[1], paths[0])
+    elif op == "-setrep":
+        sh.setrep(paths[1], int(paths[0]))
+    elif op == "-expunge":
+        sh.expunge()
     elif op == "-stat":
         print(json.dumps(sh.stat(paths[0])))
     elif op == "-touchz":

@@ -79,8 +79,72 @@ class FsShell:
     def mv(self, src: str, dst: str) -> bool:
         return self._fs(src).rename(self._p(src), self._p(dst))
 
-    def rm(self, path: str, recursive: bool = False) -> bool:
-        return self._fs(path).delete(self._p(path), recursive)
+    def rm(self, path: str, recursive: bool = False, skip_trash: bool = True) -> bool:
+        """-rm/-rmr. With skip_trash=False the path is MOVED into the
+        trash directory instead of deleted (FsShell.java delete(): Trash
+        checkpoint unless -skipTrash); -expunge clears it."""
+        fs = self._fs(path)
+        if skip_trash:
+            return fs.delete(self._p(path), recursive)
+        trash_dir = self._path_cls(fs.getHomeDirectory(), ".Trash/Current")
+        fs.mkdirs(trash_dir)
+        name = self._p(path).getName()
+        return fs.rename(self._p(path), self._path_cls(trash_dir, name))
+
+    def expunge(self) -> bool:
+        """-expunge: drop trash checkpoints (FsShell.java:expunge). The
+        local/object-store analog removes ~/.Trash under the fs home."""
+        fs = self._fs_cls.get(self._conf)
+        trash = self._path_cls(fs.getHomeDirectory(), ".Trash")
+        return bool(fs.exists(trash)) and bool(fs.delete(trash, True))
+
+    @staticmethod
+    def _octal_to_symbolic(mode: str) -> str:
+        bits = int(mode, 8)
+        sym = ""
+        for shift in (6, 3, 0):
+            t = (bits >> shift) & 7
+            sym += ("r" if t & 4 else "-") + ("w" if t & 2 else "-") + (
+                "x" if t & 1 else "-"
+            )
+        return "-" + sym
+
+    def chmod(self, path: str, mode: str) -> None:
+        """-chmod with octal modes (FsShell.java:1538+ / FsShellPermissions).
+        Symbolic +x/-w forms are DistCh's job (distch below covers trees)."""
+        perm_cls = self._jvm.org.apache.hadoop.fs.permission.FsPermission
+        perm = perm_cls.valueOf(self._octal_to_symbolic(mode))
+        self._fs(path).setPermission(self._p(path), perm)
+
+    def chown(self, path: str, owner: str | None, group: str | None = None) -> None:
+        """-chown OWNER[:GROUP]; pass owner=None for -chgrp."""
+        self._fs(path).setOwner(self._p(path), owner, group)
+
+    def chgrp(self, path: str, group: str) -> None:
+        self.chown(path, None, group)
+
+    def tail(self, path: str, n_bytes: int = 1024) -> bytes:
+        """-tail: last kilobyte of the file (FsShell.java tail())."""
+        fs = self._fs(path)
+        length = fs.getFileStatus(self._p(path)).getLen()
+        stream = fs.open(self._p(path))
+        try:
+            stream.seek(max(0, length - n_bytes))
+            baos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+            return bytes(baos.toByteArray())
+        finally:
+            stream.close()
+
+    def text(self, path: str) -> str:
+        """-text: decode to text — SequenceFiles ('SEQ' magic) become
+        key<TAB>value lines; anything else passes through like -cat."""
+        if self.cat(path, max_bytes=3) == b"SEQ":
+            from .sources.sequencefile import read_sequence_file_as_text
+
+            rows = read_sequence_file_as_text(self.spark, path).collect()
+            return "\n".join(f"{r.key}\t{r.value}" for r in rows)
+        return self.cat(path).decode("utf-8", errors="replace")
 
     def exists(self, path: str) -> bool:
         return self._fs(path).exists(self._p(path))

@@ -221,6 +221,45 @@ class TestFileOps:
         assert sh.rm(d, recursive=True)
         assert not sh.exists(d)
 
+    def test_fsshell_perm_tail_text_trash(self, spark, tmp_path):
+        import os
+        import stat
+
+        sh = fileops.FsShell(spark)
+        d = tmp_path / "perm"
+        d.mkdir()
+        f = d / "f.txt"
+        f.write_text("0123456789" * 200)  # 2000 bytes
+
+        sh.chmod(str(f), "640")
+        assert stat.S_IMODE(os.stat(f).st_mode) == 0o640
+        if os.geteuid() == 0:
+            sh.chown(str(f), "daemon")
+            assert os.stat(f).st_uid == 1
+            sh.chgrp(str(f), "daemon")
+            assert os.stat(f).st_gid == 1
+
+        # -tail: exactly the trailing kilobyte
+        t = sh.tail(str(f))
+        assert len(t) == 1024 and t == f.read_bytes()[-1024:]
+
+        # -text on a plain file = cat; on a SequenceFile = decoded KV lines
+        assert sh.text(str(f)).startswith("0123456789")
+        seq = str(tmp_path / "seq")
+        spark.sparkContext.parallelize([("k", "v")], 1).saveAsSequenceFile(seq)
+        import glob
+
+        part = sorted(glob.glob(seq + "/part-*"))[0]
+        assert sh.text(part) == "k\tv"
+
+        # rm to trash + expunge
+        assert sh.rm(str(f), skip_trash=False)
+        assert not f.exists()
+        fs_home = sh._fs_cls.get(sh._conf).getHomeDirectory().toString()
+        assert sh.exists(fs_home + "/.Trash/Current/f.txt")
+        assert sh.expunge()
+        assert not sh.exists(fs_home + "/.Trash")
+
     def test_distcp_update_semantics(self, spark, tmp_path):
         src = tmp_path / "src"
         (src / "sub").mkdir(parents=True)
