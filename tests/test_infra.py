@@ -260,6 +260,56 @@ class TestFileOps:
         assert sh.expunge()
         assert not sh.exists(fs_home + "/.Trash")
 
+    def test_bloom_table_fast_negative_lookup(self, spark, tmp_path):
+        import glob
+
+        from hadoop_distributed_dynamic_file_system_spark import bloomfile
+
+        # xxHash64 reference vectors (seed 0) pin the pure-Python hash
+        assert bloomfile.xxh64(b"") == 0xEF46DB3751D8E999
+        assert bloomfile.xxh64(b"a") == 0xD24EC4F1A98C6E5B
+
+        path = str(tmp_path / "bloomtab")
+        df = spark.range(0, 40_000).selectExpr("id AS k", "id % 13 AS v")
+        bloomfile.write_bloom_table(
+            df, path, "k", num_partitions=4, expected_ndv=10_000
+        )
+        files = sorted(glob.glob(path + "/part-*.parquet"))
+        assert len(files) == 4
+
+        # footer evidence: every file carries a bloom filter on k, none on v
+        for f in files:
+            offs = bloomfile.bloom_offsets(spark, f)
+            assert all(o >= 0 for o in offs["k"])
+            assert all(o < 0 for o in offs["v"])
+
+        # fast negative: a key that exists is found in exactly the one
+        # ranged file that holds it; an absent key is ruled out by EVERY
+        # file without scanning data pages -- BloomMapFile's win
+        hits = [f for f in files if bloomfile.bloom_might_contain(spark, f, "k", 4242)]
+        assert len(hits) == 1
+        absent_hits = [
+            f
+            for f in files
+            if bloomfile.bloom_might_contain(spark, f, "k", 77_000_001)
+        ]
+        assert absent_hits == []
+
+        # the sorted layout still prunes by min/max for range scans
+        got = spark.read.parquet(path).filter("k = 4242").collect()
+        assert [(r.k, r.v) for r in got] == [(4242, 4242 % 13)]
+
+        # string keys >32 bytes validate the Python xxh64 stripe loop
+        # against the filter parquet-mr actually wrote
+        spath = str(tmp_path / "bloomstr")
+        long_key = "k" * 40 + ":present"
+        sdf = spark.createDataFrame([(long_key,), ("short",)], "s string")
+        bloomfile.write_bloom_table(sdf, spath, "s")
+        sfile = glob.glob(spath + "/part-*.parquet")[0]
+        assert bloomfile.bloom_might_contain(spark, sfile, "s", long_key)
+        assert bloomfile.bloom_might_contain(spark, sfile, "s", "short")
+        assert not bloomfile.bloom_might_contain(spark, sfile, "s", "k" * 40 + ":absent")
+
     def test_distcp_update_semantics(self, spark, tmp_path):
         src = tmp_path / "src"
         (src / "sub").mkdir(parents=True)
