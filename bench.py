@@ -165,6 +165,24 @@ def main() -> None:
             spark.conf.set(k, v)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
+    # Gridmix-style mixed workload (ref src/benchmarks/gridmix/README:
+    # 20-75: generate → select/filter ("monsterQuery"/webdataScan shapes)
+    # → sort, chained). Timed END TO END as one composite number so a
+    # regression in any stage — datagen throughput, scan+filter, range
+    # shuffle — moves the same metric round over round.
+    def gridmix(n_rows: int) -> None:
+        gen = datagen.random_text(spark, n_rows)  # generate
+        selected = gen.filter(F.col("line").startswith("apple")).select("line")
+        materialize(sort_ops.total_order_sort(selected, "line"))  # sort
+
+    gm_rows = max(
+        10_000, int(1_000_000 * (float(sf) if sf.replace(".", "").isdigit() else 0.1))
+    )
+    gridmix(10_000)  # warm the composite plan shape once
+    t0 = time.time()
+    gridmix(gm_rows)
+    timings["gridmix_pipeline"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
