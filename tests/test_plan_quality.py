@@ -67,6 +67,22 @@ class TestPlanQuality:
         plan = plan_of(q.semi_join_q(spark, sf_dir))
         assert "LeftSemi" in plan
 
+    def test_q4_exists_plans_semi_join_not_subquery_rescan(self, spark, sf_dir):
+        plan = plan_of(q.q4_order_priority(spark, sf_dir))
+        assert "LeftSemi" in plan
+        assert "SubqueryExec" not in plan  # EXISTS became a join, not a re-scan
+
+    def test_q16_not_in_plans_anti_join(self, spark, sf_dir):
+        plan = plan_of(q.q16_supplier_variety(spark, sf_dir))
+        assert "LeftAnti" in plan
+
+    def test_q18_having_filter_before_semi_join(self, spark, sf_dir):
+        # the grouped-HAVING subquery must aggregate with a partial
+        # phase and the re-aggregation runs on the semi-joined stream
+        plan = plan_of(q.q18_large_orders(spark, sf_dir))
+        assert "LeftSemi" in plan
+        assert plan.count("HashAggregate") >= 4  # partial+final, twice
+
     def test_events_hourly_partial_agg(self, spark, sf_dir):
         plan = plan_of(q.events_hourly(spark, sf_dir))
         assert plan.count("HashAggregate") >= 2
