@@ -69,3 +69,56 @@ def kv_schema(key_class: str, value_class: str) -> T.StructType:
             T.StructField("value", WRITABLE_TO_SPARK[value_class], nullable=True),
         ]
     )
+
+
+# --------------------------------------------------------------- wire forms
+# Record I/O's pluggable archives (record/CsvRecordInput.java,
+# CsvRecordOutput.java, XmlRecordInput.java, XmlRecordOutput.java): the
+# same DDL record serialized as CSV or XML text instead of binary.
+# Spark-first: the built-in to_csv/from_csv and to_xml/from_xml
+# expressions ARE those archives — JVM-side, codegen'd, schema-driven —
+# so a record's wire form is one Column expression, not a custom
+# serializer class per record type.
+
+def record_to_csv(*cols, options: dict[str, str] | None = None):
+    """CsvRecordOutput analog: serialize record fields to one CSV line.
+    Pass columns (or a single struct column) in field order."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    if len(cols) == 1 and isinstance(cols[0], Column):
+        struct = cols[0]
+    else:
+        struct = F.struct(*cols)
+    return F.to_csv(struct, options or {})
+
+
+def record_from_csv(col, schema: T.StructType | str, options: dict[str, str] | None = None):
+    """CsvRecordInput analog: parse a CSV line back into the DDL record
+    (a struct column; `.select("rec.*")` flattens it)."""
+    from pyspark.sql import functions as F
+
+    return F.from_csv(col, schema if isinstance(schema, str) else schema.simpleString(),
+                      options or {})
+
+
+def record_to_xml(*cols, row_tag: str = "record",
+                  options: dict[str, str] | None = None):
+    """XmlRecordOutput analog: serialize record fields to one XML
+    element whose children are the fields."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    if len(cols) == 1 and isinstance(cols[0], Column):
+        struct = cols[0]
+    else:
+        struct = F.struct(*cols)
+    return F.to_xml(struct, dict(options or {}, rowTag=row_tag))
+
+
+def record_from_xml(col, schema: T.StructType, row_tag: str = "record",
+                    options: dict[str, str] | None = None):
+    """XmlRecordInput analog: parse the XML element back to the record."""
+    from pyspark.sql import functions as F
+
+    return F.from_xml(col, schema, dict(options or {}, rowTag=row_tag))

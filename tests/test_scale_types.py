@@ -117,6 +117,40 @@ class TestTypeMapping:
         df = spark.createDataFrame([("a", 1)], htypes.kv_schema("Text", "LongWritable"))
         assert df.dtypes == [("key", "string"), ("value", "bigint")]
 
+    def test_csv_wire_form_roundtrip(self, spark):
+        # CsvRecordOutput/CsvRecordInput analog: same record, CSV wire
+        rec = htypes.record({"name": "Text", "size": "LongWritable"})
+        df = spark.createDataFrame(
+            [("a,b", 7), ("plain", 9)], "name string, size long"
+        )
+        from pyspark.sql import functions as F
+
+        wire = df.select(
+            htypes.record_to_csv(F.col("name"), F.col("size")).alias("line")
+        )
+        # quoting survives an embedded separator
+        lines = {r.line for r in wire.collect()}
+        assert lines == {'"a,b",7', "plain,9"}
+        back = wire.select(
+            htypes.record_from_csv(F.col("line"), rec).alias("rec")
+        ).select("rec.*")
+        assert {tuple(r) for r in back.collect()} == {("a,b", 7), ("plain", 9)}
+
+    def test_xml_wire_form_roundtrip(self, spark):
+        rec = htypes.record({"name": "Text", "size": "LongWritable"})
+        df = spark.createDataFrame([("x<y", 3)], "name string, size long")
+        from pyspark.sql import functions as F
+
+        wire = df.select(
+            htypes.record_to_xml(F.col("name"), F.col("size")).alias("x")
+        )
+        xml = wire.collect()[0].x
+        assert "<record>" in xml and "&lt;" in xml  # escaped like XmlRecordOutput
+        back = wire.select(
+            htypes.record_from_xml(F.col("x"), rec).alias("rec")
+        ).select("rec.*")
+        assert [tuple(r) for r in back.collect()] == [("x<y", 3)]
+
 
 class TestCounters:
     def test_job_counters_via_observe(self, spark):
