@@ -838,6 +838,218 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q17_small_qty_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE)
+           AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#12'
+      AND l_quantity < (SELECT round(0.2 * avg(l_quantity), 6)
+                        FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-avg subquery (avg quantity of
+    THIS part) gating each row. Decorrelated as a window avg over
+    partitionBy(l_partkey) on the brand-filtered stream — one shuffle,
+    no per-part re-scan, no self-join. The brand filter commutes with
+    the per-part avg because it constrains the part, not the lineitem,
+    so filtering first shrinks the shuffle by the brand selectivity.
+    The threshold is rounded to 6dp in both engines so double avg
+    summation-order noise cannot flip the comparison."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    brand_li = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        brand_li.withColumn("qty_thr", F.round(0.2 * F.avg("l_quantity").over(w), 6))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q21_sole_fault_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+    GROUP BY s_name
+    """,
+)
+def q21_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (receipt/commit dates absent from this schema, so
+    l_returnflag='R' stands in as the fault marker): for finished orders,
+    suppliers who were the ONLY one to return items on a multi-supplier
+    order. Correlated EXISTS -> left-semi self-join on orderkey with the
+    supplier inequality as residual; NOT EXISTS -> left-anti. Both
+    shuffle on l_orderkey, so AQE can reuse the exchange; nation is a
+    broadcast dim."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    faulted = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        faulted.join(o, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+                       WHERE c_acctbal > 0.0
+                         AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-09-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nationkey stands in for the phone country code;
+    every synthetic customer has SOME order, so dormancy = no order
+    since 2000-09-01): above-average-balance customers in selected
+    countries with no recent order. The global scalar avg is a 1-row
+    aggregate broadcast-crossed into the stream; the NOT EXISTS is a
+    left-anti join against orders filtered by the pushed date predicate
+    and projected to o_custkey only."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("bal_thr"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-09-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("bal_thr"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: CTE revenue view + scalar-max subquery over the
+    same view. The revenue aggregate (small: one row per supplier) is
+    persisted so the max branch and the equality filter read it once
+    instead of re-scanning lineitem; the max is a broadcast 1-row cross
+    join. Equality on a rounded decimal-sum-derived double is exact in
+    both engines (decimal summation is order-independent)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 # =====================================================================
 # Heterogeneous inputs / UDAF / bad records / pipe (SURVEY §2.1, §2.3,
 # §2.10, §3.3)

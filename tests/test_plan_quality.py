@@ -83,6 +83,29 @@ class TestPlanQuality:
         assert "LeftSemi" in plan
         assert plan.count("HashAggregate") >= 4  # partial+final, twice
 
+    def test_q17_window_is_partitioned_by_partkey(self, spark, sf_dir):
+        # the correlated scalar avg decorrelates into a *partitioned*
+        # window — a global (unpartitioned) Window would single-task it
+        plan = plan_of(q.q17_small_qty_revenue(spark, sf_dir))
+        assert "Window" in plan
+        assert "hashpartitioning(l_partkey" in plan
+
+    def test_q21_exists_and_not_exists_become_joins(self, spark, sf_dir):
+        plan = plan_of(q.q21_sole_fault_supplier(spark, sf_dir))
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "SubqueryExec" not in plan
+
+    def test_q22_anti_join_and_pushed_date(self, spark, sf_dir):
+        plan = formatted(q.q22_dormant_customers(spark, sf_dir))
+        assert "LeftAnti" in plan
+        assert "GreaterThanOrEqual(o_orderdate" in plan  # dormancy cutoff at the scan
+
+    def test_q15_max_is_broadcast_not_resort(self, spark, sf_dir):
+        plan = plan_of(q.q15_top_supplier(spark, sf_dir))
+        # scalar-max equality arrives as a broadcast join, not a sort
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "Exchange rangepartitioning" not in plan
+
     def test_events_hourly_partial_agg(self, spark, sf_dir):
         plan = plan_of(q.events_hourly(spark, sf_dir))
         assert plan.count("HashAggregate") >= 2
