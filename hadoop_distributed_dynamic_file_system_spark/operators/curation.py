@@ -1,0 +1,151 @@
+"""Corpus-curation operators for training-data pipelines: data-mixing
+stratified sampling, incremental dedup against a frozen corpus, PII
+redaction, and benchmark-contamination detection.
+
+The reference offers only uniform hash sampling (MD5Filter,
+src/mapred/org/apache/hadoop/mapred/SequenceFileInputFilter.java:198);
+these extend the same deterministic-hash idea to the operations a
+large-scale LLM data pipeline runs before training. All are pure
+Catalyst expression pipelines — no Python in the data path.
+
+Design notes for 100 TB:
+- stratified_sample is a scan-local filter (no shuffle): the keep/drop
+  decision is a pure function of (id, stratum), so it composes with
+  predicate pushdown and never materializes a stratum count;
+- incremental_dedup anti-joins on a 16-byte md5 key; the frozen-corpus
+  hash set is the small side (broadcast when it fits, shuffle-hash
+  otherwise) and the incoming batch is never re-shuffled twice;
+- redact_pii is per-row regexp work inside whole-stage codegen;
+- contamination joins the exploded training shingle stream against the
+  (tiny) benchmark shingle set — benchmark suites are MBs, so this is
+  a broadcast semi-join against a 100 TB explode, the cheap direction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exploded_shingles
+from .sampling import md5_bucket
+
+# 6 hex digits => 2^24 buckets; plenty of resolution for mixture rates
+# while keeping the bucket integer exact in a double (oracle division).
+_RES_DIGITS = 6
+_RES = 16 ** _RES_DIGITS
+
+
+def uniform_unit(key: Column) -> Column:
+    """Deterministic uniform in [0, 1) from md5(key): same value in any
+    engine that can md5 — the seedless analog of rand(seed) that is
+    reproducible across engines, retries, and partitionings (Spark's
+    rand() is seed+partition dependent, so a task retry or AQE re-plan
+    resamples; this never does)."""
+    return md5_bucket(key, _RES_DIGITS) / F.lit(float(_RES))
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, rates: dict[str, float], id_col: str
+) -> DataFrame:
+    """Data-mixing sampler: keep each row of stratum s with probability
+    rates[s] (deterministic in the row id). Strata absent from `rates`
+    are dropped — the common "mixture spec" contract where the spec
+    enumerates the sources that participate.
+
+    One pass, no shuffle, no per-stratum count: the decision is
+    hash(id) < rate, evaluated scan-side.
+    """
+    u = uniform_unit(F.col(id_col))
+    rate = None
+    for s, r in rates.items():
+        cond = F.col(stratum_col) == s
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
+    return df.filter(u < rate)
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    content_cols: list[str],
+    *,
+    hash_col: str = "content_hash",
+    corpus_is_hashed: bool = False,
+) -> DataFrame:
+    """Keep only batch rows whose content does not already exist in a
+    frozen corpus — the day-2 shape of exact dedup: yesterday's corpus
+    is immutable, today's crawl must be deduped against it without
+    re-scanning it as documents.
+
+    `corpus` is either raw documents (hashed here) or, at scale, a
+    persisted hash table (corpus_is_hashed=True) so the frozen side is
+    16-byte keys only. The anti-join shuffles md5 keys, never text.
+    """
+    key = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    hashed_batch = batch.withColumn(hash_col, key)
+    if corpus_is_hashed:
+        seen = corpus.select(F.col(hash_col).alias("_seen_hash"))
+    else:
+        seen = corpus.select(key.alias("_seen_hash")).distinct()
+    return hashed_batch.join(
+        seen, hashed_batch[hash_col] == seen["_seen_hash"], "left_anti"
+    )
+
+
+# Engine-portable PII patterns (Java regex and RE2 agree on these):
+# no backreferences, no lookarounds, explicit character classes.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, *, out_col: str = "redacted"
+) -> DataFrame:
+    """Replace emails / phone numbers / IPv4 literals with typed tokens
+    ("<EMAIL>", …) and count replacements per kind. Pure regexp
+    expressions — codegen'd, scan-parallel, no UDF. Order matters:
+    emails are redacted before ipv4 so "user@1.2.3.4"-style hosts don't
+    get double-counted; counts are taken on the pre-redaction text."""
+    out = df
+    redacted = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return out.withColumn(out_col, redacted)
+
+
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing >= min_overlap
+    distinct word n-grams with any benchmark doc, with the overlap size.
+
+    Plan shape: benchmark shingles (small — eval suites are MBs) are
+    distinct-ed and broadcast; the training side explodes to (id, sh)
+    and inner-joins — count(distinct sh) per doc is then a partial-agg
+    groupBy on doc id. The corpus itself is never shuffled, only its
+    matching shingles.
+    """
+    bench_sh = (
+        exploded_shingles(benchmark, id_col, text_col, n=n)
+        .select(F.col("sh").alias("_bench_sh"))
+        .distinct()
+    )
+    train_sh = exploded_shingles(train, id_col, text_col, n=n).distinct()
+    return (
+        train_sh.join(
+            F.broadcast(bench_sh), train_sh["sh"] == bench_sh["_bench_sh"]
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .filter(F.col("n_shared_ngrams") >= min_overlap)
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, textanalysis
+from .operators import curation, dedup, multimodal, similarity, textanalysis
 from .queries import ORACLE, QUERIES, _t, query
 
 # ---------------------------------------------------------------- SQL helpers
@@ -540,3 +540,155 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     binaries = multimodal.attach_binary(d, "text", "doc_id")
     return multimodal.decode_metadata(binaries)
+
+
+# ============================================================== curation
+
+_MIX_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+
+
+@query(
+    "stratified_mix",
+    f"""
+    SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents
+    WHERE ({_sql_hexval("md5(CAST(doc_id AS VARCHAR))", 1, 6)}) / 16777216.0 <
+          CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+                    WHEN 'es' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.0 END
+    GROUP BY lang
+    """,
+)
+def stratified_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing stratified sample (per-language rates), summarized
+    per stratum. The keep decision is hash(doc_id) < rate — scan-local,
+    shuffle-free, reproducible across engines/retries (curation.py)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = curation.stratified_sample(d, "lang", _MIX_RATES, "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "incremental_dedup",
+    f"""
+    WITH {_SQL_DOCS_DUP.strip()}
+    SELECT doc_id, md5(text) AS content_hash
+    FROM docs2
+    WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM documents)
+    """,
+)
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 dedup: an incoming batch (originals + mutated copies) is
+    anti-joined on md5(content) against the frozen corpus — only
+    genuinely novel content survives. Shuffle carries 16-byte keys."""
+    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = _docs_with_dups(spark, sf_dir)
+    kept = curation.incremental_dedup(batch, corpus, ["text"])
+    return kept.select("doc_id", "content_hash")
+
+
+# planted PII: deterministic synthetic contacts appended per doc-id class
+# (the synthetic corpus has no real PII, so both engines plant the same)
+_SQL_PII_DOCS = """
+  pii_docs AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 5 = 0
+                        THEN ' contact user' || doc_id || '@example.com'
+                        ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END
+                || CASE WHEN doc_id % 11 = 0
+                        THEN ' host 192.168.0.' || (doc_id % 256)
+                        ELSE '' END AS text
+    FROM documents
+  )
+"""
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-867-5309")).otherwise(
+                ""
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" host 192.168.0."), F.col("doc_id") % 256),
+            ).otherwise(""),
+        ),
+    )
+
+
+@query(
+    "pii_redaction",
+    f"""
+    WITH {_SQL_PII_DOCS.strip()}
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', 0))::INT AS n_email,
+           len(regexp_extract_all(text,
+               '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', 0))::INT AS n_phone,
+           len(regexp_extract_all(text,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', 0))::INT AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IPV4>', 'g'))
+               AS redacted_hash
+    FROM pii_docs
+    """,
+)
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus with planted contacts: per-kind match
+    counts + md5 of the redacted text. Pure regexp expressions (RE2 and
+    Java regex agree on these patterns); codegen'd, no UDF."""
+    d = _pii_docs(spark, sf_dir)
+    out = curation.redact_pii(d, "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5(F.col("redacted")).alias("redacted_hash"),
+    )
+
+
+@query(
+    "contamination",
+    rf"""
+    WITH bench AS (
+      SELECT DISTINCT sh FROM (
+        SELECT unnest({_SQL_SHINGLES.format(t="text")}) AS sh
+        FROM documents WHERE doc_id % 20 = 0)
+    ),
+    train_sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest({_SQL_SHINGLES.format(t="text")}) AS sh
+        FROM documents WHERE doc_id % 20 <> 0)
+    )
+    SELECT doc_id, count(*) AS n_shared_ngrams
+    FROM train_sh JOIN bench USING (sh)
+    GROUP BY doc_id HAVING count(*) >= 5
+    """,
+)
+def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs (doc_id % 20 != 0)
+    sharing >= 5 distinct trigrams with the benchmark split (% 20 == 0).
+    The benchmark shingle set broadcasts; the corpus never shuffles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    return curation.contamination_check(
+        train, bench, "doc_id", "text", n=3, min_overlap=5
+    )

@@ -10,6 +10,7 @@ from hadoop_distributed_dynamic_file_system_spark.operators import (
     aggregate as agg_ops,
 )
 from hadoop_distributed_dynamic_file_system_spark.operators import (
+    curation,
     fieldsel,
     joins,
     sampling,
@@ -301,6 +302,66 @@ class TestSampling:
     def test_regex_filter(self, spark):
         df = spark.createDataFrame([("apple",), ("banana",)], "k string")
         assert sampling.regex_filter(df, "k", "^a").count() == 1
+
+
+class TestCuration:
+    def test_stratified_sample_rates_and_unknown_stratum_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else ("zz" if i % 4 == 1 else "de"))
+             for i in range(400)],
+            "id long, lang string",
+        )
+        kept = curation.stratified_sample(df, "lang", {"en": 1.0, "de": 0.5}, "id")
+        by = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert by.get("en") == 200          # rate 1.0 keeps every row
+        assert "zz" not in by               # stratum absent from the spec drops
+        assert 20 < by.get("de", 0) < 80    # ~50 of 100 at rate 0.5
+
+    def test_stratified_sample_deterministic_across_runs(self, spark):
+        df = spark.createDataFrame([(i, "en") for i in range(300)], "id long, lang string")
+        ids = lambda: sorted(r["id"] for r in
+                             curation.stratified_sample(df, "lang", {"en": 0.3}, "id").collect())
+        assert ids() == ids()
+
+    def test_incremental_dedup_hashed_corpus_path(self, spark):
+        corpus = spark.createDataFrame([("seen once",), ("seen twice",)], "text string")
+        hashed = corpus.select(F.md5("text").alias("content_hash"))
+        batch = spark.createDataFrame(
+            [(1, "seen once"), (2, "brand new"), (3, "seen twice")],
+            "doc_id long, text string",
+        )
+        kept = curation.incremental_dedup(
+            batch, hashed, ["text"], corpus_is_hashed=True
+        )
+        assert [r["doc_id"] for r in kept.collect()] == [2]
+        # raw-corpus path agrees
+        kept2 = curation.incremental_dedup(batch, corpus, ["text"])
+        assert [r["doc_id"] for r in kept2.collect()] == [2]
+
+    def test_redact_pii_counts_and_replacement(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a@b.com and c.d@e.org, call 555-123-4567, ip 10.0.0.1 end")],
+            "id long, text string",
+        )
+        r = curation.redact_pii(df, "text").collect()[0]
+        assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (2, 1, 1)
+        assert r["redacted"] == (
+            "mail <EMAIL> and <EMAIL>, call <PHONE>, ip <IPV4> end"
+        )
+
+    def test_contamination_min_overlap_filters(self, spark):
+        bench = spark.createDataFrame([(100, "the quick brown fox jumps")],
+                                      "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(1, "the quick brown fox jumps high"),   # shares 3 trigrams
+             (2, "a quick brown fox appears"),        # shares 1 trigram
+             (3, "nothing in common here at all")],
+            "doc_id long, text string",
+        )
+        hits = curation.contamination_check(train, bench, "doc_id", "text",
+                                            n=3, min_overlap=2).collect()
+        assert {r["doc_id"]: r["n_shared_ngrams"] for r in hits} == {1: 3}
 
 
 class TestTransformsMisc:
