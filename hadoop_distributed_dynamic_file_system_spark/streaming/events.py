@@ -229,6 +229,55 @@ def stream_stream_join(
     )
 
 
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension table. The static side is marked broadcast — at
+    100 TB of stream the dimension is the small side by construction,
+    and broadcasting avoids re-shuffling every micro-batch on the join
+    key. The static plan is re-resolved per batch, so a dim refreshed
+    by an external writer is picked up between batches (slowly-changing
+    dimension, no restart)."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def idempotent_parquet_sink(
+    stream_df: DataFrame, out_dir: str, ledger_dir: str
+):
+    """Exactly-once foreachBatch parquet sink: each micro-batch writes
+    to an epoch-scoped directory, then commits a ledger marker. On
+    restart/retry Structured Streaming MAY replay the last epoch with
+    the same epoch_id — the marker check makes the replay a no-op and
+    the epoch-dir overwrite makes a torn first attempt self-healing
+    (write-then-commit, the FileOutputCommitter idea applied per batch).
+
+    The marker op runs on the DRIVER (foreachBatch contract), so plain
+    file ops suffice locally; on a cluster point both dirs at a shared
+    FS. Returns a DataStreamWriter — caller starts it.
+    """
+    return stream_df.writeStream.foreachBatch(epoch_writer(out_dir, ledger_dir))
+
+
+def epoch_writer(out_dir: str, ledger_dir: str):
+    """The foreachBatch function behind `idempotent_parquet_sink`,
+    exposed so the replay contract is directly testable: calling it
+    twice with the same epoch_id writes once."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"epoch-{epoch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed epoch: already committed
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        os.makedirs(ledger_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("committed\n")
+
+    return write_batch
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming query to completion against the file source
     (synchronous; for tests/local verification). Returns the result."""

@@ -192,6 +192,78 @@ class TestRateLimitedIngestion:
         assert all(p["numInputRows"] == per_file for p in progress)
 
 
+class TestStreamStaticEnrich:
+    def test_enrich_matches_batch_twin(self, spark, sf_dir, event_stream):
+        import os
+
+        # user tier dim derived deterministically so the twin is exact
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        dim = (
+            raw.select("user_id").distinct()
+            .withColumn("tier", F.col("user_id") % 3)
+        )
+        enriched = ev.enrich_stream(
+            event_stream.select("event_id", "user_id"), dim, "user_id"
+        )
+        out = ev.run_to_memory(enriched, "enrich_out")
+        got = {(r.event_id, r.tier) for r in out.collect()}
+        want = {
+            (r.event_id, r.user_id % 3)
+            for r in raw.select("event_id", "user_id").collect()
+        }
+        assert got == want
+
+    def test_enrich_plan_broadcasts_static_side(self, spark, sf_dir, event_stream):
+        dim = spark.createDataFrame([(1, "a")], "user_id long, tier string")
+        enriched = ev.enrich_stream(event_stream, dim, "user_id")
+        # logical plan must carry the broadcast hint for the static side
+        plan = enriched._jdf.queryExecution().logical().toString()
+        assert "broadcast" in plan.lower()
+
+
+class TestIdempotentSink:
+    def _mk_backlog(self, spark, src, files=3, per_file=4):
+        for i in range(files):
+            spark.createDataFrame(
+                [(i * per_file + j, float(j)) for j in range(per_file)],
+                "id long, v double",
+            ).coalesce(1).write.mode("append").parquet(str(src / f"f{i}"))
+
+    def test_sink_writes_all_epochs_once(self, spark, tmp_path):
+        src = tmp_path / "ide_src"
+        src.mkdir()
+        self._mk_backlog(spark, src)
+        out_dir, ledger = str(tmp_path / "out"), str(tmp_path / "ledger")
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src) + "/*", "id long, v double", max_files_per_trigger=1
+        )
+        q = (
+            ev.idempotent_parquet_sink(stream, out_dir, ledger)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.read.parquet(out_dir)
+        assert got.count() == 12
+        assert sorted(r.id for r in got.select("id").collect()) == list(range(12))
+
+    def test_replayed_epoch_is_noop(self, spark, tmp_path):
+        out_dir, ledger = str(tmp_path / "out2"), str(tmp_path / "ledger2")
+        writer = ev.epoch_writer(out_dir, ledger)
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+        writer(df, 7)
+        first = spark.read.parquet(out_dir).count()
+        # replay with the same epoch id (what a post-crash restart does)
+        writer(spark.createDataFrame([(9, 9.0)], "id long, v double"), 7)
+        again = spark.read.parquet(out_dir)
+        assert first == 2 and again.count() == 2
+        assert sorted(r.id for r in again.collect()) == [1, 2]  # replay ignored
+
+
 class TestKafkaSurface:
     """Broker-less coverage: option normalization, wire-format decode
     on a kafka-shaped batch frame, checkpoint conventions."""
