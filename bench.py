@@ -37,6 +37,8 @@ HEADLINE = [
     "events_hourly",
     "sessionization",
     "set_ops",
+    "q17_small_qty_revenue",
+    "q21_sole_fault_supplier",
     # LLM-pipeline family
     "dedup_exact",
     "minhash_lsh_pairs",
@@ -44,6 +46,8 @@ HEADLINE = [
     "ann_brute_force",
     "lang_id",
     "token_counts",
+    "pii_redaction",
+    "contamination",
 ]
 
 
