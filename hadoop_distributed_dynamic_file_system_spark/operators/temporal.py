@@ -1,0 +1,208 @@
+"""Temporal joins: as-of join and bucketed point-in-interval join.
+
+The reference's join toolbox stops at equality keys (the join
+expression language, src/mapred/org/apache/hadoop/mapred/join/
+Parser.java, and the reduce-side data_join contrib,
+src/contrib/data_join/src/java/org/apache/hadoop/contrib/utils/join/
+DataJoinReducerBase.java:122 — both group by an exact key). Time-series
+workloads need two inequality shapes on top of that:
+
+- **as-of join**: for each left row, the single most recent right row
+  at-or-before (backward) / at-or-after (forward) its timestamp, per
+  key. The classic kdb/pandas `merge_asof` semantics; DuckDB spells it
+  ``ASOF JOIN`` (the oracle for our tests).
+- **interval join**: all (point, interval) pairs with
+  start <= point <= end — a pure inequality join that a naive engine
+  executes as a cartesian product.
+
+Both are implemented as compositions of exchange + window / equi-join,
+never a nested-loop:
+
+Design notes for 100 TB:
+- asof_join is ONE shuffle (union both sides, hash-partition by key)
+  and a per-key sorted window scan — the same cost as the reduce-side
+  tagged join it generalizes. No per-left-row probe, no range
+  self-join blowup. Per-key history is processed sequentially in one
+  task, which is the right trade until a single key's history exceeds
+  a task (then pre-split by coarse time and stitch boundaries).
+- interval_join turns the inequality into an equi-join on a coarse
+  time bucket: intervals are exploded to the buckets they span
+  (replication = ceil(span / bucket_width), bounded and chosen by the
+  caller), points map to exactly one bucket, and the true range
+  predicate runs as a residual filter on the equi-matches. Shuffle
+  keys are fixed-width longs; a point matches an interval in exactly
+  one bucket (its own), so no post-join dedup is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+_MATCH_TS = "__asof_match_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+    direction: str = "backward",
+    tolerance=None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Most-recent-match join (DuckDB ``ASOF JOIN`` / pandas
+    ``merge_asof`` semantics): every left row picks AT MOST ONE right
+    row — the latest one with ``right_ts <= left_ts`` (backward, the
+    default) or the earliest with ``right_ts >= left_ts`` (forward),
+    among rows sharing the equality key(s) ``on``.
+
+    Implementation: tag-and-union both sides, hash-partition by key,
+    and carry the right side's columns forward with
+    ``last(col, ignorenulls=True)`` over a running window ordered by
+    timestamp. Equal timestamps order the right row first, so a match
+    at exactly ``left_ts`` is visible (inclusive bound, same as
+    DuckDB). ``right_tiebreak`` orders equal-timestamp right rows so
+    duplicates resolve deterministically (the greatest tiebreak wins);
+    without it, make the right side unique per (key, ts) or accept
+    engine-dependent picks.
+
+    ``tolerance`` (a Column-compatible literal in the units of the ts
+    columns' difference via ``-``) drops matches farther than the
+    bound. ``how="left"`` keeps unmatched left rows with nulls;
+    ``how="inner"`` drops them.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+
+    left_cols = [c for c in left.columns]
+    payload = [c for c in left_cols if c not in keys and c != left_ts]
+    right_vals = [c for c in right.columns if c not in keys and c != right_ts]
+    clash = set(right_vals) & set(left_cols)
+    if clash:
+        raise ValueError(f"right value columns collide with left: {sorted(clash)}")
+
+    # Tag-and-union: one schema. The right row's payload travels as a
+    # SINGLE struct, so a right row whose value column is legitimately
+    # NULL still contributes an atomic (non-null) match — filling each
+    # column independently with last(ignorenulls) would stitch values
+    # from different right rows together.
+    rtypes = dict(right.dtypes)
+    pack_type = ", ".join(
+        [f"`{c}`: {rtypes[c]}" for c in right_vals] + [f"ts: {rtypes[right_ts]}"]
+    )
+    lu = left.select(
+        *[F.col(c) for c in keys],
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast("long").alias("__tiebreak"),
+        *[F.col(c) for c in payload],
+        F.lit(None).cast(f"struct<{pack_type}>").alias("__rpack"),
+    )
+    tb = (
+        F.col(right_tiebreak).cast("long")
+        if right_tiebreak is not None
+        else F.lit(0).cast("long")
+    )
+    ru = right.select(
+        *[F.col(c) for c in keys],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        tb.alias("__tiebreak"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in payload],
+        F.struct(
+            *[F.col(c) for c in right_vals], F.col(right_ts).alias("ts")
+        ).alias("__rpack"),
+    )
+    u = lu.unionByName(ru)
+
+    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
+    # Right rows (side=0) sort before left at equal ts -> inclusive
+    # bound; among equal-ts right rows the greatest tiebreak is LAST
+    # in window order, so last(ignorenulls) picks it.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col(_SIDE).asc(), F.col("__tiebreak").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        u.select(
+            *[F.col(c) for c in keys],
+            F.col(_TS),
+            F.col(_SIDE),
+            *[F.col(c) for c in payload],
+            F.last(F.col("__rpack"), ignorenulls=True).over(w).alias("__rpack"),
+        )
+        .filter(F.col(_SIDE) == 1)
+    )
+    match_ts = F.col("__rpack")["ts"]
+    if tolerance is not None:
+        dist = (
+            (F.col(_TS) - match_ts)
+            if direction == "backward"
+            else (match_ts - F.col(_TS))
+        )
+        in_tol = match_ts.isNotNull() & (dist <= tolerance)
+        out = out.select(
+            *[F.col(c) for c in keys],
+            F.col(_TS),
+            *[F.col(c) for c in payload],
+            F.when(in_tol, F.col("__rpack")).alias("__rpack"),
+        )
+    if how == "inner":
+        out = out.filter(match_ts.isNotNull())
+    return out.select(
+        *[F.col(c) for c in keys],
+        F.col(_TS).alias(left_ts),
+        *[F.col(c) for c in payload],
+        *[F.col("__rpack")[c].alias(c) for c in right_vals],
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """All (point, interval) pairs with start <= point <= end, as an
+    equi-join on a coarse bucket instead of a nested-loop inequality
+    join.
+
+    ``point_col``/``start_col``/``end_col`` must be numeric (cast
+    timestamps to epoch units first — keeps the bucketing engine-
+    portable). ``bucket_width`` should be near the median interval
+    span: replication of each interval row is ceil(span/width)+1, and
+    a finer width trades replication for residual-filter selectivity.
+
+    A point falls in exactly one bucket, so every qualifying pair is
+    produced exactly once — no dedup stage.
+    """
+    b = int(bucket_width)
+    if b <= 0:
+        raise ValueError("bucket_width must be positive")
+    iv = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b).cast("long"),
+                F.floor(F.col(end_col) / b).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bkt", F.floor(F.col(point_col) / b).cast("long"))
+    cond = (
+        (pt["__bkt"] == iv["__bkt"])
+        & (pt[point_col] >= iv[start_col])
+        & (pt[point_col] <= iv[end_col])
+    )
+    return pt.join(iv, cond).drop("__bkt")

@@ -1253,3 +1253,137 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
     )
+
+
+# =====================================================================
+# Temporal joins & window-frame analytics
+# =====================================================================
+
+@query(
+    "asof_attribution",
+    """
+    SELECT l.user_id, l.event_id, r.view_event,
+           epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase') l
+    ASOF JOIN (SELECT user_id, ts, max(event_id) AS view_event
+               FROM events WHERE event_type = 'view'
+               GROUP BY user_id, ts) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→view attribution as an AS-OF join (operators/temporal.py):
+    each purchase picks the user's single most recent at-or-before view.
+    The right side is pre-aggregated to one row per (user, ts) so both
+    engines resolve equal-timestamp duplicates identically. One shuffle
+    on user_id (union both event streams, window scan per user); the
+    matched view's timestamp travels inside the right-payload struct as
+    epoch micros, so the gap is pure long arithmetic."""
+    from .operators import temporal
+
+    e = _events(spark, sf_dir)
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    left = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", us.alias("purchase_us"))
+    )
+    right = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event"))
+        .withColumn("view_us", us)
+    )
+    joined = temporal.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts", how="inner"
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "view_event",
+        (F.col("purchase_us") - F.col("view_us")).alias("gap_us"),
+    )
+
+
+@query(
+    "interval_window_count",
+    """
+    WITH iv AS (
+      SELECT o_orderkey AS iv_key,
+             datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS start_day
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    ),
+    pt AS (
+      SELECT datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day
+      FROM orders
+    )
+    SELECT iv_key, count(*) AS n_in_window
+    FROM pt JOIN iv ON pt.day >= iv.start_day AND pt.day <= iv.start_day + 7
+    GROUP BY iv_key
+    """,
+)
+def interval_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via coarse-bucket equi-join
+    (operators/temporal.py::interval_join): how many orders land inside
+    the 7-day window opened by each of the top-20 orders by price. The
+    inequality join never runs as a nested loop — intervals explode to
+    the (span/bucket + 1) buckets they cover and the range predicate is
+    a residual filter on the bucket equi-match. At sf the 20-row
+    interval side is also broadcast by Catalyst, which is the right
+    call; the bucketing is what keeps a BILLION-interval side joinable."""
+    from .operators import temporal
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    iv = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select(
+            F.col("o_orderkey").alias("iv_key"),
+            day.alias("start_day"),
+            (day + F.lit(7)).alias("end_day"),
+        )
+    )
+    pt = o.select(day.alias("day"))
+    return (
+        temporal.interval_join(pt, iv, "day", "start_day", "end_day", bucket_width=8)
+        .groupBy("iv_key")
+        .agg(F.count("*").alias("n_in_window"))
+    )
+
+
+@query(
+    "user_rolling_stats",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+    FROM events
+    """,
+)
+def user_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame analytics over the event log: 3-event moving average
+    (bounded ROWS frame), running total (unbounded frame), and
+    inter-event gap (lag) — all three windows share ONE partitioning
+    (user_id) and ordering, so Catalyst plans a single exchange + sort
+    and evaluates the frames in one Window operator."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w.rowsBetween(-2, Window.currentRow)), 6)
+        .alias("mavg3"),
+        F.round(
+            F.sum("value").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("cum_value"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )

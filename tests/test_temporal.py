@@ -1,0 +1,101 @@
+"""As-of join and interval join semantics (operators/temporal.py)."""
+
+from pyspark.sql import functions as F
+
+from hadoop_distributed_dynamic_file_system_spark.operators import temporal
+
+
+def _l(spark):
+    return spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 7, "c"), (3, 1, "d")],
+        "k int, ts int, v string",
+    )
+
+
+def _r(spark):
+    # k=1 ts=10: rn is a REAL value; k=1 ts=5: rv present but rn NULL —
+    # the null-atomicity case (a match must never mix columns from
+    # different right rows).
+    return spark.createDataFrame(
+        [(1, 5, "x", None), (1, 10, "y", 9), (1, 15, "z", 1), (2, 7, "w", 2)],
+        "k int, ts int, rv string, rn int",
+    )
+
+
+def test_asof_backward_inclusive(spark):
+    out = {
+        (r.k, r.ts): (r.rv, r.rn)
+        for r in temporal.asof_join(_l(spark), _r(spark), "k", "ts", "ts").collect()
+    }
+    # ts=10 sees the equal-timestamp right row (inclusive bound)
+    assert out == {(1, 10): ("y", 9), (1, 20): ("z", 1), (2, 7): ("w", 2)}
+
+
+def test_asof_left_keeps_unmatched(spark):
+    out = temporal.asof_join(_l(spark), _r(spark), "k", "ts", "ts", how="left")
+    rows = {(r.k, r.ts): (r.rv, r.rn) for r in out.collect()}
+    assert rows[(3, 1)] == (None, None)
+    assert len(rows) == 4
+
+
+def test_asof_null_right_value_stays_atomic(spark):
+    """A right row with a NULL value column is still one atomic match:
+    left (1,7) matches right (1,5) whose rn is NULL — rn must come back
+    NULL, not filled from some older right row."""
+    l = spark.createDataFrame([(1, 7, "p")], "k int, ts int, v string")
+    out = temporal.asof_join(l, _r(spark), "k", "ts", "ts").collect()
+    assert [(r.rv, r.rn) for r in out] == [("x", None)]
+
+
+def test_asof_forward(spark):
+    out = temporal.asof_join(
+        _l(spark), _r(spark), "k", "ts", "ts", direction="forward"
+    )
+    rows = {(r.k, r.ts): r.rv for r in out.collect()}
+    # ts=20 has no right row at-or-after it -> dropped under inner
+    assert rows == {(1, 10): "y", (2, 7): "w"}
+
+
+def test_asof_tolerance(spark):
+    out = temporal.asof_join(_l(spark), _r(spark), "k", "ts", "ts", tolerance=3)
+    rows = {(r.k, r.ts): r.rv for r in out.collect()}
+    # (1,20) matched z@15 at distance 5 > 3 -> dropped; (1,10) is exact
+    assert rows == {(1, 10): "y", (2, 7): "w"}
+
+
+def test_asof_tiebreak_resolves_duplicate_right_ts(spark):
+    l = spark.createDataFrame([(1, 10, "p")], "k int, ts int, v string")
+    r = spark.createDataFrame(
+        [(1, 10, "lo", 1), (1, 10, "hi", 2)], "k int, ts int, rv string, seq int"
+    )
+    out = temporal.asof_join(
+        l, r, "k", "ts", "ts", right_tiebreak="seq"
+    ).collect()
+    assert [x.rv for x in out] == ["hi"]
+
+
+def test_interval_join_matches_inequality_join(spark):
+    pts = spark.createDataFrame([(i,) for i in range(50)], "p int")
+    iv = spark.createDataFrame(
+        [(1, 3, 7), (2, 10, 28), (3, 3, 4), (4, 49, 60)], "ivid int, s int, e int"
+    )
+    got = sorted(
+        (r.ivid, r.p)
+        for r in temporal.interval_join(pts, iv, "p", "s", "e", 4).collect()
+    )
+    want = sorted(
+        (r.ivid, r.p)
+        for r in pts.join(iv, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_asof_single_shuffle(spark):
+    """The whole as-of join is one hash-partitioning on the key: no
+    join exchange, no broadcast — union + window only."""
+    plan = temporal.asof_join(
+        _l(spark), _r(spark), "k", "ts", "ts"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
