@@ -149,3 +149,45 @@ def contamination_check(
         .agg(F.count("*").alias("n_shared_ngrams"))
         .filter(F.col("n_shared_ngrams") >= min_overlap)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    num_shards: int,
+) -> DataFrame:
+    """Sequence packing for training batches: assign each document to a
+    (shard, seq_id) training sequence so that sequences are filled
+    greedily up to `budget` tokens.
+
+    Contiguous start-offset packing: within a shard (deterministic
+    md5-hash of the id), documents are laid out in id order and a
+    document belongs to the sequence its FIRST token lands in —
+    seq_id = (cumulative_tokens - own_tokens) / budget. A document that
+    straddles a boundary overflows its sequence by < one document,
+    which is the standard trade against splitting documents.
+
+    Scale: ONE shuffle (hash-partition by shard); each shard's
+    running total is a window scan. num_shards is the parallelism
+    knob — at 100 TB pick shards so a shard's documents fit a task
+    (e.g. 2^16); packing quality is unaffected since every shard
+    packs independently.
+    """
+    if budget <= 0 or num_shards <= 0:
+        raise ValueError("budget and num_shards must be positive")
+    from pyspark.sql import Window
+
+    shard = (md5_bucket(F.col(id_col), _RES_DIGITS) % num_shards).alias("shard")
+    with_shard = df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return with_shard.withColumn(
+        "seq_id",
+        F.floor((cum - F.col(token_col)) / F.lit(float(budget))).cast("long"),
+    )

@@ -692,3 +692,41 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.contamination_check(
         train, bench, "doc_id", "text", n=3, min_overlap=5
     )
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks,
+             CAST(({_sql_hexval("md5(CAST(doc_id AS VARCHAR))", 1, 6)}) % 8
+                  AS BIGINT) AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, toks,
+             sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT shard, CAST(floor((cum - toks) / 2048.0) AS BIGINT) AS seq_id,
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY shard, seq_id
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing summary: documents are greedily packed
+    into 2048-token sequences across 8 independent shards
+    (curation.pack_sequences; tokens estimated as chars/4). Output is
+    one row per (shard, sequence) with its fill — the artifact a
+    dataloader would consume. One shuffle on the shard key."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("toks"),
+    )
+    packed = curation.pack_sequences(d, "doc_id", "toks", budget=2048, num_shards=8)
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("sum_tokens"),
+    )

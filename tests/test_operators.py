@@ -324,6 +324,29 @@ class TestCuration:
                              curation.stratified_sample(df, "lang", {"en": 0.3}, "id").collect())
         assert ids() == ids()
 
+    def test_pack_sequences_start_offset_invariants(self, spark):
+        df = spark.createDataFrame(
+            [(i, 100 + (i % 7) * 50) for i in range(200)], "doc_id long, toks long"
+        )
+        packed = curation.pack_sequences(df, "doc_id", "toks", budget=500, num_shards=4)
+        rows = packed.collect()
+        assert len(rows) == 200 and len({r.shard for r in rows}) == 4
+        # within each shard, seq_id is non-decreasing in doc_id order and
+        # each sequence's content STARTS within budget: sum of tokens
+        # excluding the last (straddling) doc is < budget
+        from collections import defaultdict
+        by_shard = defaultdict(list)
+        for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+            by_shard[r.shard].append(r)
+        for shard, docs in by_shard.items():
+            seqs = [r.seq_id for r in docs]
+            assert seqs == sorted(seqs)
+            by_seq = defaultdict(list)
+            for r in docs:
+                by_seq[r.seq_id].append(r.toks)
+            for toks in by_seq.values():
+                assert sum(toks) - toks[-1] < 500  # only the last doc may straddle
+
     def test_incremental_dedup_hashed_corpus_path(self, spark):
         corpus = spark.createDataFrame([("seen once",), ("seen twice",)], "text string")
         hashed = corpus.select(F.md5("text").alias("content_hash"))
