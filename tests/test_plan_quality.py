@@ -119,3 +119,31 @@ class TestPlanQuality:
         assert "LessThan(o_orderdate" in plan
         assert "GreaterThan(l_shipdate" in plan
         assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+class TestRound2PlanQuality:
+    def test_q19_part_prefilter_pushed_to_scan(self, spark, sf_dir):
+        """The factored part-side implication of the disjunction must
+        reach the part parquet scan as pushed filters."""
+        plan = formatted(q.q19_discounted_revenue(spark, sf_dir))
+        assert "In(p_brand" in plan
+        assert "GreaterThanOrEqual(p_size,1)" in plan and "LessThanOrEqual(p_size,15)" in plan
+
+    def test_q10_topk_after_agg_uses_heaps(self, spark, sf_dir):
+        plan = plan_of(q.q10_returned_items(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_q5_single_fact_shuffle(self, spark, sf_dir):
+        """Only lineitem⋈orders may shuffle; all dims broadcast."""
+        plan = plan_of(q.q5_local_supplier(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+    def test_rolling_stats_single_window_exchange(self, spark, sf_dir):
+        """Three window columns over one (partition, order) spec must
+        plan ONE exchange and ONE Window operator."""
+        df = q.user_rolling_stats(spark, sf_dir)
+        plan = plan_of(df)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Window") == 1
