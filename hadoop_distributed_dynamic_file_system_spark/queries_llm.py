@@ -730,3 +730,49 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("toks").alias("sum_tokens"),
     )
+
+
+@query(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_SQL_DOCS_DUP.strip()},
+    sigs AS ({_minhash_sql(8, "docs2")}),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bkey FROM sigs
+      UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sigs
+      UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sigs
+      UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    cc_edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    cc_nodes AS (SELECT DISTINCT s AS v FROM cc_edges),
+    reach(a, b) AS (
+      SELECT v, v FROM cc_nodes
+      UNION
+      SELECT r.a, e.d FROM reach r JOIN cc_edges e ON r.b = e.s
+    )
+    SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+    """,
+)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: LSH candidate pairs -> connected
+    components (operators/graph.py, min-label propagation + pointer
+    jumping). component = min doc_id reachable, i.e. the canonical
+    keeper every member would collapse to. The DuckDB oracle computes
+    the same fixpoint via a recursive transitive closure — feasible at
+    oracle scale, while the Spark path is the log-round distributed
+    iteration that survives 100 TB."""
+    from .operators import graph
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    cc = graph.connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))

@@ -99,3 +99,35 @@ def test_asof_single_shuffle(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------- graph CC
+
+from hadoop_distributed_dynamic_file_system_spark.operators import graph
+
+
+def test_cc_two_components_and_min_labels(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], "id_a long, id_b long"
+    )
+    got = {r.node: r.comp for r in
+           graph.connected_components(e, "id_a", "id_b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cc_long_chain_converges(spark):
+    """A 64-node path graph: diameter 63, but pointer jumping must
+    reach the fixpoint well inside max_iter=25 (log-bound)."""
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    got = {r.node: r.comp for r in
+           graph.connected_components(e, "id_a", "id_b", max_iter=25).collect()}
+    assert len(got) == 64 and set(got.values()) == {0}
+
+
+def test_cc_component_sizes(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    cc = graph.connected_components(e, "id_a", "id_b")
+    sizes = {r.comp: r.n_members for r in graph.component_sizes(cc).collect()}
+    assert sizes == {1: 3, 7: 2}
