@@ -191,3 +191,30 @@ def pack_sequences(
         "seq_id",
         F.floor((cum - F.col(token_col)) / F.lit(float(budget))).cast("long"),
     )
+
+
+def reservoir_sample(
+    df: DataFrame, group_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Deterministic k-per-group sample: keep the k rows whose md5(id)
+    sorts lowest within the group (id tiebreak). Statistically a
+    uniform without-replacement sample (md5 is a uniform permutation
+    of ids), but — unlike a true reservoir — reproducible across
+    engines, retries, and partitionings, which is what a curation
+    pipeline actually needs from "random".
+
+    Scale: one hash-partition on the group key; the per-group sort is
+    window row_number, fine while groups fit a task (strata do); for
+    monster groups switch to an approximate threshold on the hash
+    (keep hash < k/n quantile) to avoid the per-group sort entirely.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,92 @@
+"""Approximate-aggregate sketches with explicit accuracy contracts.
+
+At 100 TB, exact COUNT(DISTINCT) and exact percentiles are often the
+single most expensive aggregates in a workload (a full shuffle of the
+distinct keys / a full sort). Spark ships mergeable one-pass sketches —
+HyperLogLog++ (`approx_count_distinct`) and Greenwald-Khanna quantile
+summaries (`percentile_approx`) — whose partial states combine
+associatively, so they aggregate map-side and shuffle O(sketch) bytes
+per group instead of O(rows).
+
+An approximate answer is only usable with a stated bound, so the
+operators here return the sketch estimate TOGETHER with a checkable
+accuracy predicate; the oracle-checked queries assert the predicate,
+which makes "the sketch is within its documented error" itself a
+regression-tested property. (The reference has no sketch aggregates —
+its aggregate library, src/mapred/org/apache/hadoop/mapred/lib/
+aggregate/UniqValueCount.java:67, caps exact distinct-sets at a size
+limit instead; this module is the scale-path replacement.)
+
+Determinism notes (what makes these hash-comparable at all):
+- HLL++ registers are a commutative max over per-value hashes —
+  partitioning- and order-independent, so the estimate is stable for
+  fixed data (only the predicate is compared anyway);
+- percentile_approx's GK merge is NOT order-canonical across engines,
+  so its contract is rank-based: the estimate must land between two
+  exact bracketing quantiles, a predicate both engines agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    rsd: float = 0.02,
+    tolerance: float = 0.10,
+) -> DataFrame:
+    """Per-group HLL++ distinct estimate next to the exact count, with
+    `within_bounds` = |estimate - exact| <= tolerance * exact.
+    `tolerance` should be several multiples of `rsd` (the estimator's
+    one-sigma relative error). The exact count is computed here for the
+    contract check; a production call sites drops it and keeps only
+    the sketch — that is the entire point of the operator."""
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.countDistinct(value_col).alias("exact_distinct"),
+            F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct"),
+        )
+        .select(
+            *group_cols,
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.lit(tolerance) * F.col("exact_distinct")
+            ).alias("within_bounds"),
+        )
+    )
+
+
+def quantile_sketch_bracketed(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    prob: float = 0.5,
+    bracket: float = 0.05,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group approximate quantile with a rank-based contract: the
+    estimate must lie within the exact [prob-bracket, prob+bracket]
+    quantile values (inclusive). The GK summary guarantees rank error
+    <= n/accuracy, so any bracket wider than that always holds."""
+    lo, hi = max(prob - bracket, 0.0), min(prob + bracket, 1.0)
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.percentile_approx(value_col, prob, accuracy).alias("approx_q"),
+            F.expr(f"percentile({value_col}, {lo})").alias("q_lo"),
+            F.expr(f"percentile({value_col}, {hi})").alias("q_hi"),
+        )
+        .select(
+            *group_cols,
+            (
+                (F.col("approx_q") >= F.col("q_lo"))
+                & (F.col("approx_q") <= F.col("q_hi"))
+            ).alias("in_bracket"),
+        )
+    )

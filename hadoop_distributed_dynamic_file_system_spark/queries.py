@@ -1720,3 +1720,168 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
     )
+
+
+# =====================================================================
+# Sketch aggregates (accuracy-contract checked), pivot/unpivot,
+# grouping sets
+# =====================================================================
+
+@query(
+    "sketch_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-user sketch per event type, checked against its
+    accuracy contract (operators/sketches.py): the oracle pins the
+    EXACT count and asserts the estimate lands within tolerance. At
+    100 TB the sketch aggregates map-side and ships O(kB) registers
+    per group where exact distinct ships every key."""
+    from .operators import sketches
+
+    e = _events(spark, sf_dir).select("event_type", "user_id")
+    return sketches.distinct_sketch(
+        e, ["event_type"], "user_id", rsd=0.02, tolerance=0.10
+    )
+
+
+@query(
+    "sketch_median_value",
+    """
+    SELECT event_type, TRUE AS in_bracket
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median of event value per type, contract-checked
+    rank-wise: the GK estimate must land between the exact p45 and p55
+    values (rank error <= n/accuracy guarantees it). The estimate
+    itself is not hash-compared — GK merge states are not canonical
+    across engines; the bracket predicate is."""
+    from .operators import sketches
+
+    e = _events(spark, sf_dir).select("event_type", "value")
+    return sketches.quantile_sketch_bracketed(
+        e, ["event_type"], "value", prob=0.5, bracket=0.05, accuracy=10000
+    )
+
+
+@query(
+    "pivot_event_matrix",
+    """
+    SELECT user_id % 10 AS cohort,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long event log -> wide per-cohort type-count matrix. The
+    explicit value list matters at scale: without it Spark runs an
+    extra distinct-values job AND the output schema becomes
+    data-dependent; with it the pivot is a single partial-agg pass,
+    exactly as cheap as the CASE-sum spelling the oracle uses."""
+    e = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        e.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return wide.select(
+        "cohort", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@query(
+    "unpivot_measures",
+    """
+    SELECT metric, CAST(round(sum(CAST(val AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+    ) GROUP BY metric
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measures -> long (metric, value) stream,
+    aggregated. Spark's unpivot is a zero-shuffle row-expansion (each
+    input row emits 3), so the only exchange is the 3-group final agg;
+    the oracle's UNION ALL spelling would SCAN the table three times."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    ).withColumn("metric", F.regexp_replace(F.col("metric"), "^l_", ""))
+    return long.groupBy("metric").agg(
+        F.round(F.sum(F.col("val").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total")
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (flag-only, status-only, grand total) with
+    a grouping_id disambiguator — the general form behind the
+    rollup/cube queries. One shuffle; Spark expands the sets with a
+    single Expand operator feeding one partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                 AS gid,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "reservoir_per_lang",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sample: 5 docs per language by
+    smallest md5(doc_id) (curation.reservoir_sample) — the reproducible
+    replacement for a true reservoir, identical in any engine and
+    under any partitioning/retry."""
+    from .operators import curation
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return curation.reservoir_sample(d, "lang", "doc_id", k=5)
