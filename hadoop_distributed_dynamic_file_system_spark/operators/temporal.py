@@ -206,3 +206,36 @@ def interval_join(
         & (pt[point_col] <= iv[end_col])
     )
     return pt.join(iv, cond).drop("__bkt")
+
+
+def resample_locf(
+    obs: DataFrame,
+    key: str,
+    ts_col: str,
+    start: int,
+    end: int,
+    step: int,
+    grid_col: str = "grid_ts",
+) -> DataFrame:
+    """Regular-grid resampling with last-observation-carried-forward:
+    for every key and every grid instant in [start, end] (numeric ts
+    units, step-spaced), attach the most recent observation at-or-
+    before the instant (null before the first one).
+
+    Composition, not a new engine primitive: grid = distinct keys ×
+    exploded sequence (no shuffle beyond the distinct), then one
+    backward as-of join. Grid size is keys × points — choose the step
+    so that product stays sane; the as-of join cost is one shuffle of
+    grid+obs on the key either way.
+    """
+    grid = (
+        obs.select(key)
+        .distinct()
+        .withColumn(
+            grid_col,
+            F.explode(F.sequence(F.lit(start), F.lit(end), F.lit(step))),
+        )
+    )
+    return asof_join(
+        grid, obs, on=key, left_ts=grid_col, right_ts=ts_col, how="left"
+    )

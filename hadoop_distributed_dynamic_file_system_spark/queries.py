@@ -1885,3 +1885,51 @@ def reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
     return curation.reservoir_sample(d, "lang", "doc_id", k=5)
+
+
+@query(
+    "daily_locf_snapshot",
+    """
+    WITH grid AS (
+      SELECT user_id, d.d AS day,
+             epoch_us(TIMESTAMP '2024-01-01 00:00:00') + d.d * 86400000000
+               AS g_us
+      FROM (SELECT DISTINCT user_id FROM events)
+      CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS d) d
+    ),
+    obs AS (
+      SELECT user_id, epoch_us(ts) AS o_us, max(value) AS value
+      FROM events GROUP BY user_id, epoch_us(ts)
+    )
+    SELECT g.user_id, CAST(g.day AS BIGINT) AS day, r.value AS last_value
+    FROM grid g ASOF LEFT JOIN obs r
+      ON g.user_id = r.user_id AND g.g_us >= r.o_us
+    """,
+)
+def daily_locf_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill / downsample: one row per (user, day-of-January) with
+    the user's last event value carried forward (null before their
+    first event) — operators/temporal.py::resample_locf, i.e. a
+    generated grid + backward as-of join. The observation stream is
+    deduped per (user, instant) first so both engines resolve
+    equal-timestamp ties identically."""
+    from .operators import temporal
+
+    e = _events(spark, sf_dir)
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    obs = (
+        e.select("user_id", us.alias("o_us"), "value")
+        .groupBy("user_id", "o_us")
+        .agg(F.max("value").alias("value"))
+    )
+    epoch0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+    day_us = 86_400_000_000
+    filled = temporal.resample_locf(
+        obs, "user_id", "o_us", start=epoch0, end=epoch0 + 29 * day_us,
+        step=day_us, grid_col="g_us",
+    )
+    return filled.select(
+        "user_id",
+        ((F.col("g_us") - epoch0) / day_us).cast("long").alias("day"),
+        F.col("value").alias("last_value"),
+    )
