@@ -39,6 +39,12 @@ HEADLINE = [
     "set_ops",
     "q17_small_qty_revenue",
     "q21_sole_fault_supplier",
+    "q5_local_supplier",
+    "q19_discounted_revenue",
+    # temporal family
+    "asof_attribution",
+    "daily_locf_snapshot",
+    "user_rolling_stats",
     # LLM-pipeline family
     "dedup_exact",
     "minhash_lsh_pairs",
@@ -48,6 +54,8 @@ HEADLINE = [
     "token_counts",
     "pii_redaction",
     "contamination",
+    "dedup_components",
+    "sequence_packing",
 ]
 
 

@@ -1933,3 +1933,29 @@ def daily_locf_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("g_us") - epoch0) / day_us).cast("long").alias("day"),
         F.col("value").alias("last_value"),
     )
+
+
+def _zorder_oracle() -> str:
+    from .operators.layout import zorder_sql
+
+    z = zorder_sql(["user_id % 256", "event_id % 256"], bits=8)
+    return f"""
+    SELECT event_id, CAST({z} AS BIGINT) AS zval
+    FROM events WHERE event_id < 500
+    """
+
+
+@query("zorder_codes", _zorder_oracle())
+def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) codes for 2-D layout clustering
+    (operators/layout.py): interleaved bits of two bucketized
+    dimensions, computed as pure shift/mask arithmetic inside codegen.
+    The clustering write path (cluster_by_zorder) range-partitions on
+    this value so min/max stats bound BOTH dimensions per file."""
+    from .operators import layout
+
+    e = _events(spark, sf_dir).filter(F.col("event_id") < 500)
+    z = layout.zorder_value(
+        [F.col("user_id") % 256, F.col("event_id") % 256], bits=8
+    )
+    return e.select("event_id", z.cast("long").alias("zval"))

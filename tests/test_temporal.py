@@ -131,3 +131,71 @@ def test_cc_component_sizes(spark):
     cc = graph.connected_components(e, "id_a", "id_b")
     sizes = {r.comp: r.n_members for r in graph.component_sizes(cc).collect()}
     assert sizes == {1: 3, 7: 2}
+
+
+# ---------------------------------------------------------------- z-order
+
+from hadoop_distributed_dynamic_file_system_spark.operators import layout
+
+
+def test_zorder_clustering_bounds_both_dimensions(spark, tmp_path):
+    """Range-clustering on the Morton code must bound BOTH dimensions
+    per file (the whole point vs a one-column sort, which leaves the
+    second dimension's per-file range at ~full width)."""
+    import pyarrow.parquet as pq
+    import glob
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") * 7919) % 64).alias("b"),
+    )
+    zpath = str(tmp_path / "zclustered")
+    layout.cluster_by_zorder(df, [F.col("a"), F.col("b")], zpath,
+                             num_files=8, bits=6)
+
+    def file_ranges(path, col_names):
+        spans = {c: [] for c in col_names}
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins = {c: None for c in col_names}
+            maxs = {c: None for c in col_names}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in col_names and col.statistics is not None:
+                        s = col.statistics
+                        mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                        maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+            for c in col_names:
+                spans[c].append(maxs[c] - mins[c])
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    z_spans = file_ranges(zpath, ["a", "b"])
+    # global range is 63; z-clustering with 8 files fixes the top 3
+    # interleaved bits -> a bounded to ~32, b to ~16
+    assert z_spans["a"] <= 45 and z_spans["b"] <= 30
+
+    # contrast: sorting by a alone leaves b unbounded per file
+    apath = str(tmp_path / "asorted")
+    df.repartitionByRange(8, "a").sortWithinPartitions("a")\
+      .write.mode("overwrite").parquet(apath)
+    a_spans = file_ranges(apath, ["a", "b"])
+    assert a_spans["b"] >= 45  # near-full width: no real pruning on b
+    assert z_spans["b"] < a_spans["b"] * 0.6
+
+
+def test_zorder_value_matches_reference_interleave(spark):
+    rows = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "a int, b int")
+    got = [r.z for r in rows.select(
+        layout.zorder_value([F.col("a"), F.col("b")], bits=3).alias("z")
+    ).collect()]
+
+    def morton(a, b):
+        z = 0
+        for bit in range(3):
+            z |= ((a >> bit) & 1) << (2 * bit)
+            z |= ((b >> bit) & 1) << (2 * bit + 1)
+        return z
+
+    assert got == [morton(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5)]]
