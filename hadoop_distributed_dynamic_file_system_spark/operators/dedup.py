@@ -423,3 +423,44 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def verify_pairs_edit_distance(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact verification stage of the near-dedup funnel: compute the
+    true Levenshtein similarity for each CANDIDATE pair and keep those
+    with 1 - dist/max_len >= threshold. LSH bounds the pair count, so
+    the quadratic-per-pair edit distance runs on candidates only —
+    never corpus × corpus.
+
+    Plan shape: the pair list (small by construction) broadcasts TWICE
+    against the corpus — the corpus is scanned, never shuffled; each
+    join emits only matching rows. levenshtein is a JVM built-in, so
+    the verify stage stays inside codegen."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b")
+    )
+    joined = a.join(F.broadcast(pairs), "id_a").join(
+        F.broadcast(b.join(F.broadcast(pairs), "id_b")), ["id_a", "id_b"]
+    )
+    dist = F.levenshtein("_text_a", "_text_b")
+    sim = F.round(
+        1.0 - dist / F.greatest(F.length("_text_a"), F.length("_text_b")), 6
+    )
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("edit_dist"),
+            sim.alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+    )

@@ -1959,3 +1959,73 @@ def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("user_id") % 256, F.col("event_id") % 256], bits=8
     )
     return e.select("event_id", z.cast("long").alias("zval"))
+
+
+@query(
+    "price_quantity_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_discount), 6) AS discount_stddev,
+           round(var_samp(l_quantity), 6) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: correlation, sample
+    covariance, stddev, variance — all single-pass mergeable aggregates
+    (sum/sum-of-squares/cross-products partials), so they combine
+    map-side exactly like the simple sums; one small exchange of the
+    moment tuples per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+        .alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4)
+        .alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("discount_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    )
+
+
+@query(
+    "decile_histogram",
+    """
+    SELECT decile, count(*) AS n_orders,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi
+    FROM (
+      SELECT o_totalprice,
+             CAST(least(floor(((row_number() OVER (ORDER BY o_totalprice,
+                          o_orderkey) - 1) * 10) / count(*) OVER ()), 9)
+                  AS BIGINT) AS decile
+      FROM orders
+    ) GROUP BY decile
+    """,
+)
+def decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (ntile analog) WITHOUT a global window:
+    global_rank (range shuffle + per-partition index + offset join)
+    assigns the total-order rank, decile = rank*10/count. The oracle
+    spells it as the single-task row_number ntile — same numbers, but
+    the checked Spark artifact is the scale-safe plan."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = sort.global_rank(
+        o, [F.col("o_totalprice"), F.col("o_orderkey")], rank_col="rank"
+    )
+    total = ranked.agg(F.count("*").alias("__n"))
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(
+            "decile",
+            F.least(F.floor((F.col("rank") - 1) * 10 / F.col("__n")),
+                    F.lit(9).cast("long")),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("lo"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("hi"),
+        )
+    )

@@ -776,3 +776,45 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     cc = graph.connected_components(pairs, "id_a", "id_b")
     return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@query(
+    "edit_distance_verify",
+    f"""
+    WITH {_SQL_DOCS_DUP.strip()},
+    sigs AS ({_minhash_sql(8, "docs2")}),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bkey FROM sigs
+      UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sigs
+      UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sigs
+      UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+             round(1.0 - levenshtein(a.text, b.text)
+                   / greatest(length(a.text), length(b.text)), 6) AS similarity
+      FROM pairs
+      JOIN docs2 a ON a.doc_id = id_a
+      JOIN docs2 b ON b.doc_id = id_b
+    )
+    SELECT * FROM scored WHERE similarity >= 0.6
+    """,
+)
+def edit_distance_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-verification stage after LSH: true Levenshtein
+    similarity per CANDIDATE pair, keeping pairs >= 0.6. Completes the
+    funnel sketch->candidates->verify with a quadratic kernel that only
+    ever touches LSH survivors (dedup.verify_pairs_edit_distance); the
+    corpus is scanned, never shuffled — the pair list broadcasts."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    return dedup.verify_pairs_edit_distance(
+        corpus, pairs, "doc_id", "text", threshold=0.6
+    )
