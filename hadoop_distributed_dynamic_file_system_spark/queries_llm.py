@@ -818,3 +818,58 @@ def edit_distance_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.verify_pairs_edit_distance(
         corpus, pairs, "doc_id", "text", threshold=0.6
     )
+
+
+_SQL_TF = f"""
+    words AS (
+      SELECT doc_id, unnest({_SQL_WORDS.format(t="lower(text)")}) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term)
+"""
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH {_SQL_TF.strip()},
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term AS term,
+             round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·ln(N/df)
+    (textanalysis.tfidf_top_terms) — the Spark-first stand-in for the
+    reference's delegated Lucene scoring."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textanalysis.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+@query(
+    "inverted_index",
+    f"""
+    WITH {_SQL_TF.strip()}
+    SELECT term, count(*) AS doc_freq,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM tf GROUP BY term HAVING count(*) >= 25
+    """,
+)
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus (terms with df >= 25): sorted
+    posting list per term (textanalysis.inverted_index) — the engine's
+    analog of the reference's contrib/index Lucene build, expressed as
+    one explode + two grouped aggregations."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textanalysis.inverted_index(d, "doc_id", "text", min_df=25)
