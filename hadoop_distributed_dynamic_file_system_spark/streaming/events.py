@@ -293,3 +293,64 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def latest_per_key(df: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
+    """Latest-wins reduction: one row per key, the one with the highest
+    sequence value (arg-max via struct-max — a plain aggregation, no
+    window, so it combines map-side)."""
+    others = [c for c in df.columns if c not in key_cols]
+    packed = F.struct(F.col(seq_col), *[F.col(c) for c in others if c != seq_col])
+    agg = df.groupBy(*key_cols).agg(F.max(packed).alias("__top"))
+    return agg.select(
+        *key_cols,
+        F.col(f"__top.{seq_col}").alias(seq_col),
+        *[F.col(f"__top.{c}").alias(c) for c in others if c != seq_col],
+    )
+
+
+def upsert_snapshot_writer(table_root: str, key_cols: list[str], seq_col: str):
+    """foreachBatch upsert (CDC latest-wins merge) with snapshot
+    isolation: each epoch merges the micro-batch into the current
+    snapshot, writes a NEW versioned directory, and atomically swings a
+    pointer file — readers always see a complete snapshot, and a
+    replayed epoch is a no-op (the version dir is the marker). The
+    poor-man's table format: what Delta/Iceberg do with manifests,
+    reduced to version dirs + one pointer rename.
+
+    Scale notes: the merge is latest_per_key over (snapshot ∪ batch) —
+    one shuffle on the key; for large tables swap the full-snapshot
+    rewrite for key-bucketed partition dirs so an epoch only rewrites
+    buckets its batch touches (the merge expression is unchanged).
+    """
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vdir = os.path.join(table_root, f"v{epoch_id}")
+        pointer = os.path.join(table_root, "_LATEST")
+        if os.path.exists(vdir):
+            return  # replayed epoch: snapshot already committed
+        fresh = latest_per_key(batch_df, key_cols, seq_col)
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                current = spark.read.parquet(
+                    os.path.join(table_root, f.read().strip())
+                )
+            merged = latest_per_key(
+                current.unionByName(fresh), key_cols, seq_col
+            )
+        else:
+            merged = fresh
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"v{epoch_id}")
+        os.replace(tmp, pointer)  # atomic pointer swing = commit
+
+    return merge_batch
+
+
+def read_upsert_table(spark: SparkSession, table_root: str) -> DataFrame:
+    """Read the committed snapshot the pointer currently names."""
+    with open(os.path.join(table_root, "_LATEST")) as f:
+        return spark.read.parquet(os.path.join(table_root, f.read().strip()))

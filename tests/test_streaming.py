@@ -320,3 +320,64 @@ class TestKafkaSurface:
 
         assert kf.checkpoint_dir("/ckpt", "hourly_counts") == "/ckpt/hourly_counts/v1"
         assert kf.checkpoint_dir("/ckpt", "hourly_counts", 3) == "/ckpt/hourly_counts/v3"
+
+
+class TestUpsertSnapshots:
+    def test_latest_per_key_argmax(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10, "a"), (1, 30, "c"), (1, 20, "b"), (2, 5, "x")],
+            "k long, seq long, v string",
+        )
+        got = {(r.k): (r.seq, r.v) for r in
+               ev.latest_per_key(df, ["k"], "seq").collect()}
+        assert got == {1: (30, "c"), 2: (5, "x")}
+
+    def test_upsert_merges_latest_wins_across_epochs(self, spark, tmp_path):
+        root = str(tmp_path / "upsert")
+        writer = ev.upsert_snapshot_writer(root, ["k"], "seq")
+        writer(spark.createDataFrame(
+            [(1, 1, "a1"), (2, 1, "b1")], "k long, seq long, v string"), 0)
+        writer(spark.createDataFrame(
+            [(2, 2, "b2"), (3, 1, "c1"), (3, 0, "stale")],
+            "k long, seq long, v string"), 1)
+        t = ev.read_upsert_table(spark, root)
+        got = {r.k: (r.seq, r.v) for r in t.collect()}
+        assert got == {1: (1, "a1"), 2: (2, "b2"), 3: (1, "c1")}
+
+    def test_upsert_replay_is_noop_and_snapshot_isolated(self, spark, tmp_path):
+        root = str(tmp_path / "upsert2")
+        writer = ev.upsert_snapshot_writer(root, ["k"], "seq")
+        writer(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"), 0)
+        # replay of epoch 0 (post-crash restart) must not change the table
+        writer(spark.createDataFrame([(1, 9, "ghost")], "k long, seq long, v string"), 0)
+        t = ev.read_upsert_table(spark, root)
+        assert [(r.k, r.seq, r.v) for r in t.collect()] == [(1, 1, "a")]
+        # pointer names a complete snapshot dir (v0), not a partial write
+        with open(root + "/_LATEST") as f:
+            assert f.read() == "v0"
+
+    def test_upsert_streaming_end_to_end(self, spark, tmp_path):
+        src = tmp_path / "upsert_src"
+        src.mkdir()
+        for i, rows in enumerate([[(1, 1, "a1"), (2, 1, "b1")],
+                                  [(1, 2, "a2")]]):
+            spark.createDataFrame(rows, "k long, seq long, v string")\
+                .coalesce(1).write.mode("append").parquet(str(src / f"f{i}"))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src) + "/*", "k long, seq long, v string",
+            max_files_per_trigger=1,
+        )
+        root = str(tmp_path / "upsert3")
+        q = (
+            stream.writeStream
+            .foreachBatch(ev.upsert_snapshot_writer(root, ["k"], "seq"))
+            .option("checkpointLocation", str(tmp_path / "upsert_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.k: (r.seq, r.v) for r in
+               ev.read_upsert_table(spark, root).collect()}
+        assert got[2] == (1, "b1") and got[1][0] == 2  # key 1 upserted
