@@ -2029,3 +2029,380 @@ def decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).cast("double").alias("hi"),
         )
     )
+
+
+# =====================================================================
+# TPC-H completion: Q3/Q6/Q12 on the native schema; Q2/Q9/Q11/Q20 via a
+# DERIVED partsupp (the testdata ships no partsupp table, so both
+# engines build the identical deterministic relation: every 5th
+# (part, supplier) pairing, integer-arithmetic cost/availqty)
+# =====================================================================
+
+_SQL_PS = """
+  ps AS (
+    SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+           ((p_partkey * 31 + s_suppkey * 17) % 1000) + 1 AS ps_supplycost,
+           ((p_partkey * 7 + s_suppkey * 13) % 9999) + 1 AS ps_availqty
+    FROM part, supplier
+    WHERE (p_partkey + s_suppkey) % 5 = 0
+  )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp relation (matches _SQL_PS exactly): a
+    deterministic 1/5 part×supplier pairing with integer-arithmetic
+    supplycost/availqty. Built as a broadcast cross-join of the two
+    dimension tables — both are dims, so this never touches a fact."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    return (
+        p.crossJoin(F.broadcast(s))
+        .filter((F.col("p_partkey") + F.col("s_suppkey")) % 5 == 0)
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.col("s_suppkey").alias("ps_suppkey"),
+            ((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 1000 + 1)
+            .alias("ps_supplycost"),
+            ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 13) % 9999 + 1)
+            .alias("ps_availqty"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (top unshipped orders by revenue; o_orderpriority
+    stands in for the absent o_shippriority): both date filters push
+    into their scans, customer broadcasts, and the top-10 cut runs as
+    TakeOrderedAndProject over the aggregated stream."""
+    _utc(spark)
+    cutoff = F.lit("1996-03-15 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,6)")), 2
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure scan-filter-aggregate —
+    every predicate pushes to parquet, the agg is one partial+final
+    pair, zero joins. The benchmark's floor for scan efficiency."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                      .cast("decimal(18,6)")), 2
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+@query(
+    "q12_priority_lines",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_linestatus stands in for the absent
+    l_shipmode): conditional CASE counts split one pass by a joined
+    attribute — the fact-fact join on orderkey is the only exchange
+    besides the 2-group final agg."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {_SQL_PS.strip()}
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+    FROM part, ps, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size = 15 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT min(ps_supplycost) FROM ps, supplier, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (cheapest EUROPE supplier per qualifying part): the
+    correlated min-subquery is decorrelated as a window min over
+    partitionBy(ps_partkey) on the region-filtered ps stream — one
+    shuffle on partkey, no per-part re-scan. The part filter then
+    prunes before the window via the same broadcast join."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    eu_ps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eu_ps.withColumn("__min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"),
+            F.col("p_partkey"),
+        )
+        .limit(100)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+    )
+
+
+@query(
+    "q9_product_profit",
+    f"""
+    WITH {_SQL_PS.strip()}
+    SELECT nation, o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                    - ps_supplycost * l_quantity AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice, l_discount, ps_supplycost, l_quantity
+      FROM part, supplier, lineitem, ps, orders, nation
+      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+        AND ps_partkey = l_partkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (profit per nation-year over parts matching a name
+    pattern; the derived ps supplies the cost side): lineitem joins ps
+    on the COMPOSITE (partkey, suppkey) key — ps is dim-sized here so
+    it broadcasts; at true TPC-H scale partsupp shuffles on the same
+    composite key the join needs, still one exchange."""
+    _utc(spark)
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit_term = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit_term), 2).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    f"""
+    WITH {_SQL_PS.strip()},
+    national AS (
+      SELECT ps_partkey, ps_supplycost, ps_availqty
+      FROM ps, supplier, nation
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_5'
+    )
+    SELECT ps_partkey,
+           CAST(sum(ps_supplycost * ps_availqty) AS BIGINT) AS stock_value
+    FROM national
+    GROUP BY ps_partkey
+    HAVING sum(ps_supplycost * ps_availqty) >
+           (SELECT sum(ps_supplycost * ps_availqty) * 0.001 FROM national)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (parts whose stock value exceeds a fraction of one
+    nation's total): the global scalar is a 1-row aggregate broadcast
+    into the HAVING comparison. Integer cost×qty keeps both engines
+    exact, so the threshold cut has no float boundary."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5").select(
+        "n_nationkey"
+    )
+    national = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("__v"))
+    )
+    national = national.persist()
+    total = national.agg(F.sum("__v").alias("__total"))
+    return (
+        national.groupBy("ps_partkey")
+        .agg(F.sum("__v").alias("stock_value"))
+        .join(F.broadcast(total))
+        .filter(F.col("stock_value") > F.col("__total") * 0.001)
+        .select("ps_partkey", "stock_value")
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    f"""
+    WITH {_SQL_PS.strip()}
+    SELECT s_name FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM ps
+        WHERE ps_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_brand = 'Brand#12')
+          AND ps_availqty > (
+            SELECT 0.5 * sum(l_quantity) FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          )
+      )
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (suppliers holding excess stock of a brand's parts):
+    the correlated per-(part,supplier) shipped-quantity subquery is
+    decorrelated into ONE grouped aggregate of the year's lineitem,
+    inner-joined back on the composite key; the IN chains become
+    left-semi joins. No per-row subquery execution anywhere."""
+    _utc(spark)
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select(
+        "p_partkey"
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+    )
+    qualifying = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("__qty"))
+        .select("ps_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2").select(
+        "n_nationkey"
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name")
+    )
