@@ -147,3 +147,39 @@ class TestRound2PlanQuality:
         plan = plan_of(df)
         assert plan.count("Exchange hashpartitioning") == 1
         assert plan.count("Window") == 1
+
+
+class TestRuntimeBloomFilter:
+    def test_shuffle_join_injects_bloom_filter_on_fact_side(self, spark, tmp_path):
+        """Spark's runtime bloom-filter join pruning (the engine-level
+        BloomMapFile descendant): a selective dim-side filter seeds a
+        bloom_filter_agg subquery whose might_contain() prunes the fact
+        scan BEFORE the shuffle. Locally the 10 GB application-side
+        threshold never triggers, so the test lowers it to 0 — at the
+        100 TB design point the default fires on every real fact scan."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+            spark.range(100000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).write.mode("overwrite").parquet(fact_p)
+            spark.range(5000).select(
+                F.col("id").alias("k"), F.lit("x").alias("attr")
+            ).write.mode("overwrite").parquet(dim_p)
+            fact = spark.read.parquet(fact_p)
+            dim = spark.read.parquet(dim_p).filter(F.col("k") % 100 == 0)
+            plan = plan_of(fact.join(dim, "k"))
+            assert "might_contain" in plan and "bloom_filter_agg" in plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
