@@ -41,6 +41,8 @@ HEADLINE = [
     "q21_sole_fault_supplier",
     "q5_local_supplier",
     "q19_discounted_revenue",
+    "q9_product_profit",
+    "decile_histogram",
     # temporal family
     "asof_attribution",
     "daily_locf_snapshot",
@@ -56,6 +58,8 @@ HEADLINE = [
     "contamination",
     "dedup_components",
     "sequence_packing",
+    "edit_distance_verify",
+    "tfidf_top_terms",
 ]
 
 

@@ -441,7 +441,12 @@ def verify_pairs_edit_distance(
     Plan shape: the pair list (small by construction) broadcasts TWICE
     against the corpus — the corpus is scanned, never shuffled; each
     join emits only matching rows. levenshtein is a JVM built-in, so
-    the verify stage stays inside codegen."""
+    the verify stage stays inside codegen. The pair list is eagerly
+    persisted first: both broadcasts reference it, and without the
+    materialization the entire upstream candidate pipeline (minhash →
+    LSH) would execute once PER broadcast."""
+    pairs = pairs.persist()
+    pairs.count()  # materialize before the double broadcast
     a = corpus.select(
         F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a")
     )
@@ -451,16 +456,25 @@ def verify_pairs_edit_distance(
     joined = a.join(F.broadcast(pairs), "id_a").join(
         F.broadcast(b.join(F.broadcast(pairs), "id_b")), ["id_a", "id_b"]
     )
+    # the joins inherit the corpus scan's (few) partitions, but the
+    # surviving rows are only the candidates — spread them so the
+    # quadratic levenshtein kernel uses every core, not one file split
+    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    joined = joined.repartition(n_part)
     dist = F.levenshtein("_text_a", "_text_b")
     sim = F.round(
         1.0 - dist / F.greatest(F.length("_text_a"), F.length("_text_b")), 6
     )
-    return (
-        joined.select(
-            "id_a",
-            "id_b",
-            dist.cast("long").alias("edit_dist"),
-            sim.alias("similarity"),
-        )
-        .filter(F.col("similarity") >= threshold)
+    scored = joined.select(
+        "id_a",
+        "id_b",
+        dist.cast("long").alias("edit_dist"),
+        sim.alias("similarity"),
     )
+    # materialize BEFORE filtering: predicate pushdown would sink the
+    # similarity filter (and its inlined levenshtein) below the
+    # repartition exchange, silently re-serializing the kernel onto the
+    # original file splits — the barrier pins the 32-way evaluation and
+    # the checkpointed frame is 4 scalars per candidate, i.e. tiny
+    scored = scored.localCheckpoint()
+    return scored.filter(F.col("similarity") >= threshold)

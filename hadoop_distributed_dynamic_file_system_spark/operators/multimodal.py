@@ -122,3 +122,70 @@ def frame_sample_stub(binaries: DataFrame, every_n: int = 30) -> DataFrame:
     return binaries.mapInPandas(
         batches, schema="doc_id bigint, frame_no int, frame binary"
     )
+
+
+def audio_chunk_stub(
+    binaries: DataFrame, chunk_samples: int = 48000
+) -> DataFrame:
+    """Audio chunking shape: payload → (doc_id, chunk_no, n_samples,
+    rms) — fixed-length windows over the sample stream, the fan-out a
+    speech pipeline runs before per-chunk transcribe/embed.
+
+    STUB: samples = payload halved as 16-bit PCM; rms is md5-derived.
+    A real version is soundfile/torchaudio decode + true windowed rms;
+    the mapInPandas fan-out, schema, and chunk arithmetic are real.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, lens, rms = [], [], [], []
+            for _, row in pdf.iterrows():
+                n_samples = max(1, len(row["payload"]) // 2)
+                for c, start in enumerate(range(0, n_samples, chunk_samples)):
+                    ids.append(row["doc_id"])
+                    nos.append(c)
+                    lens.append(min(chunk_samples, n_samples - start))
+                    h = hashlib.md5(row["payload"] + str(c).encode()).hexdigest()
+                    rms.append((int(h[:8], 16) % 10**6) / 10**6)
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_no": nos, "n_samples": lens, "rms": rms}
+            )
+
+    return binaries.mapInPandas(
+        batches, schema="doc_id bigint, chunk_no int, n_samples int, rms double"
+    )
+
+
+def embed_stub(binaries: DataFrame, dim: int = 16) -> DataFrame:
+    """Media → embedding extraction shape: payload → unit-norm
+    array<float> — the bridge from the multimodal family into the
+    similarity/ANN family (the output plugs directly into
+    similarity.brute_force_topk / ivf_topk).
+
+    STUB: md5-seeded deterministic pseudo-embedding; a real version
+    runs a vision/audio encoder per Arrow batch (exactly where
+    GPU-batched inference slots in).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for b in pdf["payload"]:
+                h = hashlib.md5(b).digest()
+                raw = [
+                    int.from_bytes(h[2 * i: 2 * i + 2], "big") / 65535.0 - 0.5
+                    for i in range(min(dim, 8))
+                ]
+                while len(raw) < dim:
+                    h = hashlib.md5(h).digest()
+                    raw.extend(
+                        int.from_bytes(h[2 * i: 2 * i + 2], "big") / 65535.0 - 0.5
+                        for i in range(min(dim - len(raw), 8))
+                    )
+                norm = sum(x * x for x in raw) ** 0.5 or 1.0
+                vecs.append([float(x / norm) for x in raw])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    return binaries.mapInPandas(
+        batches, schema="doc_id bigint, embedding array<float>"
+    )

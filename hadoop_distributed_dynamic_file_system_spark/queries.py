@@ -2049,13 +2049,26 @@ _SQL_PS = """
 """
 
 
-def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _partsupp(
+    spark: SparkSession,
+    sf_dir: str,
+    parts: DataFrame | None = None,
+    suppliers: DataFrame | None = None,
+) -> DataFrame:
     """The derived partsupp relation (matches _SQL_PS exactly): a
     deterministic 1/5 part×supplier pairing with integer-arithmetic
     supplycost/availqty. Built as a broadcast cross-join of the two
-    dimension tables — both are dims, so this never touches a fact."""
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    dimension tables — both are dims, so this never touches a fact.
+
+    `parts` / `suppliers` let callers pass PRE-FILTERED dimension
+    frames: because ps rows are a pure function of the two keys,
+    filtering before the cross-join is semantics-preserving and keeps
+    the generated relation (and any broadcast of it) proportional to
+    the filtered dims, not the full cross product."""
+    p = (parts if parts is not None
+         else _t(spark, sf_dir, "part")).select("p_partkey")
+    s = (suppliers if suppliers is not None
+         else _t(spark, sf_dir, "supplier")).select("s_suppkey")
     return (
         p.crossJoin(F.broadcast(s))
         .filter((F.col("p_partkey") + F.col("s_suppkey")) % 5 == 0)
@@ -2272,10 +2285,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     it broadcasts; at true TPC-H scale partsupp shuffles on the same
     composite key the join needs, still one exchange."""
     _utc(spark)
-    ps = _partsupp(spark, sf_dir)
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
         "p_partkey"
     )
+    # ps is a pure function of its keys, so deriving it from the
+    # red-filtered part set is exact and ~6x smaller
+    ps = _partsupp(spark, sf_dir, parts=p)
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount",
@@ -2327,15 +2342,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation's total): the global scalar is a 1-row aggregate broadcast
     into the HAVING comparison. Integer cost×qty keeps both engines
     exact, so the threshold cut has no float boundary."""
-    ps = _partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5").select(
         "n_nationkey"
     )
-    national = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("__v"))
+    s_nat = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    national = _partsupp(spark, sf_dir, suppliers=s_nat).select(
+        "ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("__v")
     )
     national = national.persist()
     total = national.agg(F.sum("__v").alias("__total"))
@@ -2374,10 +2387,10 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner-joined back on the composite key; the IN chains become
     left-semi joins. No per-row subquery execution anywhere."""
     _utc(spark)
-    ps = _partsupp(spark, sf_dir)
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select(
         "p_partkey"
     )
+    ps = _partsupp(spark, sf_dir, parts=p)
     shipped = (
         _t(spark, sf_dir, "lineitem")
         .filter(
@@ -2388,8 +2401,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("__qty"))
     )
     qualifying = (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey, "left_semi")
-        .join(
+        ps.join(
             shipped,
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),

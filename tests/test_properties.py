@@ -175,3 +175,56 @@ class TestSortSpecProperties:
         assert [_unix_sort_key(l, " ")[:2] for l in got] == [
             _unix_sort_key(l, " ")[:2] for l in want
         ]
+
+
+class TestAsofJoinModel:
+    """asof_join vs pandas merge_asof (the reference model) on
+    randomized data — both directions, left and inner, with and
+    without key overlap."""
+
+    def _frames(self, seed):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(seed)
+        left = pd.DataFrame(
+            {"k": rng.randint(0, 5, 120), "ts": rng.randint(0, 500, 120)}
+        ).drop_duplicates(["k", "ts"]).reset_index(drop=True)
+        right = pd.DataFrame(
+            {"k": rng.randint(0, 6, 90), "ts": rng.randint(0, 500, 90)}
+        ).drop_duplicates(["k", "ts"]).reset_index(drop=True)
+        right["rv"] = right.index.astype("int64")
+        return left, right
+
+    def _compare(self, spark, seed, direction):
+        import pandas as pd
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import temporal
+
+        left, right = self._frames(seed)
+        expected = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts", by="k", direction=direction,
+        )
+        want = {
+            (r.k, r.ts): (None if pd.isna(r.rv) else int(r.rv))
+            for r in expected.itertuples()
+        }
+        got_df = temporal.asof_join(
+            spark.createDataFrame(left.assign(k=left.k.astype("int64"),
+                                              ts=left.ts.astype("int64"))),
+            spark.createDataFrame(right.assign(k=right.k.astype("int64"),
+                                               ts=right.ts.astype("int64"))),
+            "k", "ts", "ts", how="left", direction=direction,
+        )
+        got = {(r.k, r.ts): r.rv for r in got_df.collect()}
+        assert got == want
+
+    def test_backward_matches_pandas(self, spark):
+        for seed in (1, 7, 23):
+            self._compare(spark, seed, "backward")
+
+    def test_forward_matches_pandas(self, spark):
+        for seed in (1, 7, 23):
+            self._compare(spark, seed, "forward")
