@@ -2418,3 +2418,75 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
         .select("s_name")
     )
+
+
+@query(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+             AS avg_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing: the events.props JSON column parsed
+    with a TYPED from_json schema (JVM/codegen path — no per-row Python,
+    no schema inference job) and aggregated per event type. At scale
+    the typed parse matters twice: malformed rows become nulls instead
+    of failures, and Catalyst prunes the parse to the single accessed
+    field."""
+    e = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k bigint")["k"]
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "profile_customer",
+    """
+    SELECT 'c_custkey' AS column_name,
+           count(*) - count(c_custkey) AS null_cnt,
+           count(DISTINCT c_custkey) AS n_distinct,
+           CAST(min(c_custkey) AS VARCHAR) AS min_val,
+           CAST(max(c_custkey) AS VARCHAR) AS max_val
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*) - count(c_name), count(DISTINCT c_name),
+           CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*) - count(c_nationkey),
+           count(DISTINCT c_nationkey),
+           CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*) - count(c_mktsegment),
+           count(DISTINCT c_mktsegment),
+           CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
+    FROM customer
+    """,
+)
+def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE scan (operators/profiling.py): null
+    counts, distinct counts, min/max for four customer columns, stacked
+    to a per-column record. The oracle's UNION-ALL spelling scans the
+    table once per column — the operator's single-agg + stack shape is
+    the 100 TB difference."""
+    from .operators import profiling
+
+    c = _t(spark, sf_dir, "customer")
+    return profiling.profile(
+        c, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )

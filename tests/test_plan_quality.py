@@ -183,3 +183,11 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestProfilingPlan:
+    def test_profile_single_scan(self, spark, sf_dir):
+        """All per-column metrics fold into ONE table scan (the oracle's
+        UNION-ALL spelling scans once per column)."""
+        plan = plan_of(q.profile_customer(spark, sf_dir))
+        assert plan.count("Scan parquet") == 1
