@@ -381,3 +381,23 @@ class TestUpsertSnapshots:
         got = {r.k: (r.seq, r.v) for r in
                ev.read_upsert_table(spark, root).collect()}
         assert got[2] == (1, "b1") and got[1][0] == 2  # key 1 upserted
+
+
+class TestSessionWindowBatchEquivalence:
+    def test_builtin_session_window_matches_lag_sessionization(self, spark, sf_dir):
+        """Two independent sessionization renderings must agree: the
+        builtin session_window (gap-merged windows) and the lag-gap +
+        cumulative-id spelling the oracle-checked query uses."""
+        from hadoop_distributed_dynamic_file_system_spark import queries as q
+
+        e = q._events(spark, sf_dir)
+        via_builtin = (
+            e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .count()
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"))
+        )
+        got = {r.user_id: r.n_sessions for r in via_builtin.collect()}
+        want = {r.user_id: r.n_sessions
+                for r in q.sessionization(spark, sf_dir).collect()}
+        assert got == want and len(got) > 0
