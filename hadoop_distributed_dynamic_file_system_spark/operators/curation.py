@@ -218,3 +218,52 @@ def reservoir_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    alpha: float,
+    target_fraction: float,
+) -> DataFrame:
+    """Temperature-based mixture sampling (multilingual-training
+    style): stratum s is sampled at a rate proportional to n_s^alpha —
+    alpha=1 preserves the natural mix, alpha→0 flattens toward uniform
+    across strata — scaled so the expected kept fraction of the whole
+    corpus is `target_fraction`. Rates are clamped to 1 (a stratum
+    cannot contribute more than it has).
+
+    Two passes, both cheap: one partial-agg count per stratum (rows =
+    #strata, broadcast back), then the same scan-local deterministic
+    hash(id) < rate filter stratified_sample uses — reproducible
+    across engines, retries, and partitionings. Rates are rounded 9dp
+    so both engines compare the identical constant against the 2^-24
+    hash grid.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("__n"))
+    total = counts.agg(F.sum("__n").alias("__total"))
+    weighted = counts.join(F.broadcast(total)).select(
+        stratum_col,
+        "__n",
+        "__total",
+        F.pow(F.col("__n").cast("double"), F.lit(alpha)).alias("__w"),
+    )
+    wsum = weighted.agg(F.sum("__w").alias("__wsum"))
+    rates = weighted.join(F.broadcast(wsum)).select(
+        stratum_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(target_fraction) * F.col("__total") * F.col("__w")
+                / (F.col("__wsum") * F.col("__n")),
+            ),
+            9,
+        ).alias("__rate"),
+    )
+    u = uniform_unit(F.col(id_col))
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(u < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -873,3 +873,39 @@ def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     one explode + two grouped aggregations."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return textanalysis.inverted_index(d, "doc_id", "text", min_df=25)
+
+
+@query(
+    "temperature_mix",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n) AS total FROM counts),
+    w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS wgt FROM counts),
+    ws AS (SELECT sum(wgt) AS wsum FROM w),
+    rates AS (
+      SELECT lang, round(least(1.0, 0.3 * total * wgt / (wsum * n)), 9) AS rate
+      FROM w, tot, ws
+    )
+    SELECT d.lang, count(*) AS n_kept, min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ({_sql_hexval("md5(CAST(doc_id AS VARCHAR))", 1, 6)}) / 16777216.0
+          < r.rate
+    GROUP BY d.lang
+    """,
+)
+def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (alpha=0.5, 30% corpus target): rare
+    languages are up-weighted toward uniform, the head language
+    down-sampled (curation.temperature_mix). The keep decision stays
+    the deterministic hash(id) < rate scan-local filter; only the
+    per-stratum rates are data-derived (one tiny count pass)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = curation.temperature_mix(
+        d, "lang", "doc_id", alpha=0.5, target_fraction=0.3
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -490,3 +490,22 @@ class TestTopK:
         out = sort.top_k_per_group(df, ["g"], 2, [F.desc("v")])
         assert out.count() == 6
         assert out.groupBy("g").count().agg(F.max("count")).collect()[0][0] == 2
+
+
+class TestTemperatureMix:
+    def test_flattens_toward_uniform_and_deterministic(self, spark):
+        rows = [(i, "big") for i in range(2000)] + \
+               [(10000 + i, "small") for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, lang string")
+        kept = curation.temperature_mix(df, "lang", "id",
+                                        alpha=0.0, target_fraction=0.2)
+        by = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        # alpha=0: equal EXPECTED mass per stratum (~220 each); small is
+        # capped by its size, big down-sampled hard
+        assert by["small"] == 200          # rate clamps at 1.0
+        assert 150 < by["big"] < 300       # ~220 of 2000
+        again = {r["lang"]: r["n"] for r in
+                 curation.temperature_mix(df, "lang", "id", 0.0, 0.2)
+                 .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert by == again                 # hash-deterministic
