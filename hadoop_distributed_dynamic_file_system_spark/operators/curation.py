@@ -267,3 +267,42 @@ def temperature_mix(
         .filter(u < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group outlier clipping: values outside the group's
+    [lo, hi] exact quantiles are clamped to the bound, and the row is
+    tagged with which side (if any) was clipped. The numeric-hygiene
+    step before any scale-sensitive downstream statistic.
+
+    One agg pass computes both bounds per group (tiny result,
+    broadcast back); the clip itself is scan-local. Exact percentile
+    keeps the oracle parity; at 100 TB swap in
+    approx_percentile — same shape, sketch-sized partials.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, {lo})"), 6).alias("__lo"),
+        F.round(F.expr(f"percentile({value_col}, {hi})"), 6).alias("__hi"),
+    )
+    clipped = (
+        F.when(F.col(value_col) < F.col("__lo"), F.col("__lo"))
+        .when(F.col(value_col) > F.col("__hi"), F.col("__hi"))
+        .otherwise(F.col(value_col))
+    )
+    side = (
+        F.when(F.col(value_col) < F.col("__lo"), F.lit(-1))
+        .when(F.col(value_col) > F.col("__hi"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn("clipped_value", clipped)
+        .withColumn("clip_side", side)
+        .drop("__lo", "__hi")
+    )

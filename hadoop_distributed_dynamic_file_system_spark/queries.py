@@ -2490,3 +2490,61 @@ def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.profile(
         c, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
     )
+
+
+@query(
+    "winsorized_values",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.01), 6) AS lo,
+             round(quantile_cont(value, 0.99), 6) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(sum(CASE WHEN value < lo THEN 1
+                         WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           round(sum(CASE WHEN value < lo THEN lo
+                          WHEN value > hi THEN hi ELSE value END), 2)
+             AS clipped_sum
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (curation.winsorize): per-type p01/p99 clipping,
+    summarized. Exact linear-interpolated percentiles agree between
+    Spark's percentile() and DuckDB's quantile_cont, rounded 6dp
+    before the comparison so the clip boundary is bit-identical."""
+    from .operators import curation
+
+    e = _events(spark, sf_dir).select("event_type", "value")
+    w = curation.winsorize(e, "event_type", "value", lo=0.01, hi=0.99)
+    return w.groupBy("event_type").agg(
+        F.sum(F.abs(F.col("clip_side"))).alias("n_clipped"),
+        F.round(F.sum("clipped_value"), 2).alias("clipped_sum"),
+    )
+
+
+@query(
+    "regression_price_qty",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares (price ~ quantity): regr_* aggregates are
+    the same mergeable moment tuples as corr/covar — map-side partials,
+    one tiny exchange; no iterative fitting for 1-D OLS."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6)
+        .alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )

@@ -354,3 +354,24 @@ def read_upsert_table(spark: SparkSession, table_root: str) -> DataFrame:
     """Read the committed snapshot the pointer currently names."""
     with open(os.path.join(table_root, "_LATEST")) as f:
         return spark.read.parquet(os.path.join(table_root, f.read().strip()))
+
+
+def vacuum_snapshots(table_root: str, keep: int = 2) -> list[str]:
+    """Garbage-collect upsert-table snapshots: delete all version dirs
+    except the `keep` most recent BY EPOCH, never deleting the one the
+    pointer names (time travel over the kept tail stays possible).
+    Returns the removed dir names. The expunge/Trash analog for the
+    poor-man's table format."""
+    import re
+    import shutil
+
+    with open(os.path.join(table_root, "_LATEST")) as f:
+        current = f.read().strip()
+    versions = sorted(
+        (d for d in os.listdir(table_root) if re.fullmatch(r"v\d+", d)),
+        key=lambda d: int(d[1:]),
+    )
+    doomed = [d for d in versions[:-keep] if d != current]
+    for d in doomed:
+        shutil.rmtree(os.path.join(table_root, d))
+    return doomed

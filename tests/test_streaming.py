@@ -401,3 +401,35 @@ class TestSessionWindowBatchEquivalence:
         want = {r.user_id: r.n_sessions
                 for r in q.sessionization(spark, sf_dir).collect()}
         assert got == want and len(got) > 0
+
+
+class TestSnapshotVacuum:
+    def test_vacuum_keeps_tail_and_pointer(self, spark, tmp_path):
+        root = str(tmp_path / "vac")
+        writer = ev.upsert_snapshot_writer(root, ["k"], "seq")
+        for epoch in range(5):
+            writer(spark.createDataFrame(
+                [(1, epoch, f"v{epoch}")], "k long, seq long, v string"), epoch)
+        removed = ev.vacuum_snapshots(root, keep=2)
+        assert removed == ["v0", "v1", "v2"]
+        import os as _os
+        assert sorted(d for d in _os.listdir(root) if d.startswith("v")) == \
+            ["v3", "v4"]
+        # current snapshot still reads
+        t = ev.read_upsert_table(spark, root)
+        assert [(r.k, r.seq, r.v) for r in t.collect()] == [(1, 4, "v4")]
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_unifies_evolved_files(self, spark, tmp_path):
+        """Data-lake hygiene: day-2 files add a column; mergeSchema
+        reads old+new with nulls backfilled — no rewrite of day-1."""
+        base = str(tmp_path / "evolve")
+        spark.createDataFrame([(1, "a")], "id long, v string")\
+            .write.mode("append").parquet(base)
+        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double")\
+            .write.mode("append").parquet(base)
+        df = spark.read.option("mergeSchema", "true").parquet(base)
+        assert set(df.columns) == {"id", "v", "score"}
+        got = {r.id: r.score for r in df.collect()}
+        assert got == {1: None, 2: 9.5}
