@@ -909,3 +909,45 @@ def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@query(
+    "ann_ivf_recall",
+    """
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 3
+    """,
+)
+def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF accuracy contract (the sketch-style gate applied to ANN):
+    per query, recall@5 of the nprobe=2 IVF path against the exact
+    brute-force top-5 must be >= 0.4 (observed 0.6-1.0 across SFs; the
+    bound is the regression tripwire, not the expectation). Both
+    rankings compute in Spark; the oracle pins the contract."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    cen = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    qs = qs.persist()
+    qs.count()  # two consumers below
+    brute = similarity.brute_force_topk(emb, qs, k=5).select(
+        "query_id", F.col("vec_id").alias("b_vid")
+    )
+    ivf = similarity.ivf_topk(emb, qs, cen, k=5, nprobe=2).select(
+        "query_id", F.col("vec_id").alias("i_vid")
+    )
+    hits = brute.join(
+        ivf,
+        (brute.query_id == ivf.query_id) & (F.col("b_vid") == F.col("i_vid")),
+        "left_semi",
+    )
+    return (
+        brute.groupBy("query_id")
+        .agg(F.count("*").alias("__k"))
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("__hits")), "query_id")
+        .select(
+            "query_id",
+            (F.col("__hits") / F.col("__k") >= 0.4).alias("recall_ok"),
+        )
+    )
