@@ -2548,3 +2548,35 @@ def regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("intercept"),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
     )
+
+
+@query(
+    "trailing_hour_sum",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+             AS hour_sum
+    FROM events
+    """,
+)
+def trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the ROWS frames elsewhere): per event,
+    the user's value total over the trailing hour BY TIMESTAMP — the
+    frame width is a time distance, not a row count, so co-timed
+    bursts aggregate together regardless of how many rows they span.
+    Ordering is epoch micros (a long), making the frame arithmetic
+    engine-portable; same single exchange + sort as any user window."""
+    e = _events(spark, sf_dir)
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("hour_sum"),
+    )
