@@ -306,3 +306,13 @@ def winsorize(
         .withColumn("clip_side", side)
         .drop("__lo", "__hi")
     )
+
+
+def assign_folds(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Deterministic k-fold assignment: fold = md5_bucket(id) % k.
+    Scan-local (no shuffle, no state); the same id lands in the same
+    fold in any engine, on any cluster, after any retry — which is the
+    property a train/eval split must have to be auditable."""
+    return df.withColumn(
+        "fold", (md5_bucket(F.col(id_col), _RES_DIGITS) % k).cast("long")
+    )

@@ -951,3 +951,26 @@ def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__hits") / F.col("__k") >= 0.4).alias("recall_ok"),
         )
     )
+
+
+@query(
+    "kfold_assignment",
+    f"""
+    SELECT lang,
+           CAST(({_sql_hexval("md5(CAST(doc_id AS VARCHAR))", 1, 6)}) % 5
+                AS BIGINT) AS fold,
+           count(*) AS n_docs, min(doc_id) AS min_id
+    FROM documents
+    GROUP BY lang, fold
+    """,
+)
+def kfold_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold split audit (curation.assign_folds): fold
+    sizes per language. Hash-of-id assignment means folds are
+    reconstructible from the data alone — no persisted split table,
+    no RNG state."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    folds = curation.assign_folds(d, "doc_id", k=5)
+    return folds.groupBy("lang", "fold").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
