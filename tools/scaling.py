@@ -1,0 +1,84 @@
+"""Measure how the showcase queries scale across the shipped SFs
+(sf0.001 → sf0.01 → sf0.1 is 100×) and write SCALING.md.
+
+The interesting number is the LAST ratio (sf0.01→sf0.1, 10× data): a
+scan-bound query should grow well under 10× on local[32] (fixed ~0.3 s
+job overhead dominates small SFs); anything super-linear is a red flag
+(a pairwise blowup or a serialization point). Regenerate:
+`python tools/scaling.py`.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "q1_pricing_summary",
+    "revenue_per_nation",
+    "q9_product_profit",
+    "asof_attribution",
+    "sessionization",
+    "decile_histogram",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "edit_distance_verify",
+    "dedup_components",
+    "ngram_jaccard",
+    "sequence_packing",
+    "tfidf_top_terms",
+    "ann_brute_force",
+]
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+
+def main() -> None:
+    from hadoop_distributed_dynamic_file_system_spark import queries as q
+    from hadoop_distributed_dynamic_file_system_spark import queries_llm  # noqa: F401
+    from hadoop_distributed_dynamic_file_system_spark.session import get_spark
+
+    spark = get_spark("scaling", master="local[32]")
+    # warm the JVM/codegen path so sf0.001 isn't charged the session cost
+    q.QUERIES["wordcount"](spark, "/root/testdata/sf0.01").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    rows = []
+    for name in QUERIES:
+        times = []
+        for sf in SFS:
+            t0 = time.time()
+            q.QUERIES[name](spark, f"/root/testdata/{sf}").write.mode(
+                "overwrite"
+            ).format("noop").save()
+            times.append(time.time() - t0)
+        rows.append((name, times))
+        print(name, [round(t, 2) for t in times])
+
+    out = [
+        "# SCALING — wall time across shipped scale factors (local[32])",
+        "",
+        "Columns are seconds at each SF; `x(10x)` is the growth over the",
+        "final 10x data step (sf0.01 -> sf0.1). Sub-10x growth means the",
+        "query is overhead- or parallelism-bound, not data-bound — the",
+        "plans leave headroom for the next 100x. Regenerate:",
+        "`python tools/scaling.py`.",
+        "",
+        "| query | sf0.001 | sf0.01 | sf0.1 | x(10x) |",
+        "|---|---|---|---|---|",
+    ]
+    for name, t in rows:
+        ratio = t[2] / t[1] if t[1] > 0 else float("nan")
+        out.append(
+            f"| {name} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} | {ratio:.1f}x |"
+        )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALING.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    print("SCALING.md written")
+
+
+if __name__ == "__main__":
+    main()
