@@ -974,3 +974,75 @@ def kfold_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folds.groupBy("lang", "fold").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id")
     )
+
+
+@query(
+    "multi_signal_components",
+    f"""
+    WITH RECURSIVE {_SQL_DOCS_DUP.strip()},
+    docs4 AS (SELECT * FROM docs2 WHERE doc_id % 4 = 0),
+    sigs AS ({_minhash_sql(8, "docs4")}),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bkey FROM sigs
+      UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sigs
+      UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sigs
+      UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sigs
+    ),
+    mh_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    {_simhash_sql(src="docs4").strip()},
+    sh_cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM fps a JOIN fps b
+        ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      FROM fps a JOIN fps b
+        ON (a.simhash & 255) = (b.simhash & 255) AND a.doc_id < b.doc_id
+    ),
+    sh_pairs AS (
+      SELECT DISTINCT id_a, id_b FROM sh_cand
+      WHERE bit_count(xor(sa, sb)) <= 3
+    ),
+    all_pairs AS (
+      SELECT id_a, id_b FROM mh_pairs UNION SELECT id_a, id_b FROM sh_pairs
+    ),
+    cc_edges AS (
+      SELECT id_a AS s, id_b AS d FROM all_pairs
+      UNION SELECT id_b, id_a FROM all_pairs
+    ),
+    cc_nodes AS (SELECT DISTINCT s AS v FROM cc_edges),
+    reach(a, b) AS (
+      SELECT v, v FROM cc_nodes
+      UNION
+      SELECT r.a, e.d FROM reach r JOIN cc_edges e ON r.b = e.s
+    )
+    SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+    """,
+)
+def multi_signal_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup funnel, composed end to end across SIGNALS: MinHash-LSH
+    candidate pairs UNION SimHash near-pairs feed ONE connected-
+    components pass — a doc caught by either signal joins the cluster,
+    and transitive chains across signals collapse together (the
+    production shape: several cheap recall signals, one clustering).
+    Each signal stays its scale-clean self (banded equi-joins); the
+    union is pair-id traffic only."""
+    from .operators import graph
+
+    corpus = _docs_with_dups(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
+    mh_pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    fps = dedup.simhash(corpus, "doc_id", "text", bits=16)
+    sh_pairs = dedup.simhash_near_pairs(
+        fps, "doc_id", max_hamming=3, band_shift=8, rotations=2, bits=16
+    ).select("id_a", "id_b")
+    edges = mh_pairs.select("id_a", "id_b").unionByName(sh_pairs).distinct()
+    cc = graph.connected_components(edges, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
