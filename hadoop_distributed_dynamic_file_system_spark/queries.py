@@ -2580,3 +2580,80 @@ def trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum("value").over(w), 2).alias("hour_sum"),
     )
+
+
+@query(
+    "incremental_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (operators/rollup.py): the
+    hourly rollup is built as TWO increments (events before Jan 20 ≡
+    the standing table; the rest ≡ the day's delta) folded with
+    merge_rollups — and the oracle is the DIRECT full-range rollup, so
+    the incremental path's equivalence to recomputation IS the checked
+    property. Only rollup rows shuffle in the merge, never raw
+    events."""
+    from .operators import rollup as ru
+
+    e = _events(spark, sf_dir)
+    hour = F.expr("make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)")
+    e = e.withColumn("hour", hour)
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    standing = ru.rollup_events(
+        e.filter(F.col("ts") < cut), ["hour", "event_type"],
+        {"sum_value": "value"},
+    )
+    delta = ru.rollup_events(
+        e.filter(F.col("ts") >= cut), ["hour", "event_type"],
+        {"sum_value": "value"},
+    )
+    merged = ru.merge_rollups(
+        standing, delta, ["hour", "event_type"], ["sum_value"]
+    )
+    return merged.select(
+        "hour", "event_type", "cnt", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
+@query(
+    "sketch_rollup_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollups: per-(type, day) HLL sketches
+    unioned up to per-type estimates — the ONLY way distinct survives
+    pre-aggregation (exact sets don't merge). Contract-checked like
+    the other sketches: the unioned estimate must land within 5% of
+    the exact distinct (Datasketches HLL, lgK=12, typical error
+    well under 2%)."""
+    from .operators import rollup as ru
+
+    e = _events(spark, sf_dir).withColumn("day", F.expr("day(ts)"))
+    daily = ru.rollup_events(
+        e, ["event_type", "day"], {}, distinct_sketches={"users_sk": "user_id"}
+    )
+    merged = (
+        daily.groupBy("event_type")
+        .agg(F.hll_union_agg("users_sk").alias("users_sk"))
+        .withColumn("est", F.hll_sketch_estimate("users_sk"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_bounds"),
+    )

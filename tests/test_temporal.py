@@ -238,3 +238,46 @@ def test_embed_stub_feeds_ann_family(spark):
     )
     got = {r.query_id: r.doc_id for r in top.collect()}
     assert got == {0: 100, 1: 101, 2: 102}  # identical payload wins (cos=1)
+
+
+# ------------------------------------------------- incremental rollups
+
+from hadoop_distributed_dynamic_file_system_spark.operators import rollup as ru
+
+
+def test_rollup_merge_closed_under_composition(spark):
+    """Three increments folded pairwise equal the direct rollup, and
+    the hourly table cascades to a daily table with the same merge."""
+    rows = [(h, t, float(v)) for h in range(48) for t in ("a", "b")
+            for v in range(3)]
+    df = spark.createDataFrame(rows, "hour int, typ string, value double")
+    inc1 = ru.rollup_events(df.filter("hour < 16"), ["hour", "typ"], {"sv": "value"})
+    inc2 = ru.rollup_events(df.filter("hour >= 16 and hour < 32"), ["hour", "typ"], {"sv": "value"})
+    inc3 = ru.rollup_events(df.filter("hour >= 32"), ["hour", "typ"], {"sv": "value"})
+    merged = ru.merge_rollups(
+        ru.merge_rollups(inc1, inc2, ["hour", "typ"], ["sv"]),
+        inc3, ["hour", "typ"], ["sv"],
+    )
+    direct = ru.rollup_events(df, ["hour", "typ"], {"sv": "value"})
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    # cascade: re-aggregate the hourly table to daily with plain sums
+    daily = merged.withColumn("day", F.floor(F.col("hour") / 24)) \
+        .groupBy("day", "typ").agg(F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv"))
+    assert {(r.day, r.typ, r.cnt) for r in daily.collect()} == \
+        {(d, t, 24 * 3) for d in (0, 1) for t in ("a", "b")}
+
+
+def test_sketch_union_equals_direct_sketch(spark):
+    """HLL union of per-day sketches estimates EXACTLY what a direct
+    whole-range sketch estimates (deterministic merge algebra)."""
+    rows = [(d, i % 100) for d in range(4) for i in range(50 * (d + 1))]
+    df = spark.createDataFrame(rows, "day int, uid int")
+    daily = ru.rollup_events(df, ["day"], {}, distinct_sketches={"sk": "uid"})
+    merged_est = (
+        daily.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0].e
+    )
+    direct_est = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("e")
+    ).collect()[0].e
+    assert merged_est == direct_est
