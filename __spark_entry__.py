@@ -75,9 +75,28 @@ def _ordered(src: dict) -> dict:
     return out
 
 
+def _releasing(fn: Callable) -> Callable:
+    """Release the PREVIOUS query's engine-internal persists on entry.
+
+    The driver runs all 50 checked queries in one SparkSession and never
+    calls our hygiene hooks; by the time query N+1 is constructed, query
+    N's result has been collected, so its tracked persists are dead
+    weight (round 2 measured ~2× uniform inflation from exactly this
+    accumulation). Releasing at construction time of the next query is
+    safe — nothing tracked is still referenced by an un-acted plan."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hadoop_distributed_dynamic_file_system_spark import cache
+
+        cache.release_all()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return _ordered(dict(_q.QUERIES))
+    return {n: _releasing(f) for n, f in _ordered(dict(_q.QUERIES)).items()}
 
 
 def oracle_sql() -> dict[str, str]:

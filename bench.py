@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hadoop_distributed_dynamic_file_system_spark.session import get_spark  # noqa: E402
+from hadoop_distributed_dynamic_file_system_spark import cache  # noqa: E402
 from hadoop_distributed_dynamic_file_system_spark import queries as q  # noqa: E402
 from hadoop_distributed_dynamic_file_system_spark import queries_llm  # noqa: E402,F401  (registers)
 
@@ -84,6 +85,7 @@ def main() -> None:
                     materialize(fn(spark, warm_dir))
                 except Exception:
                     pass
+        cache.release_all()
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
@@ -94,6 +96,10 @@ def main() -> None:
         t0 = time.time()
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        # Release engine-internal persists between entries: a 39-query
+        # session otherwise accumulates executor storage until eviction
+        # pressure taxes every later entry (~2× uniform inflation in r02).
+        cache.release_all()
 
     # TeraSort-shaped sort throughput (datagen → total-order sort),
     # scaled with the SF so the number tracks data volume
@@ -105,6 +111,7 @@ def main() -> None:
     t0 = time.time()
     materialize(sort_ops.total_order_sort(datagen.teragen(spark, n_rows), "key10"))
     timings["terasort"] = round(time.time() - t0, 3)
+    cache.release_all()
 
     # shuffle-free SMJ over bucketed tables (layout write NOT timed —
     # it's the amortized cost the layout exists to amortize)
@@ -195,9 +202,11 @@ def main() -> None:
         10_000, int(1_000_000 * (float(sf) if sf.replace(".", "").isdigit() else 0.1))
     )
     gridmix(10_000)  # warm the composite plan shape once
+    cache.release_all()
     t0 = time.time()
     gridmix(gm_rows)
     timings["gridmix_pipeline"] = round(time.time() - t0, 3)
+    cache.release_all()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -186,6 +186,7 @@ class CopyResult:
     copied: int
     skipped: int
     bytes: int
+    deleted: int = 0
 
 
 def _list_files(root: str) -> list[tuple[str, str, int, float]]:
@@ -205,6 +206,8 @@ def distcp(
     dst_root: str,
     update: bool = False,
     overwrite: bool = False,
+    delete: bool = False,
+    preserve: bool = False,
     parallelism: int = 32,
 ) -> CopyResult:
     """DistCp: parallel tree copy as a Spark job.
@@ -212,7 +215,12 @@ def distcp(
     The driver lists the tree (cheap metadata pass — the reference's
     sequence-file copy list, DistCp.java 'setup'), the executors move
     bytes. `update` skips same-size existing targets; `overwrite`
-    recopies unconditionally.
+    recopies unconditionally. `delete` (-delete, tools/DistCp.java
+    deleteNonexistent) removes target files absent from the source
+    after the copy — both listings are driver metadata passes, the
+    deletes themselves are tiny so they run driver-side. `preserve`
+    (-p) carries permission bits and mtime to the target; without it
+    the copy writes bytes only, matching the reference's default.
     """
     files = _list_files(src_root)
     fl = spark.createDataFrame(
@@ -220,7 +228,7 @@ def distcp(
     ).repartition(min(parallelism, max(1, len(files))))
 
     dst = dst_root
-    do_update, do_overwrite = update, overwrite
+    do_update, do_overwrite, do_preserve = update, overwrite, preserve
 
     def copy_partition(rows):
         copied = skipped = nbytes = 0
@@ -234,16 +242,27 @@ def distcp(
                 if not do_update:
                     skipped += 1
                     continue
-            shutil.copy2(r.src, target)
+            if do_preserve:
+                shutil.copy2(r.src, target)  # bytes + mode + mtime
+            else:
+                shutil.copyfile(r.src, target)  # bytes only
             copied += 1
             nbytes += r.size
         yield (copied, skipped, nbytes)
 
     stats = fl.rdd.mapPartitions(copy_partition).collect()
+    deleted = 0
+    if delete:
+        src_rels = {f[1] for f in files}
+        for _, rel, _, _ in _list_files(dst_root):
+            if rel not in src_rels:
+                os.remove(os.path.join(dst_root, rel))
+                deleted += 1
     return CopyResult(
         copied=sum(s[0] for s in stats),
         skipped=sum(s[1] for s in stats),
         bytes=sum(s[2] for s in stats),
+        deleted=deleted,
     )
 
 

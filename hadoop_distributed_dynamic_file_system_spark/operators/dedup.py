@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 
 # ------------------------------------------------------------------ exact
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -177,8 +179,7 @@ def lsh_candidate_pairs(
         # eager: a lazy persist doesn't help here — both self-join sides
         # race to scan before the cache fills, so each recomputes the
         # signature pipeline anyway
-        banded = banded.persist()
-        banded.count()
+        banded = tracked_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -242,8 +243,7 @@ def near_dedup(
     anti-join against the (small) drop list; the corpus is never
     re-shuffled."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    sigs = sigs.persist()
-    sigs.count()
+    sigs = tracked_persist(sigs)
     pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     est = minhash_estimate(sigs, pairs, id_col, num_hashes)
     drop = (
@@ -337,8 +337,7 @@ def simhash_near_pairs(
         F.col("_rb.band").alias("_band"),
     )
     if cache:
-        banded = banded.persist()
-        banded.count()
+        banded = tracked_persist(banded)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -397,8 +396,7 @@ def ngram_jaccard_pairs(
             out = out.select(f"id_{side}", F.xxhash64("sh").alias("sh"))
         out = out.distinct()
         if cache:
-            out = out.persist()
-            out.count()  # eager — both consumers race otherwise
+            out = tracked_persist(out)  # eager — both consumers race otherwise
         return out
 
     ea, eb = exploded(df_a, "a"), exploded(df_b, "b")
@@ -445,8 +443,7 @@ def verify_pairs_edit_distance(
     persisted first: both broadcasts reference it, and without the
     materialization the entire upstream candidate pipeline (minhash →
     LSH) would execute once PER broadcast."""
-    pairs = pairs.persist()
-    pairs.count()  # materialize before the double broadcast
+    pairs = tracked_persist(pairs)  # materialize before the double broadcast
     a = corpus.select(
         F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a")
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right dot product (deterministic summation
@@ -262,8 +264,7 @@ def kmeans_fit(
                 F.coalesce("zv_new", "zv").alias("zv"),
             )
         )
-        centroids = centroids.persist()
-        centroids.count()  # materialize per iteration: cut lineage growth
+        centroids = tracked_persist(centroids)  # materialize per iteration: cut lineage growth
     return centroids.select("centroid_id", F.col("zv").alias("embedding"))
 
 
@@ -311,8 +312,7 @@ def embedding_near_dup_pairs(
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     bucketed = c.select(id_col, "cv", F.concat(*bits).alias("bucket"))
     if cache:
-        bucketed = bucketed.persist()
-        bucketed.count()  # eager — both self-join sides race otherwise
+        bucketed = tracked_persist(bucketed)  # eager — both self-join sides race otherwise
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = a.join(
         b,

@@ -27,6 +27,8 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 BAD_COL = "_bad_record"
 
 
@@ -94,7 +96,7 @@ def split_skipped(mapped: DataFrame) -> tuple[DataFrame, DataFrame]:
     per branch (the map may be expensive and is not re-run to split).
     Caller owns the cache (``spark.catalog.clearCache()`` when done).
     """
-    mapped = mapped.persist()
+    mapped = tracked_persist(mapped, eager=False)  # lazy: first consumer fills the cache
     clean = mapped.filter(F.col(BAD_COL).isNull()).drop(BAD_COL)
     quarantine = mapped.filter(F.col(BAD_COL).isNotNull()).select(BAD_COL)
     return clean, quarantine

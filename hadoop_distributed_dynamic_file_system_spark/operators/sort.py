@@ -27,6 +27,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 
 # ---------------------------------------------------------------- total order
 def total_order_sort(df: DataFrame, *cols: Column | str, ascending: bool = True) -> DataFrame:
@@ -90,9 +92,8 @@ def global_rank(
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
-    ranged.count()  # freeze the layout: count job + output job must agree
+    ranged = tracked_persist(ranged)  # freeze the layout: count job + output job must agree
     sizes = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 # Tiny per-language stopword sets for the n-gram/stopword heuristic.
 # Deliberately small + deterministic (the oracle replicates them).
 STOPWORDS = {
@@ -180,7 +182,7 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     tf = term_frequencies(df, id_col, text_col)
-    tf = tf.persist()
+    tf = tracked_persist(tf)
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = df.agg(F.count("*").alias("__n"))
     scored = (

@@ -17,6 +17,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
+
 from .operators import aggregate as agg_ops
 from .operators import fieldsel, joins, sampling, sort, transforms
 from .sources import text as text_src
@@ -1039,8 +1041,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_revenue")
         )
-        .persist()
     )
+    rev = tracked_persist(rev, eager=False)
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -2034,17 +2036,23 @@ def decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 # TPC-H completion: Q3/Q6/Q12 on the native schema; Q2/Q9/Q11/Q20 via a
 # DERIVED partsupp (the testdata ships no partsupp table, so both
-# engines build the identical deterministic relation: every 5th
-# (part, supplier) pairing, integer-arithmetic cost/availqty)
+# engines build the identical deterministic relation: each part paired
+# with exactly 4 suppliers by key arithmetic — O(|part|) rows like real
+# TPC-H partsupp (4·|part|), not a filtered cross product whose
+# cardinality would grow quadratically in the dims at scale)
 # =====================================================================
 
 _SQL_PS = """
   ps AS (
-    SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
-           ((p_partkey * 31 + s_suppkey * 17) % 1000) + 1 AS ps_supplycost,
-           ((p_partkey * 7 + s_suppkey * 13) % 9999) + 1 AS ps_availqty
-    FROM part, supplier
-    WHERE (p_partkey + s_suppkey) % 5 = 0
+    SELECT ps_partkey, ps_suppkey,
+           ((ps_partkey * 31 + ps_suppkey * 17) % 1000) + 1 AS ps_supplycost,
+           ((ps_partkey * 7 + ps_suppkey * 13) % 9999) + 1 AS ps_availqty
+    FROM (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 11 + i * 37) % (SELECT count(*) FROM supplier)
+               AS ps_suppkey
+      FROM part, range(4) t(i)
+    )
   )
 """
 
@@ -2055,32 +2063,46 @@ def _partsupp(
     parts: DataFrame | None = None,
     suppliers: DataFrame | None = None,
 ) -> DataFrame:
-    """The derived partsupp relation (matches _SQL_PS exactly): a
-    deterministic 1/5 part×supplier pairing with integer-arithmetic
-    supplycost/availqty. Built as a broadcast cross-join of the two
-    dimension tables — both are dims, so this never touches a fact.
+    """The derived partsupp relation (matches _SQL_PS exactly): each
+    part paired with 4 suppliers chosen by key arithmetic
+    (ps_suppkey = (p_partkey·11 + i·37) % |supplier|, i ∈ 0..3), with
+    integer-arithmetic supplycost/availqty. Cardinality-faithful to
+    real TPC-H partsupp — exactly 4·|part| rows, so at sf100 the
+    relation is ~80M rows, not the ~4×10¹² a %-filtered cross product
+    would produce. |supplier| is a driver-side dim count (one cheap
+    job), always over the FULL supplier table so the pairing is stable
+    under caller-side filters.
 
-    `parts` / `suppliers` let callers pass PRE-FILTERED dimension
-    frames: because ps rows are a pure function of the two keys,
-    filtering before the cross-join is semantics-preserving and keeps
-    the generated relation (and any broadcast of it) proportional to
-    the filtered dims, not the full cross product."""
+    `parts` lets callers pass a PRE-FILTERED part frame: ps rows are a
+    pure function of p_partkey, so generating from the filtered set is
+    exact. `suppliers` restricts pairs to the given supplier keys via a
+    broadcast semi-join (pairing itself is unchanged)."""
     p = (parts if parts is not None
          else _t(spark, sf_dir, "part")).select("p_partkey")
-    s = (suppliers if suppliers is not None
-         else _t(spark, sf_dir, "supplier")).select("s_suppkey")
-    return (
-        p.crossJoin(F.broadcast(s))
-        .filter((F.col("p_partkey") + F.col("s_suppkey")) % 5 == 0)
+    n_sup = _t(spark, sf_dir, "supplier").count()
+    i = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("i")
+    ps = (
+        p.select("p_partkey", i)
         .select(
             F.col("p_partkey").alias("ps_partkey"),
-            F.col("s_suppkey").alias("ps_suppkey"),
-            ((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 1000 + 1)
+            ((F.col("p_partkey") * 11 + F.col("i") * 37) % F.lit(n_sup))
+            .alias("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 1000 + 1)
             .alias("ps_supplycost"),
-            ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 13) % 9999 + 1)
+            ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 9999 + 1)
             .alias("ps_availqty"),
         )
     )
+    if suppliers is not None:
+        keys = suppliers.select("s_suppkey").distinct()
+        ps = ps.join(
+            F.broadcast(keys), ps["ps_suppkey"] == keys["s_suppkey"], "semi"
+        )
+    return ps
 
 
 @query(
@@ -2350,7 +2372,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     national = _partsupp(spark, sf_dir, suppliers=s_nat).select(
         "ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("__v")
     )
-    national = national.persist()
+    national = tracked_persist(national, eager=False)
     total = national.agg(F.sum("__v").alias("__total"))
     return (
         national.groupBy("ps_partkey")
@@ -2366,11 +2388,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SQL_PS.strip()}
     SELECT s_name FROM supplier, nation
-    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_2'
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_9'
       AND s_suppkey IN (
         SELECT ps_suppkey FROM ps
         WHERE ps_partkey IN (SELECT p_partkey FROM part
-                             WHERE p_brand = 'Brand#12')
+                             WHERE p_brand LIKE 'Brand#1%')
           AND ps_availqty > (
             SELECT 0.5 * sum(l_quantity) FROM lineitem
             WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
@@ -2387,9 +2409,9 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner-joined back on the composite key; the IN chains become
     left-semi joins. No per-row subquery execution anywhere."""
     _utc(spark)
-    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select(
-        "p_partkey"
-    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").like("Brand#1%")
+    ).select("p_partkey")
     ps = _partsupp(spark, sf_dir, parts=p)
     shipped = (
         _t(spark, sf_dir, "lineitem")
@@ -2410,7 +2432,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ps_suppkey")
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2").select(
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9").select(
         "n_nationkey"
     )
     return (

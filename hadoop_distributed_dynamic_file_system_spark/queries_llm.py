@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
+
 from .operators import curation, dedup, multimodal, similarity, textanalysis
 from .queries import ORACLE, QUERIES, _t, query
 
@@ -155,8 +157,7 @@ def minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard per candidate (fraction of agreeing components)."""
     corpus = _docs_with_dups(spark, sf_dir)
     sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
-    sigs = sigs.persist()
-    sigs.count()  # reused by the LSH join and both estimate joins
+    sigs = tracked_persist(sigs)  # reused by the LSH join and both estimate joins
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     return dedup.minhash_estimate(sigs, pairs, "doc_id", num_hashes=8)
 
@@ -929,8 +930,7 @@ def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    qs = qs.persist()
-    qs.count()  # two consumers below
+    qs = tracked_persist(qs)  # two consumers below
     brute = similarity.brute_force_topk(emb, qs, k=5).select(
         "query_id", F.col("vec_id").alias("b_vid")
     )

@@ -35,6 +35,28 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def on_disk_events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Footer-only schema probe of the events parquet.
+
+    The generator has shipped `ts` two ways across rounds — int64
+    nanos (read as long via `nanosAsLong`) and TIMESTAMP(MICROS) —
+    so the stream reader takes its mandatory schema from the file it
+    will actually read instead of a frozen literal."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """`ts` → event-time TIMESTAMP regardless of the on-disk form
+    (int64 nanos → floor-truncate to micros; TIMESTAMP(MICROS)/NTZ →
+    plain cast). Watermarks and window() need a timestamp column; both
+    the stream and its batch twins go through this one function so
+    their event times agree exactly."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -50,17 +72,16 @@ def read_events_stream(
     streaming/kafka.py). At 100 TB a cold start over an existing
     directory MUST be rate-limited or the first batch shuffles the
     whole history at once."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source lists a DIRECTORY; events.parquet is one file, so
     # stream the parent dir with a glob filter selecting just it
     reader = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(on_disk_events_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def read_parquet_dir_stream(

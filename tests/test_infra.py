@@ -328,6 +328,41 @@ class TestFileOps:
         r3 = fileops.distcp(spark, str(src), str(dst), update=True)
         assert r3.copied == 1
 
+    def test_distcp_delete_removes_target_only_files(self, spark, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "keep.txt").write_text("k")
+        dst = tmp_path / "dst"
+        fileops.distcp(spark, str(src), str(dst))
+        (dst / "stale.txt").write_text("gone")
+        r = fileops.distcp(spark, str(src), str(dst), update=True, delete=True)
+        assert r.deleted == 1
+        assert (dst / "keep.txt").exists() and not (dst / "stale.txt").exists()
+        # without -delete the stray survives
+        (dst / "stale2.txt").write_text("stays")
+        r2 = fileops.distcp(spark, str(src), str(dst), update=True)
+        assert r2.deleted == 0 and (dst / "stale2.txt").exists()
+
+    def test_distcp_preserve_attrs(self, spark, tmp_path):
+        import os
+        import stat
+
+        src = tmp_path / "src"
+        src.mkdir()
+        f = src / "a.txt"
+        f.write_text("aaa")
+        os.chmod(f, 0o640)
+        os.utime(f, (1_000_000_000, 1_000_000_000))
+        dst_p = tmp_path / "dp"
+        fileops.distcp(spark, str(src), str(dst_p), preserve=True)
+        st = os.stat(dst_p / "a.txt")
+        assert stat.S_IMODE(st.st_mode) == 0o640
+        assert int(st.st_mtime) == 1_000_000_000
+        # default copy does NOT carry the old mtime (reference default)
+        dst_n = tmp_path / "dn"
+        fileops.distcp(spark, str(src), str(dst_n))
+        assert int(os.stat(dst_n / "a.txt").st_mtime) != 1_000_000_000
+
     def test_distch_mode_owner_group(self, spark, tmp_path):
         import os
         import stat

@@ -170,3 +170,40 @@ class TestCounters:
         out.collect()  # the action populates the observation
         vals = spec.counter_values()
         assert vals == {"records_in": 2, "v_total": 3}
+
+
+class TestDerivedPartsupp:
+    """The derived partsupp must stay cardinality-faithful to real
+    TPC-H partsupp: exactly 4 rows per part (a dim-sized relation at
+    any SF), with supplier keys that actually exist."""
+
+    def test_four_rows_per_part_and_valid_keys(self, spark, sf_dir):
+        from hadoop_distributed_dynamic_file_system_spark import queries as q
+        from pyspark.sql import functions as F
+
+        ps = q._partsupp(spark, sf_dir)
+        n_part = q._t(spark, sf_dir, "part").count()
+        assert ps.count() == 4 * n_part
+        # 4 DISTINCT suppliers per part (no modular collisions)
+        per_part = ps.groupBy("ps_partkey").agg(
+            F.countDistinct("ps_suppkey").alias("k")
+        )
+        assert per_part.filter(F.col("k") != 4).count() == 0
+        # every generated suppkey resolves to a real supplier row
+        s = q._t(spark, sf_dir, "supplier").select("s_suppkey")
+        orphans = ps.join(
+            s, ps.ps_suppkey == s.s_suppkey, "left_anti"
+        ).count()
+        assert orphans == 0
+
+    def test_supplier_filter_is_semi_join_restriction(self, spark, sf_dir):
+        from hadoop_distributed_dynamic_file_system_spark import queries as q
+        from pyspark.sql import functions as F
+
+        s_half = q._t(spark, sf_dir, "supplier").filter(
+            F.col("s_suppkey") % 2 == 0
+        )
+        ps_all = q._partsupp(spark, sf_dir)
+        ps_half = q._partsupp(spark, sf_dir, suppliers=s_half)
+        want = ps_all.filter(F.col("ps_suppkey") % 2 == 0).count()
+        assert ps_half.count() == want > 0

@@ -27,10 +27,11 @@ class TestStreaming:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         import os
 
-        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        raw = ev.normalize_event_ts(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        )
         batch = (
-            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .groupBy(F.window("ts", "1 hour"), "event_type")
+            raw.groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
             .select(F.col("window.start").alias("win_start"), "event_type", "cnt", "sum_value")
         )
@@ -43,7 +44,7 @@ class TestStreaming:
         # on a finite source — that's the semantics, not a bug.
         import datetime
 
-        max_ts = raw.agg(F.max(F.timestamp_micros(F.expr("ts div 1000")))).collect()[0][0]
+        max_ts = raw.agg(F.max("ts")).collect()[0][0]
         horizon = max_ts - datetime.timedelta(hours=3)  # 1h window + 2h watermark
         closed = {k: v for k, v in want.items() if k[0] < horizon}
         assert len(got) > 0 and closed.items() <= got.items() <= want.items()
@@ -118,8 +119,8 @@ class TestStreaming:
         import os
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        raw = ev.normalize_event_ts(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         )
         v = raw.filter(F.col("event_type") == "view").selectExpr(
             "user_id AS l_user", "ts AS l_ts", "event_id AS l_event"
