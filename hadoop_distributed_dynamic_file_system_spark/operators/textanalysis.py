@@ -226,3 +226,56 @@ def inverted_index(
         )
         .filter(F.col("doc_freq") >= min_df)
     )
+
+
+def write_index_shards(
+    index: DataFrame, out_dir: str, n_shards: int, policy: str = "hash"
+) -> int:
+    """Sharded write of an inverted index (ref contrib/index/.../
+    HashingDistributionPolicy.java, RoundRobinDistributionPolicy.java:
+    the reference chose a Lucene shard per document by hash or by
+    rotation; here the postings table lands in `n_shards` parquet
+    partition dirs chosen per TERM).
+
+    policy='hash': shard = xxhash64(term) mod n — term lookups prune
+    to exactly one shard (see `lookup_term`). policy='roundrobin':
+    shard = global term rank mod n — perfectly even shard sizes, but a
+    lookup must consult every shard (the same tradeoff the reference's
+    two policies embody). The rank comes from the scale-safe
+    global_rank (range shuffle + prefix sums), not a single-task
+    window. Returns the shard count actually written."""
+    if policy == "hash":
+        sharded = index.withColumn(
+            "shard", F.pmod(F.xxhash64("term"), F.lit(n_shards))
+        )
+    elif policy == "roundrobin":
+        from .sort import global_rank
+
+        ranked = global_rank(index, ["term"], rank_col="_r")
+        sharded = ranked.withColumn(
+            "shard", (F.col("_r") - 1) % n_shards
+        ).drop("_r")
+    else:
+        raise ValueError(f"unknown distribution policy: {policy}")
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    return n_shards
+
+
+def lookup_term(
+    spark, out_dir: str, term: str, n_shards: int
+) -> DataFrame:
+    """Shard-pruned term probe against a hash-policy shard layout: the
+    term's shard is computed with the same JVM xxhash64 the writer
+    used, and ONLY that partition directory is read — 1/n of the index,
+    the point of the hash policy. (Round-robin layouts have no pruning
+    rule; filter the full read instead.)"""
+    shard = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(term)), F.lit(n_shards)).alias("s"))
+        .first()["s"]
+    )
+    import os
+
+    return spark.read.parquet(os.path.join(out_dir, f"shard={shard}")).filter(
+        F.col("term") == term
+    )

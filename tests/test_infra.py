@@ -397,6 +397,56 @@ class TestFileOps:
         assert rep["rows"] == 1500 and rep["files"] == 1
         assert rep["min_partition_rows"] <= rep["avg_partition_rows"] <= rep["max_partition_rows"]
 
+    def test_fsck_healthy_then_corrupt(self, spark, tmp_path, sf_dir):
+        import glob
+        import os
+        import shutil
+
+        table = str(tmp_path / "t")
+        shutil.copytree(os.path.join(sf_dir, "orders.parquet"), table) \
+            if os.path.isdir(os.path.join(sf_dir, "orders.parquet")) \
+            else None
+        if not os.path.isdir(table):
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+                .repartition(3).write.parquet(table)
+        rep = fileops.fsck(spark, table, catalog_rows=1500)
+        assert rep["status"] == "HEALTHY" and rep["rows_match"]
+        # truncate one data file: footer unreadable -> flagged
+        victim = glob.glob(table + "/part-*.parquet")[0]
+        with open(victim, "r+b") as f:
+            f.truncate(os.path.getsize(victim) // 2)
+        rep2 = fileops.fsck(spark, table, catalog_rows=1500)
+        assert rep2["status"] == "CORRUPT"
+        assert os.path.basename(victim) in rep2["corrupt_files"]
+
+    def test_fsck_snapshot_orphans_and_pointer(self, spark, tmp_path):
+        import os
+
+        from hadoop_distributed_dynamic_file_system_spark.streaming import (
+            events as ev,
+        )
+
+        root = str(tmp_path / "cdc")
+        os.makedirs(root)
+        batch = spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "k int, seq int, v string"
+        )
+        ev.upsert_snapshot_writer(root, ["k"], "seq")(batch, 0)
+        rep = fileops.fsck(spark, root, catalog_rows=2)
+        assert rep["status"] == "HEALTHY"
+        assert rep["snapshot_versions"] == ["v0"] and rep["rows_match"]
+        # plant an orphan next to the version dirs -> flagged
+        with open(os.path.join(root, "stray.tmp"), "w") as f:
+            f.write("x")
+        rep2 = fileops.fsck(spark, root)
+        assert rep2["status"] == "CORRUPT" and rep2["orphans"] == ["stray.tmp"]
+        os.remove(os.path.join(root, "stray.tmp"))
+        # swing the pointer at a missing version -> dangling flagged
+        with open(os.path.join(root, "_LATEST"), "w") as f:
+            f.write("v99")
+        rep3 = fileops.fsck(spark, root)
+        assert rep3["status"] == "CORRUPT" and rep3["dangling_pointer"] == "v99"
+
     def test_logalyzer(self, spark, tmp_path):
         p = tmp_path / "log.txt"
         p.write_text("ERROR x\nINFO y\nERROR x\nERROR z\n")

@@ -509,3 +509,64 @@ class TestTemperatureMix:
                  curation.temperature_mix(df, "lang", "id", 0.0, 0.2)
                  .groupBy("lang").agg(F.count("*").alias("n")).collect()}
         assert by == again                 # hash-deterministic
+
+
+class TestIndexShards:
+    """Sharded inverted-index write (ref contrib/index distribution
+    policies): hash policy must allow single-shard term probes;
+    round-robin must balance shard sizes to within one term."""
+
+    def _index(self, spark, sf_dir):
+        import os
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            textanalysis as ta,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return ta.inverted_index(docs, "doc_id", "text", min_df=2)
+
+    def test_hash_shards_and_pruned_lookup(self, spark, sf_dir, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            textanalysis as ta,
+        )
+
+        idx = self._index(spark, sf_dir)
+        out = str(tmp_path / "shards")
+        ta.write_index_shards(idx, out, n_shards=4, policy="hash")
+        dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+        assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+        term = idx.orderBy("term").first()["term"]
+        got = ta.lookup_term(spark, out, term, n_shards=4).collect()
+        want = idx.filter(F.col("term") == term).collect()
+        assert len(got) == len(want) == 1
+        assert got[0]["postings"] == want[0]["postings"]
+        # the probe's scan lists exactly one shard directory
+        probe = ta.lookup_term(spark, out, term, n_shards=4)
+        files = {r[0] for r in probe.select(F.input_file_name()).collect()}
+        assert all("/shard=" in f for f in files)
+        assert len({f.split("/shard=")[1].split("/")[0] for f in files}) == 1
+
+    def test_roundrobin_shards_balanced(self, spark, sf_dir, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            textanalysis as ta,
+        )
+
+        idx = self._index(spark, sf_dir)
+        out = str(tmp_path / "rr")
+        ta.write_index_shards(idx, out, n_shards=4, policy="roundrobin")
+        back = spark.read.parquet(out)
+        sizes = [
+            r["n"]
+            for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        ]
+        assert len(sizes) == 4 and max(sizes) - min(sizes) <= 1
+        assert back.count() == idx.count()
