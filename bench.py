@@ -208,12 +208,67 @@ def main() -> None:
     timings["gridmix_pipeline"] = round(time.time() - t0, 3)
     cache.release_all()
 
+    # TestDFSIO analog (ref src/test/.../fs/TestDFSIO.java:63): bulk
+    # sequential write then read of a generated table, reported both as
+    # wall seconds (round-over-round comparable in `queries`) and as
+    # MB/s (the reference's metric vocabulary) under `io`.
+    import shutil
+    import tempfile
+
+    io_dir = tempfile.mkdtemp(prefix="dfsio_")
+    try:
+        io_rows = max(100_000, int(10_000_000 * (
+            float(sf) if sf.replace(".", "").isdigit() else 0.1)))
+        gen = datagen.teragen(spark, io_rows)  # ~100 B/row like DFSIO
+        t0 = time.time()
+        gen.write.mode("overwrite").parquet(io_dir)
+        w_sec = time.time() - t0
+        nbytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(io_dir) for f in fs
+        )
+        t0 = time.time()
+        materialize(spark.read.parquet(io_dir))
+        r_sec = time.time() - t0
+        timings["dfsio_write"] = round(w_sec, 3)
+        timings["dfsio_read"] = round(r_sec, 3)
+        io_stats = {
+            "write_mb_s": round(nbytes / w_sec / 1e6, 1),
+            "read_mb_s": round(nbytes / r_sec / 1e6, 1),
+            "bytes": nbytes,
+        }
+    finally:
+        shutil.rmtree(io_dir, ignore_errors=True)
+
+    # NNBench analog (ref hdfs/NNBench.java): pure metadata ops/s
+    # through the FsShell surface — create/stat/ls/delete, no data.
+    from hadoop_distributed_dynamic_file_system_spark.fileops import FsShell
+
+    meta_dir = tempfile.mkdtemp(prefix="nnbench_")
+    try:
+        sh = FsShell(spark)
+        n_meta = 200
+        t0 = time.time()
+        for i in range(n_meta):
+            sh.touchz(os.path.join(meta_dir, f"f{i}"))
+        for i in range(n_meta):
+            sh.stat(os.path.join(meta_dir, f"f{i}"))
+        sh.ls(meta_dir)
+        for i in range(n_meta):
+            sh.rm(os.path.join(meta_dir, f"f{i}"), skip_trash=True)
+        m_sec = time.time() - t0
+        timings["nnbench_meta"] = round(m_sec, 3)
+        io_stats["meta_ops_s"] = round((3 * n_meta + 1) / m_sec, 1)
+    finally:
+        shutil.rmtree(meta_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "io": io_stats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -1046,3 +1046,34 @@ def multi_signal_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+@query(
+    "sharded_term_lookup",
+    f"""
+    WITH {_SQL_TF.strip()}
+    SELECT term, count(*) AS doc_freq,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM tf WHERE term = 'the' GROUP BY term
+    """,
+)
+def sharded_term_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end sharded-index probe: build the inverted index, land
+    it in 4 hash-policy parquet shards (textanalysis.write_index_shards
+    — ref contrib/index HashingDistributionPolicy), then answer a term
+    query by reading ONLY the term's shard (lookup_term). The oracle is
+    the plain inverted index filtered to the same term, so a pruning
+    bug that drops or misroutes postings hash-mismatches."""
+    import os
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # min_df=25 prunes the long tail before the shard write; the probed
+    # term's df is far above the cut, so the oracle row is unaffected
+    idx = textanalysis.inverted_index(d, "doc_id", "text", min_df=25)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"hddfs_shards_{os.path.basename(sf_dir.rstrip(os.sep))}",
+    )
+    textanalysis.write_index_shards(idx, out, n_shards=4, policy="hash")
+    return textanalysis.lookup_term(spark, out, "the", n_shards=4)
