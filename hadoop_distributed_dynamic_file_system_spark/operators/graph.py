@@ -87,7 +87,9 @@ def connected_components(
                 "prev",
                 F.least("comp", F.coalesce("h_comp", "comp")).alias("comp"),
             )
-            .localCheckpoint()
+            # lazy: the changed-count action below materializes the
+            # checkpoint, so each round is ONE job, not two
+            .localCheckpoint(eager=False)
         )
         changed = jumped.filter(F.col("comp") != F.col("prev")).count()
         labels = jumped.select("node", "comp")

@@ -377,6 +377,137 @@ def read_upsert_table(spark: SparkSession, table_root: str) -> DataFrame:
         return spark.read.parquet(os.path.join(table_root, f.read().strip()))
 
 
+def bucketed_upsert_writer(
+    table_root: str, key_cols: list[str], seq_col: str, n_buckets: int = 16
+):
+    """Key-bucketed CDC upsert — the 100 TB form of
+    `upsert_snapshot_writer`: the table lives as `b<k>/v<epoch>`
+    bucket-version dirs (bucket = xxhash64(keys) mod n) plus one JSON
+    manifest mapping bucket → committed version, and an epoch rewrites
+    ONLY the buckets its micro-batch touches. A 1000-executor table
+    with a 0.1% daily churn rewrites ~every bucket at n=16, but at
+    n=4096 it rewrites ~0.1% of the data — n_buckets is the knob that
+    decouples epoch cost from table size.
+
+    One Spark job per epoch regardless of touched-bucket count: the
+    merged frame lands in a staging dir via partitionBy(bucket), then
+    the driver renames each bucket dir into place and atomically
+    replaces the manifest (the commit point). A replayed epoch is a
+    no-op via the manifest's epoch ledger. Readers (`read_bucketed_
+    table`) see only manifest-committed versions, so a crash between
+    renames and manifest write leaves garbage dirs (fsck-visible)
+    but never a torn table."""
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import json
+        import shutil
+
+        spark = batch_df.sparkSession
+        manifest_path = os.path.join(table_root, "_MANIFEST")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+        else:
+            manifest = {"epochs": [], "buckets": {}, "n_buckets": n_buckets}
+        if epoch_id in manifest["epochs"]:
+            return  # replayed epoch: already committed
+
+        bucket = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
+        fresh = latest_per_key(batch_df, key_cols, seq_col)
+        touched = sorted(
+            r["__b"]
+            for r in fresh.select(bucket.alias("__b")).distinct().collect()
+        )
+        cur_paths = [
+            os.path.join(table_root, f"b{b}", manifest["buckets"][str(b)])
+            for b in touched
+            if str(b) in manifest["buckets"]
+        ]
+        merged = fresh
+        if cur_paths:
+            current = spark.read.parquet(*cur_paths)
+            merged = latest_per_key(
+                current.unionByName(fresh), key_cols, seq_col
+            )
+        staging = os.path.join(table_root, f"_staging_{epoch_id}")
+        merged.withColumn("__b", bucket).write.mode("overwrite").partitionBy(
+            "__b"
+        ).parquet(staging)
+        for b in touched:
+            src = os.path.join(staging, f"__b={b}")
+            dst = os.path.join(table_root, f"b{b}", f"v{epoch_id}")
+            if os.path.isdir(src):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                manifest["buckets"][str(b)] = f"v{epoch_id}"
+        shutil.rmtree(staging, ignore_errors=True)
+        manifest["epochs"].append(epoch_id)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, manifest_path)  # atomic commit
+
+    return merge_batch
+
+
+def read_bucketed_table(spark: SparkSession, table_root: str) -> DataFrame:
+    """Read the committed state of a bucketed upsert table: the union
+    of every bucket's manifest-named version dir."""
+    import json
+
+    with open(os.path.join(table_root, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    paths = [
+        os.path.join(table_root, f"b{b}", v)
+        for b, v in manifest["buckets"].items()
+    ]
+    return spark.read.parquet(*paths)
+
+
+def lookup_bucketed_key(
+    spark: SparkSession, table_root: str, key_cols: list[str], key_vals: list
+) -> DataFrame:
+    """Point lookup against a bucketed upsert table: compute the key's
+    bucket with the same JVM hash the writer used and read ONLY that
+    bucket's committed version — 1/n_buckets of the table, the same
+    pruning story as the sharded inverted index."""
+    import json
+
+    with open(os.path.join(table_root, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    if not manifest["buckets"]:
+        return spark.range(0).select()
+    # xxhash64 is type-sensitive: hash the literals AT THE TABLE'S
+    # COLUMN TYPES (footer-only schema probe) or an int literal would
+    # route a bigint key to the wrong bucket
+    any_committed = next(iter(manifest["buckets"].items()))
+    schema = spark.read.parquet(
+        os.path.join(table_root, f"b{any_committed[0]}", any_committed[1])
+    ).schema
+    types = {f.name: f.dataType for f in schema.fields}
+    lits = [
+        F.lit(v).cast(types[c]) for c, v in zip(key_cols, key_vals)
+    ]
+    b = (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(*lits), F.lit(manifest["n_buckets"])
+            ).alias("b")
+        )
+        .first()["b"]
+    )
+    ver = manifest["buckets"].get(str(b))
+    if ver is None:
+        return spark.range(0).select()  # bucket never written: empty
+    df = spark.read.parquet(os.path.join(table_root, f"b{b}", ver))
+    cond = None
+    for c, v in zip(key_cols, key_vals):
+        clause = F.col(c) == F.lit(v)
+        cond = clause if cond is None else (cond & clause)
+    return df.filter(cond)
+
+
 def vacuum_snapshots(table_root: str, keep: int = 2) -> list[str]:
     """Garbage-collect upsert-table snapshots: delete all version dirs
     except the `keep` most recent BY EPOCH, never deleting the one the

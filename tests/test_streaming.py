@@ -357,6 +357,50 @@ class TestUpsertSnapshots:
         with open(root + "/_LATEST") as f:
             assert f.read() == "v0"
 
+    def test_bucketed_upsert_rewrites_only_touched_buckets(
+        self, spark, tmp_path
+    ):
+        import json
+        import os
+
+        root = str(tmp_path / "bkt")
+        os.makedirs(root)
+        writer = ev.bucketed_upsert_writer(root, ["k"], "seq", n_buckets=4)
+        writer(spark.createDataFrame(
+            [(k, 1, f"v{k}") for k in range(20)],
+            "k long, seq long, v string"), 0)
+        with open(root + "/_MANIFEST") as f:
+            m0 = json.load(f)
+        # epoch 1 touches ONE key -> at most one bucket gains a version
+        writer(spark.createDataFrame(
+            [(7, 2, "updated")], "k long, seq long, v string"), 1)
+        with open(root + "/_MANIFEST") as f:
+            m1 = json.load(f)
+        changed = [
+            b for b in m1["buckets"]
+            if m1["buckets"][b] != m0["buckets"].get(b)
+        ]
+        assert len(changed) == 1 and m1["buckets"][changed[0]] == "v1"
+        # untouched buckets still point at their epoch-0 versions
+        assert all(
+            m1["buckets"][b] == "v0" for b in m1["buckets"] if b != changed[0]
+        )
+        got = {r.k: (r.seq, r.v) for r in ev.read_bucketed_table(spark, root).collect()}
+        want = {k: (1, f"v{k}") for k in range(20)}
+        want[7] = (2, "updated")
+        assert got == want
+        # replay of epoch 1 is a no-op
+        writer(spark.createDataFrame(
+            [(7, 9, "ghost")], "k long, seq long, v string"), 1)
+        assert {
+            r.k: r.v for r in ev.read_bucketed_table(spark, root).collect()
+        }[7] == "updated"
+        # point lookup prunes to the key's bucket and finds the row
+        row = ev.lookup_bucketed_key(spark, root, ["k"], [7]).collect()
+        assert len(row) == 1 and row[0].v == "updated"
+        missing = ev.lookup_bucketed_key(spark, root, ["k"], [999]).collect()
+        assert missing == []
+
     def test_upsert_streaming_end_to_end(self, spark, tmp_path):
         src = tmp_path / "upsert_src"
         src.mkdir()
