@@ -180,9 +180,27 @@ def cmd_distcp(args: argparse.Namespace) -> int:
     from .fileops import distcp
 
     r = distcp(_spark(), args.src, args.dst, update=args.update,
-               overwrite=args.overwrite)
-    print(f"copied={r.copied} skipped={r.skipped} bytes={r.bytes}")
+               overwrite=args.overwrite, delete=args.delete,
+               preserve=args.p)
+    print(f"copied={r.copied} skipped={r.skipped} bytes={r.bytes} "
+          f"deleted={r.deleted}")
     return 0
+
+
+def cmd_fsck(args: argparse.Namespace) -> int:
+    from .fileops import fsck
+
+    rep = fsck(_spark(), args.path, catalog_rows=args.expect_rows)
+    print(f"Status: {rep['status']}")
+    print(f" Total files:\t{rep['data_files']}")
+    print(f" Footer rows:\t{rep['footer_rows']}")
+    for f in rep["corrupt_files"]:
+        print(f" CORRUPT:\t{f}")
+    for o in rep["orphans"]:
+        print(f" ORPHAN:\t{o}")
+    if rep["dangling_pointer"]:
+        print(f" DANGLING POINTER:\t{rep['dangling_pointer']}")
+    return 0 if rep["status"] == "HEALTHY" else 1
 
 
 def cmd_wordcount(args: argparse.Namespace) -> int:
@@ -293,7 +311,17 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("dst")
     dc.add_argument("-update", action="store_true")
     dc.add_argument("-overwrite", action="store_true")
+    dc.add_argument("-delete", action="store_true",
+                    help="remove target files absent from source")
+    dc.add_argument("-p", action="store_true",
+                    help="preserve mode and mtime")
     dc.set_defaults(fn=cmd_distcp)
+
+    fk = sub.add_parser("fsck", help="table integrity walk")
+    fk.add_argument("path")
+    fk.add_argument("-expect-rows", dest="expect_rows", type=int,
+                    default=None)
+    fk.set_defaults(fn=cmd_fsck)
 
     wc = sub.add_parser("wordcount")
     wc.add_argument("input")

@@ -353,13 +353,50 @@ def fsck(
     """
     entries = sorted(os.listdir(path)) if os.path.isdir(path) else []
     is_snapshot_table = "_LATEST" in entries
+    is_bucketed_table = "_MANIFEST" in entries
 
     corrupt: list[str] = []
     orphans: list[str] = []
     dangling_pointer = None
     versions: list[str] = []
+    unreferenced: list[str] = []
 
-    if is_snapshot_table:
+    if is_bucketed_table:
+        import json
+        import re
+
+        with open(os.path.join(path, "_MANIFEST")) as f:
+            manifest = json.load(f)
+        committed = {
+            f"b{b}": v for b, v in manifest["buckets"].items()
+        }
+        data_files = []
+        for bdir, v in sorted(committed.items()):
+            vdir = os.path.join(path, bdir, v)
+            if not os.path.isdir(vdir):
+                dangling_pointer = f"{bdir}/{v}"
+                continue
+            versions.append(f"{bdir}/{v}")
+            data_files += [
+                (os.path.join(vdir, n), os.path.join(bdir, v, n))
+                for n in sorted(os.listdir(vdir))
+                if n.endswith(".parquet")
+            ]
+        for e in entries:
+            if e == "_MANIFEST":
+                continue
+            if re.fullmatch(r"b\d+", e) and e in committed:
+                # superseded version dirs await vacuum — reported,
+                # but not a health failure
+                unreferenced += [
+                    f"{e}/{v}"
+                    for v in sorted(os.listdir(os.path.join(path, e)))
+                    if v != committed[e]
+                ]
+            else:
+                # stray staging dirs / unknown entries = torn epoch
+                orphans.append(e)
+    elif is_snapshot_table:
         import re
 
         versions = [e for e in entries if re.fullmatch(r"v\d+", e)
@@ -403,7 +440,9 @@ def fsck(
 
         results = probes.mapPartitions(probe).collect()
         corrupt = [r[0] for r in results if not r[1]]
-        if is_snapshot_table and dangling_pointer is None:
+        if is_bucketed_table:
+            footer_rows = sum(r[2] for r in results)
+        elif is_snapshot_table and dangling_pointer is None:
             # catalog comparison targets the COMMITTED snapshot; older
             # versions are time-travel history, not current rows
             footer_rows = sum(
@@ -421,6 +460,7 @@ def fsck(
         "corrupt_files": corrupt,
         "orphans": orphans,
         "snapshot_versions": versions,
+        "unreferenced_versions": unreferenced,
         "dangling_pointer": dangling_pointer,
         "footer_rows": footer_rows,
         "catalog_rows": catalog_rows,

@@ -228,6 +228,31 @@ def inverted_index(
     )
 
 
+def repetition_ratio(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Intra-document repetition: 1 − distinct/total word n-gram
+    shingles per doc — the duplicated-n-gram quality filter from
+    published LLM data-curation pipelines (high ratio = boilerplate or
+    looping text; curation drops docs above a threshold). Additive —
+    the reference's text tooling stops at grep/wordcount.
+
+    Pure column pipeline: one shingle explode, one groupBy(doc) with
+    count + count-distinct — the shuffle carries (doc, shingle) rows
+    once, and the per-doc agg combines map-side. Docs with fewer than
+    n words produce no shingles and are excluded (no signal)."""
+    from .dedup import exploded_shingles
+
+    sh = exploded_shingles(df, id_col, text_col, n)
+    return sh.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.countDistinct("sh").alias("n_distinct"),
+        F.round(
+            1 - F.countDistinct("sh").cast("double") / F.count("*"), 6
+        ).alias("repetition_ratio"),
+    )
+
+
 def write_index_shards(
     index: DataFrame, out_dir: str, n_shards: int, policy: str = "hash"
 ) -> int:

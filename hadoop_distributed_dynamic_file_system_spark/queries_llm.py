@@ -1077,3 +1077,24 @@ def sharded_term_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     textanalysis.write_index_shards(idx, out, n_shards=4, policy="hash")
     return textanalysis.lookup_term(spark, out, "the", n_shards=4)
+
+
+@query(
+    "repetition_ratio",
+    f"""
+    SELECT doc_id,
+           CAST(len(sh) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+             AS repetition_ratio
+    FROM (SELECT doc_id, {_SQL_SHINGLES.format(t="text")} AS sh
+          FROM documents)
+    WHERE len(sh) > 0
+    """,
+)
+def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-3-gram ratio per document
+    (textanalysis.repetition_ratio): the boilerplate/looping-text
+    quality signal LLM curation pipelines threshold on."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textanalysis.repetition_ratio(d, "doc_id", "text", n=3)

@@ -508,6 +508,28 @@ def lookup_bucketed_key(
     return df.filter(cond)
 
 
+def vacuum_bucket_versions(table_root: str) -> list[str]:
+    """Garbage-collect superseded bucket versions of a bucketed upsert
+    table: every `b<k>/v<e>` dir the manifest no longer names (each
+    epoch leaves its predecessor behind as crash insurance; vacuum is
+    the explicit reclaim, same contract as `vacuum_snapshots`).
+    Returns the removed `b<k>/v<e>` names."""
+    import json
+    import re
+    import shutil
+
+    with open(os.path.join(table_root, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    removed = []
+    for b, current in manifest["buckets"].items():
+        bdir = os.path.join(table_root, f"b{b}")
+        for v in sorted(os.listdir(bdir)):
+            if v != current and re.fullmatch(r"v\d+", v):
+                shutil.rmtree(os.path.join(bdir, v))
+                removed.append(f"b{b}/{v}")
+    return removed
+
+
 def vacuum_snapshots(table_root: str, keep: int = 2) -> list[str]:
     """Garbage-collect upsert-table snapshots: delete all version dirs
     except the `keep` most recent BY EPOCH, never deleting the one the

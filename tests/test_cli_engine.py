@@ -160,6 +160,22 @@ class TestCli:
         out = capsys.readouterr().out
         assert "a\t1" in out and "b\t2" in out
 
+    def test_fsck_cli(self, spark, tmp_path, sf_dir, capsys):
+        import glob
+        import os
+
+        table = str(tmp_path / "t")
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+            .repartition(2).write.parquet(table)
+        assert cli.main(["fsck", table]) == 0
+        assert "Status: HEALTHY" in capsys.readouterr().out
+        # truncated data file exits nonzero and names the corrupt file
+        victim = glob.glob(table + "/part-*.parquet")[0]
+        with open(victim, "r+b") as f:
+            f.truncate(100)
+        assert cli.main(["fsck", table]) == 1
+        assert "CORRUPT" in capsys.readouterr().out
+
     def test_distcp_cli(self, spark, tmp_path, capsys):
         (tmp_path / "s").mkdir()
         (tmp_path / "s" / "a").write_text("abc")

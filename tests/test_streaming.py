@@ -400,6 +400,23 @@ class TestUpsertSnapshots:
         assert len(row) == 1 and row[0].v == "updated"
         missing = ev.lookup_bucketed_key(spark, root, ["k"], [999]).collect()
         assert missing == []
+        # fsck understands the layout: healthy, sees the superseded v0
+        # of the touched bucket as vacuum-pending, flags torn staging
+        from hadoop_distributed_dynamic_file_system_spark import fileops
+
+        rep = fileops.fsck(spark, root, catalog_rows=20)
+        assert rep["status"] == "HEALTHY" and rep["rows_match"]
+        assert rep["unreferenced_versions"] == [f"b{changed[0]}/v0"]
+        os.makedirs(os.path.join(root, "_staging_99"))
+        rep2 = fileops.fsck(spark, root)
+        assert rep2["status"] == "CORRUPT" and rep2["orphans"] == ["_staging_99"]
+        os.rmdir(os.path.join(root, "_staging_99"))
+        # vacuum reclaims exactly the superseded version
+        removed = ev.vacuum_bucket_versions(root)
+        assert removed == [f"b{changed[0]}/v0"]
+        assert fileops.fsck(spark, root)["unreferenced_versions"] == []
+        got2 = {r.k: r.v for r in ev.read_bucketed_table(spark, root).collect()}
+        assert len(got2) == 20 and got2[7] == "updated"
 
     def test_upsert_streaming_end_to_end(self, spark, tmp_path):
         src = tmp_path / "upsert_src"

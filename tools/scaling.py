@@ -35,6 +35,7 @@ SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
 
 def main() -> None:
+    from hadoop_distributed_dynamic_file_system_spark import cache
     from hadoop_distributed_dynamic_file_system_spark import queries as q
     from hadoop_distributed_dynamic_file_system_spark import queries_llm  # noqa: F401
     from hadoop_distributed_dynamic_file_system_spark.session import get_spark
@@ -49,11 +50,16 @@ def main() -> None:
     for name in QUERIES:
         times = []
         for sf in SFS:
-            t0 = time.time()
-            q.QUERIES[name](spark, f"/root/testdata/{sf}").write.mode(
-                "overwrite"
-            ).format("noop").save()
-            times.append(time.time() - t0)
+            best = float("inf")
+            for _ in range(2):  # min-of-2: single shots swing 2-3x
+                t0 = time.time()
+                q.QUERIES[name](spark, f"/root/testdata/{sf}").write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                best = min(best, time.time() - t0)
+                cache.release_all()  # engine-internal persists: one
+                # measurement's cache must not tax the next
+            times.append(best)
         rows.append((name, times))
         print(name, [round(t, 2) for t in times])
 
