@@ -191,3 +191,24 @@ class TestProfilingPlan:
         UNION-ALL spelling scans once per column)."""
         plan = plan_of(q.profile_customer(spark, sf_dir))
         assert plan.count("Scan parquet") == 1
+
+
+class TestRound3PlanQuality:
+    def test_derived_partsupp_has_no_cross_join(self, spark, sf_dir):
+        # the O(|part|) pairing is an explode, not a filtered cross
+        # product: no cartesian node may appear in the ps-consuming
+        # TPC-H plans (q11's 1-row scalar broadcast legitimately plans
+        # as BroadcastNestedLoopJoin — that is the correct shape for a
+        # scalar subquery, not a data-sized cross product)
+        for name in ("q9_product_profit", "q11_important_stock"):
+            plan = formatted(q.QUERIES[name](spark, sf_dir))
+            assert "CartesianProduct" not in plan, name
+
+    def test_partsupp_generator_is_explode_over_part(self, spark, sf_dir):
+        plan = formatted(q._partsupp(spark, sf_dir))
+        assert "explode" in plan  # Generate node, whole-stage codegen
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan  # pure per-row expansion, no join
+        # only the part table is scanned (the supplier count is a
+        # driver-side scalar, not a join input)
+        assert plan.count("Location: InMemoryFileIndex") == 1
