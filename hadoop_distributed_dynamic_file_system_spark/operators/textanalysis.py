@@ -167,7 +167,11 @@ def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def tfidf_top_terms(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf-idf
     (tf * ln(N/df)). The Spark-first rendering of what the reference
@@ -181,8 +185,8 @@ def tfidf_top_terms(
     under float noise, with the term string as tiebreak."""
     from pyspark.sql import Window
 
-    tf = term_frequencies(df, id_col, text_col)
-    tf = tracked_persist(tf)
+    if tf is None:
+        tf = tracked_persist(term_frequencies(df, id_col, text_col))
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = df.agg(F.count("*").alias("__n"))
     scored = (
@@ -202,7 +206,11 @@ def tfidf_top_terms(
 
 
 def inverted_index(
-    df: DataFrame, id_col: str, text_col: str, min_df: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """term -> (doc_freq, sorted posting list) for terms appearing in
     at least min_df documents. Postings are emitted as a comma-joined
@@ -211,7 +219,8 @@ def inverted_index(
     write term-bucketed parquet (partitionBy on a term hash) instead;
     the aggregation shape below (group on term, collect doc ids) is
     unchanged."""
-    tf = term_frequencies(df, id_col, text_col)
+    if tf is None:
+        tf = term_frequencies(df, id_col, text_col)
     return (
         tf.groupBy("term")
         .agg(
@@ -251,6 +260,27 @@ def repetition_ratio(
             1 - F.countDistinct("sh").cast("double") / F.count("*"), 6
         ).alias("repetition_ratio"),
     )
+
+
+def text_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_df: int = 2,
+) -> dict:
+    """Composed text-index build: tokenize ONCE, derive tf-idf top
+    terms and the inverted index from the same persisted (doc, term,
+    tf) frame — composing the two standalone builders would tokenize
+    and shuffle the corpus twice. Returns {"tf", "tfidf", "inverted"};
+    the shared tf is tracked, so the session's release hooks reclaim
+    it after the consuming actions."""
+    tf = tracked_persist(term_frequencies(df, id_col, text_col))
+    return {
+        "tf": tf,
+        "tfidf": tfidf_top_terms(df, id_col, text_col, k=k, tf=tf),
+        "inverted": inverted_index(df, id_col, text_col, min_df=min_df, tf=tf),
+    }
 
 
 def write_index_shards(

@@ -570,3 +570,47 @@ class TestIndexShards:
         ]
         assert len(sizes) == 4 and max(sizes) - min(sizes) <= 1
         assert back.count() == idx.count()
+
+
+class TestTextIndexComposition:
+    def test_text_index_shares_one_tf(self, spark, sf_dir):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hadoop_distributed_dynamic_file_system_spark import cache
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            textanalysis as ta,
+        )
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        before = cache.tracked_count()
+        parts = ta.text_index(docs, "doc_id", "text", k=2, min_df=5)
+        # ONE shared tf persist, not one per consumer
+        assert cache.tracked_count() == before + 1
+        # both outputs agree with the standalone builders
+        tfidf_alone = ta.tfidf_top_terms(docs, "doc_id", "text", k=2)
+        inv_alone = ta.inverted_index(docs, "doc_id", "text", min_df=5)
+        assert parts["tfidf"].exceptAll(tfidf_alone).count() == 0
+        assert parts["inverted"].exceptAll(inv_alone).count() == 0
+        assert cache.release_all() >= 1
+        spark.catalog.clearCache()
+
+
+class TestCacheHygiene:
+    def test_tracked_persist_registers_and_releases(self, spark):
+        from pyspark.sql import functions as F
+
+        from hadoop_distributed_dynamic_file_system_spark import cache
+
+        base = cache.tracked_count()
+        df = cache.tracked_persist(
+            spark.range(100).select(F.col("id") * 2)
+        )
+        assert df.storageLevel.useMemory
+        assert cache.tracked_count() == base + 1
+        released = cache.release_all()
+        assert released >= 1 and cache.tracked_count() == 0
+        assert not df.storageLevel.useMemory
