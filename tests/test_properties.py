@@ -228,3 +228,55 @@ class TestAsofJoinModel:
     def test_forward_matches_pandas(self, spark):
         for seed in (1, 7, 23):
             self._compare(spark, seed, "forward")
+
+
+def _model_upsert(batches):
+    """Latest-wins reference model: fold batches in order; within and
+    across batches the highest seq per key wins (ties: max() on the
+    packed struct means the lexicographically-largest payload — mirror
+    with max() over (seq, v))."""
+    state = {}
+    for batch in batches:
+        for k, seq, v in batch:
+            cur = state.get(k)
+            if cur is None or (seq, v) > cur:
+                state[k] = (seq, v)
+    return state
+
+
+class TestBucketedUpsertProperties:
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 9),          # key
+                    st.integers(0, 5),          # seq
+                    st.text(alphabet="xyz", min_size=1, max_size=3),
+                ),
+                min_size=1,
+                max_size=6,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def test_epochs_fold_to_latest_per_key(self, spark, tmp_path_factory, batches):
+        import os
+
+        from hadoop_distributed_dynamic_file_system_spark.streaming import (
+            events as ev,
+        )
+
+        root = str(tmp_path_factory.mktemp("bkt_prop"))
+        writer = ev.bucketed_upsert_writer(root, ["k"], "seq", n_buckets=3)
+        for epoch, batch in enumerate(batches):
+            writer(
+                spark.createDataFrame(batch, "k long, seq long, v string"),
+                epoch,
+            )
+        got = {
+            r.k: (r.seq, r.v)
+            for r in ev.read_bucketed_table(spark, root).collect()
+        }
+        assert got == _model_upsert(batches)

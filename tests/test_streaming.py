@@ -444,6 +444,38 @@ class TestUpsertSnapshots:
                ev.read_upsert_table(spark, root).collect()}
         assert got[2] == (1, "b1") and got[1][0] == 2  # key 1 upserted
 
+    def test_bucketed_upsert_streaming_end_to_end(self, spark, tmp_path):
+        import os
+
+        src = tmp_path / "bkt_src"
+        src.mkdir()
+        for i, rows in enumerate([[(k, 1, f"v{k}") for k in range(10)],
+                                  [(3, 2, "updated")]]):
+            spark.createDataFrame(rows, "k long, seq long, v string")\
+                .coalesce(1).write.mode("append").parquet(str(src / f"f{i}"))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src) + "/*", "k long, seq long, v string",
+            max_files_per_trigger=1,
+        )
+        root = str(tmp_path / "bkt_tbl")
+        os.makedirs(root)
+        q = (
+            stream.writeStream
+            .foreachBatch(
+                ev.bucketed_upsert_writer(root, ["k"], "seq", n_buckets=4)
+            )
+            .option("checkpointLocation", str(tmp_path / "bkt_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.k: (r.seq, r.v) for r in
+               ev.read_bucketed_table(spark, root).collect()}
+        assert len(got) == 10 and got[3] == (2, "updated")
+        assert got[0] == (1, "v0")
+
 
 class TestSessionWindowBatchEquivalence:
     def test_builtin_session_window_matches_lag_sessionization(self, spark, sf_dir):
