@@ -35,7 +35,7 @@ _PRIORITY: list[str] = [
     "minhash_estimate", "near_dedup_kept", "simhash_fingerprints",
     "simhash_near_pairs", "ngram_jaccard", "ann_brute_force",
     "ann_ivf", "embedding_near_dup", "lang_id", "quality_scores",
-    "token_counts", "fingerprints", "multimodal_decode",
+    "token_counts", "fingerprints", "media_roundtrip",
     "stratified_mix", "incremental_dedup", "pii_redaction",
     "contamination", "sequence_packing", "dedup_components",
     "edit_distance_verify", "tfidf_top_terms", "inverted_index",

@@ -2,11 +2,20 @@
 
 Media (image/audio/video) ride as `binary` columns with a struct of
 metadata; decode / feature-extract run as Arrow-batched `mapInPandas`
-stages. The container lacks the media libraries, so the actual decode
-is STUBBED with a clearly-marked deterministic fake (md5-derived
-dimensions) — the Spark-side plumbing (schema, batching, partitioning,
-UDF signature) is real and tested, and swapping the stub for
-PIL/torchaudio is a one-function change.
+stages. Decode comes in two tiers:
+
+REAL (no media library needed — pure byte/numpy arithmetic):
+- `sniff_media` / `decode_media_metadata`: container sniffing by magic
+  bytes + header parse for BMP/PNG/GIF/JPEG/PPM/WAV (what `identify`
+  does) — true formats and dimensions;
+- `bmp_pixels` / `image_features`: full 24-bpp BMP raster decode and
+  luminance statistics;
+- `wav_chunks`: RIFF/PCM16 parse with true windowed RMS.
+
+STUBBED (needs a codec, gated on REAL_DECODE_AVAILABLE / absent libs):
+pixel-level work on compressed rasters (JPEG/PNG decode, resize
+re-encode, video frame extraction) — those keep the deterministic
+md5-derived fakes so the plumbing stays testable in this container.
 
 Scale notes: mapInPandas streams Arrow batches; memory is bounded by
 `spark.sql.execution.arrow.maxRecordsPerBatch`, decode parallelism by
@@ -34,6 +43,272 @@ try:  # pragma: no cover - not present in this container
     REAL_DECODE_AVAILABLE = True
 except Exception:
     pass
+
+
+# ----------------------------------------------------------- real parsers
+# Uncompressed/self-describing containers are pure byte arithmetic — no
+# media library needed. These are REAL decoders (not stubs): header
+# sniffing for BMP/PNG/GIF/JPEG/PPM/WAV, full pixel decode for
+# BMP/PPM, PCM sample access for WAV. Only pixel-level work on
+# COMPRESSED formats (JPEG/PNG raster) still needs PIL and stays
+# behind REAL_DECODE_AVAILABLE.
+
+
+def make_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal valid 24-bpp BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding) filled with one color — the test/oracle
+    payload generator."""
+    row = (bytes([rgb[2], rgb[1], rgb[0]]) * width)
+    row += b"\x00" * ((4 - len(row) % 4) % 4)
+    pixels = row * height
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pixels
+
+
+def make_wav(
+    samples: list[int], sample_rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Minimal PCM16 WAV container around the given samples."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + (4 + 8 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def sniff_media(payload: bytes) -> tuple[str, int | None, int | None]:
+    """REAL container sniffing by magic bytes + header arithmetic:
+    (format, width, height) for bmp/png/gif/jpeg/ppm, (wav, n_samples,
+    sample_rate) for RIFF/WAVE, ('unknown', None, None) otherwise.
+    This is what `identify`/`file` do — no codec required."""
+    try:
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            h = int.from_bytes(payload[22:26], "little", signed=True)
+            return "bmp", w, abs(h)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            return (
+                "png",
+                int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"),
+            )
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                "gif",
+                int.from_bytes(payload[6:8], "little"),
+                int.from_bytes(payload[8:10], "little"),
+            )
+        if payload[:2] == b"P6":
+            fields: list[int] = []
+            i = 2
+            while len(fields) < 3 and i < len(payload):
+                while i < len(payload) and payload[i : i + 1].isspace():
+                    i += 1
+                if payload[i : i + 1] == b"#":  # comment line
+                    while i < len(payload) and payload[i] != 0x0A:
+                        i += 1
+                    continue
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                fields.append(int(payload[i:j]))
+                i = j
+            return "ppm", fields[0], fields[1]
+        if payload[:2] == b"\xff\xd8":  # JPEG: walk markers to SOF
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return (
+                        "jpeg",
+                        int.from_bytes(payload[i + 7 : i + 9], "big"),
+                        int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    )
+                i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+            return "jpeg", None, None
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            meta = _wav_meta(payload)
+            return "wav", meta["n_samples"], meta["sample_rate"]
+    except Exception:
+        pass
+    return "unknown", None, None
+
+
+def _wav_meta(payload: bytes) -> dict:
+    """Walk RIFF chunks: fmt (rate/channels/bits) + data location."""
+    import struct
+
+    i = 12
+    meta: dict = {}
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            (_, ch, rate, _, _, bits) = struct.unpack(
+                "<HHIIHH", payload[i + 8 : i + 24]
+            )
+            meta.update(channels=ch, sample_rate=rate, bits=bits)
+        elif cid == b"data":
+            meta.update(data_off=i + 8, data_len=clen)
+        i += 8 + clen + (clen % 2)
+    meta["n_samples"] = meta.get("data_len", 0) // (
+        meta.get("channels", 1) * meta.get("bits", 16) // 8
+    )
+    return meta
+
+
+def bmp_pixels(payload: bytes):
+    """REAL 24-bpp BMP raster decode → numpy (h, w, 3) RGB array
+    (bottom-up rows and BGR order unwound, padding stripped)."""
+    import numpy as np
+
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    off = int.from_bytes(payload[10:14], "little")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload[off : off + stride * abs(h)], dtype=np.uint8
+    ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    rgb = rows[:, :, ::-1]  # BGR → RGB
+    return rgb[::-1] if h > 0 else rgb  # bottom-up → top-down
+
+
+def decode_media_metadata(binaries: DataFrame) -> DataFrame:
+    """REAL decode stage: (doc_id, payload) → sniffed format + dims via
+    header arithmetic (see sniff_media) over Arrow batches. The fake
+    twin `decode_metadata` remains for payloads that aren't media."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [sniff_media(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in pdf["payload"]],
+                    "format": [m[0] for m in metas],
+                    "width": pd.array(
+                        [m[1] for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m[2] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return binaries.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def image_features(binaries: DataFrame) -> DataFrame:
+    """REAL pixel features for decodable rasters (BMP): mean/std
+    luminance (ITU-R 601) per image; nulls for formats whose raster
+    needs a codec (those route through the PIL gate)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            means, stds = [], []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                if b[:2] == b"BM":
+                    px = bmp_pixels(b).astype(np.float64)
+                    lum = (
+                        0.299 * px[:, :, 0]
+                        + 0.587 * px[:, :, 1]
+                        + 0.114 * px[:, :, 2]
+                    )
+                    means.append(round(float(lum.mean()), 6))
+                    stds.append(round(float(lum.std()), 6))
+                else:
+                    means.append(None)
+                    stds.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mean_luma": pd.array(means, dtype="float64"),
+                    "std_luma": pd.array(stds, dtype="float64"),
+                }
+            )
+
+    return binaries.mapInPandas(
+        batches, schema="doc_id bigint, mean_luma double, std_luma double"
+    )
+
+
+def wav_chunks(binaries: DataFrame, chunk_samples: int = 48000) -> DataFrame:
+    """REAL audio chunking for PCM16 WAV payloads: RIFF parse + true
+    windowed RMS over the sample stream (numpy int16) — the fan-out a
+    speech pipeline runs before per-chunk transcribe/embed. Non-WAV
+    payloads fall back to the byte-halved stub semantics."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, nos, lens, rms = [], [], [], []
+            for _, row in pdf.iterrows():
+                b = bytes(row["payload"])
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    m = _wav_meta(b)
+                    samples = np.frombuffer(
+                        b[m["data_off"] : m["data_off"] + m["data_len"]],
+                        dtype="<i2",
+                    ).astype(np.float64)
+                    for c, start in enumerate(
+                        range(0, len(samples), chunk_samples)
+                    ):
+                        win = samples[start : start + chunk_samples]
+                        ids.append(row["doc_id"])
+                        nos.append(c)
+                        lens.append(len(win))
+                        rms.append(
+                            round(float(np.sqrt((win**2).mean())), 6)
+                        )
+                else:  # non-audio payload: stub fan-out semantics
+                    n_samples = max(1, len(b) // 2)
+                    for c, start in enumerate(
+                        range(0, n_samples, chunk_samples)
+                    ):
+                        ids.append(row["doc_id"])
+                        nos.append(c)
+                        lens.append(min(chunk_samples, n_samples - start))
+                        h = hashlib.md5(b + str(c).encode()).hexdigest()
+                        rms.append((int(h[:8], 16) % 10**6) / 10**6)
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_no": nos, "n_samples": lens, "rms": rms}
+            )
+
+    return binaries.mapInPandas(
+        batches, schema="doc_id bigint, chunk_no int, n_samples int, rms double"
+    )
 
 
 def attach_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -1098,3 +1098,53 @@ def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality signal LLM curation pipelines threshold on."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return textanalysis.repetition_ratio(d, "doc_id", "text", n=3)
+
+
+@query(
+    "media_roundtrip",
+    """
+    SELECT doc_id,
+           'bmp' AS format,
+           CAST(doc_id % 64 + 1 AS INT) AS width,
+           CAST(doc_id % 48 + 1 AS INT) AS height,
+           CAST(round(0.299 * (doc_id % 256) + 0.587 * ((doc_id * 7) % 256)
+                      + 0.114 * ((doc_id * 13) % 256), 6) AS DOUBLE)
+             AS mean_luma
+    FROM documents
+    """,
+)
+def media_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode, end to end: per document, SYNTHESIZE a valid
+    24-bpp BMP whose dimensions and solid color are pure functions of
+    doc_id, then run the REAL decoders (multimodal.decode_media_metadata
+    header parse + image_features raster luminance) and return what
+    they recovered. The oracle recomputes the expected values from
+    doc_id arithmetic alone — it never parses a byte — so any header
+    mis-read, stride/padding bug, or BGR/RGB swap hash-mismatches.
+    The encode and both decode stages are Arrow-batched mapInPandas."""
+    import pandas as pd  # noqa: F401 (batch iterator types)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            payloads = [
+                multimodal.make_bmp(
+                    int(i) % 64 + 1,
+                    int(i) % 48 + 1,
+                    (int(i) % 256, (int(i) * 7) % 256, (int(i) * 13) % 256),
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    bins = d.mapInPandas(build, "doc_id bigint, payload binary")
+    meta = multimodal.decode_media_metadata(bins)
+    feats = multimodal.image_features(bins)
+    return meta.join(feats, "doc_id").select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )

@@ -614,3 +614,78 @@ class TestCacheHygiene:
         released = cache.release_all()
         assert released >= 1 and cache.tracked_count() == 0
         assert not df.storageLevel.useMemory
+
+
+class TestRealMediaDecode:
+    """The REAL tier of the multimodal family: header arithmetic and
+    raster/sample decode with no media library."""
+
+    def test_sniff_all_container_formats(self):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        assert mm.sniff_media(mm.make_bmp(17, 9, (1, 2, 3))) == ("bmp", 17, 9)
+        png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+               + (640).to_bytes(4, "big") + (480).to_bytes(4, "big"))
+        assert mm.sniff_media(png) == ("png", 640, 480)
+        gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+        assert mm.sniff_media(gif) == ("gif", 320, 200)
+        assert mm.sniff_media(b"P6\n# cmt\n12 34\n255\n") == ("ppm", 12, 34)
+        jpeg = (b"\xff\xd8"
+                + b"\xff\xe0" + (4).to_bytes(2, "big") + b"\x00\x00"  # APP0
+                + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+                + (77).to_bytes(2, "big") + (99).to_bytes(2, "big") + b"\x03")
+        assert mm.sniff_media(jpeg) == ("jpeg", 99, 77)
+        wav = mm.make_wav([0] * 500, sample_rate=8000)
+        assert mm.sniff_media(wav) == ("wav", 500, 8000)
+        assert mm.sniff_media(b"not media at all") == ("unknown", None, None)
+
+    def test_bmp_raster_roundtrip_and_luma(self, spark):
+        import numpy as np
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        px = mm.bmp_pixels(mm.make_bmp(5, 3, (10, 200, 30)))
+        assert px.shape == (3, 5, 3)
+        assert (px == np.array([10, 200, 30], dtype=np.uint8)).all()
+        df = spark.createDataFrame(
+            [(1, mm.make_bmp(4, 4, (100, 100, 100))), (2, b"plain text")],
+            "doc_id long, payload binary",
+        )
+        feats = {r.doc_id: r for r in mm.image_features(df).collect()}
+        assert feats[1].mean_luma == 100.0 and feats[1].std_luma == 0.0
+        assert feats[2].mean_luma is None  # not a decodable raster
+
+    def test_decode_media_metadata_mixed(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        df = spark.createDataFrame(
+            [(1, mm.make_bmp(8, 2, (0, 0, 0))), (2, b"hello world")],
+            "doc_id long, payload binary",
+        )
+        got = {r.doc_id: r for r in mm.decode_media_metadata(df).collect()}
+        assert (got[1].format, got[1].width, got[1].height) == ("bmp", 8, 2)
+        assert got[2].format == "unknown" and got[2].width is None
+
+    def test_wav_chunks_true_rms(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        # 3000 constant-amplitude samples -> every chunk's RMS is the
+        # amplitude itself; chunk fan-out is ceil(3000/1024) = 3
+        wav = mm.make_wav([1000] * 3000)
+        df = spark.createDataFrame(
+            [(7, wav)], "doc_id long, payload binary"
+        )
+        rows = sorted(
+            mm.wav_chunks(df, chunk_samples=1024).collect(),
+            key=lambda r: r.chunk_no,
+        )
+        assert [r.n_samples for r in rows] == [1024, 1024, 952]
+        assert all(r.rms == 1000.0 for r in rows)
