@@ -1148,3 +1148,42 @@ def media_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("mean_luma", 6).alias("mean_luma"),
     )
+
+
+@query(
+    "wav_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_no,
+           CAST(least(1024, n - i * 1024) AS INT) AS n_samples,
+           CAST(doc_id % 1000 AS DOUBLE) AS rms
+    FROM (SELECT doc_id, doc_id % 2000 + 100 AS n FROM documents),
+         range(3) t(i)
+    WHERE i * 1024 < n
+    """,
+)
+def wav_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode, end to end: per document, synthesize a PCM16
+    WAV of (doc_id % 2000 + 100) constant-amplitude samples, then run
+    the REAL RIFF parser + windowed RMS (multimodal.wav_chunks). A
+    constant signal's RMS is its amplitude exactly (integer-valued
+    float64 all the way: squares, mean of identical values, and IEEE
+    sqrt are all exact), so the oracle reproduces every chunk row from
+    doc_id arithmetic alone — chunk counts, tail-chunk lengths, and
+    RMS all hash-checked without parsing a byte."""
+    import pandas as pd  # noqa: F401
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            payloads = [
+                multimodal.make_wav(
+                    [int(i) % 1000] * (int(i) % 2000 + 100)
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    bins = d.mapInPandas(build, "doc_id bigint, payload binary")
+    return multimodal.wav_chunks(bins, chunk_samples=1024)
