@@ -1187,3 +1187,52 @@ def wav_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bins = d.mapInPandas(build, "doc_id bigint, payload binary")
     return multimodal.wav_chunks(bins, chunk_samples=1024)
+
+
+@query(
+    "source_overlap_matrix",
+    """
+    WITH docs2 AS (
+      SELECT text, source FROM documents
+      UNION ALL
+      SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 3 = 0
+    ),
+    hs AS (SELECT DISTINCT md5(text) AS h, source FROM docs2)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct contents both carry — the curation view that finds mirror
+    sites and re-crawls before any documents are dropped. Built on the
+    exact-dedup key (md5(content)): the join carries (16-byte hash,
+    source) rows only, never documents, and the distinct + self-join
+    shuffle on the hash — the same scale argument as exact_dedup. A
+    planted 'mirror' source (every 3rd doc) gives the matrix signal."""
+    d = _t(spark, sf_dir, "documents").select("text", "source")
+    mirror = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("text", F.lit("mirror").alias("source"))
+    )
+    hs = (
+        d.unionByName(mirror)
+        .select(F.md5("text").alias("h"), "source")
+        .distinct()
+    )
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
