@@ -239,3 +239,51 @@ def resample_locf(
     return asof_join(
         grid, obs, on=key, left_ts=grid_col, right_ts=ts_col, how="left"
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Time-weighted average over irregular samples (the hypertable
+    rollup classic): per (key, time bucket), each sample's value is
+    weighted by how long it HELD — the gap to the next sample in the
+    bucket, last sample weighted to the bucket's last observed instant
+    (zero weight). A plain avg() over-counts bursts of rapid samples;
+    TWA is burst-invariant, which is why metrics stores roll up with
+    it.
+
+    One shuffle: window lead() partitioned by (key, bucket) orders each
+    group's samples in its task; the grouped aggregate reuses the same
+    partitioning. Buckets with a single sample fall back to that
+    sample's value (no elapsed time to weight by)."""
+    b = F.window(F.col(ts_col), bucket)["start"].alias("bucket_start")
+    w = Window.partitionBy(*key_cols, "bucket_start").orderBy(ts_col)
+    # timestampdiff, not unix_micros: the latter rejects TIMESTAMP_NTZ
+    # (and a cast through LTZ would drag the session timezone in)
+    sampled = (
+        df.select(*key_cols, ts_col, value_col, b)
+        .withColumn("__nxt", F.lead(ts_col).over(w))
+        .withColumn(
+            "__hold",
+            F.coalesce(
+                F.expr(
+                    f"timestampdiff(MICROSECOND, {ts_col}, __nxt)"
+                ).cast("double"),
+                F.lit(0.0),
+            ),
+        )
+    )
+    return sampled.groupBy(*key_cols, "bucket_start").agg(
+        F.round(
+            F.when(
+                F.sum("__hold") > 0,
+                F.sum(F.col(value_col) * F.col("__hold")) / F.sum("__hold"),
+            ).otherwise(F.avg(value_col)),
+            6,
+        ).alias("twa"),
+        F.count("*").alias("n_samples"),
+    )

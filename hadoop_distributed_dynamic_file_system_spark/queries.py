@@ -2679,3 +2679,50 @@ def sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_distinct")
         ).alias("within_bounds"),
     )
+
+
+@query(
+    "time_weighted_avg",
+    """
+    WITH s0 AS (
+      SELECT user_id, ts, avg(value) AS value
+      FROM events GROUP BY user_id, ts
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+             lead(ts) OVER (
+               PARTITION BY user_id, time_bucket(INTERVAL '1 day', ts)
+               ORDER BY ts
+             ) AS nxt
+      FROM s0
+    ),
+    h AS (
+      SELECT *, CAST(coalesce(epoch_us(nxt) - epoch_us(ts), 0) AS DOUBLE)
+                  AS hold
+      FROM s
+    )
+    SELECT user_id, bucket_start,
+           CAST(round(CASE WHEN sum(hold) > 0
+                           THEN sum(value * hold) / sum(hold)
+                           ELSE avg(value) END, 6) AS DOUBLE) AS twa,
+           count(*) AS n_samples
+    FROM h GROUP BY user_id, bucket_start
+    """,
+)
+def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's metric per day
+    (operators/temporal.time_weighted_avg): burst-invariant rollup over
+    irregular samples — the hypertable-rollup classic a plain avg()
+    gets wrong. Duplicate (user, ts) samples are pre-averaged so the
+    hold-time attribution is engine-deterministic (same pre-aggregation
+    the ASOF oracle needs)."""
+    from .operators.temporal import time_weighted_avg
+
+    _utc(spark)
+    e = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "ts")
+        .agg(F.avg("value").alias("value"))
+    )
+    return time_weighted_avg(e, ["user_id"], "ts", "value", bucket="1 day")

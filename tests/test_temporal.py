@@ -281,3 +281,42 @@ def test_sketch_union_equals_direct_sketch(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("e")
     ).collect()[0].e
     assert merged_est == direct_est
+
+
+class TestTimeWeightedAvg:
+    def test_burst_invariance(self, spark):
+        import datetime as dt
+
+        from hadoop_distributed_dynamic_file_system_spark.operators.temporal import (
+            time_weighted_avg,
+        )
+
+        def t(h):
+            return dt.datetime(2024, 1, 1, h)
+
+        base = [(1, t(0), 10.0), (1, t(2), 40.0), (1, t(4), 99.0)]
+        schema = "k long, ts timestamp_ntz, v double"
+        twa = lambda rows: time_weighted_avg(  # noqa: E731
+            spark.createDataFrame(rows, schema), ["k"], "ts", "v"
+        ).collect()[0]
+        r = twa(base)
+        # (10*2h + 40*2h) / 4h; the last sample holds for zero time
+        assert r.twa == 25.0 and r.n_samples == 3
+        # a burst of duplicate-value samples must NOT move the TWA
+        # (plain avg would drop toward the burst value)
+        burst = base + [(1, t(1), 10.0)]
+        assert twa(burst).twa == 25.0
+
+    def test_single_sample_falls_back_to_value(self, spark):
+        import datetime as dt
+
+        from hadoop_distributed_dynamic_file_system_spark.operators.temporal import (
+            time_weighted_avg,
+        )
+
+        rows = [(5, dt.datetime(2024, 3, 2, 9), 7.5)]
+        out = time_weighted_avg(
+            spark.createDataFrame(rows, "k long, ts timestamp_ntz, v double"),
+            ["k"], "ts", "v",
+        ).collect()
+        assert len(out) == 1 and out[0].twa == 7.5
