@@ -61,6 +61,13 @@ HEADLINE = [
     "sequence_packing",
     "edit_distance_verify",
     "tfidf_top_terms",
+    # round-3 additions
+    "repetition_ratio",
+    "sharded_term_lookup",
+    "source_overlap_matrix",
+    "media_roundtrip",
+    "wav_roundtrip",
+    "time_weighted_avg",
 ]
 
 

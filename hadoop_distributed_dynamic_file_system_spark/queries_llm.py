@@ -1236,3 +1236,69 @@ def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+@query(
+    "curation_funnel",
+    rf"""
+    WITH docs2 AS (
+      SELECT doc_id, text, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang, source
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM docs2 GROUP BY md5(text)
+    ),
+    scored AS (
+      SELECT doc_id, lang, source,
+             len({_SQL_WORDS.format(t="lower(text)")})::BIGINT AS n_words,
+             round(len(list_filter({_SQL_WORDS.format(t="lower(text)")},
+                        w -> list_contains(['the','a','of','and','to','in','is','it'], w)))
+                   / greatest(len({_SQL_WORDS.format(t="lower(text)")}), 1), 6)
+               AS stopword_ratio
+      FROM docs2
+    )
+    SELECT lang, source, count(*) AS n_kept,
+           CAST(sum(n_words) AS BIGINT) AS total_tokens
+    FROM scored
+    WHERE doc_id IN (SELECT doc_id FROM keepers)
+      AND n_words BETWEEN 5 AND 1000
+      AND stopword_ratio >= 0.05
+    GROUP BY lang, source
+    """,
+)
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production shape: exact dedup (keep lowest id per
+    content) → length gate → stopword-ratio quality gate → per
+    (lang, source) kept-document and token counts. Planted exact
+    duplicates (every 4th doc re-appended) must all fall to the dedup
+    stage. Each stage is the already-verified operator — the funnel
+    checks they COMPOSE: one corpus scan feeds dedup keys and quality
+    features, the keeper filter is a broadcast-able semi-join on doc
+    ids (16-byte traffic), and the final agg combines map-side."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    dup = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source"
+    )
+    corpus = d.unionByName(dup)
+    keepers = dedup.exact_dedup(corpus, ["text"], "doc_id").select(
+        F.col("keeper").alias("doc_id")
+    )
+    feats = textanalysis.quality_features(corpus, "text").select(
+        "doc_id", "lang", "source", "n_words", "stopword_ratio"
+    )
+    kept = (
+        feats.join(keepers, "doc_id", "semi")
+        .filter(
+            (F.col("n_words") >= 5)
+            & (F.col("n_words") <= 1000)
+            & (F.col("stopword_ratio") >= 0.05)
+        )
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
+    )
