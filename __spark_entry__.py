@@ -26,16 +26,22 @@ from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  #
 # Round 2 verified the 50 longest-registered names (CORRECTNESS_r02:
 # 50/50 green); this priority list rotates the window so round 3
 # covers the queries that have never had a driver correctness row —
-# the full LLM-pipeline family, sketches, mergeable rollups,
+# the LLM-pipeline family, sketches, mergeable rollups,
 # pivot/unpivot/grouping-sets, temporal LOCF, TPC-H Q2/Q3/Q6/Q9/Q11/
-# Q12/Q20, profiling, layout, and curation.
+# Q12/Q20, profiling, layout, and curation. Five mid-stage entries
+# (minhash_signatures, simhash_fingerprints, fingerprints,
+# token_counts, ann_brute_force) ceded their slots to the round-3
+# end-to-end queries that subsume them (curation_funnel,
+# repetition_ratio, sharded_term_lookup, time_weighted_avg,
+# wav_roundtrip, media_roundtrip); the ceded ones stay registered and
+# locally oracle-checked (tools/check.py runs ALL entries).
 _PRIORITY: list[str] = [
     # LLM-data-pipeline family (queries_llm.py) — 29 entries
-    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
-    "minhash_estimate", "near_dedup_kept", "simhash_fingerprints",
-    "simhash_near_pairs", "ngram_jaccard", "ann_brute_force",
+    "dedup_exact", "curation_funnel", "minhash_lsh_pairs",
+    "minhash_estimate", "near_dedup_kept", "repetition_ratio",
+    "simhash_near_pairs", "ngram_jaccard", "wav_roundtrip",
     "ann_ivf", "embedding_near_dup", "lang_id", "quality_scores",
-    "token_counts", "fingerprints", "media_roundtrip",
+    "time_weighted_avg", "sharded_term_lookup", "media_roundtrip",
     "stratified_mix", "incremental_dedup", "pii_redaction",
     "contamination", "sequence_packing", "dedup_components",
     "edit_distance_verify", "tfidf_top_terms", "inverted_index",
