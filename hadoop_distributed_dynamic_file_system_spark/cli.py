@@ -1,7 +1,7 @@
 """Command-line surface: the `bin/hadoop` analog.
 
 Reference entry points → subcommands:
-  hadoop fs -ls/-du/-count/-mkdir/-mv/-rm/-cat/-stat/-touchz
+  hadoop fs -ls/-lsr/-du/-dus/-count/-mkdir/-mv/-cp/-put/-get/-rm/-cat/-stat/-touchz
                                 → fs -ls PATH ... (core/fs/FsShell.java)
   hadoop jar streaming.jar -input -output -mapper -reducer
                                 → streaming ...   (contrib/streaming StreamJob)
@@ -39,7 +39,20 @@ def cmd_fs(args: argparse.Namespace) -> int:
             kind = "d" if e["is_dir"] else "-"
             print(f"{kind} rep={e['replication']} {e['length']:>12} {e['path']}")
     elif op == "-du":
-        print(sh.du(paths[0]))
+        for e in sh.du(paths[0]):
+            print(f"{e['length']:>12} {e['path']}")
+    elif op == "-dus":
+        print(sh.dus(paths[0]))
+    elif op == "-lsr":
+        for e in sh.lsr(paths[0]):
+            kind = "d" if e["is_dir"] else "-"
+            print(f"{kind} rep={e['replication']} {e['length']:>12} {e['path']}")
+    elif op == "-cp":
+        sh.cp(paths[0], paths[1])
+    elif op == "-put":
+        sh.put(paths[0], paths[1])
+    elif op == "-get":
+        sh.get(paths[0], paths[1])
     elif op == "-count":
         c = sh.count(paths[0])
         print(f"{c['dirs']} {c['files']} {c['bytes']} {paths[0]}")

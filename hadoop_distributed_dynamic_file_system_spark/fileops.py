@@ -60,9 +60,47 @@ class FsShell:
             )
         return out
 
-    def du(self, path: str) -> int:
+    def lsr(self, path: str) -> list[dict]:
+        """-lsr: recursive listing (FsShell.java ls(…, recursive))."""
+        out = []
+        for entry in self.ls(path):
+            out.append(entry)
+            if entry["is_dir"]:
+                out.extend(self.lsr(entry["path"]))
+        return out
+
+    def du(self, path: str) -> list[dict]:
+        """-du: per-entry sizes one level down (dirs as subtree sums)."""
+        fs = self._fs(path)
+        return [
+            {
+                "path": st.getPath().toString(),
+                "length": fs.getContentSummary(st.getPath()).getLength(),
+            }
+            for st in fs.listStatus(self._p(path))
+        ]
+
+    def dus(self, path: str) -> int:
+        """-dus: one summary number for the whole subtree."""
         fs = self._fs(path)
         return fs.getContentSummary(self._p(path)).getLength()
+
+    def cp(self, src: str, dst: str) -> bool:
+        """-cp: copy within/between filesystems (FileUtil.copy, no
+        delete-source)."""
+        futil = self._jvm.org.apache.hadoop.fs.FileUtil
+        return futil.copy(
+            self._fs(src), self._p(src), self._fs(dst), self._p(dst),
+            False, self._conf,
+        )
+
+    def put(self, local_src: str, dst: str) -> None:
+        """-put: local file → target filesystem."""
+        self._fs(dst).copyFromLocalFile(self._p(local_src), self._p(dst))
+
+    def get(self, src: str, local_dst: str) -> None:
+        """-get: target filesystem → local file."""
+        self._fs(src).copyToLocalFile(self._p(src), self._p(local_dst))
 
     def count(self, path: str) -> dict:
         fs = self._fs(path)

@@ -213,13 +213,35 @@ class TestFileOps:
         (tmp_path / "dir" / "b.txt").write_text("hello")
         names = {e["path"].rsplit("/", 1)[-1] for e in sh.ls(d)}
         assert names == {"a.txt", "b.txt"}
-        assert sh.du(d) == 5
+        assert sh.dus(d) == 5
+        assert {e["path"].rsplit("/", 1)[-1]: e["length"]
+                for e in sh.du(d)} == {"a.txt": 0, "b.txt": 5}
         assert sh.count(d)["files"] == 2
         assert sh.stat(d + "/b.txt")["length"] == 5
         assert sh.mv(d + "/b.txt", d + "/c.txt")
         assert sh.cat(d + "/c.txt") == b"hello"
         assert sh.rm(d, recursive=True)
         assert not sh.exists(d)
+
+    def test_fsshell_cp_put_get_lsr(self, spark, tmp_path):
+        sh = fileops.FsShell(spark)
+        d = str(tmp_path / "tree")
+        sh.mkdir(d + "/sub")
+        (tmp_path / "tree" / "sub" / "x.txt").write_text("xx")
+        # -lsr walks the subtree
+        rels = {e["path"].rsplit("/", 1)[-1] for e in sh.lsr(d)}
+        assert rels == {"sub", "x.txt"}
+        # -cp within the filesystem
+        assert sh.cp(d + "/sub/x.txt", d + "/y.txt")
+        assert sh.cat(d + "/y.txt") == b"xx"
+        # -put / -get between local and target fs
+        local = tmp_path / "local.txt"
+        local.write_text("local-bytes")
+        sh.put(str(local), d + "/uploaded.txt")
+        assert sh.cat(d + "/uploaded.txt") == b"local-bytes"
+        back = tmp_path / "back.txt"
+        sh.get(d + "/uploaded.txt", str(back))
+        assert back.read_text() == "local-bytes"
 
     def test_fsshell_perm_tail_text_trash(self, spark, tmp_path):
         import os
