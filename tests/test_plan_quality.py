@@ -54,14 +54,26 @@ class TestPlanQuality:
         assert "BatchEvalPython" not in plan  # no row-at-a-time Python
 
     def test_no_python_udf_in_relational_queries(self, spark, sf_dir):
-        # every §2-parity operator must stay JVM-side (udaf_geomean and
-        # multimodal are the *declared* Arrow-batched exceptions)
-        exempt = {"udaf_geomean", "multimodal_decode", "pipe_translate"}
+        # every §2-parity operator must stay JVM-side; Python appears
+        # ONLY at the declared Arrow/pipe boundaries — row-at-a-time
+        # Python nowhere, and Arrow-batched stages only in the
+        # multimodal/UDAF/pipe families
+        arrow_ok = {
+            "udaf_geomean",            # GROUPED_AGG pandas UDF
+            "multimodal_decode",       # mapInPandas decode plumbing
+            "media_roundtrip",         # mapInPandas encode+real decode
+            "wav_roundtrip",           # mapInPandas encode+RIFF parse
+            "pipe_translate",          # rdd.pipe external process
+            "crash_skip",              # mapInPandas quarantine of a
+                                       # crashing user map function
+        }
         for name, fn in q.QUERIES.items():
-            if name in exempt:
-                continue
             plan = plan_of(fn(spark, sf_dir))
             assert "BatchEvalPython" not in plan, f"{name} uses row Python UDF"
+            if name not in arrow_ok:
+                for node in ("MapInPandas", "ArrowEvalPython",
+                             "FlatMapGroupsInPandas"):
+                    assert node not in plan, f"{name} has undeclared {node}"
 
     def test_semi_join_plans_left_semi(self, spark, sf_dir):
         plan = plan_of(q.semi_join_q(spark, sf_dir))
