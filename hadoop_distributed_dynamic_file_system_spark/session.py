@@ -40,9 +40,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # In local mode the driver JVM IS the executor; Spark's 1g default
+    # heap starves 32 concurrent tasks (observed: MemoryManager >95%
+    # warnings during bulk writes, OOM on 20M-row sorts while the host
+    # sits on 128 GiB). Only effective at first JVM launch — a live
+    # session keeps its heap.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,113 @@
+"""Scale-stress evidence beyond the shipped SFs: run the heaviest plan
+shapes on locally synthesized inputs ~10-20x sf0.1 and report per-row
+cost next to the sf0.1 number. Flat per-row cost (or better, as fixed
+overhead amortizes) is the local-mode evidence that the plan's cost is
+data-bound, not structure-bound — the property that survives the jump
+to a real cluster. Writes STRESS.md. Regenerate: `python tools/stress.py`.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from hadoop_distributed_dynamic_file_system_spark import cache, datagen
+    from hadoop_distributed_dynamic_file_system_spark.operators import (
+        dedup, graph, sort as sort_ops,
+    )
+    from hadoop_distributed_dynamic_file_system_spark.session import get_spark
+
+    spark = get_spark("stress", master="local[32]")
+    sf_docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    rows = []
+
+    def bench(name, n_rows, fn, warm_fn=None):
+        if warm_fn is not None:
+            warm_fn()
+            cache.release_all()
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        cache.release_all()
+        rows.append((name, n_rows, dt, 1e6 * dt / n_rows))
+        print(f"{name}: {n_rows:,} rows in {dt:.1f}s "
+              f"({1e6 * dt / n_rows:.2f} us/row)")
+
+    # total-order sort: 2M (sf0.1 bench shape) then 20M (10x)
+    for n in (2_000_000, 20_000_000):
+        bench(
+            f"total_order_sort_{n // 1_000_000}m", n,
+            lambda n=n: noop(sort_ops.total_order_sort(
+                datagen.teragen(spark, n), "key10")),
+            warm_fn=lambda: noop(sort_ops.total_order_sort(
+                datagen.teragen(spark, 10_000), "key10")),
+        )
+
+    # MinHash->LSH over the documents corpus amplified 2x and 16x
+    # (each copy k drops the first k words: near-dups, unique ids)
+    def amplified(copies):
+        parts = [
+            sf_docs.select(
+                (F.col("doc_id") + 100_000 * k).alias("doc_id"),
+                F.regexp_replace(
+                    "text", r"^(\S+\s+){%d}" % k, ""
+                ).alias("text") if k else F.col("text"),
+            )
+            for k in range(copies)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    base = sf_docs.count()
+    for copies in (2, 16):
+        corpus = amplified(copies)
+        bench(
+            f"minhash_lsh_x{copies}", base * copies,
+            lambda c=corpus: noop(dedup.lsh_candidate_pairs(
+                dedup.minhash_signatures(c, "doc_id", "text", num_hashes=8),
+                "doc_id", num_hashes=8, bands=4)),
+        )
+
+    # connected components over the x16 candidate graph
+    corpus16 = amplified(16)
+    pairs16 = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(corpus16, "doc_id", "text", num_hashes=8),
+        "doc_id", num_hashes=8, bands=4)
+    bench(
+        "dedup_components_x16", base * 16,
+        lambda: noop(graph.connected_components(pairs16, "id_a", "id_b")),
+    )
+
+    out = [
+        "# STRESS — plan shapes at 10-20x the benchmark scale (local[32])",
+        "",
+        "Per-row cost should stay flat (or fall, as fixed overhead",
+        "amortizes) when rows grow 10x; growth here would mean a",
+        "structure-bound plan that won't survive a cluster. Regenerate:",
+        "`python tools/stress.py`.",
+        "",
+        "| shape | rows | wall s | us/row |",
+        "|---|---|---|---|",
+    ]
+    for name, n, dt, us in rows:
+        out.append(f"| {name} | {n:,} | {dt:.1f} | {us:.2f} |")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "STRESS.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    print("STRESS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
