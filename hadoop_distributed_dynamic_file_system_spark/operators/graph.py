@@ -56,10 +56,15 @@ def connected_components(
         .distinct()
     )
     e = e.persist()
+    # seed comp = min(node, min direct neighbor): one grouped
+    # aggregation on the symmetrized edges (no join) does what the
+    # first propagation round would — the loop starts a hop ahead,
+    # which for the dominant 2-node near-dup clusters means it only
+    # runs the confirming round
     labels = (
-        e.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        e.groupBy("s")
+        .agg(F.min("d").alias("_m"))
+        .select(F.col("s").alias("node"), F.least("s", "_m").alias("comp"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
