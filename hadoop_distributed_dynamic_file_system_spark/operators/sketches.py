@@ -90,3 +90,74 @@ def quantile_sketch_bracketed(
             ).alias("in_bracket"),
         )
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch as a (row, bucket, cnt) relation: depth
+    independent md5-salted hash rows, each folding every key into one
+    of `width` buckets. The sketch aggregates map-side (a plain
+    groupBy), carries depth·width counters per group regardless of
+    cardinality, and two sketches MERGE by summing matching cells —
+    the property that lets 1000 executors each sketch their shard and
+    a reducer add the grids (same contract as the HLL registers above).
+
+    The hash is md5-hex arithmetic (first 8 hex digits mod width) —
+    engine-portable, so the DuckDB oracle reproduces the exact grid,
+    making a sketch IMPLEMENTATION bug (not just its estimates)
+    hash-detectable. Spark's built-in count_min_sketch() function
+    returns an opaque binary for one engine only; this relation form
+    trades compactness for checkability and mergeability in SQL."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    keyed = df.select(F.col(key_col).cast("string").alias("__k")).select(
+        "__k", rows
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("r"), F.col("__k"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+    return (
+        keyed.select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 256
+) -> DataFrame:
+    """Point estimates from a count-min grid: for each probe key,
+    min over rows of the key's bucket counter — an upper bound on the
+    true count (collisions only inflate). Join traffic is
+    |keys|·depth rows against the fixed-size grid."""
+    k = keys.select(F.col(key_col).cast("string").alias("__k")).distinct()
+    probes = k.crossJoin(
+        sketch.select("r").distinct()
+    ).select(
+        "__k",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("r"), F.col("__k"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(sketch, ["r", "bucket"], "left")
+        .groupBy("__k")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .select(F.col("__k").alias(key_col), "est")
+    )

@@ -1302,3 +1302,87 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum("n_words").cast("bigint").alias("total_tokens"),
     )
+
+
+_SQL_CM_BUCKET = (
+    "(" + _sql_hexval("md5(r || ':' || k)", 1, 8) + ") % 256"
+)
+
+_SQL_CM_SKETCH = f"""
+  keyed AS (
+    SELECT CAST(user_id AS VARCHAR) AS k, r
+    FROM events, range(4) t(r)
+  ),
+  cm AS (
+    SELECT r, {_SQL_CM_BUCKET} AS bucket, count(*) AS cnt
+    FROM keyed GROUP BY r, {_SQL_CM_BUCKET}
+  )
+"""
+
+
+@query(
+    "count_min_grid",
+    f"""
+    WITH {_SQL_CM_SKETCH.strip()}
+    SELECT r, CAST(bucket AS BIGINT) AS bucket, cnt FROM cm
+    """,
+)
+def count_min_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min grid itself (sketches.count_min_sketch over event
+    user ids, depth 4 x width 256): both engines derive the identical
+    md5-bucketed counter matrix, so a hashing or folding bug in the
+    sketch IMPLEMENTATION — not merely a bad estimate — hash-mismatches.
+    The grid is fixed-size and mergeable by cell-wise sum, the property
+    that lets every executor sketch its shard independently."""
+    from .operators.sketches import count_min_sketch
+
+    e = _t(spark, sf_dir, "events").select("user_id")
+    return count_min_sketch(e, "user_id", depth=4, width=256).select(
+        "r", F.col("bucket").cast("bigint").alias("bucket"), "cnt"
+    )
+
+
+@query(
+    "cm_user_counts",
+    f"""
+    WITH {_SQL_CM_SKETCH.strip()},
+    probes AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS k
+      FROM events WHERE user_id < 10
+    ),
+    pb AS (
+      SELECT k, r, {_SQL_CM_BUCKET} AS bucket
+      FROM probes, range(4) t(r)
+    ),
+    est AS (
+      SELECT k, min(coalesce(cnt, 0)) AS est
+      FROM pb LEFT JOIN cm USING (r, bucket) GROUP BY k
+    ),
+    truth AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS true_cnt
+      FROM events WHERE user_id < 10 GROUP BY user_id
+    )
+    SELECT CAST(est.k AS BIGINT) AS user_id, est,
+           true_cnt, est >= true_cnt AS is_upper_bound
+    FROM est JOIN truth USING (k)
+    """,
+)
+def cm_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates vs exact counts for ten probe users:
+    the estimate must dominate the true count (collisions only
+    inflate), and `is_upper_bound` makes that contract part of the
+    hash-checked result, the same accuracy-predicate pattern as the
+    HLL and quantile sketches."""
+    from .operators.sketches import cm_estimate, count_min_sketch
+
+    e = _t(spark, sf_dir, "events").select("user_id")
+    sketch = count_min_sketch(e, "user_id", depth=4, width=256)
+    probes = e.filter(F.col("user_id") < 10)
+    est = cm_estimate(sketch, probes, "user_id", width=256).select(
+        F.col("user_id").cast("bigint").alias("user_id"), "est"
+    )
+    truth = probes.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    return est.join(truth, "user_id").select(
+        "user_id", "est", "true_cnt",
+        (F.col("est") >= F.col("true_cnt")).alias("is_upper_bound"),
+    )
