@@ -161,3 +161,22 @@ def cm_estimate(
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
         .select(F.col("__k").alias(key_col), "est")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Approximate heavy hitters: keys whose count-min estimate clears
+    `threshold`. No false negatives (the estimate upper-bounds the true
+    count); false positives only from bucket collisions, shrinking with
+    width. At scale the sketch is built in one map-side pass and only
+    the DISTINCT key set — not the raw rows — is re-scored against the
+    fixed-size grid."""
+    sketch = count_min_sketch(df, key_col, depth=depth, width=width)
+    keys = df.select(key_col).distinct()
+    est = cm_estimate(sketch, keys, key_col, width=width)
+    return est.filter(F.col("est") >= threshold)

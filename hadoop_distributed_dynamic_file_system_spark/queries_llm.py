@@ -1386,3 +1386,40 @@ def cm_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "est", "true_cnt",
         (F.col("est") >= F.col("true_cnt")).alias("is_upper_bound"),
     )
+
+
+@query(
+    "heavy_hitter_events",
+    f"""
+    WITH {_SQL_CM_SKETCH.strip()},
+    keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+    pb AS (
+      SELECT k, r, {_SQL_CM_BUCKET} AS bucket
+      FROM keys, range(4) t(r)
+    ),
+    est AS (
+      SELECT k, min(coalesce(cnt, 0)) AS est
+      FROM pb LEFT JOIN cm USING (r, bucket) GROUP BY k
+    ),
+    hh AS (SELECT CAST(k AS BIGINT) AS user_id, est FROM est WHERE est >= 30),
+    truth AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id)
+    SELECT hh.user_id, est, coalesce(true_cnt, 0) AS true_cnt
+    FROM hh LEFT JOIN truth USING (user_id)
+    """,
+)
+def heavy_hitter_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (count-min estimate >= 30 events) with
+    their exact counts alongside: no real heavy user can be missed (the
+    estimate dominates), and the checked result exposes exactly which
+    collision-inflated keys slipped in — the sketch's precision is
+    itself regression-tested."""
+    from .operators.sketches import heavy_hitters
+
+    e = _t(spark, sf_dir, "events").select("user_id")
+    hh = heavy_hitters(e, "user_id", threshold=30).select(
+        F.col("user_id").cast("bigint").alias("user_id"), "est"
+    )
+    truth = e.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    return hh.join(truth, "user_id", "left").select(
+        "user_id", "est", F.coalesce("true_cnt", F.lit(0)).alias("true_cnt")
+    )
