@@ -689,3 +689,44 @@ class TestRealMediaDecode:
         )
         assert [r.n_samples for r in rows] == [1024, 1024, 952]
         assert all(r.rms == 1000.0 for r in rows)
+
+
+class TestCountMinSketch:
+    def test_shard_sketches_merge_to_whole(self, spark):
+        from pyspark.sql import functions as F
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            sketches as sk,
+        )
+
+        df = spark.createDataFrame(
+            [(i % 7,) for i in range(200)], "k long"
+        )
+        a = df.filter(F.col("k") < 4)
+        b = df.filter(F.col("k") >= 4)
+        whole = sk.count_min_sketch(df, "k", depth=4, width=64)
+        merged = (
+            sk.count_min_sketch(a, "k", depth=4, width=64)
+            .unionByName(sk.count_min_sketch(b, "k", depth=4, width=64))
+            .groupBy("r", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
+
+    def test_estimate_upper_bounds_and_exact_when_sparse(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            sketches as sk,
+        )
+
+        df = spark.createDataFrame(
+            [(i % 5,) for i in range(100)], "k long"
+        )
+        sketch = sk.count_min_sketch(df, "k", depth=4, width=256)
+        est = {
+            int(r.k): r.est
+            for r in sk.cm_estimate(sketch, df, "k", width=256).collect()
+        }
+        # 5 keys in a 256-wide grid: collisions essentially impossible
+        # in ALL 4 rows, so the min recovers the exact count
+        assert est == {k: 20 for k in range(5)}
