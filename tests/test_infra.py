@@ -631,3 +631,20 @@ class TestCatalogAndHotSet:
         cat.table("nation")  # single parquet file -> 1 partition
         mgr.on_access("nation")
         assert mgr.level_of.get("nation", 0) == 0  # exempt, stayed base
+
+
+class TestCompressionCodecs:
+    def test_parquet_codec_roundtrip(self, spark, tmp_path, sf_dir):
+        # §2.8 codec row (ref io/compress/*): codecs are write options
+        # in the new engine; every shipped codec must round-trip
+        import os
+
+        src = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        want = sorted(r.n_name for r in src.collect())
+        for codec in ("snappy", "zstd", "gzip", "none"):
+            out = str(tmp_path / f"c_{codec}")
+            src.write.option("compression", codec).parquet(out)
+            got = sorted(
+                r.n_name for r in spark.read.parquet(out).collect()
+            )
+            assert got == want, codec
