@@ -23,48 +23,54 @@ from hadoop_distributed_dynamic_file_system_spark import queries as _q  # noqa: 
 from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  # noqa: E402,F401
 
 # The round driver's oracle checks the FIRST 50 entries of queries().
-# Round 2 verified the 50 longest-registered names (CORRECTNESS_r02:
-# 50/50 green); this priority list rotates the window so round 3
-# covers the queries that have never had a driver correctness row —
-# the LLM-pipeline family, sketches, mergeable rollups,
-# pivot/unpivot/grouping-sets, temporal LOCF, TPC-H Q2/Q3/Q6/Q9/Q11/
-# Q12/Q20, profiling, layout, and curation. Five mid-stage entries
-# (minhash_signatures, simhash_fingerprints, fingerprints,
-# token_counts, ann_brute_force) ceded their slots to the round-3
-# end-to-end queries that subsume them (curation_funnel,
-# repetition_ratio, sharded_term_lookup, time_weighted_avg,
-# wav_roundtrip, media_roundtrip); the ceded ones stay registered and
-# locally oracle-checked (tools/check.py runs ALL entries).
+# Rounds 1-3 between them gave every query except SEVEN a driver-green
+# row (r2 and r3 windows were both 50/50). Round-4 rotation: slots 1-7
+# carry those last seven (count-min family, source_overlap_matrix,
+# trailing_hour_sum, price/regression stats — all locally green under
+# tools/check.py at sf0.01 AND sf0.1, now promoted to the hard
+# signal), slots 8+ carry queries NEW this round, and the remainder is
+# a representative spread across every family that is already
+# driver-green (regression canaries). Everything else stays registered
+# and locally oracle-checked (tools/check.py runs ALL entries).
 _PRIORITY: list[str] = [
-    # LLM-data-pipeline family (queries_llm.py) — 29 entries
-    "dedup_exact", "curation_funnel", "minhash_lsh_pairs",
-    "minhash_estimate", "near_dedup_kept", "repetition_ratio",
-    "simhash_near_pairs", "ngram_jaccard", "wav_roundtrip",
-    "ann_ivf", "embedding_near_dup", "lang_id", "quality_scores",
-    "time_weighted_avg", "sharded_term_lookup", "media_roundtrip",
-    "stratified_mix", "incremental_dedup", "pii_redaction",
-    "contamination", "sequence_packing", "dedup_components",
-    "edit_distance_verify", "tfidf_top_terms", "inverted_index",
-    "temperature_mix", "ann_ivf_recall", "kfold_assignment",
-    "multi_signal_components",
-    # Sketches + incremental rollup maintenance
-    "sketch_distinct_users", "sketch_median_value",
-    "incremental_rollup", "sketch_rollup_distinct",
-    # Grouping-set family beyond rollup/cube (those are r02-green)
-    "pivot_event_matrix", "unpivot_measures", "grouping_sets_revenue",
-    # Temporal LOCF + curation + layout + scale-safe ntile
-    "reservoir_per_lang", "daily_locf_snapshot", "zorder_codes",
-    "decile_histogram", "winsorized_values",
-    # TPC-H shapes with no driver row yet
-    "q3_shipping_priority", "q6_forecast_revenue", "q12_priority_lines",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
-    "q20_excess_stock_suppliers",
-    # Profiling
-    "json_props_stats", "profile_customer",
-    # --- slot 50+: next-in-line if the driver window ever widens ---
-    # (near-duplicates of r02-green window/stats shapes, so cut when
-    # the unverified set had 53 candidates for 50 slots)
-    "trailing_hour_sum", "regression_price_qty", "price_quantity_stats",
+    # --- the 7 without a driver row yet ---
+    "source_overlap_matrix", "count_min_grid", "cm_user_counts",
+    "heavy_hitter_events", "trailing_hour_sum",
+    "price_quantity_stats", "regression_price_qty",
+    # --- new in round 4 ---
+    "ann_ivf_pq", "components_twophase", "distinct_sources_exact",
+    # --- regression canaries: one-per-family spread, all green r1-r3 ---
+    # TPC-H / SQL shapes
+    "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
+    "q18_large_orders", "q21_sole_fault_supplier",
+    # core MapReduce analogs
+    "wordcount", "grep_count", "field_selection", "aggregate_dsl",
+    "value_histogram", "udaf_geomean",
+    # joins
+    "join_expr_outer", "revenue_per_nation", "semi_join", "anti_join",
+    # sort / limit
+    "secondary_sort", "total_order_sort", "top_k_per_group",
+    # sets + grouping sets
+    "set_ops", "rollup_revenue", "grouping_sets_revenue",
+    "pivot_event_matrix",
+    # streaming batch-twins + temporal
+    "events_hourly", "sessionization", "asof_attribution",
+    "time_weighted_avg", "daily_locf_snapshot",
+    # LLM pipeline: dedup
+    "dedup_exact", "minhash_lsh_pairs", "simhash_near_pairs",
+    "ngram_jaccard", "near_dedup_kept", "dedup_components",
+    "multi_signal_components", "curation_funnel", "incremental_dedup",
+    # ANN / embeddings
+    "ann_ivf", "ann_ivf_recall", "embedding_near_dup",
+    # text analysis
+    "lang_id", "quality_scores", "tfidf_top_terms",
+    "sharded_term_lookup",
+    # sketches / rollups
+    "sketch_distinct_users", "sketch_median_value", "incremental_rollup",
+    # multimodal
+    "media_roundtrip", "wav_roundtrip",
+    # storage / misc
+    "point_lookup", "zorder_codes",
 ]
 
 
@@ -74,9 +80,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _ordered(src: dict) -> dict:
-    missing = [n for n in _PRIORITY if n not in src]
-    assert not missing, f"priority names absent from registry: {missing}"
-    out = {n: src[n] for n in _PRIORITY}
+    # Priority names not (yet) registered are skipped rather than
+    # fatal: the oracle dict legitimately lacks non-SQL-expressible
+    # entries, and a name may land in _PRIORITY a commit before its
+    # implementation. tests/test_entry.py pins that queries() itself
+    # has no such gaps at release time.
+    out = {n: src[n] for n in _PRIORITY if n in src}
     out.update((n, v) for n, v in src.items() if n not in out)
     return out
 

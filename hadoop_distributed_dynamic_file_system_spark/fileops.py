@@ -174,13 +174,23 @@ class FsShell:
         finally:
             stream.close()
 
-    def text(self, path: str) -> str:
+    def text(self, path: str, max_records: int = 1_000_000) -> str:
         """-text: decode to text — SequenceFiles ('SEQ' magic) become
-        key<TAB>value lines; anything else passes through like -cat."""
+        key<TAB>value lines; anything else passes through like -cat.
+
+        This is a driver-side CLI verb (the whole decoded file lands in
+        driver memory, like `hadoop fs -text | less`); `max_records`
+        bounds the collect so pointing it at a billion-record
+        SequenceFile can't OOM the driver. Pipelines should read the
+        file as a DataFrame instead, never compose this verb."""
         if self.cat(path, max_bytes=3) == b"SEQ":
             from .sources.sequencefile import read_sequence_file_as_text
 
-            rows = read_sequence_file_as_text(self.spark, path).collect()
+            rows = (
+                read_sequence_file_as_text(self.spark, path)
+                .limit(max_records)
+                .collect()
+            )
             return "\n".join(f"{r.key}\t{r.value}" for r in rows)
         return self.cat(path).decode("utf-8", errors="replace")
 
@@ -295,6 +305,22 @@ def distcp(
         for _, rel, _, _ in _list_files(dst_root):
             if rel not in src_rels:
                 os.remove(os.path.join(dst_root, rel))
+                deleted += 1
+        # Reference DistCp -delete also removes target-only DIRECTORIES
+        # (and the parents a stale file leaves empty): walk bottom-up,
+        # dropping any dir whose relative path is absent from the
+        # source tree and which is now empty.
+        src_dirs = {""}
+        for _, rel, _, _ in files:
+            d = os.path.dirname(rel)
+            while d and d not in src_dirs:
+                src_dirs.add(d)
+                d = os.path.dirname(d)
+        for cur, dirnames, filenames in os.walk(dst_root, topdown=False):
+            rel = os.path.relpath(cur, dst_root)
+            rel = "" if rel == "." else rel
+            if rel and rel not in src_dirs and not os.listdir(cur):
+                os.rmdir(cur)
                 deleted += 1
     return CopyResult(
         copied=sum(s[0] for s in stats),

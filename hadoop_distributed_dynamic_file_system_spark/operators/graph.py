@@ -9,23 +9,53 @@ its dedup story stops at hash-bucket sampling
 this is the operation a corpus pipeline runs between "candidate pairs"
 and "kept documents".
 
-Algorithm: iterative min-label propagation with pointer jumping
-(label(v) <- min over neighbors, then label(v) <- label(label(v))),
-the DataFrame rendering of the map-reduce CC family (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14 — the
-small-star/large-star ancestor). Pointer jumping halves the distance
-to each component's minimum every round, so convergence is
-O(log diameter) iterations rather than O(diameter).
+Algorithm: CONTRACT-THEN-ITERATE, the DataFrame rendering of the
+map-reduce CC family (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — the small-star/large-star ancestor):
+
+1. SEED: comp(v) = min(v, min direct neighbor) — one grouped
+   aggregation over the symmetrized edges, no join.
+2. CONTRACT: quotient the graph by seed label. Each seed-label class
+   S_c = {v: comp(v)=c} lies inside ONE true component (every member
+   of S_c is c itself or a direct neighbor of c), so merging the class
+   into a single quotient node preserves components exactly. The
+   contracted edge set is the DISTINCT bad-label pairs
+   {(comp(s), comp(d)) : edge (s,d), comp(s) != comp(d)} — for
+   near-dup graphs this collapses both the dominant shapes: millions
+   of 2-node/star clusters vanish entirely (no bad edges), and DENSE
+   clusters (the multi-signal union graph: avg degree >100) collapse
+   to a handful of quotient nodes, so their intra-cluster edges are
+   touched exactly twice (seed + contract) instead of every round.
+3. SOLVE the contracted graph:
+   a. if it fits comfortably on the driver (<= driver_max_edges,
+      default 1M quotient edges ~ tens of MB), collect it and run
+      union-find with min-id representatives — exact, instant, and
+      safe: the quotient size is bounded by the number of unsettled
+      cluster adjacencies, not by the corpus;
+   b. otherwise, min-label propagation with pointer jumping
+      (label(v) <- min over neighbors, then label(v) <- label(label(v)))
+      on the contracted graph. Pointer jumping halves the distance to
+      each component's minimum every round → O(log diameter) rounds,
+      each over a graph orders of magnitude smaller than the input.
+4. MAP BACK: node's final component = quotient label of its seed
+   label (left broadcast join + coalesce; labels untouched by
+   contraction are already final).
+
+Why the quotient minimum is the true component minimum: the true min
+node m of a component satisfies comp(m) = m (no smaller neighbor
+exists), so m survives contraction as a quotient node and the
+quotient loop's min-reachable-label equals the component's min node.
 
 Design notes for 100 TB:
-- every iteration is two equi-joins + one groupBy, all keyed on node
-  ids — no broadcast of anything proportional to the graph;
-- labels are localCheckpoint'ed each round: the lineage is truncated,
-  so round N's plan does not re-analyze rounds 1..N-1 (at cluster
-  scale swap for checkpoint() on a reliable dir — same call site);
-- dedup graphs are overwhelmingly tiny clusters (near-dup groups of
-  2-10 docs), so the loop exits after 2-3 rounds; the log-bound is the
-  insurance against pathological chains, not the common case;
+- every pass is equi-joins + a groupBy, all keyed on node/label ids —
+  no broadcast of anything proportional to the graph;
+- the contracted edge build is ONE job (seed labels feed two equi-joins
+  over the edge list; the persist fills on the same action that counts
+  it), so contraction never costs more than the single full-graph
+  round it replaces;
+- quotient labels are localCheckpoint'ed each round: the lineage is
+  truncated, so round N's plan does not re-analyze rounds 1..N-1 (at
+  cluster scale swap for checkpoint() on a reliable dir — same site);
 - the driver-side loop only ever sees ONE scalar per round (the
   changed-row count that decides convergence) — the data never leaves
   the executors.
@@ -36,18 +66,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
+
 
 def connected_components(
     edges: DataFrame,
     src: str,
     dst: str,
     max_iter: int = 25,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Components of the undirected graph given by `edges`: returns
     (node, component) for every node that appears in an edge, where
     component = the minimum node id reachable from it. Deterministic —
     min-reachable-id is a pure graph property, so the result is
     engine- and partitioning-independent.
+
+    `driver_max_edges` caps the quotient size solved centrally
+    (union-find on collected quotient edges); set 0 to force the
+    distributed loop (the property tests exercise both paths).
     """
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -55,26 +92,92 @@ def connected_components(
         .filter(F.col("s") != F.col("d"))
         .distinct()
     )
-    e = e.persist()
-    # seed comp = min(node, min direct neighbor): one grouped
-    # aggregation on the symmetrized edges (no join) does what the
-    # first propagation round would — the loop starts a hop ahead,
-    # which for the dominant 2-node near-dup clusters means it only
-    # runs the confirming round
+    # seed comp = min(node, min direct neighbor)
     labels = (
         e.groupBy("s")
         .agg(F.min("d").alias("_m"))
         .select(F.col("s").alias("node"), F.least("s", "_m").alias("comp"))
         .localCheckpoint()
     )
+
+    # contract: distinct seed-label pairs across edges whose endpoints
+    # disagree — the quotient graph the loop runs on. Lazy persist; the
+    # n_q count is the ONE job that materializes it.
+    lab_s = labels.select(
+        F.col("node").alias("s_n"), F.col("comp").alias("comp_s")
+    )
+    lab_d = labels.select(
+        F.col("node").alias("d_n"), F.col("comp").alias("comp_d")
+    )
+    qe = cache.tracked_persist(
+        e.join(lab_s, e.s == lab_s.s_n)
+        .join(lab_d, e.d == lab_d.d_n)
+        .filter(F.col("comp_s") != F.col("comp_d"))
+        .select(F.col("comp_s").alias("s"), F.col("comp_d").alias("d"))
+        .distinct(),
+        eager=False,
+    )
+    n_q = qe.count()
+    if n_q == 0:
+        # every cluster was a star around its minimum — seed is exact
+        return labels
+
+    if n_q <= driver_max_edges:
+        # quotient fits on the driver: union-find with min-id roots.
+        # This is the common case at any scale — the quotient carries
+        # one edge per unsettled CLUSTER adjacency, not per row.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        qpdf = qe.toPandas()  # Arrow transfer: 2 cols × n_q, tens of MB
+        for a, b in zip(qpdf["s"].tolist(), qpdf["d"].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach the larger root under the smaller: the root
+                # of every tree is the set's minimum label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        spark = edges.sparkSession
+        comp_type = labels.schema["comp"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        qmap = spark.createDataFrame(
+            [(x, find(x)) for x in list(parent)],
+            StructType(
+                [
+                    StructField("q_n", comp_type),
+                    StructField("q_comp", comp_type),
+                ]
+            ),
+        )
+        return labels.join(
+            F.broadcast(qmap), labels.comp == qmap.q_n, "left"
+        ).select("node", F.coalesce("q_comp", "comp").alias("comp"))
+
+    # iterate on the contracted graph (symmetric by construction: e is
+    # symmetric, so every (c1,c2) appears with its mirror)
+    qlab = (
+        qe.groupBy("s")
+        .agg(F.min("d").alias("_m"))
+        .select(F.col("s").alias("node"), F.least("s", "_m").alias("comp"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nb_min = (
-            e.join(labels, e.d == labels.node)
+            qe.join(qlab, qe.d == qlab.node)
             .groupBy("s")
             .agg(F.min("comp").alias("nb_comp"))
         )
         stepped = (
-            labels.join(nb_min, labels.node == nb_min.s, "left")
+            qlab.join(nb_min, qlab.node == nb_min.s, "left")
             .select(
                 "node",
                 F.col("comp").alias("prev"),
@@ -82,7 +185,7 @@ def connected_components(
             )
         )
         # pointer jumping: follow the label one hop (comp <- comp's comp)
-        hop = labels.select(
+        hop = qlab.select(
             F.col("node").alias("h_node"), F.col("comp").alias("h_comp")
         )
         jumped = (
@@ -97,11 +200,19 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         changed = jumped.filter(F.col("comp") != F.col("prev")).count()
-        labels = jumped.select("node", "comp")
+        qlab = jumped.select("node", "comp")
         if changed == 0:
             break
-    e.unpersist()
-    return labels
+
+    # map back: final comp = quotient label of the seed label; labels
+    # whose class never touched a bad edge are absent from the quotient
+    # and stay as seeded
+    qmap = qlab.select(
+        F.col("node").alias("q_n"), F.col("comp").alias("q_comp")
+    )
+    return labels.join(qmap, labels.comp == qmap.q_n, "left").select(
+        "node", F.coalesce("q_comp", "comp").alias("comp")
+    )
 
 
 def component_sizes(components: DataFrame) -> DataFrame:

@@ -238,7 +238,12 @@ def image_features(binaries: DataFrame) -> DataFrame:
             means, stds = [], []
             for b in pdf["payload"]:
                 b = bytes(b)
-                if b[:2] == b"BM":
+                # try/except mirrors sniff_media: a payload that merely
+                # STARTS with 'BM' but is truncated/malformed must yield
+                # nulls, not fail the whole job from inside mapInPandas.
+                try:
+                    if b[:2] != b"BM":
+                        raise ValueError("not a BMP")
                     px = bmp_pixels(b).astype(np.float64)
                     lum = (
                         0.299 * px[:, :, 0]
@@ -247,7 +252,7 @@ def image_features(binaries: DataFrame) -> DataFrame:
                     )
                     means.append(round(float(lum.mean()), 6))
                     stds.append(round(float(lum.std()), 6))
-                else:
+                except Exception:
                     means.append(None)
                     stds.append(None)
             yield pd.DataFrame(
@@ -276,23 +281,38 @@ def wav_chunks(binaries: DataFrame, chunk_samples: int = 48000) -> DataFrame:
             ids, nos, lens, rms = [], [], [], []
             for _, row in pdf.iterrows():
                 b = bytes(row["payload"])
+                decoded = False
                 if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                    m = _wav_meta(b)
-                    samples = np.frombuffer(
-                        b[m["data_off"] : m["data_off"] + m["data_len"]],
-                        dtype="<i2",
-                    ).astype(np.float64)
-                    for c, start in enumerate(
-                        range(0, len(samples), chunk_samples)
-                    ):
-                        win = samples[start : start + chunk_samples]
-                        ids.append(row["doc_id"])
-                        nos.append(c)
-                        lens.append(len(win))
-                        rms.append(
-                            round(float(np.sqrt((win**2).mean())), 6)
-                        )
-                else:  # non-audio payload: stub fan-out semantics
+                    # Malformed RIFF (no data chunk, truncated stream)
+                    # must fall through to the stub path, not raise
+                    # KeyError inside the executor (mirrors sniff_media).
+                    try:
+                        m = _wav_meta(b)
+                        samples = np.frombuffer(
+                            b[m["data_off"] : m["data_off"] + m["data_len"]],
+                            dtype="<i2",
+                        ).astype(np.float64)
+                        chunks = []
+                        for c, start in enumerate(
+                            range(0, len(samples), chunk_samples)
+                        ):
+                            win = samples[start : start + chunk_samples]
+                            chunks.append(
+                                (
+                                    c,
+                                    len(win),
+                                    round(float(np.sqrt((win**2).mean())), 6),
+                                )
+                            )
+                        for c, n, r in chunks:
+                            ids.append(row["doc_id"])
+                            nos.append(c)
+                            lens.append(n)
+                            rms.append(r)
+                        decoded = True
+                    except Exception:
+                        decoded = False
+                if not decoded:  # non-audio payload: stub fan-out semantics
                     n_samples = max(1, len(b) // 2)
                     for c, start in enumerate(
                         range(0, n_samples, chunk_samples)

@@ -111,10 +111,18 @@ def count_min_sketch(
     making a sketch IMPLEMENTATION bug (not just its estimates)
     hash-detectable. Spark's built-in count_min_sketch() function
     returns an opaque binary for one engine only; this relation form
-    trades compactness for checkability and mergeability in SQL."""
+    trades compactness for checkability and mergeability in SQL.
+
+    NULL keys are dropped, not counted: Spark's concat_ws skips a NULL
+    argument (hashing just the row salt) while SQL's `||` nulls the
+    whole expression, so the two engines would bucket NULLs
+    differently. A null key has no meaningful frequency anyway —
+    filtering is the only portable semantics."""
     rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
-    keyed = df.select(F.col(key_col).cast("string").alias("__k")).select(
-        "__k", rows
+    keyed = (
+        df.select(F.col(key_col).cast("string").alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .select("__k", rows)
     )
     bucket = (
         F.conv(
@@ -137,8 +145,13 @@ def cm_estimate(
     """Point estimates from a count-min grid: for each probe key,
     min over rows of the key's bucket counter — an upper bound on the
     true count (collisions only inflate). Join traffic is
-    |keys|·depth rows against the fixed-size grid."""
-    k = keys.select(F.col(key_col).cast("string").alias("__k")).distinct()
+    |keys|·depth rows against the fixed-size grid. NULL probe keys are
+    dropped, mirroring count_min_sketch's null handling."""
+    k = (
+        keys.select(F.col(key_col).cast("string").alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+    )
     probes = k.crossJoin(
         sketch.select("r").distinct()
     ).select(

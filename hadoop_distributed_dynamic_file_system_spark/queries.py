@@ -2049,12 +2049,17 @@ _SQL_PS = """
            ((ps_partkey * 7 + ps_suppkey * 13) % 9999) + 1 AS ps_availqty
     FROM (
       SELECT p_partkey AS ps_partkey,
-             (p_partkey * 11 + i * 37) % (SELECT count(*) FROM supplier)
+             (p_partkey * 11 + i) % (SELECT count(*) FROM supplier)
                AS ps_suppkey
       FROM part, range(4) t(i)
     )
   )
 """
+
+# |supplier| per sf_dir — a pure dim count; memoized so repeated
+# _partsupp calls (q2/q9/q11/q20 all build it) don't each run a
+# driver-side count job.
+_N_SUP_CACHE: dict[str, int] = {}
 
 
 def _partsupp(
@@ -2065,13 +2070,16 @@ def _partsupp(
 ) -> DataFrame:
     """The derived partsupp relation (matches _SQL_PS exactly): each
     part paired with 4 suppliers chosen by key arithmetic
-    (ps_suppkey = (p_partkey·11 + i·37) % |supplier|, i ∈ 0..3), with
-    integer-arithmetic supplycost/availqty. Cardinality-faithful to
-    real TPC-H partsupp — exactly 4·|part| rows, so at sf100 the
-    relation is ~80M rows, not the ~4×10¹² a %-filtered cross product
-    would produce. |supplier| is a driver-side dim count (one cheap
-    job), always over the FULL supplier table so the pairing is stable
-    under caller-side filters.
+    (ps_suppkey = (p_partkey·11 + i) % |supplier|, i ∈ 0..3), with
+    integer-arithmetic supplycost/availqty. The per-i offsets 0..3 are
+    distinct mod ANY |supplier| ≥ 4, so the 4 suppliers per part are
+    always distinct (the earlier i·37 stride silently collided whenever
+    |supplier| divided 37·d, e.g. 37 or 74 suppliers).
+    Cardinality-faithful to real TPC-H partsupp — exactly 4·|part|
+    rows, so at sf100 the relation is ~80M rows, not the ~4×10¹² a
+    %-filtered cross product would produce. |supplier| is a driver-side
+    dim count, memoized per sf_dir and always over the FULL supplier
+    table so the pairing is stable under caller-side filters.
 
     `parts` lets callers pass a PRE-FILTERED part frame: ps rows are a
     pure function of p_partkey, so generating from the filtered set is
@@ -2079,13 +2087,16 @@ def _partsupp(
     broadcast semi-join (pairing itself is unchanged)."""
     p = (parts if parts is not None
          else _t(spark, sf_dir, "part")).select("p_partkey")
-    n_sup = _t(spark, sf_dir, "supplier").count()
+    n_sup = _N_SUP_CACHE.get(sf_dir)
+    if n_sup is None:
+        n_sup = _t(spark, sf_dir, "supplier").count()
+        _N_SUP_CACHE[sf_dir] = n_sup
     i = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("i")
     ps = (
         p.select("p_partkey", i)
         .select(
             F.col("p_partkey").alias("ps_partkey"),
-            ((F.col("p_partkey") * 11 + F.col("i") * 37) % F.lit(n_sup))
+            ((F.col("p_partkey") * 11 + F.col("i")) % F.lit(n_sup))
             .alias("ps_suppkey"),
         )
         .select(

@@ -1312,6 +1312,7 @@ _SQL_CM_SKETCH = f"""
   keyed AS (
     SELECT CAST(user_id AS VARCHAR) AS k, r
     FROM events, range(4) t(r)
+    WHERE user_id IS NOT NULL
   ),
   cm AS (
     SELECT r, {_SQL_CM_BUCKET} AS bucket, count(*) AS cnt
@@ -1392,7 +1393,8 @@ def cm_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy_hitter_events",
     f"""
     WITH {_SQL_CM_SKETCH.strip()},
-    keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+    keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k
+             FROM events WHERE user_id IS NOT NULL),
     pb AS (
       SELECT k, r, {_SQL_CM_BUCKET} AS bucket
       FROM keys, range(4) t(r)

@@ -438,6 +438,14 @@ def bucketed_upsert_writer(
             dst = os.path.join(table_root, f"b{b}", f"v{epoch_id}")
             if os.path.isdir(src):
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
+                # A pre-existing dst can only be debris from a crashed
+                # attempt at THIS epoch (the manifest never named it —
+                # we'd have returned at the replay guard above). Without
+                # this, shutil.move drops src INSIDE the stale dst and
+                # the commit publishes a version with both the old
+                # files and a nested __b= dir — a torn bucket.
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
                 shutil.move(src, dst)
                 manifest["buckets"][str(b)] = f"v{epoch_id}"
         shutil.rmtree(staging, ignore_errors=True)

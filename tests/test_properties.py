@@ -280,3 +280,88 @@ class TestBucketedUpsertProperties:
             for r in ev.read_bucketed_table(spark, root).collect()
         }
         assert got == _model_upsert(batches)
+
+
+# ------------------------------------------------------- connected components
+
+
+def _model_union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """In-memory union-find oracle with min-id representatives — the
+    reference model for connected_components (node -> min reachable)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in nodes}
+
+
+class TestConnectedComponentsProperties:
+    """Random graphs vs the union-find model, through BOTH solve paths:
+    the driver union-find (default) and the distributed contract+loop
+    (driver_max_edges=0). The two paths share only the seed/contract
+    prefix, so agreement on random graphs pins the whole operator."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 120), st.integers(0, 120)),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    def test_matches_union_find_both_paths(self, spark, edges):
+        from hadoop_distributed_dynamic_file_system_spark import cache
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            graph,
+        )
+
+        model = _model_union_find(edges)
+        if not model:  # all self-loops: operator returns no rows
+            return
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for dme in (1_000_000, 0):
+            got = {
+                r.node: r.comp
+                for r in graph.connected_components(
+                    df, "id_a", "id_b", driver_max_edges=dme
+                ).collect()
+            }
+            cache.release_all()
+            assert got == model, f"path driver_max_edges={dme}"
+
+    def test_distributed_path_on_long_chain(self, spark):
+        """Chain of 80 nodes through the distributed loop: after
+        contraction the quotient is a ~40-node chain; pointer jumping
+        must converge inside max_iter."""
+        from hadoop_distributed_dynamic_file_system_spark import cache
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            graph,
+        )
+
+        e = [(i, i + 1) for i in range(79)]
+        df = spark.createDataFrame(e, "id_a long, id_b long")
+        got = {
+            r.node: r.comp
+            for r in graph.connected_components(
+                df, "id_a", "id_b", driver_max_edges=0
+            ).collect()
+        }
+        cache.release_all()
+        assert got == _model_union_find(e)
