@@ -276,6 +276,30 @@ def main() -> None:
     finally:
         shutil.rmtree(meta_dir, ignore_errors=True)
 
+    # MRBench analog (ref src/test/.../mapred/MRBench.java:38,301-304):
+    # avg JOB LATENCY over N runs of a tiny fixed pipeline — zero-padded
+    # number lines → identity map → shuffle → identity reduce (sorted
+    # write). MRBench measures framework overhead per job, not
+    # throughput, so the data stays deliberately small; the number that
+    # matters is milliseconds per run.
+    def mr_job() -> None:
+        lines = spark.range(10_000).select(
+            F.lpad(F.col("id").cast("string"), 10, "0").alias("line")
+        )
+        materialize(
+            lines.repartition(8, "line").sortWithinPartitions("line")
+        )
+
+    mr_job()  # warm the plan shape once (JIT excluded, like the others)
+    n_runs = 4
+    mr_times = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        mr_job()
+        mr_times.append(time.time() - t0)
+    timings["mrbench"] = round(sum(mr_times), 3)
+    io_stats["mrbench_avg_ms"] = round(1000 * sum(mr_times) / n_runs, 1)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",

@@ -299,6 +299,109 @@ def epoch_writer(out_dir: str, ledger_dir: str):
     return write_batch
 
 
+def streaming_time_weighted_avg(
+    samples: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of temporal.time_weighted_avg: per (key, time
+    bucket), the running time-weighted average over irregular samples —
+    each sample's value weighted by how long it HELD (gap to the next
+    sample), the open tail carrying zero weight, single-sample (or
+    zero-elapsed) buckets falling back to the plain average. Emits the
+    running TWA on every micro-batch (update mode); the LAST emit per
+    (key, bucket) equals the batch operator's answer.
+
+    Ordered state via applyInPandasWithState — the piece a windowed
+    built-in can't express (the weight of sample i is determined by
+    sample i+1, so the aggregate is order-dependent): state keeps
+    (weighted-sum, hold-sum, value-sum, n, last-ts, last-value); each
+    batch sorts ITS samples by ts, splices the stored tail sample onto
+    the front, folds the gaps, and stores the new tail. One state row
+    per live (key, bucket) group.
+
+    In-order assumption: samples for a key must not arrive in a LATER
+    batch with an EARLIER timestamp than the stored tail (within a
+    batch any order is fine — it sorts). Cross-batch late data needs a
+    watermark+buffer design; for the rollup-pipeline shape (append-only
+    metric streams) in-order per key is the contract."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bucket_start = F.window(F.col(ts_col), bucket)["start"].alias(
+        "bucket_start"
+    )
+    keyed = samples.select(
+        F.col(key_col), bucket_start, F.col(ts_col), F.col(value_col)
+    )
+    bs_type = keyed.schema["bucket_start"].dataType
+    key_type = keyed.schema[key_col].dataType
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_type),
+            T.StructField("bucket_start", bs_type),
+            T.StructField("twa", T.DoubleType()),
+            T.StructField("n_samples", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("w_sum", T.DoubleType()),
+            T.StructField("hold_sum", T.DoubleType()),
+            T.StructField("v_sum", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("last_ts", T.LongType()),  # ns since epoch
+            T.StructField("last_v", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        k, bstart = key
+        if state.exists:
+            w_sum, hold_sum, v_sum, n, last_ts, last_v = state.get
+            have_tail = True
+        else:
+            w_sum = hold_sum = v_sum = 0.0
+            n = 0
+            last_ts, last_v = 0, 0.0
+            have_tail = False
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(ts_col, kind="mergesort")
+        ts_ns = pd.to_datetime(batch[ts_col]).astype("int64").tolist()
+        vals = batch[value_col].astype(float).tolist()
+        for t, v in zip(ts_ns, vals):
+            if have_tail:
+                hold = float(t - last_ts)
+                w_sum += last_v * hold
+                hold_sum += hold
+            last_ts, last_v, have_tail = t, v, True
+            v_sum += v
+            n += 1
+        state.update((w_sum, hold_sum, v_sum, n, last_ts, last_v))
+        twa = (w_sum / hold_sum) if hold_sum > 0 else (v_sum / n)
+        yield pd.DataFrame(
+            {
+                key_col: [k],
+                "bucket_start": [bstart],
+                "twa": [round(twa, 6)],
+                "n_samples": [n],
+            }
+        )
+
+    return keyed.groupBy(key_col, "bucket_start").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming query to completion against the file source
     (synchronous; for tests/local verification). Returns the result."""

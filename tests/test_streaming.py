@@ -527,3 +527,78 @@ class TestSchemaEvolution:
         assert set(df.columns) == {"id", "v", "score"}
         got = {r.id: r.score for r in df.collect()}
         assert got == {1: None, 2: 9.5}
+
+
+class TestStreamingTimeWeightedAvg:
+    def test_matches_batch_operator_across_batches(self, spark, tmp_path):
+        """Multi-batch streaming TWA: the stored tail sample must
+        splice onto the next batch's head (the cross-batch gap carries
+        weight), and the LAST emit per (key, bucket) must equal
+        temporal.time_weighted_avg over the same data."""
+        import datetime as dt
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            temporal,
+        )
+
+        def t(h, d=1):
+            return dt.datetime(2024, 1, d, h, 0, 0)
+
+        batches = [
+            [(1, t(0), 10.0), (1, t(1), 20.0), (2, t(5), 7.0)],
+            [(1, t(3), 30.0)],                  # cross-batch gap 1h→3h
+            [(1, t(1, d=2), 40.0)],             # new day = new bucket
+        ]
+        src = tmp_path / "twa_src"
+        src.mkdir()
+        for i, batch in enumerate(batches):
+            spark.createDataFrame(
+                batch, "user_id long, ts timestamp, value double"
+            ).coalesce(1).write.mode("append").parquet(str(src / f"b{i}"))
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        out = ev.run_to_memory(
+            ev.streaming_time_weighted_avg(stream),
+            "twa_stream",
+            output_mode="update",
+        )
+        last = {}
+        for r in out.collect():  # memory sink appends in batch order
+            last[(r.user_id, r.bucket_start)] = (r.twa, r.n_samples)
+
+        batch_df = spark.read.parquet(str(src) + "/*/*.parquet")
+        want = {
+            (r.user_id, r.bucket_start): (r.twa, r.n_samples)
+            for r in temporal.time_weighted_avg(
+                batch_df, ["user_id"], "ts", "value"
+            ).collect()
+        }
+        assert last == want
+        # sanity: user 1 day 1 = (10*1h + 20*2h) / 3h, hand-computed
+        day1 = last[(1, dt.datetime(2024, 1, 1, 0, 0, 0))]
+        assert day1 == (round((10 * 1 + 20 * 2) / 3, 6), 3)
+
+    def test_single_sample_bucket_falls_back_to_avg(self, spark, tmp_path):
+        import datetime as dt
+
+        src = tmp_path / "twa_one"
+        src.mkdir()
+        spark.createDataFrame(
+            [(9, dt.datetime(2024, 3, 5, 12, 0, 0), 42.5)],
+            "user_id long, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(str(src / "b0"))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .parquet(str(src) + "/*")
+        )
+        out = ev.run_to_memory(
+            ev.streaming_time_weighted_avg(stream),
+            "twa_one",
+            output_mode="update",
+        )
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0].twa == 42.5 and rows[0].n_samples == 1
