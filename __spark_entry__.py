@@ -38,7 +38,7 @@ _PRIORITY: list[str] = [
     "heavy_hitter_events", "trailing_hour_sum",
     "price_quantity_stats", "regression_price_qty",
     # --- new in round 4 ---
-    "ann_ivf_pq", "components_twophase", "distinct_sources_exact",
+    "ann_ivf_pq", "pq_codes", "components_distributed",
     # --- regression canaries: one-per-family spread, all green r1-r3 ---
     # TPC-H / SQL shapes
     "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",

@@ -268,6 +268,223 @@ def kmeans_fit(
     return centroids.select("centroid_id", F.col("zv").alias("embedding"))
 
 
+# --------------------------------------------------------------- IVF-PQ
+#
+# Product quantization: split each D-dim vector into M subvectors of
+# D/M dims; quantize each subvector to one of K codewords from a
+# per-subspace codebook; a vector is then M small integers (M bytes at
+# K<=256) instead of 4·D float bytes — the memory-bound regime's path
+# at 100 TB embedding scale (a 64-dim float corpus shrinks 64×). Search
+# is ASYMMETRIC: the query stays exact, each candidate's dot product is
+# approximated by Σ_m dot(q_m, codeword_m) — one table lookup per
+# subspace, never a full-vector multiply against raw floats.
+
+
+def l2_sq_to_code(sub: Column, zv: Column) -> Column:
+    """Ranking distance of a subvector to a codeword: ||z||² − 2·q·z
+    (the ||sub||² term is constant within a (vector, subspace) rank
+    partition, so dropping it changes no assignment; what remains is
+    cheap and — rounded to 6dp — bit-identical in the SQL oracle)."""
+    return F.round(norm_sq(zv) - 2 * dot(sub, zv), 6)
+
+
+def subvector(vec: Column, m: int, sub_dim: int) -> Column:
+    """m-th PQ subvector (1-based slice, matching SQL list slicing)."""
+    return F.slice(vec, m * sub_dim + 1, sub_dim)
+
+
+def make_pq_codebooks(
+    seeds: DataFrame,
+    num_subspaces: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic codebooks from seed vectors: codeword c of
+    subspace m = the m-th subvector of seed c. Returns
+    (m, code_id, zv). The fixed-seed form keeps the whole IVF-PQ
+    pipeline reproducible in any engine (the oracle's requirement);
+    `pq_fit` learns per-subspace k-means codebooks for deployments
+    where recall matters more than cross-engine replay."""
+    subs = [
+        F.struct(
+            F.lit(m).alias("m"),
+            subvector(F.col("zv"), m, sub_dim).alias("zv"),
+        )
+        for m in range(num_subspaces)
+    ]
+    return (
+        seeds.select(
+            F.col(id_col).alias("code_id"),
+            _as_double(F.col(vec_col)).alias("zv"),
+        )
+        .select("code_id", F.explode(F.array(*subs)).alias("s"))
+        .select(F.col("s.m").alias("m"), "code_id", F.col("s.zv").alias("zv"))
+    )
+
+
+def pq_fit(
+    corpus: DataFrame,
+    num_subspaces: int,
+    sub_dim: int,
+    n_codes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 3,
+) -> DataFrame:
+    """Learned codebooks: per-subspace k-means over the corpus's
+    subvectors (reuses kmeans_fit — M independent driver-looped Lloyd
+    runs, each broadcast-join + groupBy jobs). Returns (m, code_id, zv)
+    like make_pq_codebooks."""
+    out = None
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    for m in range(num_subspaces):
+        sub = c.select(
+            id_col, subvector(F.col("cv"), m, sub_dim).alias("embedding")
+        )
+        cb = kmeans_fit(
+            sub, n_codes, id_col=id_col, iterations=iterations
+        ).select(
+            F.lit(m).alias("m"),
+            F.col("centroid_id").alias("code_id"),
+            F.col("embedding").alias("zv"),
+        )
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    num_subspaces: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize: (vec_id, m, code_id) — nearest codeword per subspace
+    (min ranking distance, ties → lowest code_id). One broadcast of
+    the codebooks (M·K rows), one corpus pass; the output is the
+    index-time artifact a deployment persists (M·|corpus| tiny rows
+    vs the raw float matrix)."""
+    subs = [
+        F.struct(
+            F.lit(m).alias("m"),
+            subvector(F.col("cv"), m, sub_dim).alias("sub"),
+        )
+        for m in range(num_subspaces)
+    ]
+    long = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
+    ).select(
+        id_col, F.explode(F.array(*subs)).alias("s")
+    ).select(id_col, F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    cb = codebooks.select("m", "code_id", "zv")
+    scored = long.join(F.broadcast(cb), "m").select(
+        id_col,
+        "m",
+        "code_id",
+        l2_sq_to_code(F.col("sub"), F.col("zv")).alias("qd"),
+    )
+    w = Window.partitionBy(id_col, "m").orderBy(
+        F.asc("qd"), F.asc("code_id")
+    )
+    return (
+        scored.withColumn("qrk", F.row_number().over(w))
+        .filter(F.col("qrk") == 1)
+        .select(id_col, "m", "code_id")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    num_subspaces: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF routing + PQ asymmetric scoring: probe the nprobe nearest
+    centroid buckets, then score ONLY the candidates' PQ codes against
+    the query's per-subspace distance table — approx cosine =
+    Σ_m dot(q_m, codeword) / (‖q‖ · sqrt(Σ_m ‖codeword‖²)).
+
+    Scale shape: the corpus contributes (a) the routing pass and
+    (b) M-row code tuples per candidate; raw vectors never reach the
+    scoring join. The distance table is |queries|·M·K rows — driver-
+    broadcast metadata, like the centroids."""
+    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    codes = pq_encode(corpus, codebooks, num_subspaces, sub_dim, id_col, vec_col)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cen = centroids.select(
+        F.col("centroid_id"), _as_double(F.col(vec_col)).alias("zv")
+    )
+    qprobe = q.join(F.broadcast(cen)).select(
+        "query_id",
+        "qv",
+        "centroid_id",
+        F.round(cosine(F.col("qv"), F.col("zv")), 6).alias("cscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cscore"), F.asc("centroid_id")
+    )
+    probes = (
+        qprobe.withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+    )
+
+    # per-query distance table: dot + codeword norm per (m, code)
+    subs = [
+        F.struct(
+            F.lit(m).alias("m"),
+            subvector(F.col("qv"), m, sub_dim).alias("sub"),
+        )
+        for m in range(num_subspaces)
+    ]
+    qlong = q.select(
+        "query_id",
+        F.sqrt(norm_sq(F.col("qv"))).alias("qn"),
+        F.explode(F.array(*subs)).alias("s"),
+    ).select("query_id", "qn", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    dt = qlong.join(F.broadcast(codebooks.select("m", "code_id", "zv")), "m").select(
+        "query_id",
+        "qn",
+        "m",
+        "code_id",
+        dot(F.col("sub"), F.col("zv")).alias("pdot"),
+        norm_sq(F.col("zv")).alias("pnorm"),
+    )
+
+    scored = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(dt), ["query_id", "m", "code_id"])
+        .groupBy("query_id", id_col)
+        .agg(
+            F.round(
+                F.sum("pdot")
+                / (F.max("qn") * F.sqrt(F.sum("pnorm"))),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
 def lsh_hyperplanes(dim: int, num_planes: int) -> list[list[int]]:
     """Deterministic ±1 hyperplanes from md5 hex-digit parity — plain
     integer constants, so any engine (and the DuckDB oracle) projects

@@ -382,6 +382,134 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivf_pq",
+    """
+    WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
+                 FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(cv, zv) /
+                          sqrt(list_dot_product(cv, cv) * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS crk
+        FROM c CROSS JOIN cen
+      ) WHERE crk = 1
+    ),
+    cb AS (
+      SELECT m, vec_id AS code_id,
+             (embedding::DOUBLE[])[m*16+1:(m+1)*16] AS zv
+      FROM embeddings, range(4) t(m) WHERE vec_id < 16
+    ),
+    codes AS (
+      SELECT vec_id, m, code_id FROM (
+        SELECT c.vec_id, cb.m, cb.code_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id, cb.m
+                 ORDER BY round(list_dot_product(cb.zv, cb.zv)
+                          - 2 * list_dot_product(cv[cb.m*16+1:(cb.m+1)*16], cb.zv), 6),
+                          cb.code_id) AS qrk
+        FROM c CROSS JOIN cb
+      ) WHERE qrk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 3),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(qv, zv) /
+                          sqrt(list_dot_product(qv, qv) * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS prk
+        FROM q CROSS JOIN cen
+      ) WHERE prk <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE p.query_id <> a.vec_id
+    ),
+    dt AS (
+      SELECT q.query_id, sqrt(list_dot_product(qv, qv)) AS qn,
+             cb.m, cb.code_id,
+             list_dot_product(qv[cb.m*16+1:(cb.m+1)*16], cb.zv) AS pdot,
+             list_dot_product(cb.zv, cb.zv) AS pnorm
+      FROM q CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round(sum(pdot) / (max(qn) * sqrt(sum(pnorm))), 6) AS score
+      FROM cand
+      JOIN codes USING (vec_id)
+      JOIN dt ON dt.query_id = cand.query_id
+             AND dt.m = codes.m AND dt.code_id = codes.code_id
+      GROUP BY cand.query_id, cand.vec_id
+    )
+    SELECT query_id, vec_id, score, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 (similarity.ivf_pq_topk): route to 8 fixed
+    centroids, probe 2, then score candidates ASYMMETRICALLY against
+    4×16-dim product-quantization codebooks (codewords = subvectors of
+    the 16 lowest-id vectors) — candidates are M=4 tiny code tuples,
+    never raw floats. The memory-bound regime's ANN path: a 64-dim
+    float corpus stored as 4 bytes/vector. Both engines derive the
+    identical codebooks, codes, distance tables, and ranking, so a
+    quantization bug — not merely a recall drop — hash-mismatches."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    seeds = emb.filter(F.col("vec_id") < 16)
+    codebooks = similarity.make_pq_codebooks(seeds, num_subspaces=4, sub_dim=16)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_pq_topk(
+        emb, qs, centroids, codebooks,
+        num_subspaces=4, sub_dim=16, k=5, nprobe=2,
+    ).select("query_id", "vec_id", "score", "rk")
+
+
+@query(
+    "pq_codes",
+    """
+    WITH cb AS (
+      SELECT m, vec_id AS code_id,
+             (embedding::DOUBLE[])[m*16+1:(m+1)*16] AS zv
+      FROM embeddings, range(4) t(m) WHERE vec_id < 16
+    ),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)
+    SELECT vec_id, m, code_id FROM (
+      SELECT c.vec_id, cb.m, cb.code_id,
+             row_number() OVER (
+               PARTITION BY c.vec_id, cb.m
+               ORDER BY round(list_dot_product(cb.zv, cb.zv)
+                        - 2 * list_dot_product(cv[cb.m*16+1:(cb.m+1)*16], cb.zv), 6),
+                        cb.code_id) AS qrk
+      FROM c CROSS JOIN cb
+    ) WHERE qrk = 1
+    """,
+)
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-quantization code relation itself (one (m, code_id)
+    per vector per subspace) hash-checked over the WHOLE corpus — a
+    stronger pin than the top-k query, where only probed candidates'
+    codes influence the result. This is the index-time artifact a
+    deployment persists: 4 tiny ints per 64-dim vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 16)
+    cb = similarity.make_pq_codebooks(seeds, num_subspaces=4, sub_dim=16)
+    return similarity.pq_encode(emb, cb, num_subspaces=4, sub_dim=16)
+
+
 def _near_dup_sql(dim: int, num_planes: int, threshold: float) -> str:
     planes = similarity.lsh_hyperplanes(dim, num_planes)
     bit_exprs = " || ".join(
@@ -733,9 +861,7 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_components",
-    f"""
+_SQL_DEDUP_CC = f"""
     WITH RECURSIVE {_SQL_DOCS_DUP.strip()},
     sigs AS ({_minhash_sql(8, "docs2")}),
     banded AS (
@@ -760,22 +886,39 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r.a, e.d FROM reach r JOIN cc_edges e ON r.b = e.s
     )
     SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
-    """,
-)
+    """
+
+
+@query("dedup_components", _SQL_DEDUP_CC)
 def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: LSH candidate pairs -> connected
-    components (operators/graph.py, min-label propagation + pointer
-    jumping). component = min doc_id reachable, i.e. the canonical
-    keeper every member would collapse to. The DuckDB oracle computes
-    the same fixpoint via a recursive transitive closure — feasible at
-    oracle scale, while the Spark path is the log-round distributed
-    iteration that survives 100 TB."""
+    components (operators/graph.py, contract-then-solve). component =
+    min doc_id reachable, i.e. the canonical keeper every member would
+    collapse to. The DuckDB oracle computes the same fixpoint via a
+    recursive transitive closure — feasible at oracle scale, while the
+    Spark path contracts by seed label and solves the tiny quotient."""
     from .operators import graph
 
     corpus = _docs_with_dups(spark, sf_dir)
     sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     cc = graph.connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@query("components_distributed", _SQL_DEDUP_CC)
+def components_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clustering forced down the DISTRIBUTED solve path
+    (driver_max_edges=0): min-label propagation + pointer jumping on
+    the contracted graph instead of driver union-find. Identical
+    answer by construction — this entry keeps the 100 TB fallback path
+    under the driver's oracle, not just pytest."""
+    from .operators import graph
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    cc = graph.connected_components(pairs, "id_a", "id_b", driver_max_edges=0)
     return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
 
 

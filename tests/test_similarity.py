@@ -71,3 +71,89 @@ class TestIvfIndex:
         finally:
             cents.unpersist()
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestProductQuantization:
+    def test_pq_encode_shape_and_determinism(self, spark, embeddings):
+        seeds = embeddings.filter(F.col("vec_id") < 16)
+        cb = similarity.make_pq_codebooks(seeds, num_subspaces=4, sub_dim=16)
+        assert cb.count() == 4 * 16
+        codes = similarity.pq_encode(embeddings, cb, 4, 16)
+        n = embeddings.count()
+        # exactly one code per (vector, subspace)
+        assert codes.count() == 4 * n
+        assert codes.select("vec_id", "m").distinct().count() == 4 * n
+        # a seed vector quantizes to ITSELF in every subspace (its own
+        # subvector is at distance -||z||^2, the minimum)
+        own = codes.filter(
+            (F.col("vec_id") < 16) & (F.col("vec_id") == F.col("code_id"))
+        )
+        assert own.count() == 4 * 16
+
+    def test_ivf_pq_finds_planted_duplicates(self, spark, embeddings):
+        """PQ's retrieval contract on structureless data: an exact
+        duplicate of each query, planted in the corpus under a new id,
+        MUST come back in the top-5 — it routes to the query's own
+        centroid bucket and quantizes to the query's own codes, so its
+        asymmetric score is the maximum the codebook can express.
+        (A plain recall@5-vs-brute-force bound is NOT a sound contract
+        here: the test embeddings are near-random, so 16 codewords per
+        subspace quantize away the tiny true-neighbor margin — PQ earns
+        its keep on clustered data and via pq_fit.)"""
+        from hadoop_distributed_dynamic_file_system_spark import cache
+
+        cen = embeddings.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        seeds = embeddings.filter(F.col("vec_id") < 16)
+        cb = similarity.make_pq_codebooks(seeds, num_subspaces=4, sub_dim=16)
+        qs = embeddings.filter(F.col("vec_id") < 3)
+        planted = qs.select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        corpus = embeddings.select("vec_id", "embedding").unionByName(planted)
+        approx = similarity.ivf_pq_topk(
+            corpus, qs, cen, cb, num_subspaces=4, sub_dim=16,
+            k=5, nprobe=2,
+        )
+        got = {(r.query_id, r.vec_id) for r in approx.collect()}
+        cache.release_all()
+        for qid in (0, 1, 2):
+            assert (qid, qid + 100000) in got, f"planted dup missing for {qid}"
+
+    def test_pq_fit_learns_better_or_equal_codebooks(self, spark, embeddings):
+        """Learned (k-means) codebooks must not be WORSE than fixed
+        seed codebooks on total quantization distortion — the reason
+        pq_fit exists."""
+        from hadoop_distributed_dynamic_file_system_spark import cache
+
+        sub = embeddings.limit(200)
+        fixed = similarity.make_pq_codebooks(
+            embeddings.filter(F.col("vec_id") < 8), num_subspaces=2, sub_dim=32
+        )
+        learned = similarity.pq_fit(
+            sub, num_subspaces=2, sub_dim=32, n_codes=8, iterations=2
+        )
+
+        def distortion(cb):
+            codes = similarity.pq_encode(sub, cb, 2, 32)
+            c = sub.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+            )
+            joined = codes.join(c, "vec_id").join(
+                cb.withColumnRenamed("zv", "zvv"), ["m", "code_id"]
+            )
+            subv = F.when(F.col("m") == 0, F.slice("cv", 1, 32)).otherwise(
+                F.slice("cv", 33, 32)
+            )
+            d = joined.select(
+                (similarity.norm_sq(subv)
+                 - 2 * similarity.dot(subv, F.col("zvv"))
+                 + similarity.norm_sq(F.col("zvv"))).alias("dd")
+            )
+            return d.agg(F.sum("dd")).first()[0]
+
+        df_fixed = distortion(fixed)
+        df_learned = distortion(learned)
+        cache.release_all()
+        assert df_learned <= df_fixed * 1.001
