@@ -268,6 +268,57 @@ def image_features(binaries: DataFrame) -> DataFrame:
     )
 
 
+def compressed_raster_features(binaries: DataFrame) -> DataFrame:
+    """Pixel features (mean/std ITU-R 601 luminance) for COMPRESSED
+    rasters (PNG/JPEG/GIF/WebP) — the one decode tier that genuinely
+    needs a codec library. With PIL present (REAL_DECODE_AVAILABLE)
+    this is a real decode in the same Arrow-batched mapInPandas shape
+    as image_features; without it every row yields nulls — the
+    plumbing (schema, batching, null discipline) is identical either
+    way, so flipping the gate changes values, not the plan.
+
+    Raises nothing on malformed payloads (nulls, like image_features):
+    a poison row must not fail a 100 TB decode job."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            means, stds = [], []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                try:
+                    if not REAL_DECODE_AVAILABLE:
+                        raise ValueError("no codec library in environment")
+                    import io as _io
+
+                    import PIL.Image
+
+                    img = PIL.Image.open(_io.BytesIO(b)).convert("RGB")
+                    px = np.asarray(img, dtype=np.float64)
+                    lum = (
+                        0.299 * px[:, :, 0]
+                        + 0.587 * px[:, :, 1]
+                        + 0.114 * px[:, :, 2]
+                    )
+                    means.append(round(float(lum.mean()), 6))
+                    stds.append(round(float(lum.std()), 6))
+                except Exception:
+                    means.append(None)
+                    stds.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mean_luma": pd.array(means, dtype="float64"),
+                    "std_luma": pd.array(stds, dtype="float64"),
+                }
+            )
+
+    return binaries.mapInPandas(
+        batches, schema="doc_id bigint, mean_luma double, std_luma double"
+    )
+
+
 def wav_chunks(binaries: DataFrame, chunk_samples: int = 48000) -> DataFrame:
     """REAL audio chunking for PCM16 WAV payloads: RIFF parse + true
     windowed RMS over the sample stream (numpy int16) — the fan-out a
