@@ -39,6 +39,8 @@ _PRIORITY: list[str] = [
     "price_quantity_stats", "regression_price_qty",
     # --- new in round 4 ---
     "ann_ivf_pq", "pq_codes", "components_distributed",
+    "winnow_fingerprints", "winnow_overlap", "unigram_lm_scores",
+    "dup_ngram_fraction",
     # --- regression canaries: one-per-family spread, all green r1-r3 ---
     # TPC-H / SQL shapes
     "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",

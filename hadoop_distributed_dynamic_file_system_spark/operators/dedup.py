@@ -475,3 +475,43 @@ def verify_pairs_edit_distance(
     # the checkpointed frame is 4 scalars per candidate, i.e. tiny
     scored = scored.localCheckpoint()
     return scored.filter(F.col("similarity") >= threshold)
+
+
+# --------------------------------------------- duplicated-ngram fraction
+def duplicate_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the corpus-level
+    contamination signal from Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ACL'22), reduced to its doc-level
+    aggregate: for each document, the fraction of its n-gram
+    OCCURRENCES whose n-gram also appears in at least one OTHER
+    document. A doc near 1.0 is boilerplate/mirror content even when
+    no single whole-doc duplicate exists; near-0.0 is original text.
+    (The full suffix-array substring dedup cuts spans instead; the
+    fraction is the filter-stage form that needs no position
+    surgery.)
+
+    Plan: explode n-grams keyed by md5 (32-byte shuffle keys, never
+    the gram text), one groupBy for distinct-doc counts per gram, one
+    equi-join back, one groupBy per doc. Same two-shuffle budget as
+    tf-idf; nothing is quadratic in docs — the gram relation is linear
+    in corpus tokens."""
+    occ = exploded_shingles(df, id_col, text_col, n=n).select(
+        F.col(id_col), F.md5("sh").alias("_g")
+    )
+    dfreq = occ.groupBy("_g").agg(
+        F.countDistinct(id_col).alias("_ndocs")
+    )
+    return (
+        occ.join(dfreq, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("_ndocs") >= 2, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -1568,3 +1568,145 @@ def heavy_hitter_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hh.join(truth, "user_id", "left").select(
         "user_id", "est", F.coalesce("true_cnt", F.lit(0)).alias("true_cnt")
     )
+
+
+# ===================================================== fingerprinting / LM
+
+# lowered + empty-filtered words, then word k-gram shingles — the
+# tokenizer winnow_fingerprints uses (textanalysis._words); distinct
+# from _SQL_SHINGLES, which shingles the raw split.
+_SQL_LOWER_WORDS = (
+    r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')"
+)
+
+
+def _winnow_fp_sql(k: int, w: int, src: str) -> str:
+    """SQL for the distinct (doc_id, fp) winnowed-fingerprint set.
+
+    The words list is bound in its own CTE (mirroring the Spark side's
+    projection boundaries): inlining {_SQL_LOWER_WORDS} into the
+    nested list_transforms re-splits the text per gram reference —
+    the same O(words²) trap, ~70 s -> ~3 s at sf0.01."""
+    return f"""
+    wrds AS (SELECT doc_id, {_SQL_LOWER_WORDS} AS ws FROM {src}),
+    grams AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(
+                 range(1, greatest(len(ws) - {k - 1}, 0) + 1),
+                 i -> array_to_string(list_slice(ws, i, i + {k - 1}), ' ')
+               ),
+               g -> md5(g)
+             ) AS hs
+      FROM wrds
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(hs) - {w - 1}, 1) + 1),
+               i -> list_min(list_slice(hs, i, i + {w - 1}))
+             )) AS fp
+      FROM grams WHERE len(hs) >= 1
+    )"""
+
+
+@query(
+    "winnow_fingerprints",
+    f"""
+    WITH {_winnow_fp_sql(3, 4, "documents")}
+    SELECT doc_id, count(*) AS n_fps,
+           md5(string_agg(fp, ',' ORDER BY fp)) AS fp_digest
+    FROM fps GROUP BY doc_id
+    """,
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03) per doc,
+    checked in full: the digest is md5 over the SORTED fingerprint
+    set, so a single extra/missing/shifted window-min anywhere in any
+    document hash-mismatches. Narrow array pipeline, one shuffle
+    (distinct) + one groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    fps = textanalysis.winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list("fp")))).alias(
+            "fp_digest"
+        ),
+    )
+
+
+@query(
+    "winnow_overlap",
+    f"""
+    WITH {_SQL_DOCS_DUP.strip()},
+    {_winnow_fp_sql(3, 4, "docs2")},
+    freq AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20
+    ),
+    rare AS (SELECT doc_id, fp FROM fps JOIN freq USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(DISTINCT a.fp) AS n_common
+    FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(DISTINCT a.fp) >= 2
+    """,
+)
+def winnow_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-overlap pairs over the planted-near-dup corpus: each
+    mutated copy shares nearly all fingerprints with its original (the
+    dropped first word shifts window alignment; winnowing's guarantee
+    keeps the shared suffix runs). Hot fingerprints (>20 docs) are
+    dropped BEFORE the self-join — the boilerplate guard that keeps
+    the bucket join from going quadratic at scale."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    fps = textanalysis.winnow_fingerprints(corpus, "doc_id", "text", k=3, w=4)
+    return textanalysis.winnow_overlap(fps, "doc_id", max_df=20, min_common=2)
+
+
+@query(
+    "unigram_lm_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_LOWER_WORDS}) AS w FROM documents
+    ),
+    counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln((c + 1.0) / (n + v))), 6) AS avg_logprob
+    FROM toks JOIN counts USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_lm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one unigram LM score per document (the
+    SQL-expressible core of CCNet's perplexity filter). The 'model' is
+    a vocabulary-sized DataFrame, never a driver object."""
+    d = _t(spark, sf_dir, "documents")
+    return textanalysis.unigram_lm_scores(d, "doc_id", "text")
+
+
+@query(
+    "dup_ngram_fraction",
+    f"""
+    WITH {_SQL_DOCS_DUP.strip()},
+    occ AS (
+      SELECT doc_id, md5(unnest({_SQL_SHINGLES.format(t='text')})) AS g
+      FROM docs2
+    ),
+    dfreq AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM occ GROUP BY g)
+    SELECT doc_id, count(*) AS n_grams,
+           round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_frac
+    FROM occ JOIN dfreq USING (g)
+    GROUP BY doc_id
+    """,
+)
+def dup_ngram_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level duplicated-3-gram fraction (Lee et al. ACL'22) over
+    the planted-near-dup corpus: mutated copies score ~1.0 (every
+    surviving gram also lives in the original), originals are pulled
+    up by exactly the grams their copy kept — the filter signal a
+    substring-dedup pass ranks documents by."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    return dedup.duplicate_ngram_fraction(corpus, "doc_id", "text", n=3)

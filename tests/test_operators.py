@@ -772,3 +772,104 @@ class TestCompressedRasterDecode:
         )
         rows = mm.compressed_raster_features(df).collect()
         assert rows[0].mean_luma == 100.0 and rows[0].std_luma == 0.0
+
+
+class TestWinnowFingerprints:
+    """Winnowing (Schleimer et al. SIGMOD'03): the w+k-1 guarantee and
+    the sparsity it buys, on hand-checkable corpora."""
+
+    def _fps(self, spark, rows, k=3, w=4):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return ta.winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+
+    def test_shared_run_shares_fingerprint(self, spark):
+        # docs share a run of k+w-1 = 6 words => must share >= 1 fp
+        shared = "one two three four five six"
+        fps = self._fps(
+            spark,
+            [(1, "aa bb " + shared), (2, shared + " zz yy xx")],
+        ).collect()
+        s1 = {r.fp for r in fps if r.doc_id == 1}
+        s2 = {r.fp for r in fps if r.doc_id == 2}
+        assert s1 & s2
+
+    def test_identical_docs_identical_sets(self, spark):
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        fps = self._fps(spark, [(1, text), (2, text)]).collect()
+        s1 = sorted(r.fp for r in fps if r.doc_id == 1)
+        s2 = sorted(r.fp for r in fps if r.doc_id == 2)
+        assert s1 == s2 and len(s1) > 0
+
+    def test_sparser_than_grams(self, spark):
+        text = " ".join(f"w{i % 7}x{i % 11}" for i in range(60))
+        fps = self._fps(spark, [(1, text)]).collect()
+        # 58 grams, 55 windows; winnowing keeps ~2/(w+1) distinct mins
+        assert 0 < len(fps) < 30
+
+    def test_short_and_empty_docs(self, spark):
+        fps = self._fps(
+            spark, [(1, "only two"), (2, ""), (3, "a b c")]
+        ).collect()
+        assert {r.doc_id for r in fps} == {3}  # one clamped window
+        assert len([r for r in fps if r.doc_id == 3]) == 1
+
+    def test_overlap_drops_hot_fingerprints(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        boiler = "subscribe to our newsletter today friends"
+        rows = [(i, f"doc {i} body {boiler}") for i in range(1, 6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = ta.winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+        # every fp lives in all 5 docs; max_df=4 kills them all
+        assert ta.winnow_overlap(fps, "doc_id", max_df=4, min_common=1).count() == 0
+        # raising the cap lets all C(5,2) pairs through (the short
+        # boiler winnows to ONE shared fp, hence min_common=1)
+        assert ta.winnow_overlap(fps, "doc_id", max_df=5, min_common=1).count() == 10
+
+
+class TestUnigramLM:
+    def test_common_tokens_score_higher(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        rows = [(i, "the cat sat on the mat") for i in range(5)]
+        rows.append((99, "zyzzyva qwertyuiop floccinaucinihilipilification"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in ta.unigram_lm_scores(df, "doc_id", "text").collect()}
+        assert out[99].avg_logprob < out[0].avg_logprob
+        assert out[0].n_tokens == 6 and out[99].n_tokens == 3
+
+    def test_probabilities_normalize(self, spark):
+        # single one-word doc: p = (1+1)/(1+1) = 1 -> logprob 0
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+        row = ta.unigram_lm_scores(df, "doc_id", "text").collect()[0]
+        assert row.avg_logprob == 0.0
+
+
+class TestDupNgramFraction:
+    def test_exact_copy_scores_one(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(1, base), (2, base), (3, "iota kappa lambda mu nu xi")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in dedup.duplicate_ngram_fraction(df, "doc_id", "text").collect()}
+        assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+        assert out[3].dup_frac == 0.0
+        assert out[1].n_grams == 6  # 8 words -> 6 trigram occurrences
+
+    def test_partial_overlap_fraction(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        # doc2 shares doc1's first 4 words (2 shared trigrams) and adds
+        # 4 unique words: 6 grams, 2 duplicated -> 1/3
+        d1 = "a b c d e f"
+        d2 = "a b c d p q r s"
+        df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+        out = {r.doc_id: r for r in dedup.duplicate_ngram_fraction(df, "doc_id", "text").collect()}
+        assert out[2].n_grams == 6
+        assert abs(out[2].dup_frac - 1 / 3) < 1e-6
+        assert abs(out[1].dup_frac - 0.5) < 1e-6  # 2 of doc1's 4 grams
