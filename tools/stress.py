@@ -89,6 +89,29 @@ def main() -> None:
         lambda: noop(graph.connected_components(pairs16, "id_a", "id_b")),
     )
 
+    # union-graph CC (the multi_signal_components shape): MinHash-LSH
+    # pairs UNION SimHash near-pairs over the x16 corpus — the dense
+    # high-degree graph whose pre-contraction loop showed 9-18s
+    # variance at sf0.1; contract-then-solve should keep it flat
+    # NOTE: 16-bit SimHash over 80k near-identical synthetic docs is
+    # DEGENERATE — hamming<=3 genuinely holds for ~117M pairs (avg
+    # degree ~1.5k), so this row is edge-bound: read it per EDGE
+    # (n_rows below is the edge count), not per document. It pins two
+    # properties: CC's persist of the symmetrized edge set (without it
+    # the whole candidate funnel re-executes 3x: 296s -> ~209s), and
+    # contract-then-solve surviving a dense pathological graph.
+    fps16 = dedup.simhash(corpus16, "doc_id", "text", bits=16)
+    sh_pairs16 = dedup.simhash_near_pairs(
+        fps16, "doc_id", max_hamming=3, band_shift=8, rotations=2, bits=16)
+    union16 = pairs16.select("id_a", "id_b").unionByName(
+        sh_pairs16.select("id_a", "id_b")).distinct()
+    n_edges = union16.persist().count()
+    bench(
+        "union_graph_components_x16_dense", n_edges,
+        lambda: noop(graph.connected_components(union16, "id_a", "id_b")),
+    )
+    union16.unpersist()
+
     out = [
         "# STRESS — plan shapes at 10-20x the benchmark scale (local[32])",
         "",
@@ -96,6 +119,12 @@ def main() -> None:
         "amortizes) when rows grow 10x; growth here would mean a",
         "structure-bound plan that won't survive a cluster. Regenerate:",
         "`python tools/stress.py`.",
+        "",
+        "`union_graph_components_x16_dense` rows = EDGES (117M pairs is",
+        "the true hamming<=3 relation of 16-bit SimHash over 80k",
+        "near-identical docs — a deliberately degenerate dense graph);",
+        "the row pins CC's edge-set persist (without it the candidate",
+        "funnel re-executes 3x) and contract-then-solve on high degree.",
         "",
         "| shape | rows | wall s | us/row |",
         "|---|---|---|---|",
