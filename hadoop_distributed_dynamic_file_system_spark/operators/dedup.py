@@ -515,3 +515,77 @@ def duplicate_ngram_fraction(
             ).alias("dup_frac"),
         )
     )
+
+
+# ------------------------------------------------- stateless LSH banding
+def minhash_band_key_cols(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    prefix: str = "_bk",
+) -> DataFrame:
+    """Attach folded LSH band-key columns `{prefix}0..{prefix}{bands-1}`
+    as a STATELESS projection — no explode, no groupBy — so the same
+    expression runs on a Structured Streaming micro-batch (stateful
+    aggregation is illegal pre-watermark) and on a batch frame
+    identically. Key fold = xxhash64(band, mh|mh|...), byte-compatible
+    with lsh_candidate_pairs(hash_band_keys=True) and lsh_band_index.
+
+    Each derived array sits behind its own projection boundary
+    (shingles, then per-salt minhashes): inlined, every salt would
+    re-run the tokenize and every band the salt mins."""
+    rows_per_band = num_hashes // bands
+    words = F.split(F.col(text_col), r"\s+")
+    bound = df.withColumn("_sh_arr", _shingles_of(words, shingle_n))
+
+    def salted(s: int):
+        prefix_lit = F.lit(f"{s}:")
+        return lambda x: F.md5(F.concat(prefix_lit, x))
+
+    mh = {
+        f"_mh{s}": F.array_min(F.transform(F.col("_sh_arr"), salted(s)))
+        for s in range(num_hashes)
+    }
+    bound = bound.withColumns(mh)
+    keys = {}
+    for b in range(bands):
+        cols = [f"_mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        # A shingle-less doc has NULL minhashes: its band key must be
+        # NULL (no signal -> never matches, anti-join keeps the row),
+        # not the hash of concat_ws's skip-null "" — and NULL is also
+        # what the SQL oracle's null-propagating || produces.
+        keys[f"{prefix}{b}"] = F.when(
+            F.col(cols[0]).isNotNull(),
+            F.xxhash64(F.lit(b), F.concat_ws("|", *cols)),
+        )
+    return bound.withColumns(keys).drop("_sh_arr", *mh)
+
+
+def lsh_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct folded band keys of a corpus — the FROZEN side of
+    incremental/streaming near-dedup. One column `bk` (8-byte long):
+    at 100 TB this is the only state the dedup join carries, and it is
+    corpus-band-cardinality sized, not corpus sized. Persist it to
+    parquet once per corpus freeze; readers broadcast or shuffle-hash
+    it per batch."""
+    banded = minhash_band_key_cols(
+        df, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    parts = [
+        banded.select(F.col(f"_bk{b}").alias("bk")) for b in range(bands)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # shingle-less corpus docs carry NULL keys — dead weight in the
+    # index (NULL matches nothing in the probe's anti join)
+    return out.filter(F.col("bk").isNotNull()).distinct()

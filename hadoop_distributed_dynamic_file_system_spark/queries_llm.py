@@ -1710,3 +1710,61 @@ def dup_ngram_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring-dedup pass ranks documents by."""
     corpus = _docs_with_dups(spark, sf_dir)
     return dedup.duplicate_ngram_fraction(corpus, "doc_id", "text", n=3)
+
+
+def _band_keys_sql(sigs: str, bands: int = 4) -> str:
+    """SQL (band, bkey) rows from an mh_0..mh_{2*bands-1} signature
+    CTE — unhashed string keys; the Spark side folds the same pair to
+    xxhash64, exact up to 64-bit collisions (the standing trade every
+    hashed-key join in this file makes)."""
+    selects = [
+        f"SELECT doc_id, {b} AS band, mh_{2 * b} || '|' || mh_{2 * b + 1} AS bkey FROM {sigs}"
+        for b in range(bands)
+    ]
+    return "\n      UNION ALL ".join(selects)
+
+
+@query(
+    "incremental_near_dedup",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    batchd AS (
+      SELECT doc_id + 100000 AS doc_id,
+             regexp_replace(text, '^\\S+\\s*', '') AS text
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    ),
+    csigs AS ({_minhash_sql(8, "corpus")}),
+    bsigs AS ({_minhash_sql(8, "batchd")}),
+    cbands AS (
+      SELECT DISTINCT band, bkey FROM ({_band_keys_sql("csigs")})
+      WHERE bkey IS NOT NULL
+    ),
+    bbands AS ({_band_keys_sql("bsigs")}),
+    hits AS (
+      SELECT DISTINCT doc_id FROM bbands JOIN cbands USING (band, bkey)
+    )
+    SELECT doc_id FROM batchd WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def incremental_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 NEAR-dedup: survivors of a new crawl batch (mutated copies
+    of the frozen half-corpus + genuinely new docs) against the frozen
+    corpus' LSH band index — the batch twin of
+    streaming.events.streaming_near_dedup, same function, same plan
+    minus the streaming source. Mutated copies die in the anti joins
+    (>=1 shared band), novel docs survive all of them."""
+    from .streaming import events as ev
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batchd = (
+        corpus.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+        )
+        .unionByName(d.filter(F.col("doc_id") % 2 == 1))
+    )
+    idx = dedup.lsh_band_index(corpus, "doc_id", "text")
+    return ev.streaming_near_dedup(batchd, idx).select("doc_id")

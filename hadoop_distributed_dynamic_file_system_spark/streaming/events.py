@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators import dedup as dedup_ops
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -660,3 +662,46 @@ def vacuum_snapshots(table_root: str, keep: int = 2) -> list[str]:
     for d in doomed:
         shutil.rmtree(os.path.join(table_root, d))
     return doomed
+
+
+def streaming_near_dedup(
+    doc_stream: DataFrame,
+    band_index: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming incremental NEAR-dedup against a frozen corpus — the
+    day-2 crawl filter (curation.incremental_dedup) upgraded from
+    exact-hash to MinHash-LSH, as a streaming-legal plan: band keys
+    are a stateless projection on each micro-batch
+    (dedup.minhash_band_key_cols — no explode, no groupBy), then one
+    stream-static LEFT ANTI equi-join per band against the corpus'
+    folded band-key index (dedup.lsh_band_index). A document survives
+    only if EVERY band misses; any hit drops it inside whichever anti
+    join saw it — no reassembly aggregation, so no watermark or state
+    store is needed at all.
+
+    Scale: the static side is the distinct band-key relation (8-byte
+    longs, band-cardinality sized), broadcast per micro-batch; the
+    stream side is never shuffled. `bands` sequential anti-joins cost
+    bands× broadcast probes, not bands× shuffles. Batch/stream parity
+    is by construction — the same function applied to a batch frame
+    produces the identical plan minus the streaming source (pinned by
+    the batch-twin test)."""
+    out = dedup_ops.minhash_band_key_cols(
+        doc_stream,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    for b in range(bands):
+        idx = band_index.select(F.col("bk").alias(f"_ib{b}"))
+        out = out.join(
+            F.broadcast(idx),
+            F.col(f"_bk{b}") == F.col(f"_ib{b}"),
+            "left_anti",
+        )
+    return out.drop(*[f"_bk{b}" for b in range(bands)])

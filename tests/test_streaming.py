@@ -602,3 +602,84 @@ class TestStreamingTimeWeightedAvg:
         )
         rows = out.collect()
         assert len(rows) == 1 and rows[0].twa == 42.5 and rows[0].n_samples == 1
+
+
+class TestStreamingNearDedup:
+    def _corpus_and_batch(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+                (2, "one two three four five six seven eight nine ten"),
+                (3, "red orange yellow green blue indigo violet ultra deep"),
+            ],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                # near-dup of corpus doc 1 (first word dropped)
+                (101, "beta gamma delta epsilon zeta eta theta iota"),
+                # exact dup of corpus doc 2
+                (102, "one two three four five six seven eight nine ten"),
+                # novel
+                (103, "totally novel sentence with completely fresh words here now"),
+                # novel
+                (104, "another unrelated document about different things entirely ok"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, batch
+
+    def test_batch_semantics_drop_near_dups(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        corpus, batch = self._corpus_and_batch(spark)
+        idx = dedup.lsh_band_index(corpus, "doc_id", "text")
+        kept = ev.streaming_near_dedup(batch, idx)  # batch frame: same fn
+        ids = {r.doc_id for r in kept.collect()}
+        assert 102 not in ids          # exact dup: all bands hit
+        assert 101 not in ids          # near dup: >=1 band hits
+        assert {103, 104} <= ids       # novel docs survive every anti join
+
+    def test_stream_matches_batch_twin(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        corpus, batch = self._corpus_and_batch(spark)
+        idx = dedup.lsh_band_index(corpus, "doc_id", "text")
+        src = tmp_path / "docs_in"
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src), "doc_id long, text string"
+        )
+        out = ev.run_to_memory(
+            ev.streaming_near_dedup(stream, idx), "near_dedup_out"
+        )
+        got = {r.doc_id for r in out.collect()}
+        want = {r.doc_id for r in ev.streaming_near_dedup(batch, idx).collect()}
+        assert got == want == {103, 104}
+
+    def test_band_keys_fold_compatible_with_lsh_pairs(self, spark):
+        # the folded stream keys must equal lsh_candidate_pairs'
+        # hash_band_keys fold, or index and stream silently disagree
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        corpus, _ = self._corpus_and_batch(spark)
+        idx = {r.bk for r in dedup.lsh_band_index(corpus, "doc_id", "text").collect()}
+        sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
+        banded = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(b),
+                            F.concat_ws(
+                                "|", F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}")
+                            ),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        want = {r.bk for r in banded.collect()}
+        assert idx == want
