@@ -68,6 +68,11 @@ HEADLINE = [
     "media_roundtrip",
     "wav_roundtrip",
     "time_weighted_avg",
+    # round-4 additions
+    "winnow_fingerprints",
+    "unigram_lm_scores",
+    "dup_ngram_fraction",
+    "incremental_near_dedup",
 ]
 
 

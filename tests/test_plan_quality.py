@@ -224,3 +224,45 @@ class TestRound3PlanQuality:
         # only the part table is scanned (the supplier count is a
         # driver-side scalar, not a join input)
         assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+class TestRound4PlanQuality:
+    def test_streaming_near_dedup_is_broadcast_anti_chain(self, spark, sf_dir):
+        # the per-band probes must be broadcast anti-joins (index is
+        # the small side by construction); a SortMergeJoin here would
+        # re-shuffle the document stream once per band
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+        from hadoop_distributed_dynamic_file_system_spark.streaming import events as ev
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        idx = dedup.lsh_band_index(d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
+        plan = formatted(ev.streaming_near_dedup(d.filter(F.col("doc_id") % 2 == 1), idx))
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_winnow_is_single_scan_no_join(self, spark, sf_dir):
+        # fingerprint selection is a narrow array pipeline: one scan,
+        # no join; the only exchange is the distinct
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = formatted(ta.winnow_fingerprints(d, "doc_id", "text"))
+        assert "Join" not in plan
+        assert plan.count("Location: InMemoryFileIndex") == 1
+
+    def test_dup_ngram_fraction_reads_pruned_schema(self, spark, sf_dir):
+        # only doc_id + text must reach the scan
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = formatted(dedup.duplicate_ngram_fraction(d, "doc_id", "text"))
+        import re
+
+        schemas = re.findall(r"ReadSchema: (.*)", plan)
+        assert schemas and all(
+            "text" in s and "lang" not in s for s in schemas
+        )
