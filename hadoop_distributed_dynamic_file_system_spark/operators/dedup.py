@@ -533,12 +533,15 @@ def minhash_band_key_cols(
     identically. Key fold = xxhash64(band, mh|mh|...), byte-compatible
     with lsh_candidate_pairs(hash_band_keys=True) and lsh_band_index.
 
-    Each derived array sits behind its own projection boundary
-    (shingles, then per-salt minhashes): inlined, every salt would
-    re-run the tokenize and every band the salt mins."""
+    Each derived array sits behind its own projection boundary —
+    INCLUDING the words array: _shingles_of reads its words argument
+    via element_at 3x per shingle, so an inlined split() re-tokenizes
+    O(words) times per doc (measured ~8s -> ~0.9s at sf0.1 for this
+    projection alone)."""
     rows_per_band = num_hashes // bands
-    words = F.split(F.col(text_col), r"\s+")
-    bound = df.withColumn("_sh_arr", _shingles_of(words, shingle_n))
+    bound = df.withColumn(
+        "_w_arr", F.split(F.col(text_col), r"\s+")
+    ).withColumn("_sh_arr", _shingles_of(F.col("_w_arr"), shingle_n))
 
     def salted(s: int):
         prefix_lit = F.lit(f"{s}:")
@@ -560,7 +563,7 @@ def minhash_band_key_cols(
             F.col(cols[0]).isNotNull(),
             F.xxhash64(F.lit(b), F.concat_ws("|", *cols)),
         )
-    return bound.withColumns(keys).drop("_sh_arr", *mh)
+    return bound.withColumns(keys).drop("_w_arr", "_sh_arr", *mh)
 
 
 def lsh_band_index(
@@ -580,12 +583,21 @@ def lsh_band_index(
     banded = minhash_band_key_cols(
         df, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
     )
-    parts = [
-        banded.select(F.col(f"_bk{b}").alias("bk")) for b in range(bands)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # ONE pass: explode the band-key array. A union of bands× selects
+    # over the (unpersisted) banded frame re-runs the whole minhash
+    # pipeline per band — measured 4x on the index build.
+    out = banded.select(
+        F.explode(
+            F.array(*[F.col(f"_bk{b}") for b in range(bands)])
+        ).alias("bk")
+    )
     # shingle-less corpus docs carry NULL keys — dead weight in the
-    # index (NULL matches nothing in the probe's anti join)
-    return out.filter(F.col("bk").isNotNull()).distinct()
+    # index (NULL matches nothing in the probe's anti join).
+    # Persisted: the consumer broadcasts the index once per band with
+    # per-band column aliases, which defeats ReusedExchange — without
+    # the persist the corpus minhash pipeline executes bands× (12.3s
+    # -> ~3s at sf0.1). The at-scale form stages to parquet instead
+    # (one write per corpus freeze), same idea durable.
+    return tracked_persist(
+        out.filter(F.col("bk").isNotNull()).distinct()
+    )
