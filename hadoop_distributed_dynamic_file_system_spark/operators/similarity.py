@@ -541,3 +541,66 @@ def embedding_near_dup_pairs(
         F.col(f"b.{id_col}").alias("id_b"),
         F.round(cosine(F.col("a.cv"), F.col("b.cv")), 6).alias("score"),
     ).filter(F.col("score") >= threshold)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): route every embedding to its nearest centroid,
+    compute pairwise cosine ONLY within each centroid bucket, and drop
+    any vector that has a lower-id neighbor at cosine >= threshold.
+
+    Returns (id, centroid_id, kept, dup_of): dup_of = the LOWEST such
+    neighbor id (NULL for keepers). The keep rule is "no smaller id
+    within tau", not greedy-chain removal — deterministic, order-free,
+    and engine-portable; a chain a~b~c with cos(a,c) < tau drops BOTH
+    b and c (conservative toward removal), the same contract as
+    near_dedup's pair-min rule.
+
+    Scale: the quadratic kernel runs per bucket (equi-join on
+    centroid_id), never corpus-wide — K centroids cut pairwise work by
+    ~K; cross-bucket near-dups are missed, the standard SemDeDup
+    approximation (raise K and nprobe-style multi-assign if recall
+    matters more than cost). The assignment is persisted before the
+    self-join; without it both sides re-run the routing window."""
+    assigned = tracked_persist(
+        assign_to_centroids(corpus, centroids, id_col, vec_col)
+    )
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_a"),
+        F.col("cv").alias("va"),
+    )
+    b = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_b"),
+        F.col("cv").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    dropped = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["id_b"], "left"
+        )
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )

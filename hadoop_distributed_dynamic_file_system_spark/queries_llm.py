@@ -1768,3 +1768,60 @@ def incremental_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = dedup.lsh_band_index(corpus, "doc_id", "text")
     return ev.streaming_near_dedup(batchd, idx).select("doc_id")
+
+
+_SQL_COS_AB = (
+    "round(list_dot_product(a.cv, b.cv) /"
+    " sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b.cv, b.cv)), 6)"
+)
+
+
+@query(
+    "semantic_dedup",
+    f"""
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+      WHERE vec_id % 5 = 0
+    ),
+    cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
+            FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, cv, centroid_id FROM (
+        SELECT c.vec_id, c.cv, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(cv, zv) /
+                          sqrt(list_dot_product(cv, cv) * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS crk
+        FROM c CROSS JOIN cen
+      ) WHERE crk = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_SQL_COS_AB} >= 0.95
+    ),
+    dropped AS (SELECT id_b, min(id_a) AS dup_of FROM pairs GROUP BY id_b)
+    SELECT a.vec_id, a.centroid_id, d.id_b IS NULL AS kept, d.dup_of
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.id_b
+    """,
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over embeddings with planted exact-duplicate vectors
+    (every 5th vector copied at id+100000): copies land in the same
+    centroid bucket at cosine 1.0 and are dropped with dup_of = the
+    original; keepers come back NULL. 16 fixed centroids keep the
+    oracle exact while the bucket equi-join keeps the quadratic
+    kernel per-bucket (similarity.semantic_dedup)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.semantic_dedup(corpus, centroids, threshold=0.95)

@@ -157,3 +157,57 @@ class TestProductQuantization:
         df_learned = distortion(learned)
         cache.release_all()
         assert df_learned <= df_fixed * 1.001
+
+
+class TestSemanticDedup:
+    def _toy(self, spark):
+        # two well-separated directions + exact/near copies
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0, 0.0]),   # near-dup of 1 (cos ~0.9992)
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 1.0, 0.0, 0.0]),      # exact dup of 3
+            (5, [0.6, 0.8, 0.0, 0.0]),      # between, not a dup of either
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_drops_within_bucket_dups(self, spark):
+        corpus = self._toy(spark)
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+            "centroid_id long, embedding array<double>",
+        )
+        out = {
+            r.vec_id: r
+            for r in similarity.semantic_dedup(
+                corpus, cents, threshold=0.95
+            ).collect()
+        }
+        assert out[1].kept and out[1].dup_of is None
+        assert not out[2].kept and out[2].dup_of == 1
+        assert out[3].kept
+        assert not out[4].kept and out[4].dup_of == 3
+        assert out[5].kept  # cos(5, 3)=0.8, cos(5, 4)=0.8 < 0.95
+        # routing sanity: 5 sits in the y bucket (cos 0.8 vs 0.6)
+        assert out[5].centroid_id == 1
+
+    def test_cross_bucket_dup_is_missed_by_design(self, spark):
+        # the documented SemDeDup approximation: identical vectors
+        # routed to different buckets (forced by degenerate centroids)
+        # are NOT paired
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 1.0]), (2, [1.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 1.0]), (1, [1.0, 1.0])],
+            "centroid_id long, embedding array<double>",
+        )
+        out = similarity.semantic_dedup(corpus, cents, threshold=0.95)
+        # both tie to centroid 0 (lowest id wins) -> same bucket -> dup
+        # found; this pins the deterministic tie-break that PREVENTS
+        # spurious cross-bucket misses for exact ties
+        rows = {r.vec_id: r for r in out.collect()}
+        assert rows[1].kept and not rows[2].kept
