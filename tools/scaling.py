@@ -29,6 +29,13 @@ QUERIES = [
     "sequence_packing",
     "tfidf_top_terms",
     "ann_brute_force",
+    # round-4 additions
+    "winnow_fingerprints",
+    "winnow_overlap",
+    "unigram_lm_scores",
+    "dup_ngram_fraction",
+    "incremental_near_dedup",
+    "semantic_dedup",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
