@@ -458,3 +458,32 @@ def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+def lm_quality_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style quality bucketing: split the corpus into head /
+    middle / tail terciles of the unigram LM score (CCNet §4.3 does
+    exactly this with KenLM perplexity per language; head = most
+    in-distribution). Downstream mixes sample by bucket — head-heavy
+    for quality, tail-heavy for diversity audits.
+
+    The cut points are ONE tiny aggregate (two exact percentiles,
+    rounded 6dp like winsorize) broadcast back over the scored corpus;
+    the scored relation is persisted so the cut pass and the assign
+    pass share one computation. At 100 TB swap percentile ->
+    approx_percentile: same plan shape, sketch-sized partials."""
+    scores = tracked_persist(unigram_lm_scores(df, id_col, text_col))
+    cuts = scores.agg(
+        F.round(F.expr("percentile(avg_logprob, cast(1.0/3 as double))"), 6).alias("__c1"),
+        F.round(F.expr("percentile(avg_logprob, cast(2.0/3 as double))"), 6).alias("__c2"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") < F.col("__c1"), "tail")
+        .when(F.col("avg_logprob") < F.col("__c2"), "middle")
+        .otherwise("head")
+    )
+    return (
+        scores.join(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .drop("__c1", "__c2")
+    )

@@ -1825,3 +1825,50 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return similarity.semantic_dedup(corpus, centroids, threshold=0.95)
+
+
+_SQL_LM_SCORES = f"""
+    toks AS (
+      SELECT doc_id, unnest({_SQL_LOWER_WORDS}) AS w FROM documents
+    ),
+    counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+    scores AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             round(avg(ln((c + 1.0) / (n + v))), 6) AS avg_logprob
+      FROM toks JOIN counts USING (w) CROSS JOIN tot
+      GROUP BY doc_id
+    )"""
+
+
+@query(
+    "lm_quality_buckets",
+    f"""
+    WITH {_SQL_LM_SCORES.strip()},
+    cuts AS (
+      SELECT round(quantile_cont(avg_logprob, 1.0/3), 6) AS c1,
+             round(quantile_cont(avg_logprob, 2.0/3), 6) AS c2
+      FROM scores
+    )
+    SELECT CASE WHEN avg_logprob < c1 THEN 'tail'
+                WHEN avg_logprob < c2 THEN 'middle'
+                ELSE 'head' END AS bucket,
+           count(*) AS n_docs,
+           round(min(avg_logprob), 6) AS min_lp,
+           round(max(avg_logprob), 6) AS max_lp
+    FROM scores CROSS JOIN cuts
+    GROUP BY 1
+    """,
+)
+def lm_quality_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail LM-quality terciles with per-bucket counts and
+    score ranges — the CCNet selection step composed on the unigram LM
+    scorer. Exact interpolated percentiles on 6dp-rounded scores keep
+    both engines on identical cuts (winsorize precedent)."""
+    d = _t(spark, sf_dir, "documents")
+    b = textanalysis.lm_quality_buckets(d, "doc_id", "text")
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("avg_logprob"), 6).alias("min_lp"),
+        F.round(F.max("avg_logprob"), 6).alias("max_lp"),
+    )

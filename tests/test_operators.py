@@ -873,3 +873,28 @@ class TestDupNgramFraction:
         assert out[2].n_grams == 6
         assert abs(out[2].dup_frac - 1 / 3) < 1e-6
         assert abs(out[1].dup_frac - 0.5) < 1e-6  # 2 of doc1's 4 grams
+
+
+class TestLMQualityBuckets:
+    def test_terciles_partition_and_order(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark import cache
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        common = "the cat sat on the mat and the dog ran"
+        rows = [(i, common) for i in range(6)]
+        rows += [(10 + i, common + " unusual" + str(i)) for i in range(3)]
+        rows += [(20 + i, f"qz{i} wx{i} vb{i} mn{i}") for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = ta.lm_quality_buckets(df, "doc_id", "text").collect()
+        cache.release_all()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, []).append(r)
+        assert set(by_bucket) == {"head", "middle", "tail"}
+        assert sum(len(v) for v in by_bucket.values()) == len(rows)
+        # ordering invariant: every tail score < every head score
+        assert max(r.avg_logprob for r in by_bucket["tail"]) < min(
+            r.avg_logprob for r in by_bucket["head"]
+        )
+        # the gibberish docs are all in the tail
+        assert {r.doc_id for r in by_bucket["tail"]} >= {20, 21, 22}
