@@ -405,6 +405,9 @@ def winnow_overlap(
     hot-key guard as the LSH band join; without it one viral phrase
     would cartesian its whole bucket. What remains equi-joins on the
     32-byte fp key; no all-pairs stage ever runs."""
+    # the fingerprint pipeline feeds the frequency pass, the probe,
+    # and BOTH self-join sides — persisted, or it evaluates 4x
+    fps = tracked_persist(fps)
     freq = fps.groupBy("fp").agg(
         F.countDistinct(id_col).alias("_ndocs")
     )
@@ -442,7 +445,12 @@ def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = _with_words(df, text_col).select(
         F.col(id_col), F.explode("_words").alias("_w")
     )
-    counts = toks.groupBy("_w").agg(F.count("*").alias("_c"))
+    # counts feeds both the totals aggregate and the scoring join;
+    # unpersisted, the full explode+shuffle would run twice. It is
+    # vocabulary-sized (Zipf), so the cache is cheap at any corpus
+    # scale — the token STREAM (toks) is deliberately NOT persisted
+    # (corpus-sized; its two consumers are plain rescans).
+    counts = tracked_persist(toks.groupBy("_w").agg(F.count("*").alias("_c")))
     totals = counts.agg(
         F.sum("_c").alias("_n"), F.count("*").alias("_v")
     )
