@@ -705,3 +705,35 @@ def streaming_near_dedup(
             "left_anti",
         )
     return out.drop(*[f"_bk{b}" for b in range(bands)])
+
+
+def streaming_curation(
+    doc_stream: DataFrame,
+    band_index: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """The curation funnel as ONE streaming query — the batch
+    `curation_funnel` shape run continuously over an arriving crawl:
+
+      quality gate -> near-dedup vs frozen corpus -> PII redaction
+      -> token counting
+
+    Every stage is STATELESS (scan-local expressions or stream-static
+    anti/broadcast joins), so the composition needs no watermark, no
+    state store, and restarts resume from the source offset alone —
+    the operational property that makes continuous curation cheap to
+    run. Emits the surviving documents with redacted text, redaction
+    counts, and token counts (the accounting a downstream mixer
+    consumes). Stage order matters for cost: the quality gate is the
+    cheapest and most selective, so it runs before the band-key
+    computation; dedup runs before redaction so PII work is never
+    spent on documents that were going to be dropped."""
+    from ..operators import curation, textanalysis
+
+    gated = textanalysis.quality_score(doc_stream, text_col).filter(
+        F.col("quality") >= min_quality
+    )
+    deduped = streaming_near_dedup(gated, band_index, text_col=text_col)
+    redacted = curation.redact_pii(deduped, text_col)
+    return textanalysis.token_counts(redacted, text_col)

@@ -683,3 +683,47 @@ class TestStreamingNearDedup:
         )
         want = {r.bk for r in banded.collect()}
         assert idx == want
+
+
+class TestStreamingCuration:
+    def test_funnel_matches_batch_twin(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        idx = dedup.lsh_band_index(corpus, "doc_id", "text")
+        batch = spark.createDataFrame(
+            [
+                # survives: good quality, novel, has an email to redact
+                (11, "please contact the team at dev@example.com about the plan it is ready"),
+                # dropped by the quality gate (short + all punctuation:
+                # scores 0.25 — only the word-length band passes)
+                (12, "!!!"),
+                # dropped by near-dedup (copy of the corpus doc)
+                (13, "the quick brown fox jumps over the lazy dog today"),
+                # survives clean
+                (14, "a fresh and entirely novel document about other things in it"),
+            ],
+            "doc_id long, text string",
+        )
+        src = tmp_path / "crawl"
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src), "doc_id long, text string"
+        )
+        out = ev.run_to_memory(
+            ev.streaming_curation(stream, idx), "curation_out"
+        )
+        got = {r.doc_id: r for r in out.collect()}
+        want = {
+            r.doc_id: r
+            for r in ev.streaming_curation(batch, idx).collect()
+        }
+        assert set(got) == set(want) == {11, 14}
+        assert "<EMAIL>" in got[11].redacted
+        assert got[11].n_email == 1 and got[14].n_email == 0
+        for k in got:
+            assert got[k].ws_tokens == want[k].ws_tokens
+            assert got[k].redacted == want[k].redacted
