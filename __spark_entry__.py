@@ -26,12 +26,14 @@ from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  #
 # Rounds 1-3 between them gave every query except SEVEN a driver-green
 # row (r2 and r3 windows were both 50/50). Round-4 rotation: slots 1-7
 # carry those last seven (count-min family, source_overlap_matrix,
-# trailing_hour_sum, price/regression stats — all locally green under
-# tools/check.py at sf0.01 AND sf0.1, now promoted to the hard
-# signal), slots 8+ carry queries NEW this round, and the remainder is
-# a representative spread across every family that is already
-# driver-green (regression canaries). Everything else stays registered
-# and locally oracle-checked (tools/check.py runs ALL entries).
+# trailing_hour_sum, price/regression stats), slots 8-17 carry the ten
+# queries NEW in round 4 (IVF-PQ, distributed CC, winnowing, LM
+# scoring/terciles, duplicated-ngram fraction, incremental/semantic
+# dedup) — all locally green under tools/check.py at sf0.01 AND sf0.1
+# — and the remainder is a representative spread across every family
+# that is already driver-green (regression canaries). Everything else
+# stays registered and locally oracle-checked (tools/check.py runs ALL
+# entries).
 _PRIORITY: list[str] = [
     # --- the 7 without a driver row yet ---
     "source_overlap_matrix", "count_min_grid", "cm_user_counts",
