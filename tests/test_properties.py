@@ -365,3 +365,40 @@ class TestConnectedComponentsProperties:
         }
         cache.release_all()
         assert got == _model_union_find(e)
+
+
+class TestWinnowingGuarantee:
+    """The winnowing theorem (Schleimer et al. SIGMOD'03 §3): any
+    match of length >= w+k-1 grams' worth of words is caught by at
+    least one shared fingerprint — for ALL inputs, not fixtures."""
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(0, 10**6),
+        st.integers(6, 14),   # shared run length in words (>= k+w-1 = 6)
+        st.integers(0, 8),    # prefix words on doc A
+        st.integers(0, 8),    # prefix words on doc B
+    )
+    def test_shared_run_always_shares_fp(self, spark, seed, run, pre_a, pre_b):
+        import random
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            textanalysis as ta,
+        )
+
+        rng = random.Random(seed)
+
+        def w(tag, i):
+            return f"{tag}{rng.randrange(1000)}x{i}"
+
+        shared = [w("s", i) for i in range(run)]
+        doc_a = " ".join([w("a", i) for i in range(pre_a)] + shared)
+        doc_b = " ".join([w("b", i) for i in range(pre_b)] + shared
+                         + [w("c", i) for i in range(3)])
+        df = spark.createDataFrame(
+            [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+        )
+        fps = ta.winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+        s1 = {r.fp for r in fps if r.doc_id == 1}
+        s2 = {r.fp for r in fps if r.doc_id == 2}
+        assert s1 & s2, f"run={run} pre_a={pre_a} pre_b={pre_b}"
