@@ -309,13 +309,15 @@ def distcp(
         # Reference DistCp -delete also removes target-only DIRECTORIES
         # (and the parents a stale file leaves empty): walk bottom-up,
         # dropping any dir whose relative path is absent from the
-        # source tree and which is now empty.
+        # source tree and which is now empty. src_dirs must include
+        # EMPTY source directories too (walked directly, not derived
+        # from file ancestors) — a placeholder dir that exists in the
+        # source with no files must survive in the target.
         src_dirs = {""}
-        for _, rel, _, _ in files:
-            d = os.path.dirname(rel)
-            while d and d not in src_dirs:
-                src_dirs.add(d)
-                d = os.path.dirname(d)
+        for cur, _dirnames, _filenames in os.walk(src_root):
+            rel = os.path.relpath(cur, src_root)
+            if rel != ".":
+                src_dirs.add(rel)
         for cur, dirnames, filenames in os.walk(dst_root, topdown=False):
             rel = os.path.relpath(cur, dst_root)
             rel = "" if rel == "." else rel

@@ -92,6 +92,17 @@ def exploded_shingles(
 
 
 # ------------------------------------------------------------------ minhash
+def _salted_md5(s: int):
+    """The engine's ONE salted-hash family: x -> md5('{s}:' || x).
+    Every minhash producer (signature table, Column form, stateless
+    band keys) and every SQL oracle mirrors exactly this expression —
+    a second definition anywhere risks a silent index/probe mismatch.
+    Closure factory: a `lambda x, s=s:` default arg would make the
+    lambda arity-2 and PySpark would bind the array INDEX to `s`."""
+    prefix = F.lit(f"{s}:")
+    return lambda x: F.md5(F.concat(prefix, x))
+
+
 def minhash_signature(text: Column, num_hashes: int, shingle_n: int = 3) -> list[Column]:
     """k minhash values: for salt s, min over shingles of
     md5(s || ':' || shingle), compared lexicographically.
@@ -101,15 +112,8 @@ def minhash_signature(text: Column, num_hashes: int, shingle_n: int = 3) -> list
     and needs no registered UDF. Returns one Column per hash.
     """
     shingles = word_shingles(text, shingle_n)
-
-    def salted(s: int):
-        # closure factory — a `lambda x, s=s:` default arg would make the
-        # lambda arity-2 and PySpark would bind the array INDEX to `s`
-        prefix = F.lit(f"{s}:")
-        return lambda x: F.md5(F.concat(prefix, x))
-
     return [
-        F.array_min(F.transform(shingles, salted(s))).alias(f"mh_{s}")
+        F.array_min(F.transform(shingles, _salted_md5(s))).alias(f"mh_{s}")
         for s in range(num_hashes)
     ]
 
@@ -130,7 +134,7 @@ def minhash_signatures(
     in the oracle)."""
     sh = exploded_shingles(df, id_col, text_col, shingle_n, outer=True)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh_{s}")
+        F.min(_salted_md5(s)(F.col("sh"))).alias(f"mh_{s}")
         for s in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -543,12 +547,8 @@ def minhash_band_key_cols(
         "_w_arr", F.split(F.col(text_col), r"\s+")
     ).withColumn("_sh_arr", _shingles_of(F.col("_w_arr"), shingle_n))
 
-    def salted(s: int):
-        prefix_lit = F.lit(f"{s}:")
-        return lambda x: F.md5(F.concat(prefix_lit, x))
-
     mh = {
-        f"_mh{s}": F.array_min(F.transform(F.col("_sh_arr"), salted(s)))
+        f"_mh{s}": F.array_min(F.transform(F.col("_sh_arr"), _salted_md5(s)))
         for s in range(num_hashes)
     }
     bound = bound.withColumns(mh)

@@ -2059,7 +2059,21 @@ _SQL_PS = """
 # |supplier| per sf_dir — a pure dim count; memoized so repeated
 # _partsupp calls (q2/q9/q11/q20 all build it) don't each run a
 # driver-side count job.
-_N_SUP_CACHE: dict[str, int] = {}
+# keyed by (sf_dir, supplier.parquet mtime): regenerated testdata at
+# the same path must invalidate the memoized count or _partsupp would
+# pair against a stale supplier universe while the oracle recounts live
+_N_SUP_CACHE: dict[tuple, int] = {}
+
+
+def _sup_cache_key(sf_dir: str) -> tuple:
+    import os as _os
+
+    path = _os.path.join(sf_dir, "supplier.parquet")
+    try:
+        mtime = _os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1  # non-local path (hdfs://, s3a://): fall back to dir key
+    return (sf_dir, mtime)
 
 
 def _partsupp(
@@ -2087,10 +2101,11 @@ def _partsupp(
     broadcast semi-join (pairing itself is unchanged)."""
     p = (parts if parts is not None
          else _t(spark, sf_dir, "part")).select("p_partkey")
-    n_sup = _N_SUP_CACHE.get(sf_dir)
+    ck = _sup_cache_key(sf_dir)
+    n_sup = _N_SUP_CACHE.get(ck)
     if n_sup is None:
         n_sup = _t(spark, sf_dir, "supplier").count()
-        _N_SUP_CACHE[sf_dir] = n_sup
+        _N_SUP_CACHE[ck] = n_sup
     i = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("i")
     ps = (
         p.select("p_partkey", i)

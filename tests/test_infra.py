@@ -365,6 +365,24 @@ class TestFileOps:
         r2 = fileops.distcp(spark, str(src), str(dst), update=True)
         assert r2.deleted == 0 and (dst / "stale2.txt").exists()
 
+    def test_distcp_delete_dir_semantics(self, spark, tmp_path):
+        src = tmp_path / "src"
+        (src / "sub").mkdir(parents=True)
+        (src / "sub" / "f.txt").write_text("x")
+        (src / "placeholder").mkdir()  # EMPTY dir that exists in source
+        dst = tmp_path / "dst"
+        fileops.distcp(spark, str(src), str(dst))
+        # mirror the empty source dir + plant a target-only nested file
+        (dst / "placeholder").mkdir(exist_ok=True)
+        (dst / "only_dst" / "deep").mkdir(parents=True)
+        (dst / "only_dst" / "deep" / "stale.txt").write_text("gone")
+        fileops.distcp(spark, str(src), str(dst), update=True, delete=True)
+        # target-only tree removed bottom-up (file + both dirs)...
+        assert not (dst / "only_dst").exists()
+        # ...but the empty dir that EXISTS in the source survives
+        assert (dst / "placeholder").is_dir()
+        assert (dst / "sub" / "f.txt").exists()
+
     def test_distcp_preserve_attrs(self, spark, tmp_path):
         import os
         import stat
