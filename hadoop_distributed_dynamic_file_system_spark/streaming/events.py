@@ -335,7 +335,15 @@ def streaming_time_weighted_avg(
     bucket_start = F.window(F.col(ts_col), bucket)["start"].alias(
         "bucket_start"
     )
-    keyed = samples.select(
+    # NULL samples are dropped BEFORE the stateful fold: a NULL value
+    # would NaN-poison the group's running sums forever (pandas float
+    # cast -> NaN propagates through every later emit) and a NULL ts
+    # raises on the NaT->int64 conversion, failing the whole query —
+    # while the batch twin's F.sum/F.avg just skip them. One stateless
+    # filter restores the contract.
+    keyed = samples.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
         F.col(key_col), bucket_start, F.col(ts_col), F.col(value_col)
     )
     bs_type = keyed.schema["bucket_start"].dataType
