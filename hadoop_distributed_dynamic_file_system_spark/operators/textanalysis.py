@@ -495,3 +495,39 @@ def lm_quality_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .withColumn("bucket", bucket)
         .drop("__c1", "__c2")
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 30) -> DataFrame:
+    """Top-k adjacent character-pair frequencies over the word-frequency
+    table — the inner statistic of ONE BPE merge iteration (Sennrich et
+    al. 2016: count symbol pairs weighted by word frequency, merge the
+    argmax, repeat). A tokenizer-training pipeline runs this fold
+    repeatedly; expressed here as the Spark relation it is, so the 100
+    TB corpus pass happens once into a vocabulary-sized word-frequency
+    table and each iteration's pair count runs over THAT, never the
+    corpus.
+
+    Plan: explode words -> (word, freq) groupBy [the corpus-sized
+    shuffle, paid once], then per-word adjacent pairs via a bound
+    transform, freq-weighted groupBy on the (tiny) pair space, global
+    top-k with deterministic tie-break (TakeOrderedAndProject, no full
+    sort)."""
+    wf = (
+        _with_words(df, text_col)
+        .select(F.explode("_words").alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_freq"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("_w") - 1),
+        lambda i: F.col("_w").substr(i, F.lit(2)),
+    )
+    exploded = wf.filter(F.length("_w") >= 2).select(
+        "_freq", F.explode(pairs).alias("pair")
+    )
+    return (
+        exploded.groupBy("pair")
+        .agg(F.sum("_freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(k)
+    )

@@ -1872,3 +1872,29 @@ def lm_quality_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("avg_logprob"), 6).alias("min_lp"),
         F.round(F.max("avg_logprob"), 6).alias("max_lp"),
     )
+
+
+@query(
+    "bpe_pair_counts",
+    f"""
+    WITH wf AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest({_SQL_LOWER_WORDS}) AS w FROM documents
+      ) GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair,
+             freq
+      FROM wf WHERE len(w) >= 2
+    )
+    SELECT pair, sum(freq) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 30
+    """,
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 BPE merge candidates (adjacent char pairs weighted by
+    word frequency) — one iteration of the tokenizer-training fold,
+    running over the vocabulary relation rather than the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return textanalysis.bpe_pair_counts(d, "text", k=30)

@@ -898,3 +898,24 @@ class TestLMQualityBuckets:
         )
         # the gibberish docs are all in the tail
         assert {r.doc_id for r in by_bucket["tail"]} >= {20, 21, 22}
+
+
+class TestBpePairCounts:
+    def test_counts_weighted_by_word_freq(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        # 'aaab' x3, 'ab' x1: 'aa' = 2*3 = 6, 'ab' = 3+1 = 4
+        df = spark.createDataFrame(
+            [(1, "aaab aaab"), (2, "aaab ab")], "doc_id long, text string"
+        )
+        rows = {r.pair: r.cnt for r in ta.bpe_pair_counts(df, "text").collect()}
+        assert rows == {"aa": 6, "ab": 4}
+
+    def test_single_char_words_excluded_and_topk(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.createDataFrame(
+            [(1, "a b c xy xy xz")], "doc_id long, text string"
+        )
+        rows = [(r.pair, r.cnt) for r in ta.bpe_pair_counts(df, "text", k=1).collect()]
+        assert rows == [("xy", 2)]
