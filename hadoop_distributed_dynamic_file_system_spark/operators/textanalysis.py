@@ -531,3 +531,126 @@ def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 30) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(k)
     )
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the lowered token stream — the ONE corpus-
+    sized pass tokenizer training needs; everything after runs on this
+    vocabulary-sized relation."""
+    return (
+        _with_words(df, text_col)
+        .select(F.explode("_words").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 50,
+    max_vocab_rows: int = 2_000_000,
+) -> list[tuple[str, str]]:
+    """Learn BPE merges (Sennrich et al. 2016) with the cluster doing
+    the only corpus-scale work: ONE distributed pass builds the
+    word-frequency relation; the merge loop then runs driver-side over
+    that vocabulary (bounded by `max_vocab_rows` — Zipf makes the
+    vocabulary millions of rows at 100 TB, not billions; the guard
+    raises rather than silently truncating, because a truncated vocab
+    learns different merges).
+
+    Returns the ordered merge list [(left, right), ...] — the model
+    artifact `bpe_encode` applies. Deterministic: ties on pair count
+    break lexicographically."""
+    wf = word_frequencies(df, text_col)
+    n = wf.limit(max_vocab_rows + 1).count()
+    if n > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; "
+            "raise the bound (the merge loop is O(vocab) per merge)"
+        )
+    vocab = {
+        tuple(r["word"]): r["freq"] for r in wf.collect() if len(r["word"]) > 0
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + freq
+        if not pair_counts:
+            break
+        best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))
+        # deterministic argmax: count desc, then LEXICOGRAPHICALLY
+        # LARGEST pair (max over (count, pair)); any fixed rule works,
+        # it just must match bpe_encode's training assumption
+        (a, b), _cnt = best
+        merges.append((a, b))
+        merged = a + b
+        new_vocab: dict[tuple, int] = {}
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens_arr",
+) -> DataFrame:
+    """Apply learned BPE merges to every document — the 100 TB encode
+    pass. The merge table is a driver-side list (KBs) captured in an
+    Arrow-batched mapInPandas closure: iterative longest-match merging
+    is genuinely outside Catalyst's expression language, so this is
+    one of the declared Python boundaries (multimodal decode being the
+    other). Ranks are applied lowest-first per word, mirroring
+    bpe_learn's greedy order."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} array<string>"
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) >= 2:
+            best_i, best_r = -1, None
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                r = rank.get(pair)
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in it:
+            toks = []
+            for text in pdf[text_col]:
+                words = (text or "").lower().split()
+                out = []
+                for w in words:
+                    if w not in cache:
+                        cache[w] = encode_word(w)
+                    out.extend(cache[w])
+                toks.append(out)
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            yield pdf
+
+    return df.mapInPandas(batches, schema=schema)

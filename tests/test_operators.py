@@ -919,3 +919,58 @@ class TestBpePairCounts:
         )
         rows = [(r.pair, r.cnt) for r in ta.bpe_pair_counts(df, "text", k=1).collect()]
         assert rows == [("xy", 2)]
+
+
+class TestBpeLearnEncode:
+    def test_learn_matches_hand_computed_merges(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        # corpus: 'abab' x3, 'ab' x2 -> pair counts: ab=8, ba=3
+        df = spark.createDataFrame(
+            [(1, "abab abab ab"), (2, "abab ab")], "doc_id long, text string"
+        )
+        merges = ta.bpe_learn(df, "text", n_merges=2)
+        # merge 1: ('a','b') count 8. After: abab->(ab,ab), ab->(ab,)
+        # merge 2 pairs: (ab,ab) count 3
+        assert merges == [("a", "b"), ("ab", "ab")]
+
+    def test_encode_applies_ranks_and_roundtrips(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.createDataFrame(
+            [(1, "abab abc xy")], "doc_id long, text string"
+        )
+        merges = [("a", "b"), ("ab", "ab")]
+        rows = ta.bpe_encode(df, "text", merges).collect()
+        toks = rows[0].bpe_tokens_arr
+        # abab -> [abab]; abc -> [ab, c]; xy -> [x, y] (no merges apply)
+        assert toks == ["abab", "ab", "c", "x", "y"]
+        # roundtrip: concatenated tokens reproduce the lowered words
+        assert "".join(toks) == "ababab" + "c" + "xy"
+
+    def test_vocab_bound_raises(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.createDataFrame(
+            [(1, "one two three four five")], "doc_id long, text string"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_vocab_rows"):
+            ta.bpe_learn(df, "text", n_merges=1, max_vocab_rows=2)
+
+    def test_learn_then_encode_compresses_corpus(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        merges = ta.bpe_learn(df, "text", n_merges=30)
+        assert len(merges) == 30
+        enc = ta.bpe_encode(df, "text", merges)
+        stats = enc.select(
+            F.sum(F.size("bpe_tokens_arr")).alias("n_tok"),
+            F.sum(F.length("text")).alias("n_chars"),
+        ).collect()[0]
+        # 30 merges on a tiny-vocab corpus must compress well below
+        # character count (measured ~1.9 chars/token incl. spaces)
+        assert stats.n_chars / stats.n_tok > 1.3
