@@ -43,7 +43,7 @@ _PRIORITY: list[str] = [
     "ann_ivf_pq", "pq_codes", "components_distributed",
     "winnow_fingerprints", "winnow_overlap", "unigram_lm_scores",
     "dup_ngram_fraction", "incremental_near_dedup", "semantic_dedup",
-    "lm_quality_buckets", "bpe_pair_counts",
+    "lm_quality_buckets", "bpe_pair_counts", "source_curation_report",
     # --- regression canaries: one-per-family spread, all green r1-r3 ---
     # TPC-H / SQL shapes
     "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",

@@ -1898,3 +1898,77 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     running over the vocabulary relation rather than the corpus."""
     d = _t(spark, sf_dir, "documents")
     return textanalysis.bpe_pair_counts(d, "text", k=30)
+
+
+@query(
+    "source_curation_report",
+    rf"""
+    WITH {_SQL_LM_SCORES.strip()},
+    qual AS (
+      SELECT doc_id, source,
+             round(CASE WHEN n_words >= 5 THEN 0.25 ELSE 0 END
+                 + CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END
+                 + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END
+                 + CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0 END, 2)::DOUBLE AS quality
+      FROM (
+        SELECT doc_id, source,
+               len({_SQL_WORDS.format(t="lower(text)")})::BIGINT AS n_words,
+               round(list_sum(list_transform({_SQL_WORDS.format(t="lower(text)")},
+                                             w -> length(w)))
+                     / greatest(len({_SQL_WORDS.format(t="lower(text)")}), 1), 6) AS mean_word_len,
+               round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round(len(list_filter({_SQL_WORDS.format(t="lower(text)")},
+                          w -> list_contains(['the','a','of','and','to','in','is','it'], w)))
+                     / greatest(len({_SQL_WORDS.format(t="lower(text)")}), 1), 6) AS stopword_ratio
+        FROM documents
+      )
+    ),
+    dup AS (
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_unique
+      FROM documents GROUP BY source
+    )
+    SELECT q.source, d.n_docs, d.n_unique,
+           round(1.0 - d.n_unique * 1.0 / d.n_docs, 6) AS dup_rate,
+           round(avg(q.quality), 6) AS mean_quality,
+           round(avg(s.avg_logprob), 6) AS mean_logprob,
+           round(avg(s.n_tokens), 6) AS mean_tokens
+    FROM qual q JOIN scores s USING (doc_id) JOIN dup d ON d.source = q.source
+    GROUP BY q.source, d.n_docs, d.n_unique
+    """,
+)
+def source_curation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pipeline dashboard: volume, exact-dup rate (16-byte
+    md5 keys), mean heuristic quality, mean LM score, mean length —
+    the one-page report a curation run publishes per ingest source.
+    Composes quality_score + unigram_lm_scores + exact-dup counting;
+    every signal aggregates map-side before the (tiny) per-source
+    groupBy, and the doc-level join is on doc_id — no text ever
+    shuffles twice."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    qual = textanalysis.quality_score(d, "text").select(
+        "doc_id", "source", "quality"
+    )
+    lm = textanalysis.unigram_lm_scores(
+        d.select("doc_id", "text"), "doc_id", "text"
+    )
+    dup = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+    return (
+        qual.join(lm, "doc_id")
+        .join(dup, "source")
+        .groupBy("source", "n_docs", "n_unique")
+        .agg(
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.round(F.avg("avg_logprob"), 6).alias("mean_logprob"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        )
+        .select(
+            "source", "n_docs", "n_unique",
+            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6).alias("dup_rate"),
+            "mean_quality", "mean_logprob", "mean_tokens",
+        )
+    )
