@@ -73,6 +73,10 @@ HEADLINE = [
     "unigram_lm_scores",
     "dup_ngram_fraction",
     "incremental_near_dedup",
+    "semantic_dedup",
+    "lm_quality_buckets",
+    "bpe_pair_counts",
+    "source_curation_report",
 ]
 
 
