@@ -23,59 +23,39 @@ from hadoop_distributed_dynamic_file_system_spark import queries as _q  # noqa: 
 from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  # noqa: E402,F401
 
 # The round driver's oracle checks the FIRST 50 entries of queries().
-# Rounds 1-3 between them gave every query except SEVEN a driver-green
-# row (r2 and r3 windows were both 50/50). Round-4 rotation: slots 1-7
-# carry those last seven (count-min family, source_overlap_matrix,
-# trailing_hour_sum, price/regression stats), slots 8-17 carry the ten
-# queries NEW in round 4 (IVF-PQ, distributed CC, winnowing, LM
-# scoring/terciles, duplicated-ngram fraction, incremental/semantic
-# dedup) — all locally green under tools/check.py at sf0.01 AND sf0.1
-# — and the remainder is a representative spread across every family
-# that is already driver-green (regression canaries). Everything else
-# stays registered and locally oracle-checked (tools/check.py runs ALL
-# entries).
+# ROTATION INVARIANT: there are more registered queries (125) than
+# window slots (50), so the window is rebuilt each round by STALENESS —
+# the 50 queries whose last driver-green row is oldest go first (ties
+# alphabetical), plus any query that was ever driver-red stays in until
+# it has a green row. 50 slots x 3 rounds = 150 >= 125, so every
+# registered query gets a fresh driver row at least every THREE rounds;
+# tools/check.py still runs ALL entries locally every round at sf0.01
+# AND sf0.1. Regenerate the list below from the CORRECTNESS_r*.json
+# union when rotating (see git history for the one-liner).
+#
+# Round-5 window: slot 1 = bpe_pair_counts (r4's only red cell — a
+# DuckDB-HUGEINT oracle bug, CAST fix in queries_llm.py; must re-earn
+# green), slots 2-50 = the 49 stalest (everything last checked r1/r2
+# + the oldest of the r3 cohort, alphabetical within a round). The 26
+# remaining r3-checked queries are due in the round-6 window.
 _PRIORITY: list[str] = [
-    # --- the 7 without a driver row yet ---
-    "source_overlap_matrix", "count_min_grid", "cm_user_counts",
-    "heavy_hitter_events", "trailing_hour_sum",
-    "price_quantity_stats", "regression_price_qty",
-    # --- new in round 4 ---
-    "ann_ivf_pq", "pq_codes", "components_distributed",
-    "winnow_fingerprints", "winnow_overlap", "unigram_lm_scores",
-    "dup_ngram_fraction", "incremental_near_dedup", "semantic_dedup",
-    "lm_quality_buckets", "bpe_pair_counts", "source_curation_report",
-    # --- regression canaries: one-per-family spread, all green r1-r3 ---
-    # TPC-H / SQL shapes
-    "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
-    "q18_large_orders", "q21_sole_fault_supplier",
-    # core MapReduce analogs
-    "wordcount", "grep_count", "field_selection", "aggregate_dsl",
-    "value_histogram", "udaf_geomean",
-    # joins
-    "join_expr_outer", "revenue_per_nation", "semi_join", "anti_join",
-    # sort / limit
-    "secondary_sort", "total_order_sort", "top_k_per_group",
-    # sets + grouping sets
-    "set_ops", "rollup_revenue", "grouping_sets_revenue",
-    "pivot_event_matrix",
-    # streaming batch-twins + temporal
-    "events_hourly", "sessionization", "asof_attribution",
-    "time_weighted_avg", "daily_locf_snapshot",
-    # LLM pipeline: dedup
-    "dedup_exact", "minhash_lsh_pairs", "simhash_near_pairs",
-    "ngram_jaccard", "near_dedup_kept", "dedup_components",
-    "multi_signal_components", "curation_funnel", "incremental_dedup",
-    # ANN / embeddings
-    "ann_ivf", "ann_ivf_recall", "embedding_near_dup",
-    # text analysis
-    "lang_id", "quality_scores", "tfidf_top_terms",
-    "sharded_term_lookup",
-    # sketches / rollups
-    "sketch_distinct_users", "sketch_median_value", "incremental_rollup",
-    # multimodal
-    "media_roundtrip", "wav_roundtrip",
-    # storage / misc
-    "point_lookup", "zorder_codes",
+    "bpe_pair_counts", "ann_brute_force", "fingerprints",
+    "minhash_signatures", "multimodal_decode", "simhash_fingerprints",
+    "token_counts", "bad_records_skip", "crash_skip",
+    "cube_revenue", "histogram_detail", "interval_window_count",
+    "join_expr_inner", "join_expr_override", "kv_parse",
+    "md5_filter", "multi_input_union", "percent_filter",
+    "pipe_translate", "point_lookup", "q10_returned_items",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_variety", "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q22_dormant_customers", "q4_order_priority", "q5_local_supplier",
+    "q7_volume_shipping", "q8_market_share", "sort_key_spec",
+    "sql_order_revenue", "top_k", "user_rolling_stats",
+    "ann_ivf", "ann_ivf_recall", "contamination",
+    "curation_funnel", "decile_histogram", "dedup_components",
+    "edit_distance_verify", "embedding_near_dup", "incremental_dedup",
+    "incremental_rollup", "inverted_index", "json_props_stats",
+    "kfold_assignment", "lang_id",
 ]
 
 

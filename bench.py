@@ -77,6 +77,13 @@ HEADLINE = [
     "lm_quality_buckets",
     "bpe_pair_counts",
     "source_curation_report",
+    # round-5 additions: the previously-unbenched heavy shapes, so the
+    # contract-then-solve CC win and the PQ scoring cost are tracked
+    # round-over-round, not just in SCALING/STRESS
+    "multi_signal_components",
+    "winnow_overlap",
+    "ann_ivf_pq",
+    "pq_codes",
 ]
 
 

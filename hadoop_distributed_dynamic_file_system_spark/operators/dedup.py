@@ -167,12 +167,22 @@ def lsh_candidate_pairs(
     band_cols = []
     for b in range(bands):
         cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        # A shingle-less doc has NULL minhashes: its band key must be
+        # NULL (no signal -> never a candidate), not concat_ws's
+        # skip-null "" — the same guard minhash_band_key_cols applies,
+        # so empty-doc semantics agree across the batch, index, and
+        # stream producers.
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("bkey"))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.when(
+                    F.col(cols[0]).isNotNull(), F.concat_ws("|", *cols)
+                ).alias("bkey"),
+            )
         )
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    )
+    ).filter(F.col("bk.bkey").isNotNull())
     if hash_band_keys:
         banded = banded.select(
             id_col, F.xxhash64("bk.band", "bk.bkey").alias("band"), F.lit(0).alias("bkey")
@@ -496,13 +506,16 @@ def duplicate_ngram_fraction(
     fraction is the filter-stage form that needs no position
     surgery.)
 
-    Plan: explode n-grams keyed by md5 (32-byte shuffle keys, never
-    the gram text), one groupBy for distinct-doc counts per gram, one
-    equi-join back, one groupBy per doc. Same two-shuffle budget as
-    tf-idf; nothing is quadratic in docs — the gram relation is linear
-    in corpus tokens."""
+    Plan: explode n-grams keyed by xxhash64 (8-byte long shuffle keys
+    — same key width as the sibling ngram_jaccard / LSH band joins;
+    was md5 hex = 32-char strings, a free 4x shuffle-key shrink, exact
+    up to 64-bit collisions, the standing trade every hashed-key join
+    in this package makes), one groupBy for distinct-doc counts per
+    gram, one equi-join back, one groupBy per doc. Same two-shuffle
+    budget as tf-idf; nothing is quadratic in docs — the gram relation
+    is linear in corpus tokens."""
     occ = exploded_shingles(df, id_col, text_col, n=n).select(
-        F.col(id_col), F.md5("sh").alias("_g")
+        F.col(id_col), F.xxhash64("sh").alias("_g")
     )
     dfreq = occ.groupBy("_g").agg(
         F.countDistinct(id_col).alias("_ndocs")

@@ -562,7 +562,11 @@ def bpe_learn(
     Returns the ordered merge list [(left, right), ...] — the model
     artifact `bpe_encode` applies. Deterministic: ties on pair count
     break lexicographically."""
-    wf = word_frequencies(df, text_col)
+    # persist BEFORE the guard count: wf is the corpus-scale
+    # aggregation, and without the materialization the guard's
+    # limit().count() and the collect() below each run the full pass —
+    # the "ONE distributed pass" contract would silently become two
+    wf = tracked_persist(word_frequencies(df, text_col))
     n = wf.limit(max_vocab_rows + 1).count()
     if n > max_vocab_rows:
         raise ValueError(
@@ -603,6 +607,94 @@ def bpe_learn(
     return merges
 
 
+def bpe_learn_distributed(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 50,
+) -> list[tuple[str, str]]:
+    """Learn BPE merges with EVERY per-merge step on the cluster — the
+    at-scale twin of `bpe_learn`. The driver loop there is bounded and
+    honest, but each merge iteration is O(vocab) pure Python; here the
+    vocabulary stays a DataFrame (syms array<string>, freq) and each
+    iteration is two vocabulary-sized Spark jobs:
+
+      1. pair statistic: explode adjacent symbol pairs weighted by word
+         freq, groupBy, take the argmax — ONE row to the driver per
+         iteration (same discipline as connected-components' one
+         scalar per round);
+      2. merge application: a vectorized `aggregate` fold over each
+         word's symbol array replaces left-to-right non-overlapping
+         (a,b) runs — provably equivalent to the greedy scan because a
+         merged token a||b can never string-equal `a` (b is nonempty),
+         so the fold never chains onto its own output; then a groupBy
+         re-folds words whose symbol sequences collapsed.
+
+    Lineage is truncated per iteration with localCheckpoint (the CC
+    discipline) so the plan doesn't grow with n_merges. Deterministic:
+    ties break count DESC then lexicographically largest (a, b) —
+    byte-identical merge lists to bpe_learn (pinned by test).
+
+    Pitfalls encoded here: Spark `sequence(1, size-1)` on a 1-symbol
+    word yields DESCENDING [1, 0], not empty — guarded; ANSI mode
+    makes element_at(-1) on an empty array raise — try_element_at."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    vocab = (
+        word_frequencies(df, text_col)
+        .filter(F.length("word") > 0)
+        .select(chars.alias("syms"), "freq")
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_structs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("syms"), j).alias("a"),
+                    F.element_at(F.col("syms"), j + F.lit(1)).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            vocab.select("freq", F.explode(pair_structs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.desc("a"), F.desc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        merged = a + b
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        new_vocab = (
+            vocab.select(fold.alias("syms"), "freq")
+            .groupBy("syms")
+            .agg(F.sum("freq").alias("freq"))
+        ).localCheckpoint()
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+    return merges
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str,
@@ -616,8 +708,16 @@ def bpe_encode(
     one of the declared Python boundaries (multimodal decode being the
     other). Ranks are applied lowest-first per word, mirroring
     bpe_learn's greedy order."""
+    import re
     import pandas as pd
     from collections.abc import Iterator
+
+    # Tokenize with the SAME rule as the Spark-side _words the merges
+    # were learned from: lower + split on Java \s = ASCII whitespace
+    # only. Python's str.split() splits on UNICODE whitespace (NBSP,
+    # ideographic space, ...), which would segment NBSP-bearing text
+    # differently at encode time than in the training statistics.
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     rank = {pair: i for i, pair in enumerate(merges)}
     schema = ", ".join(
@@ -642,7 +742,7 @@ def bpe_encode(
         for pdf in it:
             toks = []
             for text in pdf[text_col]:
-                words = (text or "").lower().split()
+                words = [w for w in ascii_ws.split((text or "").lower()) if w]
                 out = []
                 for w in words:
                     if w not in cache:

@@ -1712,13 +1712,22 @@ def dup_ngram_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_ngram_fraction(corpus, "doc_id", "text", n=3)
 
 
-def _band_keys_sql(sigs: str, bands: int = 4) -> str:
-    """SQL (band, bkey) rows from an mh_0..mh_{2*bands-1} signature
-    CTE — unhashed string keys; the Spark side folds the same pair to
+def _band_keys_sql(sigs: str, bands: int = 4, num_hashes: int = 8) -> str:
+    """SQL (band, bkey) rows from an mh_0..mh_{num_hashes-1} signature
+    CTE — unhashed string keys; the Spark side folds the same tuple to
     xxhash64, exact up to 64-bit collisions (the standing trade every
-    hashed-key join in this file makes)."""
+    hashed-key join in this file makes). rows_per_band is derived from
+    num_hashes/bands so the helper stays correct for any banding shape
+    (it was silently 2-rows-per-band only)."""
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    rpb = num_hashes // bands
     selects = [
-        f"SELECT doc_id, {b} AS band, mh_{2 * b} || '|' || mh_{2 * b + 1} AS bkey FROM {sigs}"
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM {sigs}".format(
+            b=b,
+            key=" || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)),
+            sigs=sigs,
+        )
         for b in range(bands)
     ]
     return "\n      UNION ALL ".join(selects)
@@ -1887,7 +1896,7 @@ def lm_quality_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              freq
       FROM wf WHERE len(w) >= 2
     )
-    SELECT pair, sum(freq) AS cnt
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
     FROM pairs GROUP BY pair
     ORDER BY cnt DESC, pair LIMIT 30
     """,

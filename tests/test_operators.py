@@ -974,3 +974,94 @@ class TestBpeLearnEncode:
         # 30 merges on a tiny-vocab corpus must compress well below
         # character count (measured ~1.9 chars/token incl. spaces)
         assert stats.n_chars / stats.n_tok > 1.3
+
+
+class TestLshEmptyDocSemantics:
+    def test_shingle_less_docs_never_candidates_in_batch_path(self, spark):
+        """Empty/short docs have NULL minhashes; the batch band fold
+        must produce NULL keys (never match) exactly like the index
+        and stream producers — pre-fix, concat_ws's skip-null ""
+        made two empty docs candidates in the batch path only."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        base = "the quick brown fox jumps over the lazy dog"
+        df = spark.createDataFrame(
+            [(1, ""), (2, ""), (3, "ab"), (4, base), (5, base)],
+            "doc_id long, text string",
+        )
+        sigs = dedup.minhash_signatures(df, "doc_id", "text", num_hashes=8)
+        for hashed in (True, False):
+            pairs = {
+                (r.id_a, r.id_b)
+                for r in dedup.lsh_candidate_pairs(
+                    sigs, "doc_id", num_hashes=8, bands=4, hash_band_keys=hashed
+                ).collect()
+            }
+            assert pairs == {(4, 5)}, f"hash_band_keys={hashed}: {pairs}"
+
+    def test_batch_agrees_with_band_key_cols_producer(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "")], "doc_id long, text string"
+        )
+        banded = dedup.minhash_band_key_cols(df, "text")
+        keys = banded.select(
+            *[F.col(f"_bk{b}") for b in range(4)]
+        ).collect()
+        assert all(v is None for r in keys for v in r)
+
+
+class TestBpeEncodeTokenizationParity:
+    def test_nbsp_segments_like_spark_words(self, spark):
+        """bpe_encode must tokenize with the same ASCII-whitespace rule
+        as the Spark-side _words the merges were learned from: NBSP is
+        NOT a separator for Java \\s, so 'a\\xa0b' is ONE word."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+        from pyspark.sql import functions as F
+
+        text = "ab\xa0cd ef"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        spark_words = df.select(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("w")
+        ).collect()[0].w
+        assert spark_words == ["ab\xa0cd", "ef"]  # Java \s is ASCII-only
+        toks = ta.bpe_encode(df, "text", merges=[]).collect()[0].bpe_tokens_arr
+        # with no merges, tokens are the characters of each word — the
+        # word boundaries are recoverable by comparing against the
+        # Spark segmentation (NBSP char must appear INSIDE the stream)
+        assert "".join(toks) == "".join(spark_words)
+        assert "\xa0" in toks
+
+
+class TestBpeLearnDistributed:
+    def test_matches_hand_computed_merges(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.createDataFrame(
+            [(1, "abab abab ab"), (2, "abab ab")], "doc_id long, text string"
+        )
+        assert ta.bpe_learn_distributed(df, "text", n_merges=2) == [
+            ("a", "b"),
+            ("ab", "ab"),
+        ]
+
+    def test_identical_to_driver_twin_on_real_corpus(self, spark):
+        """Byte-identical merge lists: the distributed fold and the
+        driver greedy scan must agree through real tie-break cases."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        want = ta.bpe_learn(df, "text", n_merges=25)
+        got = ta.bpe_learn_distributed(df, "text", n_merges=25)
+        assert got == want
+
+    def test_single_char_words_yield_no_pairs(self, spark):
+        # sequence(1, size-1) on a 1-symbol word is DESCENDING [1, 0],
+        # not empty — the guard must keep 'a' out of the pair space
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+        merges = ta.bpe_learn_distributed(df, "text", n_merges=3)
+        assert merges == []

@@ -58,6 +58,78 @@ def canon_cell(v):
     return f"{type(v).__name__}:{v}"
 
 
+def arrow_type_class(t):
+    """Coarse Arrow-type class for schema comparison.
+
+    The driver hashes Arrow-level values, so DuckDB HUGEINT (which
+    surfaces as decimal128(38,0) at the Arrow layer) must NOT be
+    conflated with Spark's int64 — duckdb's Python fetchall() converts
+    HUGEINT to plain int, which is exactly the blind spot that let the
+    round-4 `bpe_pair_counts` oracle bug pass locally and fail at the
+    driver. We therefore compare per-column type CLASSES from the two
+    Arrow schemas: decimal vs int vs float etc. Widths inside a class
+    (int32/int64, float32/float64, timestamp tz) are normalized because
+    the driver demonstrably tolerates those (green temporal rows).
+    """
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_type_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def spark_type_class(dt):
+    """Map a Spark DataType to the same class space as arrow_type_class."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # both surface as Arrow timestamp[us] (tz presence normalized
+        # away in arrow_type_class — driver-green temporal rows show
+        # the driver tolerates tz/ntz)
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_type_class(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.NullType):
+        return "null"
+    return dt.simpleString()
+
+
 def canon_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -67,13 +139,35 @@ def canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def compare(name, spark_df, duck_rows, duck_cols):
+def compare(name, spark_df, duck_tbl):
+    """Compare a Spark DataFrame against a DuckDB Arrow table.
+
+    duck_tbl is a pyarrow.Table (fetch_arrow_table), NOT fetchall()
+    rows — the Python fetch path collapses HUGEINT to int and hides
+    the decimal128-vs-int64 class the driver's Arrow-level hash fails.
+    """
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
-    d_cols = [c.lower() for c in duck_cols]
+    d_cols = [c.lower() for c in duck_tbl.schema.names]
+    duck_rows = [
+        tuple(d[c] for c in duck_tbl.schema.names) for d in duck_tbl.to_pylist()
+    ]
     problems = []
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return problems
+    d_types = {
+        c.lower(): arrow_type_class(duck_tbl.schema.field(i).type)
+        for i, c in enumerate(duck_tbl.schema.names)
+    }
+    s_types = {f.name.lower(): spark_type_class(f.dataType) for f in spark_df.schema.fields}
+    for c in sorted(s_cols):
+        if s_types[c] != d_types[c] and "null" not in (s_types[c], d_types[c]):
+            problems.append(
+                f"type[{c}]: spark={s_types[c]} duck(arrow)={d_types[c]}"
+                " (driver hashes Arrow types — CAST the oracle)"
+            )
+    if problems:
         return problems
     if len(s_rows) != len(duck_rows):
         problems.append(f"rowcount: spark={len(s_rows)} duck={len(duck_rows)}")
@@ -115,10 +209,8 @@ def main():
                 print(f"  ~ {name}: rows-only check, {cnt} rows ({time.time()-t0:.1f}s)")
                 n_skip += 1
                 continue
-            rel = con.execute(oracles[name])
-            duck_cols = [d[0] for d in rel.description]
-            duck_rows = rel.fetchall()
-            problems = compare(name, df, duck_rows, duck_cols)
+            duck_tbl = con.execute(oracles[name]).fetch_arrow_table()
+            problems = compare(name, df, duck_tbl)
             if problems:
                 n_fail += 1
                 print(f"  ✗ {name} ({time.time()-t0:.1f}s)")
@@ -126,7 +218,7 @@ def main():
                     print(f"      {p}")
             else:
                 n_pass += 1
-                print(f"  ✓ {name}: {len(duck_rows)} rows ({time.time()-t0:.1f}s)")
+                print(f"  ✓ {name}: {duck_tbl.num_rows} rows ({time.time()-t0:.1f}s)")
         except Exception:
             n_fail += 1
             print(f"  ✗ {name}: EXCEPTION")

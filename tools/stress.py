@@ -112,6 +112,38 @@ def main() -> None:
     )
     union16.unpersist()
 
+    # distributed BPE learn at 1x and ~10x vocabulary: each word gets a
+    # per-doc salt suffix so distinct-word count grows ~10x while the
+    # corpus pass stays comparable — pins that the per-merge cost is
+    # vocabulary-bound (DataFrame fold), not structure-bound like the
+    # driver loop it replaces
+    from hadoop_distributed_dynamic_file_system_spark.operators import (
+        textanalysis as ta,
+    )
+
+    def salted(mult):
+        if mult == 1:
+            return sf_docs
+        salt = F.concat(F.lit("_"), (F.col("doc_id") % mult).cast("string"))
+        return sf_docs.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.lower("text"), r"\s+"),
+                    lambda w: F.concat(w, salt),
+                ),
+            ).alias("text"),
+        )
+
+    for mult in (1, 10):
+        corpus = salted(mult)
+        n_vocab = ta.word_frequencies(corpus, "text").count()
+        bench(
+            f"bpe_learn_dist_vocab_x{mult}", n_vocab,
+            lambda c=corpus: ta.bpe_learn_distributed(c, "text", n_merges=10),
+        )
+
     out = [
         "# STRESS — plan shapes at 10-20x the benchmark scale (local[32])",
         "",
@@ -125,6 +157,11 @@ def main() -> None:
         "near-identical docs — a deliberately degenerate dense graph);",
         "the row pins CC's edge-set persist (without it the candidate",
         "funnel re-executes 3x) and contract-then-solve on high degree.",
+        "",
+        "`bpe_learn_dist_vocab_x{1,10}` rows = distinct VOCABULARY",
+        "words (10 merge iterations each, all cluster-side); flat-or-",
+        "falling us/word on the 10x vocabulary is the evidence the",
+        "per-merge fold is vocabulary-bound, not driver-bound.",
         "",
         "| shape | rows | wall s | us/row |",
         "|---|---|---|---|",
