@@ -35,11 +35,18 @@ from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  #
 #
 # Round-5 window: slot 1 = bpe_pair_counts (r4's only red cell — a
 # DuckDB-HUGEINT oracle bug, CAST fix in queries_llm.py; must re-earn
-# green), slots 2-50 = the 49 stalest (everything last checked r1/r2
-# + the oldest of the r3 cohort, alphabetical within a round). The 26
-# remaining r3-checked queries are due in the round-6 window.
+# green), slots 2-8 = the seven queries NEW this round (web-quality
+# family: Gopher rules, repetition stats, C4 line filters, global
+# line dedup, DSIR importance — never driver-checked), the rest = the
+# stalest (everything last checked r1/r2 + the oldest of the r3
+# cohort, alphabetical within a round). The remaining r3-checked
+# queries are due in the round-6 window.
 _PRIORITY: list[str] = [
-    "bpe_pair_counts", "ann_brute_force", "fingerprints",
+    "bpe_pair_counts",
+    "gopher_quality_flags", "dup_line_stats", "top_bigram_char_frac",
+    "dup_5gram_char_frac", "c4_line_filter", "line_dedup_corpus",
+    "dsir_importance_scores",
+    "ann_brute_force", "fingerprints",
     "minhash_signatures", "multimodal_decode", "simhash_fingerprints",
     "token_counts", "bad_records_skip", "crash_skip",
     "cube_revenue", "histogram_detail", "interval_window_count",
@@ -53,9 +60,7 @@ _PRIORITY: list[str] = [
     "sql_order_revenue", "top_k", "user_rolling_stats",
     "ann_ivf", "ann_ivf_recall", "contamination",
     "curation_funnel", "decile_histogram", "dedup_components",
-    "edit_distance_verify", "embedding_near_dup", "incremental_dedup",
-    "incremental_rollup", "inverted_index", "json_props_stats",
-    "kfold_assignment", "lang_id",
+    "edit_distance_verify",
 ]
 
 

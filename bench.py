@@ -84,6 +84,11 @@ HEADLINE = [
     "winnow_overlap",
     "ann_ivf_pq",
     "pq_codes",
+    # round-5 web-quality family (one per plan shape: zero-shuffle
+    # projection, line-key winner election, broadcast-model scoring)
+    "gopher_quality_flags",
+    "line_dedup_corpus",
+    "dsir_importance_scores",
 ]
 
 

@@ -1,0 +1,383 @@
+"""Web-corpus quality heuristics for LLM training-data curation:
+Gopher quality rules, Gopher repetition statistics, C4-style line
+filters, corpus-level line dedup, and DSIR-style importance weights.
+
+Public sources these implement (papers only — no code consulted):
+- Rae et al. 2021, "Scaling Language Models: ... Gopher", Appendix A
+  (quality and repetition filter definitions);
+- Raffel et al. 2020, "Exploring the Limits of Transfer Learning"
+  (C4's line-level cleaning: short lines, boilerplate lines, global
+  line dedup);
+- Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling" (DSIR: hashed-n-gram importance weights
+  log p_target - log p_background).
+
+Reference parity: the reference engine's text pipeline stops at
+grep/tokenize (src/examples/.../Grep.java,
+src/contrib/index/.../mapred/*); these operators are the ⊕ additive
+LLM-curation family built on the same scan→explode→agg plan shapes.
+
+Scale notes (100 TB):
+- every operator is one or two shuffles over token- or line-sized
+  relations, linear in corpus size; no pairwise stage anywhere;
+- per-doc metrics (gopher_quality, repetition stats) are pure
+  projections + higher-order array functions — zero shuffle, stay in
+  whole-stage codegen, pushdown-friendly;
+- line_dedup_global shuffles 8-byte xxhash64 line keys (never line
+  text) — same key-width discipline as the LSH/ngram joins;
+- dsir_importance's model side (bucket count tables) is
+  vocabulary-bucket sized (constant B rows) and broadcast to the
+  corpus scan; the corpus is scanned once, shuffled once per count
+  table build, once for the doc score groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher's "must contain >= 2 of" stop-word list (Rae et al. App. A).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _words_of(text: Column) -> Column:
+    """Lowered ASCII-whitespace tokens — same rule as textanalysis._words."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def _lines_of(text: Column) -> Column:
+    return F.split(text, "\n")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher quality metrics + rule flags + overall pass.
+
+    Metrics/thresholds per Rae et al. 2021 Appendix A: word count in
+    [min_words, max_words]; mean word length in [3, 10]; symbol-to-word
+    ratio ('#' or '...') < 0.1; < 90% of lines bullet-started; < 30%
+    of lines ellipsis-ended; >= 80% of words contain an alphabetic
+    character; >= 2 distinct Gopher stop words present.
+
+    Pure projection — no shuffle; all metrics are higher-order array
+    functions over one tokenization, so the whole operator is a single
+    codegen stage over the scan."""
+    words = _words_of(F.col(text_col))
+    lines = _lines_of(F.col(text_col))
+    d = df.withColumn("_w", words).withColumn("_l", lines)
+    n_words = F.size("_w")
+    mean_wl = F.aggregate(
+        "_w", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / n_words
+    n_hash = (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, r"#", ""))
+    )
+    n_ellipsis = F.floor(
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(text_col, r"\.\.\.", ""))
+        )
+        / 3
+    )
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    alpha_frac = F.size(F.filter("_w", lambda w: w.rlike("[a-z]"))) / n_words
+    bullet_frac = F.size(
+        F.filter("_l", lambda l: F.trim(l).rlike(r"^[-*•]"))
+    ) / F.size("_l")
+    ellipsis_frac = F.size(
+        F.filter("_l", lambda l: l.rlike(r"(\.\.\.|…)$"))
+    ) / F.size("_l")
+    stop_hits = sum(
+        F.array_contains("_w", s).cast("int") for s in GOPHER_STOPWORDS
+    )
+    out = (
+        d.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", F.round(mean_wl, 6))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 6))
+        .withColumn("alpha_frac", F.round(alpha_frac, 6))
+        .withColumn("bullet_frac", F.round(bullet_frac, 6))
+        .withColumn("ellipsis_frac", F.round(ellipsis_frac, 6))
+        .withColumn("stop_hits", stop_hits.cast("long"))
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_frac") < 0.9)
+        & (F.col("ellipsis_frac") < 0.3)
+        & (F.col("alpha_frac") > 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("passes", passes).select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_frac",
+        "bullet_frac",
+        "ellipsis_frac",
+        "stop_hits",
+        "passes",
+    )
+
+
+def duplicate_line_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document duplicate-line statistics (Gopher repetition
+    rules): fraction of line OCCURRENCES beyond the first of their
+    content (dup_line_frac) and the char-weighted same
+    (dup_line_char_frac). Gopher drops docs with dup_line_frac > 0.30
+    or dup_line_char_frac > 0.20.
+
+    Plan: posexplode lines, groupBy (doc, line) for counts, groupBy
+    doc for the two fractions — two shuffles on (doc_id, line) keys,
+    linear in total lines."""
+    lines = (
+        df.select(F.col(id_col), F.explode(_lines_of(F.col(text_col))).alias("_line"))
+        .groupBy(id_col, "_line")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    return lines.groupBy(id_col).agg(
+        F.sum("_cnt").cast("long").alias("n_lines"),
+        F.round(
+            (F.sum("_cnt") - F.count("*")) / F.sum("_cnt"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            (
+                F.sum((F.col("_cnt") - 1) * F.length("_line"))
+                / F.sum(F.col("_cnt") * F.length("_line"))
+            ),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def top_ngram_char_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document fraction of characters covered by the single most
+    frequent word n-gram (Gopher repetition rule: e.g. top-2-gram
+    char fraction > 0.20 drops the doc). Coverage is occurrence-
+    weighted: freq * len(gram) / len(doc) — the standard Gopher
+    statistic. Ties break on the lexicographically smallest gram.
+
+    Plan: explode n-grams, count per (doc, gram), per-doc argmax via
+    max_by — two shuffles keyed by doc (+gram), linear in tokens."""
+    from .dedup import exploded_shingles
+
+    grams = (
+        exploded_shingles(df, id_col, text_col, n=n)
+        .groupBy(id_col, "sh")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    doc_len = df.select(F.col(id_col), F.length(text_col).alias("_len"))
+    # argmax on count with tie -> lexicographically SMALLEST gram:
+    # max_by with a (cnt, sh) struct orderer would break ties to the
+    # LARGEST sh, so use the window-free double agg instead — max cnt
+    # per doc, then min sh among grams at that count. Both aggs are
+    # doc-keyed; the join is on the (already doc-partitioned) key.
+    mx = grams.groupBy(id_col).agg(F.max("_cnt").alias("_mx"))
+    top = (
+        grams.join(mx, id_col)
+        .filter(F.col("_cnt") == F.col("_mx"))
+        .groupBy(id_col, "_mx")
+        .agg(F.min("sh").alias("top_gram"))
+    )
+    return (
+        top.join(doc_len, id_col)
+        .select(
+            F.col(id_col),
+            "top_gram",
+            F.round(
+                F.col("_mx") * F.length("top_gram") / F.col("_len"), 6
+            ).alias("top_char_frac"),
+        )
+    )
+
+
+def dup_ngram_char_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document fraction of characters in REPEATED word n-grams
+    (Gopher rule family for n=5..10). Occurrence-weighted
+    approximation: chars of occurrences beyond the first of each gram
+    / chars of all occurrences — Gopher's exact statistic de-overlaps
+    character spans (suffix-array machinery); this one-pass fold is
+    the standard filter-stage approximation and is monotone in the
+    same signal.
+
+    Two shuffles on (doc, gram) then doc — linear in tokens."""
+    from .dedup import exploded_shingles
+
+    grams = (
+        exploded_shingles(df, id_col, text_col, n=n)
+        .groupBy(id_col, "sh")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    return grams.groupBy(id_col).agg(
+        F.round(
+            F.sum((F.col("_cnt") - 1) * F.length("sh"))
+            / F.sum(F.col("_cnt") * F.length("sh")),
+            6,
+        ).alias("dup_char_frac")
+    )
+
+
+def c4_line_filters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 5,
+    badwords: tuple[str, ...] = ("javascript",),
+    require_terminal_punct: bool = False,
+) -> DataFrame:
+    """C4-style per-line cleaning (Raffel et al. 2020): drop lines
+    shorter than `min_words_per_line` words, lines containing any
+    `badwords` substring, and (optionally) lines not ending in
+    terminal punctuation. Returns (id, n_lines, n_kept, cleaned) with
+    kept lines re-joined in order.
+
+    Zero shuffle: the line filter is a higher-order array `filter`
+    over the split — order-preserving, no explode, whole operator is
+    one codegen projection over the scan."""
+    lines = _lines_of(F.col(text_col))
+
+    def keep(line: Column) -> Column:
+        n_words = F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+        cond = n_words >= min_words_per_line
+        for bw in badwords:
+            cond = cond & ~F.contains(F.lower(line), F.lit(bw))
+        if require_terminal_punct:
+            cond = cond & line.rlike(r'[.!?"]\s*$')
+        return cond
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )
+
+
+def line_dedup_global(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-level line dedup (the C4 "three-sentence span" rule in
+    its line form): every distinct line is kept only at its FIRST
+    occurrence in (doc, position) order; later occurrences anywhere in
+    the corpus are removed. Returns (id, n_lines, n_kept, cleaned);
+    docs whose every line was seen earlier come back with cleaned=''.
+
+    Plan: posexplode lines → global min_by over an 8-byte xxhash64
+    line key (line TEXT never shuffles in the winner-election agg) →
+    self-join occurrences to winners on (key, doc, pos) → per-doc
+    ordered re-assembly via sort_array(collect_list(struct(pos,
+    line))). Three shuffles, all keyed by hash or doc id — linear in
+    total lines, no pairwise stage; 64-bit key collisions would drop a
+    colliding line (P ≈ n²/2⁶⁵ — the standing hashed-key trade)."""
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(_lines_of(F.col(text_col))).alias("_pos", "_line"),
+    ).withColumn("_k", F.xxhash64("_line"))
+    winners = occ.groupBy("_k").agg(
+        F.min(F.struct(F.col(id_col).alias("_d"), F.col("_pos").alias("_p"))).alias(
+            "_first"
+        )
+    )
+    kept = occ.join(winners, "_k").filter(
+        (F.col(id_col) == F.col("_first._d")) & (F.col("_pos") == F.col("_first._p"))
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                ),
+                lambda s: s.getField("_line"),
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(_lines_of(F.col(text_col))).cast("long").alias("n_lines")
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    text_col_target: str | None = None,
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weight per document (Xie et al. 2023): score =
+    Σ_tokens [ln p_target(b(w)) - ln p_raw(b(w))] over hashed unigram
+    buckets with add-one smoothing, where p_raw is the model of `df`
+    itself. Positive scores read "more target-like"; importance
+    resampling keeps docs with probability ∝ exp(score).
+
+    The bucket hash is md5-based (first 4 hex digits mod `buckets`) so
+    the SQL oracle reproduces it digit-for-digit; at 100 TB swap for
+    xxhash64 & (buckets-1) — the model side is a constant-`buckets`-row
+    relation either way, broadcast to the scoring scan. The corpus
+    pays one explode+groupBy per model build and one for the score."""
+    tcol = text_col_target or text_col
+
+    def bucket(w: Column) -> Column:
+        return F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long") % buckets
+
+    def model(src: DataFrame, col: str) -> DataFrame:
+        cnt = (
+            src.select(F.explode(_words_of(F.col(col))).alias("_w"))
+            .select(bucket(F.col("_w")).alias("_b"))
+            .groupBy("_b")
+            .agg(F.count("*").alias("_c"))
+        )
+        total = cnt.agg(F.sum("_c").alias("_tot"))
+        return cnt.crossJoin(F.broadcast(total)).select(
+            "_b",
+            F.log((F.col("_c") + 1) / (F.col("_tot") + buckets)).alias("_lp"),
+        )
+
+    lp_t = model(target, tcol).withColumnRenamed("_lp", "_lp_t")
+    lp_r = model(df, text_col).withColumnRenamed("_lp", "_lp_r")
+    # unseen buckets in either model fall back to the smoothing floor
+    # ln(1/(tot+B)), realized via left joins + coalesce with the floor
+    # computed from the (broadcast) token totals
+    occ = df.select(
+        F.col(id_col), F.explode(_words_of(F.col(text_col))).alias("_w")
+    ).select(F.col(id_col), bucket(F.col("_w")).alias("_b"))
+    tot_t = target.select(
+        F.explode(_words_of(F.col(tcol))).alias("_w")
+    ).agg(F.count("*").alias("_tt"))
+    tot_r = df.select(
+        F.explode(_words_of(F.col(text_col))).alias("_w")
+    ).agg(F.count("*").alias("_tr"))
+    scored = (
+        occ.join(F.broadcast(lp_t), "_b", "left")
+        .join(F.broadcast(lp_r), "_b", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            F.col(id_col),
+            (
+                F.coalesce("_lp_t", F.log(1.0 / (F.col("_tt") + buckets)))
+                - F.coalesce("_lp_r", F.log(1.0 / (F.col("_tr") + buckets)))
+            ).alias("_llr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("_llr"), 6).alias("avg_llr"),
+    )

@@ -1981,3 +1981,285 @@ def source_curation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_quality", "mean_logprob", "mean_tokens",
         )
     )
+
+
+# ===================================================== web-quality family
+# Gopher rules / C4 line cleaning / global line dedup / DSIR importance
+# (operators/webquality.py). The synthetic corpus has no newlines, so
+# the line-shaped queries derive a deterministic 8-words-per-line form
+# of each document with the SAME regex in both engines (parity probed:
+# Java and RE2 agree on this pattern).
+
+_SQL_LINED = r"""
+  lined AS (
+    SELECT doc_id, regexp_replace(text, '((?:\S+\s+){7}\S+)\s+',
+                                  '\1' || chr(10), 'g') AS text
+    FROM documents
+  )
+"""
+
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+\s+){7}\S+)\s+", "$1\n").alias("text"),
+    )
+
+
+_SQL_GOPHER_WORDS = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')"
+
+
+@query(
+    "gopher_quality_flags",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text, {_SQL_GOPHER_WORDS} AS words,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        round(list_sum(list_transform(words, w -> len(w))) * 1.0
+              / len(words), 6) AS mean_word_len,
+        round(((len(text) - len(replace(text, '#', '')))
+               + floor((len(text) - len(replace(text, '...', ''))) / 3))
+              * 1.0 / len(words), 6) AS symbol_ratio,
+        round(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+              * 1.0 / len(words), 6) AS alpha_frac,
+        round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+              * 1.0 / len(lines), 6) AS bullet_frac,
+        round(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+              * 1.0 / len(lines), 6) AS ellipsis_frac,
+        CAST((CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END)
+          AS BIGINT) AS stop_hits
+      FROM w
+    )
+    SELECT *,
+      (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+      AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+      AND alpha_frac > 0.8 AND stop_hits >= 2 AS passes
+    FROM m
+    """,
+)
+def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher quality metrics and rule flags (Rae et al.
+    2021 App. A) over the documents table — zero-shuffle projection."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from .operators import webquality
+
+    return webquality.gopher_quality(d, "doc_id", "text")
+
+
+@query(
+    "dup_line_stats",
+    f"""
+    WITH {_SQL_LINED.strip()},
+    occ AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM lined
+    ),
+    cnt AS (SELECT doc_id, line, count(*) AS c FROM occ GROUP BY doc_id, line)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+      round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_line_frac,
+      round(sum((c - 1) * len(line)) * 1.0 / sum(c * len(line)), 6)
+        AS dup_line_char_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def dup_line_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line fractions (Gopher repetition
+    rules) over the 8-words-per-line form of each document."""
+    from .operators import webquality
+
+    return webquality.duplicate_line_stats(
+        _lined_docs(spark, sf_dir), "doc_id", "text"
+    )
+
+
+@query(
+    "top_bigram_char_frac",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i+1])) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(text, '\s+') AS words
+            FROM documents)
+    ),
+    cnt AS (SELECT doc_id, sh, count(*) AS c FROM g GROUP BY doc_id, sh),
+    mx AS (SELECT doc_id, max(c) AS mx FROM cnt GROUP BY doc_id),
+    top AS (
+      SELECT cnt.doc_id, mx.mx, min(sh) AS top_gram
+      FROM cnt JOIN mx ON cnt.doc_id = mx.doc_id AND cnt.c = mx.mx
+      GROUP BY cnt.doc_id, mx.mx
+    )
+    SELECT t.doc_id, t.top_gram,
+           round(t.mx * len(t.top_gram) * 1.0 / len(d.text), 6) AS top_char_frac
+    FROM top t JOIN documents d ON t.doc_id = d.doc_id
+    """,
+)
+def top_bigram_char_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of characters covered by each document's most frequent
+    word bigram (Gopher: top-2-gram char fraction > 0.20 drops the
+    doc); tie-break is the lexicographically smallest gram."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from .operators import webquality
+
+    return webquality.top_ngram_char_fraction(d, "doc_id", "text", n=2)
+
+
+@query(
+    "dup_5gram_char_frac",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words) - 3),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                         || ' ' || words[i+3] || ' ' || words[i+4])) AS sh
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS words
+            FROM documents)
+    ),
+    cnt AS (SELECT doc_id, sh, count(*) AS c FROM g GROUP BY doc_id, sh)
+    SELECT doc_id,
+      round(sum((c - 1) * len(sh)) * 1.0 / sum(c * len(sh)), 6) AS dup_char_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def dup_5gram_char_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of characters in repeated word 5-grams
+    (the Gopher dup-ngram rule family, occurrence-weighted form)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from .operators import webquality
+
+    return webquality.dup_ngram_char_fraction(d, "doc_id", "text", n=5)
+
+
+@query(
+    "c4_line_filter",
+    f"""
+    WITH {_SQL_LINED.strip()}
+    SELECT doc_id,
+      CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept,
+      coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+    FROM (
+      SELECT doc_id, text,
+        list_filter(string_split(text, chr(10)),
+          l -> len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 5
+               AND NOT contains(lower(l), 'slow')) AS kept
+      FROM lined)
+    """,
+)
+def c4_line_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning over the lined corpus: drop lines under
+    5 words or containing a blocklist substring ('slow' stands in for
+    C4's 'javascript'/boilerplate list on the synthetic corpus);
+    cleaned text is the kept lines re-joined in order — zero shuffle."""
+    from .operators import webquality
+
+    return webquality.c4_line_filters(
+        _lined_docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        min_words_per_line=5,
+        badwords=("slow",),
+    )
+
+
+@query(
+    "line_dedup_corpus",
+    f"""
+    WITH {_SQL_LINED.strip()},
+    occ AS (
+      SELECT doc_id,
+             unnest(range(1, len(lines) + 1)) AS pos,
+             unnest(lines) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM lined)
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM occ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+      CAST(len(string_split(l.text, chr(10))) AS BIGINT) AS n_lines,
+      CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+      coalesce(a.cleaned, '') AS cleaned
+    FROM lined l LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def line_dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global line dedup (C4 rule, line form): each distinct
+    line survives only at its first (doc, position) occurrence; the
+    winner election shuffles 8-byte xxhash64 line keys, never text."""
+    from .operators import webquality
+
+    return webquality.line_dedup_global(
+        _lined_docs(spark, sf_dir), "doc_id", "text"
+    )
+
+
+_SQL_DSIR_BUCKET = _sql_hexval("md5(w)", 1, 4) + " % 1024"
+
+
+@query(
+    "dsir_importance_scores",
+    f"""
+    WITH tw AS (
+      SELECT unnest({_SQL_GOPHER_WORDS}) AS w
+      FROM documents WHERE source = 'src0'
+    ),
+    tb AS (SELECT {_SQL_DSIR_BUCKET} AS b, count(*) AS c FROM tw GROUP BY 1),
+    tt AS (SELECT count(*) AS tot FROM tw),
+    rw AS (SELECT unnest({_SQL_GOPHER_WORDS}) AS w FROM documents),
+    rb AS (SELECT {_SQL_DSIR_BUCKET} AS b, count(*) AS c FROM rw GROUP BY 1),
+    rt AS (SELECT count(*) AS tot FROM rw),
+    occ AS (
+      SELECT doc_id, {_SQL_DSIR_BUCKET} AS b
+      FROM (SELECT doc_id, unnest({_SQL_GOPHER_WORDS}) AS w FROM documents)
+    ),
+    scored AS (
+      SELECT occ.doc_id,
+        coalesce(ln((tb.c + 1) * 1.0 / (tt.tot + 1024)),
+                 ln(1.0 / (tt.tot + 1024)))
+        - coalesce(ln((rb.c + 1) * 1.0 / (rt.tot + 1024)),
+                   ln(1.0 / (rt.tot + 1024))) AS llr
+      FROM occ
+      LEFT JOIN tb USING (b) CROSS JOIN tt
+      LEFT JOIN rb USING (b) CROSS JOIN rt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(llr), 6) AS avg_llr
+    FROM scored GROUP BY doc_id
+    """,
+)
+def dsir_importance_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-doc mean
+    log-likelihood ratio between a target unigram-bucket LM (source
+    'src0' docs) and the raw-corpus LM — the statistic importance
+    resampling keeps docs by. Model relations are 1024 rows each,
+    broadcast to the scoring scan."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators import webquality
+
+    return webquality.dsir_importance(
+        d.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        target=d.filter(F.col("source") == "src0").select("doc_id", "text"),
+        buckets=1024,
+    )
