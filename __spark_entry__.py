@@ -45,7 +45,7 @@ _PRIORITY: list[str] = [
     "bpe_pair_counts",
     "gopher_quality_flags", "dup_line_stats", "top_bigram_char_frac",
     "dup_5gram_char_frac", "c4_line_filter", "line_dedup_corpus",
-    "dsir_importance_scores",
+    "dsir_importance_scores", "span_dedup_cleaned",
     "ann_brute_force", "fingerprints",
     "minhash_signatures", "multimodal_decode", "simhash_fingerprints",
     "token_counts", "bad_records_skip", "crash_skip",
@@ -60,7 +60,6 @@ _PRIORITY: list[str] = [
     "sql_order_revenue", "top_k", "user_rolling_stats",
     "ann_ivf", "ann_ivf_recall", "contamination",
     "curation_funnel", "decile_histogram", "dedup_components",
-    "edit_distance_verify",
 ]
 
 

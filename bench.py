@@ -89,6 +89,7 @@ HEADLINE = [
     "gopher_quality_flags",
     "line_dedup_corpus",
     "dsir_importance_scores",
+    "span_dedup_cleaned",
 ]
 
 

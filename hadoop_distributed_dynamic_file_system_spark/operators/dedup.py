@@ -534,6 +534,109 @@ def duplicate_ngram_fraction(
     )
 
 
+# --------------------------------------------- duplicated-span removal
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Substring-level dedup (Lee et al. ACL'22, word-gram form): every
+    word n-gram that occurs more than once in the CORPUS keeps only its
+    first occurrence in (doc, position) order; all word positions
+    covered by a later occurrence of any duplicated gram are removed,
+    and each document's text is re-assembled from the surviving words.
+    Returns (id, n_words, n_kept, cleaned) — a doc that is entirely
+    boilerplate comes back with cleaned=''.
+
+    The exact method de-overlaps character spans with a suffix array;
+    this is the standard distributed approximation on the word-gram
+    lattice: coverage is the union of loser-occurrence spans, winners
+    keep their text, and word (not char) granularity bounds the
+    reconstruction to one groupBy.
+
+    Plan (all linear, no pairwise stage):
+      1. per-doc word array behind a projection boundary; gram
+         occurrences as (doc, start, xxhash64-of-gram) — 8-byte gram
+         keys, gram TEXT never shuffles;
+      2. winner election: global min (doc, start) per gram key and
+         total count, one groupBy on the hashed key;
+      3. losers (occurrences of cnt>=2 grams that are not the winner)
+         explode to covered (doc, pos) pairs — bounded by n x loser
+         count;
+      4. word positions anti-join covered, per-doc ordered
+         re-assembly via sort_array(collect_list).
+    64-bit gram-key collisions would over-remove a span (P ≈ n²/2⁶⁵
+    — the standing hashed-key trade; pass the gram text instead for a
+    provably exact variant at 4x shuffle width)."""
+    words = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_w")
+    )
+    occ = words.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("_start"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                " ",
+                                *[
+                                    F.element_at(F.col("_w"), i + j)
+                                    for j in range(n)
+                                ],
+                            )
+                        ).alias("_g"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<_start:int,_g:bigint>>")
+            )
+        ).alias("_o"),
+    ).select(F.col(id_col), F.col("_o._start").alias("_start"), F.col("_o._g").alias("_g"))
+    winners = occ.groupBy("_g").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct(F.col(id_col).alias("_d"), F.col("_start").alias("_s"))).alias(
+            "_first"
+        ),
+    )
+    losers = occ.join(winners.filter(F.col("_cnt") >= 2), "_g").filter(
+        ~(
+            (F.col(id_col) == F.col("_first._d"))
+            & (F.col("_start") == F.col("_first._s"))
+        )
+    )
+    covered = losers.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("_start"), F.col("_start") + (n - 1))
+        ).alias("_pos"),
+    ).distinct()
+    positions = words.select(
+        F.col(id_col), F.posexplode("_w").alias("_pos0", "_word")
+    ).select(F.col(id_col), (F.col("_pos0") + 1).alias("_pos"), "_word")
+    kept = positions.join(covered, [id_col, "_pos"], "left_anti")
+    per_doc = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_word"))),
+                lambda s: s.getField("_word"),
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    totals = words.select(
+        F.col(id_col), F.size("_w").cast("long").alias("n_words")
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_words",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
+
+
 # ------------------------------------------------- stateless LSH banding
 def minhash_band_key_cols(
     df: DataFrame,

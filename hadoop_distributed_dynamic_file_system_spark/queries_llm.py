@@ -2263,3 +2263,58 @@ def dsir_importance_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         target=d.filter(F.col("source") == "src0").select("doc_id", "text"),
         buckets=1024,
     )
+
+
+@query(
+    "span_dedup_cleaned",
+    f"""
+    WITH {_SQL_DOCS_DUP.strip()},
+    w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM docs2
+    ),
+    occ AS (
+      SELECT doc_id,
+             unnest(range(1, len(words) - 3)) AS start,
+             unnest(list_transform(range(1, len(words) - 3),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                         || ' ' || words[i+3] || ' ' || words[i+4])) AS g
+      FROM w
+    ),
+    marked AS (
+      SELECT doc_id, start,
+             count(*) OVER (PARTITION BY g) AS cnt,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, start) AS rn
+      FROM occ
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, unnest(range(start, start + 5)) AS pos
+        FROM marked WHERE cnt >= 2 AND rn > 1)
+    ),
+    pos AS (
+      SELECT doc_id, unnest(range(1, len(words) + 1)) AS pos,
+             unnest(words) AS word
+      FROM w
+    ),
+    kept AS (SELECT p.* FROM pos p ANTI JOIN covered c USING (doc_id, pos)),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(word, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.cleaned, '') AS cleaned
+    FROM w LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def span_dedup_cleaned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level span dedup (Lee et al. ACL'22, word-5-gram form)
+    over the planted-near-dup corpus: every corpus-duplicated 5-gram
+    keeps only its first (doc, position) occurrence; mutated copies
+    come back nearly empty, originals keep their text. Gram keys
+    shuffle as 8-byte xxhash64 longs; the oracle elects winners on the
+    gram text itself (identical up to 64-bit collisions)."""
+    return dedup.remove_duplicated_spans(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text", n=5
+    )

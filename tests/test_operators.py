@@ -1065,3 +1065,62 @@ class TestBpeLearnDistributed:
         df = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
         merges = ta.bpe_learn_distributed(df, "text", n_merges=3)
         assert merges == []
+
+
+class TestRemoveDuplicatedSpans:
+    def test_first_occurrence_keeps_later_drops(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        shared = "a b c d e"
+        df = spark.createDataFrame(
+            [(1, shared + " u1 u2 u3"), (2, shared + " v1 v2 v3")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in
+               dedup.remove_duplicated_spans(df, "doc_id", "text", n=5).collect()}
+        assert out[1].cleaned == "a b c d e u1 u2 u3"  # winner intact
+        assert out[2].cleaned == "v1 v2 v3"            # covered span removed
+        assert (out[2].n_words, out[2].n_kept) == (8, 3)
+
+    def test_within_doc_repeat_drops_second(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e x a b c d e")], "doc_id long, text string"
+        )
+        r = dedup.remove_duplicated_spans(df, "doc_id", "text", n=5).collect()[0]
+        assert r.cleaned == "a b c d e x"
+
+    def test_fully_duplicate_doc_empties(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "one two three four five six"
+        df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               dedup.remove_duplicated_spans(df, "doc_id", "text", n=5).collect()}
+        assert out[1].cleaned == t
+        assert out[2].cleaned == "" and out[2].n_kept == 0
+
+    def test_short_docs_pass_through(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.cleaned for r in
+               dedup.remove_duplicated_spans(df, "doc_id", "text", n=5).collect()}
+        # no 5-grams exist -> nothing is ever marked duplicated
+        assert out == {1: "tiny doc", 2: "tiny doc"}
+
+    def test_overlapping_duplicated_spans_union(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        # doc2 contains doc1's 6-word run: two overlapping dup 5-grams
+        # cover positions 1-6 entirely
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f tail1 tail2")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.cleaned for r in
+               dedup.remove_duplicated_spans(df, "doc_id", "text", n=5).collect()}
+        assert out[2] == "tail1 tail2"
