@@ -46,6 +46,8 @@ _PRIORITY: list[str] = [
     "gopher_quality_flags", "dup_line_stats", "top_bigram_char_frac",
     "dup_5gram_char_frac", "c4_line_filter", "line_dedup_corpus",
     "dsir_importance_scores", "span_dedup_cleaned",
+    "classifier_source_recovery", "bigram_lm_scores",
+    "leakage_safe_splits",
     "ann_brute_force", "fingerprints",
     "minhash_signatures", "multimodal_decode", "simhash_fingerprints",
     "token_counts", "bad_records_skip", "crash_skip",
@@ -59,7 +61,6 @@ _PRIORITY: list[str] = [
     "q7_volume_shipping", "q8_market_share", "sort_key_spec",
     "sql_order_revenue", "top_k", "user_rolling_stats",
     "ann_ivf", "ann_ivf_recall", "contamination",
-    "curation_funnel", "decile_histogram", "dedup_components",
 ]
 
 

@@ -90,6 +90,8 @@ HEADLINE = [
     "line_dedup_corpus",
     "dsir_importance_scores",
     "span_dedup_cleaned",
+    "classifier_source_recovery",
+    "bigram_lm_scores",
 ]
 
 

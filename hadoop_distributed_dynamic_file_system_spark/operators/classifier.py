@@ -1,0 +1,156 @@
+"""Hashed-feature linear quality classifier: the fasttext-style
+"quality model" stage of a training-data pipeline (classify docs as
+high/low quality, keep by score), built so BOTH halves are Spark-
+native:
+
+- features: hashed bag-of-words term frequencies over md5 buckets
+  (engine-portable — the same bucket arithmetic as DSIR/sampling);
+- scoring: sigmoid(bias + Σ tf·w) with the weight vector as a
+  constant-`buckets`-row RELATION broadcast to the scan — no driver
+  model object, same discipline as the unigram/bigram LM scorers;
+- training: batch-gradient-descent logistic regression implemented
+  entirely as DataFrame ops (predict join → per-doc error → per-
+  bucket gradient groupBy), iterated with the same localCheckpoint
+  lineage discipline as connected-components and distributed BPE.
+  Deterministic: zero init, fixed step, no sampling.
+
+At 100 TB: features are (doc, bucket, tf) — linear in corpus tokens,
+bucket-bounded per doc; each GD iteration is two shuffles (doc-keyed
+error, bucket-keyed gradient) plus a broadcast of the B-row weight
+relation; B is a constant (default 1024), so model state never grows
+with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..cache import tracked_persist
+from .sampling import md5_bucket
+
+_BUCKET_DIGITS = 4  # 16^4 = 65536 >> any practical B
+
+
+def hashed_tf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 1024,
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, b, tf) hashed bag-of-words features. `normalize` divides
+    by the doc's token count (fasttext-style mean pooling) so long
+    docs don't dominate the dot product."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("_w"),
+    )
+    feats = toks.groupBy(
+        id_col, (md5_bucket(F.col("_w"), _BUCKET_DIGITS) % buckets).alias("b")
+    ).agg(F.count("*").cast("double").alias("tf"))
+    if normalize:
+        totals = feats.groupBy(id_col).agg(F.sum("tf").alias("_n"))
+        feats = feats.join(totals, id_col).select(
+            id_col, "b", (F.col("tf") / F.col("_n")).alias("tf")
+        )
+    return feats
+
+
+def _sigmoid(x: Column) -> Column:
+    return 1.0 / (1.0 + F.exp(-x))
+
+
+def predict(
+    features: DataFrame, id_col: str, weights: DataFrame, bias: float = 0.0
+) -> DataFrame:
+    """(id, score): sigmoid(bias + Σ tf·w). `weights` is a (b, w)
+    relation — broadcast (constant B rows); missing buckets contribute
+    nothing (left join, zero fill)."""
+    return (
+        features.join(F.broadcast(weights), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            _sigmoid(
+                F.sum(F.col("tf") * F.coalesce(F.col("w"), F.lit(0.0))) + bias
+            ).alias("score")
+        )
+    )
+
+
+def fit_logreg(
+    features: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    label_col: str,
+    buckets: int = 1024,
+    iters: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> DataFrame:
+    """Batch-GD logistic regression over hashed features, pure
+    DataFrame ops. Returns the learned (b, w) weight relation.
+
+    Per iteration: score docs against the current broadcast weights,
+    per-doc error (p - y), per-bucket gradient Σ tf·err / N (+ l2·w),
+    vectorized weight update, localCheckpoint to keep the plan flat.
+    The features relation is persisted once — every iteration rescans
+    the materialized frame, not the corpus."""
+    feats = tracked_persist(
+        features.join(labels.select(id_col, label_col), id_col)
+    )
+    n_docs = feats.select(id_col).distinct().count()
+    spark = features.sparkSession
+    weights = spark.range(0).select(
+        F.col("id").cast("long").alias("b"), F.lit(0.0).alias("w")
+    )
+    for _ in range(iters):
+        scored = (
+            feats.join(F.broadcast(weights), "b", "left")
+            .groupBy(id_col, label_col)
+            .agg(
+                _sigmoid(
+                    F.sum(F.col("tf") * F.coalesce(F.col("w"), F.lit(0.0)))
+                ).alias("_p")
+            )
+            .select(
+                F.col(id_col),
+                (F.col("_p") - F.col(label_col).cast("double")).alias("_err"),
+            )
+        )
+        grad = (
+            feats.join(scored, id_col)
+            .groupBy("b")
+            .agg((F.sum(F.col("tf") * F.col("_err")) / n_docs).alias("_g"))
+        )
+        weights = (
+            grad.join(weights, "b", "full")
+            .select(
+                "b",
+                (
+                    F.coalesce(F.col("w"), F.lit(0.0)) * (1.0 - lr * l2)
+                    - lr * F.coalesce(F.col("_g"), F.lit(0.0))
+                ).alias("w"),
+            )
+            .localCheckpoint()
+        )
+    return weights
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    buckets: int = 1024,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Score every document with a (b, w) weight relation — the
+    inference pass a curation run applies corpus-wide after training
+    (or after deriving naive-Bayes weights from DSIR's per-bucket
+    log-likelihood ratios, which this composes with directly)."""
+    return predict(
+        hashed_tf(df, id_col, text_col, buckets=buckets), id_col, weights, bias
+    )

@@ -316,3 +316,37 @@ def assign_folds(df: DataFrame, id_col: str, k: int) -> DataFrame:
     return df.withColumn(
         "fold", (md5_bucket(F.col(id_col), _RES_DIGITS) % k).cast("long")
     )
+
+
+def split_by_cluster(
+    df: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 8), ("val", 1), ("test", 1)),
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is decided by
+    a deterministic md5 bucket of the CLUSTER key, not the document id,
+    so every member of a near-duplicate cluster lands in the same
+    split — the property that keeps eval honest (a doc-level split
+    leaks a training doc's near-copy into test; splitting by dedup
+    component cannot). `splits` are (name, weight) integer shares.
+
+    Scan-local projection over an already-clustered frame (compose
+    with exact_dedup's content key or connected_components' root) —
+    no shuffle, retry-stable, engine-portable (md5 arithmetic only,
+    same convention as assign_folds/uniform_unit)."""
+    total = sum(w for _, w in splits)
+    bucket = md5_bucket(F.col(cluster_col).cast("string"), _RES_DIGITS) % total
+    expr = None
+    acc = 0
+    for name, w in splits:
+        acc += w
+        cond_val = F.lit(name)
+        expr = (
+            F.when(bucket < acc, cond_val)
+            if expr is None
+            else expr.when(bucket < acc, cond_val)
+        )
+    return df.select(
+        F.col(id_col), F.col(cluster_col), expr.alias("split")
+    )

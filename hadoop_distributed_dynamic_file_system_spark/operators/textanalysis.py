@@ -468,6 +468,63 @@ def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-one-
+    smoothed bigram LM trained on the corpus itself — one conditioning
+    order up from `unigram_lm_scores`, the same role CCNet's KenLM
+    plays with five. p(cur|prev) = (c(prev,cur)+1) / (c(prev)+V) with
+    c(prev) the bigram-context count and V the corpus unigram
+    vocabulary size.
+
+    Both model relations (bigram counts, context counts) are
+    observed-bigram-sized — bounded by corpus tokens and Zipf-shrunk,
+    never |V|² — and persist so the model build runs once; the scoring
+    join shuffles one 8-byte xxhash64 pair key (bigram text never
+    shuffles). Docs with fewer than two words have no bigrams and are
+    absent from the result (same convention as the n-gram operators).
+    """
+    bound = _with_words(df, text_col)
+    pairs = F.when(
+        F.size("_words") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_words") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_words"), i).alias("prev"),
+                F.element_at(F.col("_words"), i + F.lit(1)).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = bound.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        F.col(id_col),
+        F.xxhash64("_p.prev", "_p.cur").alias("_bk"),
+        F.xxhash64("_p.prev").alias("_ck"),
+    )
+    bgc = tracked_persist(
+        bg.groupBy("_bk").agg(F.count("*").alias("_bc"))
+    )
+    ctx = tracked_persist(bg.groupBy("_ck").agg(F.count("*").alias("_cc")))
+    vocab = (
+        _with_words(df, text_col)
+        .select(F.explode("_words").alias("_w"))
+        .agg(F.countDistinct("_w").alias("_v"))
+    )
+    return (
+        bg.join(bgc, "_bk")
+        .join(ctx, "_ck")
+        .join(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log((F.col("_bc") + 1.0) / (F.col("_cc") + F.col("_v")))
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def lm_quality_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """CCNet-style quality bucketing: split the corpus into head /
     middle / tail terciles of the unigram LM score (CCNet §4.3 does

@@ -313,6 +313,56 @@ def line_dedup_global(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dsir_bucket_weights(
+    df: DataFrame,
+    text_col: str,
+    target: DataFrame,
+    text_col_target: str | None = None,
+    buckets: int = 1024,
+) -> DataFrame:
+    """(b, w) naive-Bayes weight relation: per hashed-unigram-bucket
+    log-likelihood ratio ln p_target(b) - ln p_raw(b) (add-one
+    smoothed), one row per bucket OBSERVED IN `df` — which covers
+    every bucket any `df` document can activate, so a scorer that
+    left-joins this relation never needs a fallback for raw-corpus
+    docs. This is the model `classifier.quality_classifier_scores`
+    consumes directly (NB-weighted linear scoring ≈ the fasttext
+    quality-classifier stage without a gradient step)."""
+    tcol = text_col_target or text_col
+
+    def bucket(w: Column) -> Column:
+        return F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long") % buckets
+
+    def counts(src: DataFrame, col: str) -> DataFrame:
+        return (
+            src.select(F.explode(_words_of(F.col(col))).alias("_w"))
+            .select(bucket(F.col("_w")).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("_c"))
+        )
+
+    tb = counts(target, tcol)
+    rb = counts(df, text_col)
+    tt = tb.agg(F.sum("_c").alias("_tt"))
+    rt = rb.agg(F.sum("_c").alias("_tr"))
+    return (
+        rb.withColumnRenamed("_c", "_rc")
+        .join(F.broadcast(tb.withColumnRenamed("_c", "_tc")), "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "b",
+            (
+                F.coalesce(
+                    F.log((F.col("_tc") + 1) / (F.col("_tt") + buckets)),
+                    F.log(1.0 / (F.col("_tt") + buckets)),
+                )
+                - F.log((F.col("_rc") + 1) / (F.col("_tr") + buckets))
+            ).alias("w"),
+        )
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     id_col: str,

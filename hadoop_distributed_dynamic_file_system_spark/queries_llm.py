@@ -2318,3 +2318,150 @@ def span_dedup_cleaned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicated_spans(
         _docs_with_dups(spark, sf_dir), "doc_id", "text", n=5
     )
+
+
+@query(
+    "classifier_source_recovery",
+    f"""
+    WITH tw AS (
+      SELECT unnest({_SQL_GOPHER_WORDS}) AS w
+      FROM documents WHERE source = 'src0'
+    ),
+    tb AS (SELECT {_SQL_DSIR_BUCKET} AS b, count(*) AS c FROM tw GROUP BY 1),
+    tt AS (SELECT count(*) AS tot FROM tw),
+    rw AS (SELECT unnest({_SQL_GOPHER_WORDS}) AS w FROM documents),
+    rb AS (SELECT {_SQL_DSIR_BUCKET} AS b, count(*) AS c FROM rw GROUP BY 1),
+    rt AS (SELECT count(*) AS tot FROM rw),
+    wt AS (
+      SELECT rb.b,
+        coalesce(ln((tb.c + 1) * 1.0 / (tt.tot + 1024)),
+                 ln(1.0 / (tt.tot + 1024)))
+        - ln((rb.c + 1) * 1.0 / (rt.tot + 1024)) AS w
+      FROM rb LEFT JOIN tb USING (b) CROSS JOIN tt CROSS JOIN rt
+    ),
+    feat AS (
+      SELECT doc_id, b, count(*) * 1.0 AS tf
+      FROM (SELECT doc_id, {_SQL_DSIR_BUCKET} AS b
+            FROM (SELECT doc_id, unnest({_SQL_GOPHER_WORDS}) AS w
+                  FROM documents))
+      GROUP BY doc_id, b
+    ),
+    norm AS (
+      SELECT doc_id, b, tf / sum(tf) OVER (PARTITION BY doc_id) AS tf
+      FROM feat
+    ),
+    sc AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(sum(tf * w)))), 6) AS score
+      FROM norm JOIN wt USING (b) GROUP BY doc_id
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score), 6) AS mean_score
+    FROM sc JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def classifier_source_recovery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference pass: naive-Bayes weights (DSIR
+    per-bucket log-likelihood ratios, target = source 'src0') score
+    every document through the hashed-feature linear scorer; reported
+    as mean sigmoid score per source — src0 should surface on top,
+    the separation a fasttext-style quality filter relies on. The
+    weight relation is 1024 rows, broadcast; features are one
+    explode+groupBy over the corpus."""
+    from .operators import classifier, webquality
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+    wt = webquality.dsir_bucket_weights(
+        docs, "text", target=d.filter(F.col("source") == "src0").select("text")
+    )
+    scores = classifier.quality_classifier_scores(
+        docs, "doc_id", "text", wt, buckets=1024
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    return (
+        scores.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+        )
+    )
+
+
+@query(
+    "bigram_lm_scores",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_GOPHER_WORDS} AS words FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)), i -> words[i])) AS prev,
+             unnest(list_transform(range(1, len(words)), i -> words[i+1])) AS cur
+      FROM w
+    ),
+    bgc AS (SELECT prev, cur, count(*) AS c FROM bg GROUP BY prev, cur),
+    ctx AS (SELECT prev, count(*) AS c FROM bg GROUP BY prev),
+    v AS (
+      SELECT count(DISTINCT wd) AS v
+      FROM (SELECT unnest(words) AS wd FROM w)
+    )
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((bgc.c + 1.0) / (ctx.c + v.v))), 6) AS avg_logprob
+    FROM bg JOIN bgc USING (prev, cur) JOIN ctx USING (prev) CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_lm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM score per document, model trained on
+    the corpus itself — one conditioning order above unigram_lm_scores
+    (the CCNet direction); bigram keys shuffle as xxhash64 longs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textanalysis.bigram_lm_scores(d, "doc_id", "text")
+
+
+@query(
+    "leakage_safe_splits",
+    """
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    ),
+    clustered AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+      FROM docs2
+    )
+    SELECT doc_id, cluster_id,
+      CASE
+        WHEN (({b}) % 10) < 8 THEN 'train'
+        WHEN (({b}) % 10) < 9 THEN 'val'
+        ELSE 'test'
+      END AS split
+    FROM clustered
+    """.format(
+        b=_sql_hexval("md5(CAST(cluster_id AS VARCHAR))", 1, 6)
+    ),
+)
+def leakage_safe_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment decided by the DEDUP CLUSTER key, not
+    the doc id: exact-duplicate docs (planted copies) provably land in
+    the same split, so eval never sees a training doc's copy. 8/1/1
+    shares via deterministic md5 bucketing — scan-local after the
+    cluster window, retry-stable, engine-portable."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = d.unionByName(dup)
+    clustered = corpus.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("cluster_id"),
+    )
+    return curation.split_by_cluster(
+        clustered, "doc_id", "cluster_id", splits=(("train", 8), ("val", 1), ("test", 1))
+    ).withColumnRenamed("cluster_id", "cluster_id")
