@@ -499,10 +499,17 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.xxhash64("_p.prev", "_p.cur").alias("_bk"),
         F.xxhash64("_p.prev").alias("_ck"),
     )
-    bgc = tracked_persist(
-        bg.groupBy("_bk").agg(F.count("*").alias("_bc"))
+    # ONE corpus-sized model pass: counting (bigram, context) pairs
+    # together lets the context counts derive from the (vocabulary-
+    # sized) bigram relation instead of re-exploding the corpus — the
+    # unpersisted bg stream is otherwise scanned once per consumer
+    # (bgc + ctx + scoring = 3 corpus explodes; this form pays 2, the
+    # same budget as unigram_lm_scores).
+    bgk = tracked_persist(
+        bg.groupBy("_bk", "_ck").agg(F.count("*").alias("_bc"))
     )
-    ctx = tracked_persist(bg.groupBy("_ck").agg(F.count("*").alias("_cc")))
+    bgc = bgk.select("_bk", "_bc")
+    ctx = bgk.groupBy("_ck").agg(F.sum("_bc").alias("_cc"))
     vocab = (
         _with_words(df, text_col)
         .select(F.explode("_words").alias("_w"))

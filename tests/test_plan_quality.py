@@ -266,3 +266,84 @@ class TestRound4PlanQuality:
         assert schemas and all(
             "text" in s and "lang" not in s for s in schemas
         )
+
+
+class TestRound5PlanQuality:
+    def test_gopher_quality_is_zero_shuffle_projection(self, spark, sf_dir):
+        from hadoop_distributed_dynamic_file_system_spark.operators import webquality as wq
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = formatted(wq.gopher_quality(d, "doc_id", "text"))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_c4_line_filters_zero_shuffle(self, spark, sf_dir):
+        from hadoop_distributed_dynamic_file_system_spark.operators import webquality as wq
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = formatted(wq.c4_line_filters(d, "doc_id", "text"))
+        assert "Exchange" not in plan and "Join" not in plan
+
+    def test_line_dedup_no_cartesian_and_pruned_scan(self, spark, sf_dir):
+        import re
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import webquality as wq
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = formatted(wq.line_dedup_global(d, "doc_id", "text"))
+        assert "CartesianProduct" not in plan
+        schemas = re.findall(r"ReadSchema: (.*)", plan)
+        assert schemas and all("lang" not in s and "source" not in s for s in schemas)
+
+    def test_span_dedup_no_cartesian(self, spark, sf_dir):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = formatted(dedup.remove_duplicated_spans(d, "doc_id", "text"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_dsir_models_broadcast_not_shuffled(self, spark, sf_dir):
+        from hadoop_distributed_dynamic_file_system_spark.operators import webquality as wq
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        target = d.limit(100)
+        plan = formatted(wq.dsir_importance(d, "doc_id", "text", target))
+        # the two 1024-row model relations and both totals join via
+        # broadcast; the only SMJ-eligible join keys are model-side
+        assert plan.count("BroadcastHashJoin") + plan.count(
+            "BroadcastNestedLoopJoin"
+        ) >= 4
+        assert "CartesianProduct" not in plan
+
+    def test_classifier_scoring_broadcasts_weights(self, spark, sf_dir):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            classifier as cl,
+            webquality as wq,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        wt = wq.dsir_bucket_weights(d, "text", d.limit(100))
+        plan = formatted(
+            cl.quality_classifier_scores(d, "doc_id", "text", wt)
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bigram_lm_single_model_pass(self, spark, sf_dir):
+        # the (bigram, context) model is ONE groupBy over the pair
+        # stream; context counts derive from the materialized bigram
+        # relation, not a second corpus explode
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            textanalysis as ta,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = ta.bigram_lm_scores(d, "doc_id", "text")
+        df.write.mode("overwrite").format("noop").save()
+        plan = formatted(df)
+        assert "InMemoryTableScan" in plan  # model reused, not rebuilt
+        from hadoop_distributed_dynamic_file_system_spark import cache
+
+        cache.release_all()
+        spark.catalog.clearCache()
