@@ -5,6 +5,7 @@ Unix sort -k, PipeMapRed output split)."""
 
 import re
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -402,3 +403,102 @@ class TestWinnowingGuarantee:
         s1 = {r.fp for r in fps if r.doc_id == 1}
         s2 = {r.fp for r in fps if r.doc_id == 2}
         assert s1 & s2, f"run={run} pre_a={pre_a} pre_b={pre_b}"
+
+
+class TestSpanDedupProperty:
+    """remove_duplicated_spans vs a brute-force reference model."""
+
+    @staticmethod
+    def _reference(docs, n):
+        # docs: list[(id, text)] sorted by id
+        words = {d: (t.split(" ") if t else [""]) for d, t in docs}
+        occ = []  # (doc, start0, gram)
+        for d, ws in sorted(words.items()):
+            for i in range(len(ws) - n + 1):
+                occ.append((d, i, tuple(ws[i : i + n])))
+        first = {}
+        counts = {}
+        for d, i, g in occ:
+            counts[g] = counts.get(g, 0) + 1
+            if g not in first:
+                first[g] = (d, i)
+        covered = {d: set() for d, _ in docs}
+        for d, i, g in occ:
+            if counts[g] >= 2 and first[g] != (d, i):
+                covered[d].update(range(i, i + n))
+        out = {}
+        for d, ws in words.items():
+            kept = [w for p, w in enumerate(ws) if p not in covered[d]]
+            out[d] = " ".join(kept)
+        return out
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("abcde"), min_size=1, max_size=12).map(
+                " ".join
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(2, 4),
+    )
+    def test_matches_reference(self, texts, n):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        spark = self._spark
+        docs = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: r.cleaned
+            for r in dedup.remove_duplicated_spans(
+                df, "doc_id", "text", n=n
+            ).collect()
+        }
+        want = self._reference(docs, n)
+        assert got == want
+
+    @pytest.fixture(autouse=True)
+    def _bind_spark(self, spark):
+        self._spark = spark
+
+
+class TestLineDedupProperty:
+    @staticmethod
+    def _reference(docs):
+        seen = set()
+        out = {}
+        for d, t in sorted(docs):
+            kept = []
+            for line in t.split("\n"):
+                if line not in seen:
+                    seen.add(line)
+                    kept.append(line)
+            out[d] = "\n".join(kept)
+        return out
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=5
+            ).map("\n".join),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def test_matches_reference(self, texts):
+        from hadoop_distributed_dynamic_file_system_spark.operators import webquality
+
+        spark = self._spark
+        docs = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: r.cleaned
+            for r in webquality.line_dedup_global(df, "doc_id", "text").collect()
+        }
+        assert got == self._reference(docs)
+
+    @pytest.fixture(autouse=True)
+    def _bind_spark(self, spark):
+        self._spark = spark

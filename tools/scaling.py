@@ -36,6 +36,13 @@ QUERIES = [
     "dup_ngram_fraction",
     "incremental_near_dedup",
     "semantic_dedup",
+    # round-5 additions
+    "gopher_quality_flags",
+    "line_dedup_corpus",
+    "span_dedup_cleaned",
+    "dsir_importance_scores",
+    "classifier_source_recovery",
+    "bigram_lm_scores",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
