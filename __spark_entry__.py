@@ -23,21 +23,21 @@ from hadoop_distributed_dynamic_file_system_spark import queries as _q  # noqa: 
 from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  # noqa: E402,F401
 
 # The round driver's oracle checks the FIRST 50 entries of queries().
-# ROTATION INVARIANT: there are more registered queries (125) than
+# ROTATION INVARIANT: there are more registered queries (137) than
 # window slots (50), so the window is rebuilt each round by STALENESS —
-# the 50 queries whose last driver-green row is oldest go first (ties
-# alphabetical), plus any query that was ever driver-red stays in until
-# it has a green row. 50 slots x 3 rounds = 150 >= 125, so every
-# registered query gets a fresh driver row at least every THREE rounds;
-# tools/check.py still runs ALL entries locally every round at sf0.01
-# AND sf0.1. Regenerate the list below from the CORRECTNESS_r*.json
-# union when rotating (see git history for the one-liner).
+# never-driver-checked queries first, then any query that was ever
+# driver-red until it re-earns green, then oldest-last-green (ties
+# alphabetical). 50 slots x 3 rounds >= 137, so every registered query
+# gets a fresh driver row at least every THREE rounds; tools/check.py
+# still runs ALL entries locally every round at sf0.01 AND sf0.1.
+# Regenerate the list below from the CORRECTNESS_r*.json union when
+# rotating (see git history for the one-liner).
 #
 # Round-5 window: slot 1 = bpe_pair_counts (r4's only red cell — a
 # DuckDB-HUGEINT oracle bug, CAST fix in queries_llm.py; must re-earn
-# green), slots 2-8 = the seven queries NEW this round (web-quality
-# family: Gopher rules, repetition stats, C4 line filters, global
-# line dedup, DSIR importance — never driver-checked), the rest = the
+# green), slots 2-13 = the twelve queries NEW this round (web-quality
+# family, span dedup, classifier, bigram LM, leakage-safe splits, the
+# end-to-end curation pipeline — never driver-checked), the rest = the
 # stalest (everything last checked r1/r2 + the oldest of the r3
 # cohort, alphabetical within a round). The remaining r3-checked
 # queries are due in the round-6 window.
@@ -47,7 +47,7 @@ _PRIORITY: list[str] = [
     "dup_5gram_char_frac", "c4_line_filter", "line_dedup_corpus",
     "dsir_importance_scores", "span_dedup_cleaned",
     "classifier_source_recovery", "bigram_lm_scores",
-    "leakage_safe_splits",
+    "leakage_safe_splits", "web_curation_pipeline",
     "ann_brute_force", "fingerprints",
     "minhash_signatures", "multimodal_decode", "simhash_fingerprints",
     "token_counts", "bad_records_skip", "crash_skip",
@@ -60,7 +60,7 @@ _PRIORITY: list[str] = [
     "q22_dormant_customers", "q4_order_priority", "q5_local_supplier",
     "q7_volume_shipping", "q8_market_share", "sort_key_spec",
     "sql_order_revenue", "top_k", "user_rolling_stats",
-    "ann_ivf", "ann_ivf_recall", "contamination",
+    "ann_ivf", "ann_ivf_recall",
 ]
 
 

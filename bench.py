@@ -92,6 +92,7 @@ HEADLINE = [
     "span_dedup_cleaned",
     "classifier_source_recovery",
     "bigram_lm_scores",
+    "web_curation_pipeline",
 ]
 
 

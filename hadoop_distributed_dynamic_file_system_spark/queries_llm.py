@@ -2356,7 +2356,10 @@ def span_dedup_cleaned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM norm JOIN wt USING (b) GROUP BY doc_id
     )
     SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(score), 6) AS mean_score
+           -- order-independent mean over 6dp-rounded scores (exact
+           -- integer micro-unit sum; see web_curation_pipeline)
+           round(sum(CAST(round(score * 1000000, 0) AS BIGINT))
+                 / 1000000.0 / count(*), 6) AS mean_score
     FROM sc JOIN documents d USING (doc_id)
     GROUP BY d.source
     """,
@@ -2384,7 +2387,14 @@ def classifier_source_recovery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg("score"), 6).alias("mean_score"),
+            # order-independent mean over 6dp-rounded scores (exact
+            # integer micro-unit sum; see web_curation_pipeline)
+            F.round(
+                F.sum(F.round(F.col("score") * 1000000).cast("long"))
+                / F.lit(1000000.0)
+                / F.count("*"),
+                6,
+            ).alias("mean_score"),
         )
     )
 
@@ -2465,3 +2475,216 @@ def leakage_safe_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.split_by_cluster(
         clustered, "doc_id", "cluster_id", splits=(("train", 8), ("val", 1), ("test", 1))
     ).withColumnRenamed("cluster_id", "cluster_id")
+
+
+@query(
+    "web_curation_pipeline",
+    f"""
+    WITH docs3 AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, source FROM documents          -- exact copies
+      UNION ALL
+      SELECT doc_id + 200000, regexp_replace(text, '^\\S+\\s*', ''), source
+      FROM documents                                               -- near copies
+    ),
+    q AS (
+      SELECT doc_id, text, source,
+             len({_SQL_GOPHER_WORDS}) AS n_words,
+             round(list_sum(list_transform({_SQL_GOPHER_WORDS}, w -> len(w)))
+                   * 1.0 / len({_SQL_GOPHER_WORDS}), 6) AS mwl,
+             round(len(list_filter({_SQL_GOPHER_WORDS},
+                                   w -> regexp_matches(w, '[a-z]'))) * 1.0
+                   / len({_SQL_GOPHER_WORDS}), 6) AS alpha
+      FROM docs3
+    ),
+    gate AS (
+      SELECT doc_id, text, source FROM q
+      WHERE n_words >= 20 AND alpha > 0.8 AND mwl BETWEEN 2 AND 12
+    ),
+    exact AS (
+      SELECT doc_id, text, source FROM (
+        SELECT doc_id, text, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gate) WHERE rn = 1
+    ),
+    w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM exact),
+    occ AS (
+      SELECT doc_id,
+             unnest(range(1, len(words) - 3)) AS start,
+             unnest(list_transform(range(1, len(words) - 3),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                         || ' ' || words[i+3] || ' ' || words[i+4])) AS g
+      FROM w
+    ),
+    marked AS (
+      SELECT doc_id, start,
+             count(*) OVER (PARTITION BY g) AS cnt,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, start) AS rn
+      FROM occ
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, unnest(range(start, start + 5)) AS pos
+        FROM marked WHERE cnt >= 2 AND rn > 1)
+    ),
+    pos AS (
+      SELECT doc_id, unnest(range(1, len(words) + 1)) AS pos,
+             unnest(words) AS word
+      FROM w
+    ),
+    keptw AS (SELECT p.* FROM pos p ANTI JOIN covered c USING (doc_id, pos)),
+    cleaned AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(word, ' ' ORDER BY pos) AS ctext
+      FROM keptw GROUP BY doc_id
+      HAVING count(*) >= 10
+    ),
+    tw AS (
+      SELECT unnest({_SQL_GOPHER_WORDS}) AS w
+      FROM documents WHERE source = 'src0'
+    ),
+    tb AS (SELECT {_SQL_DSIR_BUCKET} AS b, count(*) AS c FROM tw GROUP BY 1),
+    tt AS (SELECT count(*) AS tot FROM tw),
+    rw AS (SELECT unnest({_SQL_GOPHER_WORDS}) AS w FROM documents),
+    rb AS (SELECT {_SQL_DSIR_BUCKET} AS b, count(*) AS c FROM rw GROUP BY 1),
+    rt AS (SELECT count(*) AS tot FROM rw),
+    wt AS (
+      SELECT rb.b,
+        coalesce(ln((tb.c + 1) * 1.0 / (tt.tot + 1024)),
+                 ln(1.0 / (tt.tot + 1024)))
+        - ln((rb.c + 1) * 1.0 / (rt.tot + 1024)) AS w
+      FROM rb LEFT JOIN tb USING (b) CROSS JOIN tt CROSS JOIN rt
+    ),
+    feat AS (
+      SELECT doc_id, b, count(*) * 1.0 AS tf
+      FROM (SELECT doc_id, {_sql_hexval("md5(cw)", 1, 4)} % 1024 AS b
+            FROM (SELECT doc_id,
+                         unnest(list_filter(string_split_regex(lower(ctext),
+                                '\\s+'), x -> x <> '')) AS cw
+                  FROM cleaned))
+      GROUP BY doc_id, b
+    ),
+    norm AS (
+      SELECT doc_id, b, tf / sum(tf) OVER (PARTITION BY doc_id) AS tf FROM feat
+    ),
+    sc AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(sum(tf * wt.w)))), 6) AS score
+      FROM norm LEFT JOIN wt USING (b) GROUP BY doc_id
+    ),
+    assigned AS (
+      SELECT c.doc_id, c.n_kept, sc.score, e.source,
+        CASE
+          WHEN (({_sql_hexval("md5(CAST(c.doc_id AS VARCHAR))", 1, 6)}) % 10) < 8
+            THEN 'train'
+          WHEN (({_sql_hexval("md5(CAST(c.doc_id AS VARCHAR))", 1, 6)}) % 10) < 9
+            THEN 'val'
+          ELSE 'test'
+        END AS split
+      FROM cleaned c JOIN sc USING (doc_id) JOIN exact e USING (doc_id)
+    )
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           -- order-independent mean: per-doc scores are 6dp-rounded, so
+           -- sum exact integer micro-units and divide once (a double
+           -- avg() straddles 6th-decimal boundaries depending on
+           -- summation order — observed 2/56 rows at sf0.1)
+           round(sum(CAST(round(score * 1000000, 0) AS BIGINT))
+                 / 1000000.0 / count(*), 6) AS mean_score,
+           CAST(sum(n_kept) AS BIGINT) AS tokens_kept
+    FROM assigned GROUP BY source, split
+    """,
+)
+def web_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end FineWeb-style curation pipeline in one plan, over a
+    corpus with planted exact (+100000) AND near (+200000, first word
+    dropped) duplicates:
+
+      quality gate (Gopher metrics) → exact dedup (first doc per
+      content hash) → span-level substring dedup (near-copies come
+      back gutted; docs under 10 surviving words drop) → quality-
+      classifier scoring of the CLEANED text (NB weights, target
+      src0) → leakage-safe-style split assignment → per-(source,
+      split) report of volume, mean score, surviving tokens.
+
+    Every stage is one of the registered operators composed as-is;
+    the report is what a curation run publishes per ingest batch."""
+    from .operators import classifier, webquality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs3 = (
+        d.unionByName(
+            d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "source")
+        ).unionByName(
+            d.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+                "source",
+            )
+        )
+    )
+    g = webquality.gopher_quality(docs3, "doc_id", "text", min_words=20)
+    gate = (
+        docs3.join(
+            g.filter(
+                (F.col("n_words") >= 20)
+                & (F.col("alpha_frac") > 0.8)
+                & F.col("mean_word_len").between(2, 12)
+            ).select("doc_id"),
+            "doc_id",
+        )
+    )
+    from pyspark.sql import Window
+
+    exact = (
+        gate.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    exact = tracked_persist(exact)  # feeds span dedup AND the report join
+    spans = dedup.remove_duplicated_spans(exact, "doc_id", "text", n=5).filter(
+        F.col("n_kept") >= 10
+    )
+    wt = webquality.dsir_bucket_weights(
+        d.select("doc_id", "text"),
+        "text",
+        target=d.filter(F.col("source") == "src0").select("text"),
+    )
+    spans = tracked_persist(spans)
+    scores = classifier.quality_classifier_scores(
+        spans.select("doc_id", F.col("cleaned").alias("text")),
+        "doc_id",
+        "text",
+        wt,
+        buckets=1024,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    from .operators.sampling import md5_bucket
+
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 6) % 10
+    assigned = (
+        spans.select("doc_id", "n_kept")
+        .join(scores, "doc_id")
+        .join(exact.select("doc_id", "source"), "doc_id")
+        .withColumn(
+            "split",
+            F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"),
+        )
+    )
+    # order-independent mean: sum exact integer micro-units of the
+    # 6dp-rounded per-doc scores, divide once — avg() over doubles
+    # straddles 6th-decimal boundaries depending on summation order
+    return assigned.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("score") * 1000000).cast("long"))
+            / F.lit(1000000.0)
+            / F.count("*"),
+            6,
+        ).alias("mean_score"),
+        F.sum("n_kept").cast("long").alias("tokens_kept"),
+    )
