@@ -381,39 +381,46 @@ def dsir_importance(
     the SQL oracle reproduces it digit-for-digit; at 100 TB swap for
     xxhash64 & (buckets-1) — the model side is a constant-`buckets`-row
     relation either way, broadcast to the scoring scan. The corpus
-    pays one explode+groupBy per model build and one for the score."""
+    pays EXACTLY one explode+groupBy per model build and one for the
+    score: the bucket-count relations persist (B rows) and the token
+    totals derive from them — an earlier form re-exploded the corpora
+    for the totals, five corpus passes instead of three."""
+    from ..cache import tracked_persist
+
     tcol = text_col_target or text_col
 
     def bucket(w: Column) -> Column:
         return F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long") % buckets
 
-    def model(src: DataFrame, col: str) -> DataFrame:
-        cnt = (
+    def counts(src: DataFrame, col: str) -> DataFrame:
+        return tracked_persist(
             src.select(F.explode(_words_of(F.col(col))).alias("_w"))
             .select(bucket(F.col("_w")).alias("_b"))
             .groupBy("_b")
             .agg(F.count("*").alias("_c"))
         )
+
+    cnt_t = counts(target, tcol)
+    cnt_r = counts(df, text_col)
+
+    def model(cnt: DataFrame, lp_name: str) -> DataFrame:
         total = cnt.agg(F.sum("_c").alias("_tot"))
         return cnt.crossJoin(F.broadcast(total)).select(
             "_b",
-            F.log((F.col("_c") + 1) / (F.col("_tot") + buckets)).alias("_lp"),
+            F.log((F.col("_c") + 1) / (F.col("_tot") + buckets)).alias(lp_name),
         )
 
-    lp_t = model(target, tcol).withColumnRenamed("_lp", "_lp_t")
-    lp_r = model(df, text_col).withColumnRenamed("_lp", "_lp_r")
+    lp_t = model(cnt_t, "_lp_t")
+    lp_r = model(cnt_r, "_lp_r")
     # unseen buckets in either model fall back to the smoothing floor
     # ln(1/(tot+B)), realized via left joins + coalesce with the floor
-    # computed from the (broadcast) token totals
+    # computed from the (broadcast) token totals — both totals are
+    # aggregates of the persisted count relations, not corpus rescans
     occ = df.select(
         F.col(id_col), F.explode(_words_of(F.col(text_col))).alias("_w")
     ).select(F.col(id_col), bucket(F.col("_w")).alias("_b"))
-    tot_t = target.select(
-        F.explode(_words_of(F.col(tcol))).alias("_w")
-    ).agg(F.count("*").alias("_tt"))
-    tot_r = df.select(
-        F.explode(_words_of(F.col(text_col))).alias("_w")
-    ).agg(F.count("*").alias("_tr"))
+    tot_t = cnt_t.agg(F.sum("_c").alias("_tt"))
+    tot_r = cnt_r.agg(F.sum("_c").alias("_tr"))
     scored = (
         occ.join(F.broadcast(lp_t), "_b", "left")
         .join(F.broadcast(lp_r), "_b", "left")

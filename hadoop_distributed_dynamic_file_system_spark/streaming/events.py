@@ -745,3 +745,74 @@ def streaming_curation(
     deduped = streaming_near_dedup(gated, band_index, text_col=text_col)
     redacted = curation.redact_pii(deduped, text_col)
     return textanalysis.token_counts(redacted, text_col)
+
+
+def streaming_web_curation(
+    doc_stream: DataFrame,
+    band_index: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    min_alpha_frac: float = 0.8,
+) -> DataFrame:
+    """Round-5 funnel: the web-quality operators run continuously over
+    an arriving crawl —
+
+      Gopher-metric gate -> C4 line cleaning -> near-dedup vs frozen
+      LSH band index -> quality-classifier scoring
+
+    Gopher metrics and the C4 line filter are pure projections and the
+    dedup stage is the stateless band-key anti-join chain. The
+    classifier CANNOT run its batch form here — explode + groupBy is a
+    stateful streaming aggregation (illegal in append mode, unbounded
+    state) — so scoring collapses to the algebraically identical
+    per-row form: with normalized tf, Σ tf_b·w_b = mean over the words
+    array of w(bucket(word)), a pure `aggregate` expression against
+    the weight relation collected into a map literal (the model is a
+    constant `buckets` rows — the same "broadcast the model" bound,
+    realized as an expression). The whole funnel stays watermark-free
+    and state-store-free; restarts resume from source offsets alone.
+    Emits (id, cleaned text, n_kept lines, score) — batch-equal to
+    c4 + gopher + classifier.quality_classifier_scores (pinned by
+    test)."""
+    from ..operators import webquality
+
+    id_col = "doc_id"
+    g = webquality.gopher_quality(
+        doc_stream, id_col, text_col, min_words=min_words
+    ).select(id_col, "n_words", "alpha_frac")
+    gated = doc_stream.join(
+        g.filter(
+            (F.col("n_words") >= min_words)
+            & (F.col("alpha_frac") > min_alpha_frac)
+        ).select(id_col),
+        id_col,
+    )
+    cleaned = webquality.c4_line_filters(
+        gated, id_col, text_col, min_words_per_line=5
+    ).filter(F.col("n_kept") >= 1)
+    deduped = streaming_near_dedup(
+        cleaned.withColumnRenamed("cleaned", text_col).select(
+            id_col, text_col, "n_kept"
+        ),
+        band_index,
+        text_col=text_col,
+    )
+    wrows = weights.collect()  # model: bounded at `buckets` rows
+    wmap = F.create_map(
+        *[x for r in wrows for x in (F.lit(int(r["b"])), F.lit(float(r["w"])))]
+    )
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    bucket_of = lambda w: (  # noqa: E731 — same md5 bucket as hashed_tf
+        F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long") % 1024
+    )
+    dot = F.aggregate(
+        words,
+        F.lit(0.0),
+        lambda acc, w: acc
+        + F.coalesce(F.try_element_at(wmap, bucket_of(w)), F.lit(0.0)),
+    ) / F.size(words)
+    score = 1.0 / (1.0 + F.exp(-dot))
+    return deduped.select(
+        id_col, text_col, "n_kept", F.round(score, 6).alias("score")
+    )

@@ -727,3 +727,75 @@ class TestStreamingCuration:
         for k in got:
             assert got[k].ws_tokens == want[k].ws_tokens
             assert got[k].redacted == want[k].redacted
+
+
+class TestStreamingWebCuration:
+    def _fixtures(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup,
+            webquality,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today " * 3)],
+            "doc_id long, text string",
+        )
+        idx = dedup.lsh_band_index(corpus, "doc_id", "text")
+        good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lam mu nu xi omicron pi rho sigma tau upsilon")
+        batch = spark.createDataFrame(
+            [
+                (11, good),                       # survives whole funnel
+                (12, "tiny doc"),                 # fails gopher word count
+                (13, "the quick brown fox jumps over the lazy dog today " * 3),
+                                                  # near-dup of corpus -> dropped
+            ],
+            "doc_id long, text string",
+        )
+        weights = webquality.dsir_bucket_weights(
+            batch.select("doc_id", "text"), "text",
+            batch.filter("doc_id = 11").select("text"),
+        )
+        return idx, batch, weights
+
+    def test_stream_matches_batch_composition(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            classifier,
+            webquality,
+        )
+
+        idx, batch, weights = self._fixtures(spark)
+        src = tmp_path / "web_docs_in"
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src), "doc_id long, text string"
+        )
+        out = ev.run_to_memory(
+            ev.streaming_web_curation(stream, idx, weights), "web_curation_out"
+        )
+        got = {(r.doc_id, r.score) for r in out.collect()}
+        # batch twin: same stages composed from the batch operators
+        g = webquality.gopher_quality(batch, "doc_id", "text", min_words=20)
+        gate = batch.join(
+            g.filter((F.col("n_words") >= 20) & (F.col("alpha_frac") > 0.8))
+            .select("doc_id"),
+            "doc_id",
+        )
+        cleaned = webquality.c4_line_filters(
+            gate, "doc_id", "text", min_words_per_line=5
+        ).filter(F.col("n_kept") >= 1)
+        deduped = ev.streaming_near_dedup(
+            cleaned.withColumnRenamed("cleaned", "text").select(
+                "doc_id", "text", "n_kept"
+            ),
+            idx,
+        )
+        scores = classifier.quality_classifier_scores(
+            deduped, "doc_id", "text", weights
+        )
+        want = {
+            (r.doc_id, round(r.score, 6))
+            for r in deduped.join(scores, "doc_id").collect()
+        }
+        assert got == want
+        assert {d for d, _ in got} == {11}
