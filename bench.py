@@ -93,6 +93,7 @@ HEADLINE = [
     "classifier_source_recovery",
     "bigram_lm_scores",
     "web_curation_pipeline",
+    "image_ahash_roundtrip",
 ]
 
 

@@ -535,3 +535,114 @@ def embed_stub(binaries: DataFrame, dim: int = 16) -> DataFrame:
     return binaries.mapInPandas(
         batches, schema="doc_id bigint, embedding array<float>"
     )
+
+
+def ahash_codes(binaries: DataFrame, hash_side: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over decodable rasters: the
+    image near-dup signature a multimodal curation pipeline runs after
+    decode. Luminance (ITU-R 601) is block-averaged to hash_side² cells
+    (area interpolation — the downscale step of the classic aHash),
+    each bit = cell mean > global mean, packed MSB-first into one
+    signed 64-bit code (hash_side=8 → 64 bits). Arrow-batched
+    mapInPandas like the other REAL-decode stages; undecodable or
+    non-BMP payloads yield NULL codes (same malformed-payload
+    discipline as image_features).
+
+    Near-dup detection rides the existing SimHash hamming machinery:
+    `dedup.simhash_near_pairs(codes, 'doc_id', 'ahash', bits=64,
+    rotations=1)` — banded equi-join, never all-pairs. Identical
+    images produce identical codes; small crops/brightness shifts
+    land within a few bits."""
+    n_bits = hash_side * hash_side
+    if n_bits > 64:
+        raise ValueError("hash_side^2 must fit in a 64-bit code")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def code_of(b: bytes):
+            try:
+                if b[:2] != b"BM":
+                    raise ValueError("not a BMP")
+                px = bmp_pixels(b).astype(np.float64)
+                lum = (
+                    0.299 * px[:, :, 0]
+                    + 0.587 * px[:, :, 1]
+                    + 0.114 * px[:, :, 2]
+                )
+                h, w = lum.shape
+                # area-bucketed block means: row r of the grid covers
+                # source rows [r*h//side, (r+1)*h//side)
+                grid = np.zeros((hash_side, hash_side))
+                for r in range(hash_side):
+                    r0, r1 = r * h // hash_side, max((r + 1) * h // hash_side, r * h // hash_side + 1)
+                    for c in range(hash_side):
+                        c0, c1 = c * w // hash_side, max((c + 1) * w // hash_side, c * w // hash_side + 1)
+                        grid[r, c] = lum[r0:r1, c0:c1].mean()
+                bits = (grid > grid.mean()).flatten()
+                code = 0
+                for bit in bits:
+                    code = (code << 1) | int(bit)
+                # interpret as signed 64-bit (Spark LongType)
+                if n_bits == 64 and code >= 1 << 63:
+                    code -= 1 << 64
+                return code
+            except Exception:
+                return None
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": pd.array(
+                        [code_of(bytes(b)) for b in pdf["payload"]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return binaries.mapInPandas(batches, schema="doc_id bigint, ahash bigint")
+
+
+def ahash_near_pairs(
+    binaries: DataFrame, max_hamming: int = 4, band_shift: int = 32
+) -> DataFrame:
+    """Image near-duplicate pairs: aHash codes → banded hamming join
+    (prefix band over the top 64-band_shift bits; rotations stay at 1
+    because a 64-bit rotation mask does not fit a signed long — raise
+    band_shift for recall instead). NULL codes (undecodable payloads)
+    never join."""
+    from . import dedup
+
+    codes = ahash_codes(binaries).filter(F.col("ahash").isNotNull())
+    return dedup.simhash_near_pairs(
+        codes,
+        "doc_id",
+        hash_col="ahash",
+        max_hamming=max_hamming,
+        band_shift=band_shift,
+        rotations=1,
+        bits=64,
+    )
+
+
+def make_two_tone_bmp(width: int, height: int, cut_x: int) -> bytes:
+    """Valid 24-bpp BMP, black for x < cut_x and white for x >= cut_x —
+    the synthetic raster whose aHash is a closed-form function of the
+    cut (used by the image_ahash_roundtrip oracle, which never parses
+    a byte)."""
+    import struct
+
+    rows = []
+    for _ in range(height):
+        row = b"".join(
+            (b"\x00\x00\x00" if x < cut_x else b"\xff\xff\xff")
+            for x in range(width)
+        )
+        rows.append(row + b"\x00" * ((-len(row)) % 4))
+    px = b"".join(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, len(px), 0, 0, 0, 0
+    )
+    return header + info + px

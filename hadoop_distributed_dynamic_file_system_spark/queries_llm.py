@@ -2688,3 +2688,47 @@ def web_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_score"),
         F.sum("n_kept").cast("long").alias("tokens_kept"),
     )
+
+
+@query(
+    "image_ahash_roundtrip",
+    """
+    SELECT doc_id,
+      CAST(CASE doc_id % 9
+        WHEN 0 THEN 0
+        WHEN 8 THEN 0
+        WHEN 1 THEN 127 * 72340172838076673
+        WHEN 2 THEN  63 * 72340172838076673
+        WHEN 3 THEN  31 * 72340172838076673
+        WHEN 4 THEN  15 * 72340172838076673
+        WHEN 5 THEN   7 * 72340172838076673
+        WHEN 6 THEN   3 * 72340172838076673
+        WHEN 7 THEN   1 * 72340172838076673
+      END AS BIGINT) AS ahash
+    FROM documents
+    """,
+)
+def image_ahash_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash decode, end to end: synthesize a 32x32 two-tone
+    BMP per document (black left k blocks of 8, k = doc_id % 9), run
+    the REAL raster decode + aHash (block-mean luminance, bit = cell >
+    global mean, MSB-first packing), and return the codes. The oracle
+    recomputes the expected code from doc_id arithmetic alone — each
+    bright row contributes the byte (2^(8-k) - 1), so the code is that
+    byte replicated 8x (x 0x0101010101010101); an all-dark or
+    all-bright image has no cell above the mean (code 0). Any stride,
+    BGR, packing-order, or block-bucketing bug hash-mismatches."""
+    import pandas as pd  # noqa: F401
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            payloads = [
+                multimodal.make_two_tone_bmp(32, 32, (int(i) % 9) * 4)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    bins = d.mapInPandas(build, "doc_id bigint, payload binary")
+    return multimodal.ahash_codes(bins)

@@ -1124,3 +1124,56 @@ class TestRemoveDuplicatedSpans:
         out = {r.doc_id: r.cleaned for r in
                dedup.remove_duplicated_spans(df, "doc_id", "text", n=5).collect()}
         assert out[2] == "tail1 tail2"
+
+
+class TestAHashNearDup:
+    def _bmp_df(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import multimodal as mm
+
+        # two visually near-identical gradients + one very different
+        def grad_bmp(w, h, flip=False, bias=0):
+            import struct
+            rows = []
+            for y in range(h):
+                row = b""
+                for x in range(w):
+                    v = min(255, (x * 255) // max(w - 1, 1) + bias)
+                    if flip:
+                        v = min(255, v + (1 if (x + y) % 7 == 0 else 0))
+                    row += bytes((v, v, v))
+                pad = (-len(row)) % 4
+                rows.append(row + b"\x00" * pad)
+            px = b"".join(rows)
+            header = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+            info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(px), 0, 0, 0, 0)
+            return header + info + px
+
+        rows = [
+            (1, grad_bmp(32, 32)),
+            (2, grad_bmp(32, 32, flip=True, bias=1)),   # near-dup of 1
+            (3, grad_bmp(32, 32, bias=200)),            # mostly saturated
+            (4, b"NOTANIMAGE"),                         # undecodable
+        ]
+        return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def test_identical_images_hash_equal(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import multimodal as mm
+
+        df = self._bmp_df(spark)
+        codes = {r.doc_id: r.ahash for r in mm.ahash_codes(df).collect()}
+        assert codes[4] is None            # undecodable -> NULL
+        df2 = df.filter("doc_id = 1").union(
+            df.filter("doc_id = 1").selectExpr("doc_id + 10 as doc_id", "payload")
+        )
+        c2 = {r.doc_id: r.ahash for r in mm.ahash_codes(df2).collect()}
+        assert c2[1] == c2[11]
+
+    def test_near_dup_pair_found_different_not(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import multimodal as mm
+
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in mm.ahash_near_pairs(self._bmp_df(spark), max_hamming=6).collect()
+        }
+        assert (1, 2) in pairs
+        assert all(3 not in p and 4 not in p for p in pairs)
