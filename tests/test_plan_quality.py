@@ -9,6 +9,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from hadoop_distributed_dynamic_file_system_spark import queries as q
+from hadoop_distributed_dynamic_file_system_spark import queries_llm  # noqa: F401
+# ^ registration side effect: q.QUERIES only contains the LLM family
+# after this import — without it the all-queries sweeps below silently
+# iterate the core set only (and pass/fail depending on which module
+# imported queries_llm first in the session)
 
 
 def plan_of(df) -> str:
@@ -66,6 +71,8 @@ class TestPlanQuality:
             "pipe_translate",          # rdd.pipe external process
             "crash_skip",              # mapInPandas quarantine of a
                                        # crashing user map function
+            "image_ahash_roundtrip",   # mapInPandas encode + raster
+                                       # decode + perceptual hash
         }
         for name, fn in q.QUERIES.items():
             plan = plan_of(fn(spark, sf_dir))
