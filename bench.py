@@ -94,6 +94,7 @@ HEADLINE = [
     "bigram_lm_scores",
     "web_curation_pipeline",
     "image_ahash_roundtrip",
+    "audio_fingerprint_roundtrip",
 ]
 
 

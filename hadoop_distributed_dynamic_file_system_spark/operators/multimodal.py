@@ -646,3 +646,78 @@ def make_two_tone_bmp(width: int, height: int, cut_x: int) -> bytes:
         "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, len(px), 0, 0, 0, 0
     )
     return header + info + px
+
+
+def audio_fingerprint(binaries: DataFrame, n_frames: int = 64) -> DataFrame:
+    """Acoustic fingerprint over REAL PCM16 WAV payloads — the audio
+    twin of `ahash_codes`: samples are area-bucketed into n_frames
+    frames, frame energy = mean |amplitude|, bit = frame energy >
+    global mean energy, packed MSB-first into one signed 64-bit code.
+    Same-sounding clips (level shifts, small edits) land within a few
+    bits; `audio_near_pairs` turns that into a banded hamming join.
+    Non-WAV / malformed payloads yield NULL (the standing malformed-
+    payload discipline). Arrow-batched mapInPandas."""
+    if n_frames > 64:
+        raise ValueError("n_frames must fit a 64-bit code")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def code_of(b: bytes):
+            try:
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a WAV")
+                m = _wav_meta(b)
+                samples = np.frombuffer(
+                    b[m["data_off"] : m["data_off"] + m["data_len"]],
+                    dtype="<i2",
+                ).astype(np.float64)
+                if len(samples) == 0:
+                    return None
+                n = len(samples)
+                energies = np.empty(n_frames)
+                for f in range(n_frames):
+                    a = f * n // n_frames
+                    z = max((f + 1) * n // n_frames, a + 1)
+                    energies[f] = np.abs(samples[a:z]).mean()
+                bits = energies > energies.mean()
+                code = 0
+                for bit in bits:
+                    code = (code << 1) | int(bit)
+                if n_frames == 64 and code >= 1 << 63:
+                    code -= 1 << 64
+                return code
+            except Exception:
+                return None
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "afp": pd.array(
+                        [code_of(bytes(b)) for b in pdf["payload"]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return binaries.mapInPandas(batches, schema="doc_id bigint, afp bigint")
+
+
+def audio_near_pairs(
+    binaries: DataFrame, max_hamming: int = 4, band_shift: int = 32
+) -> DataFrame:
+    """Audio near-duplicate pairs: fingerprints → banded hamming join
+    (same machinery and caveats as ahash_near_pairs)."""
+    from . import dedup
+
+    codes = audio_fingerprint(binaries).filter(F.col("afp").isNotNull())
+    return dedup.simhash_near_pairs(
+        codes,
+        "doc_id",
+        hash_col="afp",
+        max_hamming=max_hamming,
+        band_shift=band_shift,
+        rotations=1,
+        bits=64,
+    )

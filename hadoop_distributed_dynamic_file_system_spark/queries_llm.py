@@ -2732,3 +2732,43 @@ def image_ahash_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bins = d.mapInPandas(build, "doc_id bigint, payload binary")
     return multimodal.ahash_codes(bins)
+
+
+@query(
+    "audio_fingerprint_roundtrip",
+    """
+    SELECT doc_id,
+      CAST(CASE
+        WHEN doc_id % 65 = 0 OR doc_id % 65 = 64 THEN 0
+        WHEN doc_id % 65 = 1 THEN -9223372036854775807 - 1
+        ELSE -(CAST(1 AS BIGINT) << CAST(64 - doc_id % 65 AS INT))
+      END AS BIGINT) AS afp
+    FROM documents
+    """,
+)
+def audio_fingerprint_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint decode, end to end: synthesize a 1024-
+    sample PCM16 WAV per document whose first k of 64 frames are loud
+    (amplitude 1000) and the rest silent, k = doc_id % 65, then run
+    the REAL RIFF parse + energy fingerprint. Closed form: the loud
+    frames (and only they) sit above the global mean energy for
+    0 < k < 64, so the code is k leading ones — as a signed 64-bit
+    value, -(2^(64-k)); all-silent (k=0) and all-loud (k=64) clips
+    have no frame strictly above the mean (code 0). The oracle is
+    doc_id arithmetic alone — any RIFF-walk, sample-width, frame-
+    bucketing, or packing-order bug hash-mismatches."""
+    import pandas as pd  # noqa: F401
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                k = int(i) % 65
+                samples = [1000] * (k * 16) + [0] * ((64 - k) * 16)
+                payloads.append(multimodal.make_wav(samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    bins = d.mapInPandas(build, "doc_id bigint, payload binary")
+    return multimodal.audio_fingerprint(bins)

@@ -1177,3 +1177,40 @@ class TestAHashNearDup:
         }
         assert (1, 2) in pairs
         assert all(3 not in p and 4 not in p for p in pairs)
+
+
+class TestAudioFingerprint:
+    def _wavs(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import multimodal as mm
+
+        loud_then_quiet = [900] * 512 + [10] * 512
+        nearly_same = [905] * 512 + [12] * 500 + [300] * 12  # few frames differ
+        different = [500 if (i // 16) % 2 == 0 else 20 for i in range(1024)]
+        rows = [
+            (1, mm.make_wav(loud_then_quiet)),
+            (2, mm.make_wav(nearly_same)),
+            (3, mm.make_wav(different)),
+            (4, b"RIFFjunk"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def test_identical_clips_equal_malformed_null(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import multimodal as mm
+
+        df = self._wavs(spark)
+        codes = {r.doc_id: r.afp for r in mm.audio_fingerprint(df).collect()}
+        assert codes[4] is None
+        dup = df.filter("doc_id = 1").selectExpr("doc_id + 10 AS doc_id", "payload")
+        c2 = {r.doc_id: r.afp
+              for r in mm.audio_fingerprint(df.union(dup)).collect()}
+        assert c2[1] == c2[11]
+
+    def test_near_pairs_found_different_not(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import multimodal as mm
+
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in mm.audio_near_pairs(self._wavs(spark), max_hamming=4).collect()
+        }
+        assert (1, 2) in pairs
+        assert all(3 not in p and 4 not in p for p in pairs)

@@ -73,6 +73,8 @@ class TestPlanQuality:
                                        # crashing user map function
             "image_ahash_roundtrip",   # mapInPandas encode + raster
                                        # decode + perceptual hash
+            "audio_fingerprint_roundtrip",  # mapInPandas encode + RIFF
+                                            # parse + energy fingerprint
         }
         for name, fn in q.QUERIES.items():
             plan = plan_of(fn(spark, sf_dir))
