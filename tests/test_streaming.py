@@ -799,3 +799,38 @@ class TestStreamingWebCuration:
         }
         assert got == want
         assert {d for d, _ in got} == {11}
+
+
+class TestStreamingMultimodalDecode:
+    def test_fingerprint_stream_matches_batch(self, spark, tmp_path):
+        """The REAL decode stages are stateless Arrow-batched
+        projections, so they run unchanged on a file-source stream —
+        the multimodal ingest path of a continuous crawl."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        batch = spark.createDataFrame(
+            [
+                (1, mm.make_bmp(16, 12, (10, 200, 30))),
+                (2, mm.make_wav([500] * 256 + [0] * 256)),
+                (3, b"junk"),
+            ],
+            "doc_id long, payload binary",
+        )
+        src = tmp_path / "media_in"
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src), "doc_id long, payload binary"
+        )
+        out = ev.run_to_memory(
+            mm.decode_media_metadata(stream), "media_decode_out"
+        )
+        got = {(r.doc_id, r.format, r.width, r.height) for r in out.collect()}
+        want = {
+            (r.doc_id, r.format, r.width, r.height)
+            for r in mm.decode_media_metadata(batch).collect()
+        }
+        assert got == want
+        assert ("1", "bmp") not in got  # schema sanity: ids stay long
+        assert (1, "bmp", 16, 12) in got

@@ -112,6 +112,18 @@ def main() -> None:
     )
     union16.unpersist()
 
+    # span-level substring dedup on the amplified corpus (2x and 16x):
+    # the round-5 heavy shape — gram-key winner election + coverage
+    # anti-join + ordered reassembly; flat us/row pins that the
+    # four-shuffle chain is data-bound
+    for copies in (2, 16):
+        corpus = amplified(copies)
+        bench(
+            f"span_dedup_x{copies}", base * copies,
+            lambda c=corpus: noop(dedup.remove_duplicated_spans(
+                c, "doc_id", "text", n=5)),
+        )
+
     # distributed BPE learn at 1x and ~10x vocabulary: each word gets a
     # per-doc salt suffix so distinct-word count grows ~10x while the
     # corpus pass stays comparable — pins that the per-merge cost is
