@@ -95,6 +95,7 @@ HEADLINE = [
     "web_curation_pipeline",
     "image_ahash_roundtrip",
     "audio_fingerprint_roundtrip",
+    "video_metadata_roundtrip",
 ]
 
 

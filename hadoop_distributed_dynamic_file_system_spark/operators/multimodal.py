@@ -157,9 +157,123 @@ def sniff_media(payload: bytes) -> tuple[str, int | None, int | None]:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             meta = _wav_meta(payload)
             return "wav", meta["n_samples"], meta["sample_rate"]
+        if payload[4:8] == b"ftyp" and len(payload) >= 12:
+            m = _mp4_meta(payload)
+            return "mp4", m.get("width"), m.get("height")
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            # avih (main AVI header) lives in LIST hdrl; width/height
+            # at fixed offsets 32/36 within the avih payload
+            i = 12
+            while i + 8 <= len(payload):
+                cid = payload[i : i + 4]
+                clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+                if cid == b"LIST" and payload[i + 8 : i + 12] == b"hdrl":
+                    j = i + 12
+                    while j + 8 <= i + 8 + clen:
+                        if payload[j : j + 4] == b"avih":
+                            return (
+                                "avi",
+                                int.from_bytes(payload[j + 40 : j + 44], "little"),
+                                int.from_bytes(payload[j + 44 : j + 48], "little"),
+                            )
+                        j += 8 + int.from_bytes(payload[j + 4 : j + 8], "little")
+                i += 8 + clen + (clen % 2)
+            return "avi", None, None
     except Exception:
         pass
     return "unknown", None, None
+
+
+def _mp4_meta(payload: bytes) -> dict:
+    """REAL ISO-BMFF (MP4/MOV) box walk — header arithmetic only, no
+    codec: track pixel dimensions from the first video tkhd (stored as
+    16.16 fixed point at offsets 76/80 of a version-0 tkhd) and the
+    presentation duration in ms from mvhd (timescale + duration)."""
+    meta: dict = {}
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        i = lo
+        while i + 8 <= hi and depth < 8:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            btype = payload[i + 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(payload[i + 8 : i + 16], "big")
+                body = i + 16
+            else:
+                body = i + 8
+            if size < 8:
+                break
+            end = min(i + size, hi)
+            if btype in (b"moov", b"trak"):
+                walk(body, end, depth + 1)
+            elif btype == b"mvhd" and "duration_ms" not in meta:
+                ver = payload[body]
+                if ver == 1:
+                    ts = int.from_bytes(payload[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(payload[body + 24 : body + 32], "big")
+                else:
+                    ts = int.from_bytes(payload[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(payload[body + 16 : body + 20], "big")
+                if ts:
+                    meta["duration_ms"] = dur * 1000 // ts
+            elif btype == b"tkhd" and "width" not in meta:
+                ver = payload[body]
+                off = body + (88 if ver == 1 else 76)
+                w = int.from_bytes(payload[off : off + 4], "big") >> 16
+                h = int.from_bytes(payload[off + 4 : off + 8], "big") >> 16
+                if w and h:
+                    meta["width"], meta["height"] = w, h
+            i += size
+    walk(0, len(payload))
+    return meta
+
+
+def make_mp4(width: int, height: int, duration_ms: int) -> bytes:
+    """Minimal valid ISO-BMFF container (ftyp + moov(mvhd + trak(tkhd)))
+    with the given track dimensions and duration — the synthetic video
+    whose metadata is a closed-form function of its parameters (used by
+    the video_metadata_roundtrip oracle). No media data; metadata-tier
+    only, exactly what the REAL sniffing decodes."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    timescale = 1000
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # creation/modification
+        + timescale.to_bytes(4, "big")
+        + int(duration_ms).to_bytes(4, "big")  # duration @ ts=1000
+        + (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + (0x0100).to_bytes(2, "big")  # volume
+        + bytes(10)
+        + b"".join(
+            v.to_bytes(4, "big")
+            for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        )
+        + bytes(24)  # predefined
+        + (2).to_bytes(4, "big"),  # next track id
+    )
+    tkhd_body = (
+        bytes(4)
+        + bytes(8)
+        + (1).to_bytes(4, "big")  # track id
+        + bytes(4)
+        + int(duration_ms).to_bytes(4, "big")
+        + bytes(8)
+        + bytes(4)  # layer + alternate group
+        + bytes(2)  # volume (video: 0)
+        + bytes(2)
+        + b"".join(
+            v.to_bytes(4, "big")
+            for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        )
+        + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big")
+    )
+    trak = box(b"trak", box(b"tkhd", tkhd_body))
+    return ftyp + box(b"moov", mvhd + trak)
 
 
 def _wav_meta(payload: bytes) -> dict:

@@ -2772,3 +2772,57 @@ def audio_fingerprint_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     bins = d.mapInPandas(build, "doc_id bigint, payload binary")
     return multimodal.audio_fingerprint(bins)
+
+
+@query(
+    "video_metadata_roundtrip",
+    """
+    SELECT doc_id,
+           'mp4' AS format,
+           CAST(doc_id % 512 + 16 AS INT) AS width,
+           CAST(doc_id % 384 + 16 AS INT) AS height,
+           CAST(doc_id % 10000 + 1000 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def video_metadata_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-metadata decode, end to end: synthesize a minimal
+    ISO-BMFF (MP4) container per document whose track dimensions and
+    duration are pure functions of doc_id, then run the real box walk
+    (ftyp sniff, moov/trak recursion, 16.16 fixed-point tkhd dims,
+    mvhd timescale arithmetic) and return what it recovered. The
+    oracle recomputes expectations from doc_id arithmetic alone. This
+    is the metadata tier of the video pipeline — frame decode stays
+    codec-gated, exactly like compressed rasters."""
+    import pandas as pd  # noqa: F401
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build_and_decode(it):
+        for pdf in it:
+            fmts, ws, hs, durs = [], [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                p = multimodal.make_mp4(
+                    i % 512 + 16, i % 384 + 16, i % 10000 + 1000
+                )
+                fmt, w, h = multimodal.sniff_media(p)
+                m = multimodal._mp4_meta(p)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                durs.append(m.get("duration_ms"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        build_and_decode,
+        "doc_id bigint, format string, width int, height int, duration_ms bigint",
+    )

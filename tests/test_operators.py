@@ -1214,3 +1214,30 @@ class TestAudioFingerprint:
         }
         assert (1, 2) in pairs
         assert all(3 not in p and 4 not in p for p in pairs)
+
+
+class TestVideoContainerSniff:
+    def test_mp4_box_walk_recovers_dims_and_duration(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import multimodal as mm
+
+        p = mm.make_mp4(1920, 1080, 90000)
+        assert mm.sniff_media(p) == ("mp4", 1920, 1080)
+        assert mm._mp4_meta(p)["duration_ms"] == 90000
+
+    def test_avi_header_recovers_dims(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import multimodal as mm
+
+        avih = (b"avih" + (56).to_bytes(4, "little") + bytes(32)
+                + (320).to_bytes(4, "little") + (240).to_bytes(4, "little")
+                + bytes(16))
+        hdrl = b"LIST" + (4 + len(avih)).to_bytes(4, "little") + b"hdrl" + avih
+        avi = b"RIFF" + (4 + len(hdrl)).to_bytes(4, "little") + b"AVI " + hdrl
+        assert mm.sniff_media(avi) == ("avi", 320, 240)
+
+    def test_truncated_mp4_does_not_raise(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import multimodal as mm
+
+        p = mm.make_mp4(640, 360, 1000)
+        for cut in (6, 12, 40, len(p) - 3):
+            fmt, _, _ = mm.sniff_media(p[:cut])
+            assert fmt in ("mp4", "unknown")

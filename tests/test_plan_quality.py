@@ -75,6 +75,7 @@ class TestPlanQuality:
                                        # decode + perceptual hash
             "audio_fingerprint_roundtrip",  # mapInPandas encode + RIFF
                                             # parse + energy fingerprint
+            "video_metadata_roundtrip",     # mapInPandas ISO-BMFF box walk
         }
         for name, fn in q.QUERIES.items():
             plan = plan_of(fn(spark, sf_dir))
