@@ -96,6 +96,7 @@ HEADLINE = [
     "image_ahash_roundtrip",
     "audio_fingerprint_roundtrip",
     "video_metadata_roundtrip",
+    "warc_url_extract",
 ]
 
 

@@ -2826,3 +2826,116 @@ def video_metadata_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_and_decode,
         "doc_id bigint, format string, width int, height int, duration_ms bigint",
     )
+
+
+_SQL_WARC_REC = (
+    "'WARC/1.0' || crlf || 'WARC-Type: response' || crlf || "
+    "'WARC-Target-URI: ' || {u} || crlf || "
+    "'Content-Length: ' || len({b}) || crlf || crlf || {b} || crlf || crlf"
+)
+
+
+@query(
+    "warc_url_extract",
+    f"""
+    WITH c AS (SELECT chr(13) || chr(10) AS crlf),
+    blobs AS (
+      SELECT doc_id,
+        ({_SQL_WARC_REC.format(u="'https://site' || (doc_id % 50) || '.example.com/a/b/c?q=' || doc_id", b="'doc ' || doc_id")})
+        ||
+        ({_SQL_WARC_REC.format(u="'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'ads.example.com' ELSE 'cdn.example.com' END) || '/' || repeat('d/', CAST(doc_id % 6 AS INT)) || 'page'", b="'ad payload'")})
+        AS blob
+      FROM documents, c
+    ),
+    recs AS (
+      SELECT doc_id,
+             unnest(range(0, len(parts))) AS record_idx,
+             unnest(list_transform(parts, p -> 'WARC/1.0' || p)) AS record
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(blob, 'WARC/1.0'), p -> p <> '') AS parts
+        FROM blobs)
+    ),
+    parsed AS (
+      SELECT doc_id, record_idx,
+        regexp_extract(record, 'WARC-Type: ([^\\r\\n]+)', 1) AS warc_type,
+        regexp_extract(record, 'WARC-Target-URI: ([^\\r\\n]+)', 1) AS uri,
+        CAST(regexp_extract(record, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+          AS content_length
+      FROM recs
+    ),
+    urls AS (
+      SELECT doc_id, record_idx, content_length,
+        regexp_extract(uri, 'https?://([^/\\s]+)', 1) AS host,
+        regexp_replace(uri, '[?#].*$', '') AS url_clean,
+        CAST(len(list_filter(
+          string_split(regexp_replace(regexp_replace(uri,
+            '^https?://[^/]*', ''), '[?#].*$', ''), '/'),
+          s -> s <> '')) AS BIGINT) AS depth
+      FROM parsed WHERE warc_type = 'response'
+    )
+    SELECT doc_id, CAST(record_idx AS BIGINT) AS record_idx, host,
+           url_clean, depth, content_length
+    FROM urls
+    WHERE NOT regexp_matches(host, '^ads\\.') AND depth <= 4
+    """,
+)
+def warc_url_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingestion path, end to end as pure column expressions:
+    synthesize a two-record WARC blob per document (a content page +
+    an ad/CDN page whose host and path depth vary by doc_id), split on
+    record boundaries (the StreamXmlRecordReader idea), parse headers
+    by regex, then run the URL gate (blocklist + path-depth cap, the
+    C4/CCNet-era crawl heuristics). No Python anywhere in the plan —
+    a 100 TB crawl parse stays scan-bound inside codegen."""
+    from .sources import warc
+
+    crlf = "\r\n"
+
+    def rec(u, b):
+        return F.concat(
+            F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+                  + "WARC-Target-URI: "),
+            u,
+            F.lit(crlf + "Content-Length: "),
+            F.length(b).cast("string"),
+            F.lit(crlf + crlf),
+            b,
+            F.lit(crlf + crlf),
+        )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    u1 = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/a/b/c?q="), F.col("doc_id").cast("string"),
+    )
+    b1 = F.concat(F.lit("doc "), F.col("doc_id").cast("string"))
+    host2 = F.when(F.col("doc_id") % 3 == 0, "ads.example.com").otherwise(
+        "cdn.example.com"
+    )
+    u2 = F.concat(
+        F.lit("https://"), host2, F.lit("/"),
+        F.repeat(F.lit("d/"), (F.col("doc_id") % 6).cast("int")),
+        F.lit("page"),
+    )
+    blobs = d.select(
+        "doc_id", F.concat(rec(u1, b1), rec(u2, F.lit("ad payload"))).alias("blob")
+    )
+    recs = warc.explode_warc_records(blobs, "doc_id", "blob")
+    parsed = recs.select(
+        "doc_id",
+        F.col("record_idx").cast("long").alias("record_idx"),
+        warc.parse_warc_record(F.col("record")).alias("r"),
+    ).filter(F.col("r.warc_type") == "response")
+    urls = parsed.select(
+        "doc_id",
+        "record_idx",
+        warc.url_host(F.col("r.target_uri")).alias("host"),
+        warc.strip_query(F.col("r.target_uri")).alias("url_clean"),
+        warc.path_depth(F.col("r.target_uri")).alias("depth"),
+        F.col("r.content_length").alias("content_length"),
+    )
+    return warc.url_filter(
+        urls.withColumn("url", F.col("url_clean")), "url",
+        blocked_host_re=r"^ads\.", max_path_depth=4,
+    ).drop("url")

@@ -1,0 +1,102 @@
+"""WARC (Web ARChive) record reading as PURE column expressions — the
+ingestion format web crawls actually ship in (ISO 28500; Common Crawl's
+container). A crawl file is a concatenation of records:
+
+    WARC/1.0\\r\\n
+    WARC-Type: response\\r\\n
+    WARC-Target-URI: <url>\\r\\n
+    Content-Length: <n>\\r\\n
+    \\r\\n
+    <payload>\\r\\n\\r\\n
+
+Reference parity: the reference reads crawls with
+StreamInputFormat/StreamXmlRecordReader-style record boundaries
+(src/contrib/streaming/.../StreamXmlRecordReader.java); this is the
+same fixed-delimiter record-splitting idea expressed as JVM-side
+split/explode/regexp columns — no Python in the path, codegen end to
+end, so a 100 TB crawl parse is scan-bound.
+
+URL hygiene helpers (host extraction, query-string strip, path depth,
+host blocklist) cover the curation pipeline's URL-filter stage; both
+they and the record parser use ONE regex dialect shared with the
+DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# record boundary: a new record starts at "WARC/1.0"
+_RECORD_SPLIT = r"(?=WARC/1\.0)"
+_URI_RE = r"WARC-Target-URI: ([^\r\n]+)"
+_TYPE_RE = r"WARC-Type: ([^\r\n]+)"
+_LEN_RE = r"Content-Length: ([0-9]+)"
+_BODY_RE = r"\r\n\r\n([\s\S]*?)(?:\r\n\r\n|$)"
+_HOST_RE = r"https?://([^/\s]+)"
+
+
+def explode_warc_records(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """(id, record) stream: split a concatenated-WARC blob on record
+    starts (lookahead keeps the header in each piece), drop empty
+    leading fragments. Order within a blob is preserved by posexplode
+    as `record_idx`."""
+    parts = F.filter(
+        F.split(F.col(blob_col), _RECORD_SPLIT), lambda p: p != ""
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(parts).alias("record_idx", "record")
+    )
+
+
+def parse_warc_record(record: Column) -> Column:
+    """struct(warc_type, target_uri, content_length, body) from one
+    record's text. Missing headers parse to empty string / null length
+    (regexp_extract's no-match convention — identical in DuckDB)."""
+    return F.struct(
+        F.regexp_extract(record, _TYPE_RE, 1).alias("warc_type"),
+        F.regexp_extract(record, _URI_RE, 1).alias("target_uri"),
+        F.regexp_extract(record, _LEN_RE, 1)
+        .try_cast("long")
+        .alias("content_length"),
+        F.regexp_extract(record, _BODY_RE, 1).alias("body"),
+    )
+
+
+def url_host(url: Column) -> Column:
+    return F.regexp_extract(url, _HOST_RE, 1)
+
+
+def strip_query(url: Column) -> Column:
+    """Drop ?query and #fragment — the canonicalization step before
+    URL-level dedup."""
+    return F.regexp_replace(url, r"[?#].*$", "")
+
+
+def path_depth(url: Column) -> Column:
+    """Number of path segments after the host ('/a/b/c' -> 3)."""
+    path = F.regexp_replace(url, r"^https?://[^/]*", "")
+    clean = F.regexp_replace(path, r"[?#].*$", "")
+    return F.size(
+        F.filter(F.split(clean, "/"), lambda s: s != "")
+    ).cast("long")
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked_host_re: str | None = None,
+    max_path_depth: int | None = None,
+) -> DataFrame:
+    """The curation URL gate: drop rows whose host matches the
+    blocklist regex or whose path nests deeper than `max_path_depth`
+    (deep paths correlate with calendars/faceted listings — the C4/
+    CCNet-era crawl heuristics). Scan-local projection + filter."""
+    out = df
+    if blocked_host_re is not None:
+        out = out.filter(
+            ~url_host(F.col(url_col)).rlike(blocked_host_re)
+        )
+    if max_path_depth is not None:
+        out = out.filter(path_depth(F.col(url_col)) <= max_path_depth)
+    return out

@@ -97,3 +97,69 @@ class TestDescriptor:
     def test_unknown_function(self):
         with pytest.raises(ValueError):
             parse_descriptor("MedianValue:x:y")
+
+
+class TestWarcSource:
+    def _blob(self, spark):
+        from pyspark.sql import functions as F
+
+        rec = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://a.example.com/x/y?q=1\r\n"
+            "Content-Length: 5\r\n\r\nhello\r\n\r\n"
+            "WARC/1.0\r\nWARC-Type: request\r\n"
+            "WARC-Target-URI: https://a.example.com/x/y\r\n"
+            "Content-Length: 0\r\n\r\n\r\n\r\n"
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: http://ads.example.com/z\r\n"
+            "Content-Length: 2\r\n\r\nad\r\n\r\n"
+        )
+        return spark.createDataFrame([(1, rec)], "doc_id long, blob string")
+
+    def test_explode_and_parse(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.sources import warc
+        from pyspark.sql import functions as F
+
+        recs = warc.explode_warc_records(self._blob(spark), "doc_id", "blob")
+        parsed = recs.select(
+            "record_idx", warc.parse_warc_record(F.col("record")).alias("r")
+        ).select("record_idx", "r.*").orderBy("record_idx").collect()
+        assert [r.warc_type for r in parsed] == ["response", "request", "response"]
+        assert parsed[0].target_uri == "https://a.example.com/x/y?q=1"
+        assert parsed[0].content_length == 5 and parsed[0].body == "hello"
+        assert parsed[2].body == "ad"
+
+    def test_url_helpers(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.sources import warc
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("https://h.example.com/a/b/c?q=2#f",)], "url string"
+        )
+        r = df.select(
+            warc.url_host(F.col("url")).alias("h"),
+            warc.strip_query(F.col("url")).alias("s"),
+            warc.path_depth(F.col("url")).alias("d"),
+        ).collect()[0]
+        assert r.h == "h.example.com"
+        assert r.s == "https://h.example.com/a/b/c"
+        assert r.d == 3
+
+    def test_url_filter_blocks_hosts_and_depth(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.sources import warc
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://ok.example.com/a"),
+                (2, "https://ads.example.com/a"),
+                (3, "https://ok.example.com/a/b/c/d/e"),
+            ],
+            "doc_id long, url string",
+        )
+        kept = {
+            r.doc_id
+            for r in warc.url_filter(
+                df, "url", blocked_host_re=r"^ads\.", max_path_depth=3
+            ).collect()
+        }
+        assert kept == {1}
