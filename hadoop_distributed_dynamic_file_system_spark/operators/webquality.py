@@ -71,9 +71,14 @@ def gopher_quality(
     lines = _lines_of(F.col(text_col))
     d = df.withColumn("_w", words).withColumn("_l", lines)
     n_words = F.size("_w")
-    mean_wl = F.aggregate(
-        "_w", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    ) / n_words
+    # try_divide everywhere n_words is the denominator: an empty or
+    # whitespace-only document has ZERO words, and under ANSI mode a
+    # plain `/` raises DIVIDE_BY_ZERO mid-scan — the metrics become
+    # NULL and `passes` coalesces to false instead
+    mean_wl = F.try_divide(
+        F.aggregate("_w", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)),
+        n_words,
+    )
     n_hash = (
         F.length(text_col) - F.length(F.regexp_replace(text_col, r"#", ""))
     )
@@ -84,8 +89,10 @@ def gopher_quality(
         )
         / 3
     )
-    symbol_ratio = (n_hash + n_ellipsis) / n_words
-    alpha_frac = F.size(F.filter("_w", lambda w: w.rlike("[a-z]"))) / n_words
+    symbol_ratio = F.try_divide(n_hash + n_ellipsis, n_words)
+    alpha_frac = F.try_divide(
+        F.size(F.filter("_w", lambda w: w.rlike("[a-z]"))), n_words
+    )
     bullet_frac = F.size(
         F.filter("_l", lambda l: F.trim(l).rlike(r"^[-*•]"))
     ) / F.size("_l")
@@ -113,7 +120,7 @@ def gopher_quality(
         & (F.col("alpha_frac") > 0.8)
         & (F.col("stop_hits") >= 2)
     )
-    return out.withColumn("passes", passes).select(
+    return out.withColumn("passes", F.coalesce(passes, F.lit(False))).select(
         id_col,
         "n_words",
         "mean_word_len",
@@ -146,10 +153,12 @@ def duplicate_line_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         F.round(
             (F.sum("_cnt") - F.count("*")) / F.sum("_cnt"), 6
         ).alias("dup_line_frac"),
+        # try_divide: a document whose every line is empty has zero
+        # line characters — NULL char-fraction, not an ANSI crash
         F.round(
-            (
-                F.sum((F.col("_cnt") - 1) * F.length("_line"))
-                / F.sum(F.col("_cnt") * F.length("_line"))
+            F.try_divide(
+                F.sum((F.col("_cnt") - 1) * F.length("_line")),
+                F.sum(F.col("_cnt") * F.length("_line")),
             ),
             6,
         ).alias("dup_line_char_frac"),

@@ -166,3 +166,29 @@ class TestDsirImportance:
             df, "doc_id", "text", df.limit(5)
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestEmptyDocRobustness:
+    def test_gopher_handles_empty_and_whitespace_docs(self, spark):
+        """Zero-word docs must yield NULL ratio metrics and
+        passes=false — under ANSI mode a plain `/` raised
+        DIVIDE_BY_ZERO mid-scan (regression)."""
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "the and that with ok doc here")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in
+               wq.gopher_quality(df, "doc_id", "text", min_words=1).collect()}
+        assert out[1].n_words == 0 and out[1].mean_word_len is None
+        assert out[1].passes is False and out[2].passes is False
+        assert out[3].passes is True
+
+    def test_duplicate_line_stats_all_empty_lines(self, spark):
+        df = spark.createDataFrame(
+            [(1, "\n\n"), (2, "a\nb\na")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in
+               wq.duplicate_line_stats(df, "doc_id", "text").collect()}
+        assert out[1].dup_line_char_frac is None  # zero line chars
+        assert out[1].dup_line_frac == round(2 / 3, 6)  # 3 empty lines
+        assert out[2].dup_line_frac == round(1 / 3, 6)
