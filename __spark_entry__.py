@@ -23,11 +23,11 @@ from hadoop_distributed_dynamic_file_system_spark import queries as _q  # noqa: 
 from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  # noqa: E402,F401
 
 # The round driver's oracle checks the FIRST 50 entries of queries().
-# ROTATION INVARIANT: there are more registered queries (141) than
+# ROTATION INVARIANT: there are more registered queries (142) than
 # window slots (50), so the window is rebuilt each round by STALENESS —
 # never-driver-checked queries first, then any query that was ever
 # driver-red until it re-earns green, then oldest-last-green (ties
-# alphabetical). 50 slots x 3 rounds >= 141, so every registered query
+# alphabetical). 50 slots x 3 rounds >= 142, so every registered query
 # gets a fresh driver row at least every THREE rounds; tools/check.py
 # still runs ALL entries locally every round at sf0.01 AND sf0.1.
 # Regenerate the list below from the CORRECTNESS_r*.json union when
@@ -35,10 +35,11 @@ from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  #
 #
 # Round-5 window: slot 1 = bpe_pair_counts (r4's only red cell — a
 # DuckDB-HUGEINT oracle bug, CAST fix in queries_llm.py; must re-earn
-# green), slots 2-17 = the sixteen queries NEW this round (web-quality
+# green), slots 2-18 = the seventeen queries NEW this round (web-quality
 # family, span dedup, classifier, bigram LM, leakage-safe splits, the
 # end-to-end curation pipeline, image aHash, audio fingerprint,
-# video metadata, WARC crawl ingestion — never driver-checked), the rest = the
+# video metadata, WARC crawl ingestion, relational BPE encode —
+# never driver-checked), the rest = the
 # stalest (everything last checked r1/r2 + the oldest of the r3
 # cohort, alphabetical within a round). The remaining r3-checked
 # queries are due in the round-6 window.
@@ -51,6 +52,7 @@ _PRIORITY: list[str] = [
     "leakage_safe_splits", "web_curation_pipeline",
     "image_ahash_roundtrip", "audio_fingerprint_roundtrip",
     "video_metadata_roundtrip", "warc_url_extract",
+    "bpe_encode_tokens",
     "ann_brute_force", "fingerprints",
     "minhash_signatures", "multimodal_decode", "simhash_fingerprints",
     "token_counts", "bad_records_skip", "crash_skip",
@@ -62,7 +64,6 @@ _PRIORITY: list[str] = [
     "q16_supplier_variety", "q17_small_qty_revenue", "q19_discounted_revenue",
     "q22_dormant_customers", "q4_order_priority", "q5_local_supplier",
     "q7_volume_shipping", "q8_market_share", "sort_key_spec",
-    "sql_order_revenue",
 ]
 
 

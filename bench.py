@@ -97,6 +97,7 @@ HEADLINE = [
     "audio_fingerprint_roundtrip",
     "video_metadata_roundtrip",
     "warc_url_extract",
+    "bpe_encode_tokens",
 ]
 
 

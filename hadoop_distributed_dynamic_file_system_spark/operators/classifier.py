@@ -102,6 +102,10 @@ def fit_logreg(
         features.join(labels.select(id_col, label_col), id_col)
     )
     n_docs = feats.select(id_col).distinct().count()
+    if n_docs == 0:
+        raise ValueError(
+            "fit_logreg: empty training set (no feature rows joined a label)"
+        )
     spark = features.sparkSession
     weights = spark.range(0).select(
         F.col("id").cast("long").alias("b"), F.lit(0.0).alias("w")

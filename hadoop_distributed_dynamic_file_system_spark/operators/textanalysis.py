@@ -759,6 +759,79 @@ def bpe_learn_distributed(
     return merges
 
 
+def _merge_fold(toks: Column, a: str, b: str) -> Column:
+    """Apply ONE BPE merge (a,b) to a token array with the vectorized
+    left-to-right non-overlapping fold (see bpe_learn_distributed for
+    the equivalence argument: a||b can never string-equal `a`, so the
+    fold never chains onto its own output)."""
+    merged = a + b
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_encode_joined(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Fully RELATIONAL BPE encode — the SQL-expressible twin of the
+    Arrow-batched `bpe_encode`: the merge ranks are applied to the
+    (vocabulary-sized) distinct-word relation as a chain of vectorized
+    array folds, and the corpus then just equi-joins each word
+    occurrence to its encoded form and reassembles per document in
+    word order. Token-identical to `bpe_encode` (pinned by test); the
+    behavioral difference is only that zero-word documents are absent
+    here (standard n-gram-operator convention) instead of [].
+
+    At 100 TB this shape is strictly better than the per-row memo:
+    the O(n_merges x word-length) encode work runs once per DISTINCT
+    word (Zipf: vocabulary << corpus), the encoded vocab broadcasts,
+    and the corpus pass is one explode + broadcast join + groupBy —
+    all JVM-side, no Python anywhere. Expression depth is bounded by
+    localCheckpoint every `checkpoint_every` merges."""
+    bound = _with_words(df, text_col)
+    occ = bound.select(
+        F.col(id_col), F.posexplode("_words").alias("_pos", "_w")
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("_w")),
+        lambda i: F.col("_w").substr(i, F.lit(1)),
+    )
+    enc = occ.select("_w").distinct().select("_w", chars.alias("_toks"))
+    for i, (a, b) in enumerate(merges):
+        enc = enc.select("_w", _merge_fold(F.col("_toks"), a, b).alias("_toks"))
+        if (i + 1) % checkpoint_every == 0:
+            enc = enc.localCheckpoint()
+    enc = tracked_persist(enc)
+    return (
+        occ.join(F.broadcast(enc), "_w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_toks")))
+                    ),
+                    lambda s: s.getField("_toks"),
+                )
+            ).alias("bpe_tokens_arr")
+        )
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str,

@@ -2939,3 +2939,67 @@ def warc_url_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         urls.withColumn("url", F.col("url_clean")), "url",
         blocked_host_re=r"^ads\.", max_path_depth=4,
     ).drop("url")
+
+
+_BPE_FIXED_MERGES = [
+    ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
+]
+
+
+def _bpe_join_oracle(merges: list[tuple[str, str]]) -> str:
+    """Generate the relational-encode oracle: chars, then one
+    list_reduce fold per merge (DuckDB's reduce collapses a list of
+    single-token lists through the same left-to-right non-overlapping
+    merge rule as the Spark fold), then occurrence-join + top-30."""
+    layers = [
+        "e0 AS (SELECT w, list_transform(range(1, len(w)+1),"
+        " i -> substr(w, i, 1)) AS toks FROM vocab)"
+    ]
+    for n, (a, b) in enumerate(merges, start=1):
+        layers.append(
+            f"""e{n} AS (
+      SELECT w, list_reduce(list_transform(toks, t -> [t]),
+        (acc, x) -> CASE
+          WHEN len(acc) > 0 AND acc[len(acc)] = '{a}' AND x[1] = '{b}'
+          THEN array_append(array_pop_back(acc), '{a}{b}')
+          ELSE array_concat(acc, x) END) AS toks
+      FROM e{n - 1})"""
+        )
+    last = f"e{len(merges)}"
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_SQL_GOPHER_WORDS}) AS w FROM documents
+    ),
+    vocab AS (SELECT DISTINCT w FROM occ),
+    {','.join(layers)},
+    tokens AS (
+      SELECT occ.doc_id, unnest(e.toks) AS token
+      FROM occ JOIN {last} e USING (w)
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tokens GROUP BY token
+    ORDER BY cnt DESC, token LIMIT 30
+    """
+
+
+@query("bpe_encode_tokens", _bpe_join_oracle(_BPE_FIXED_MERGES))
+def bpe_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE encode through the fully RELATIONAL path
+    (bpe_encode_joined): a fixed rank-ordered merge table — including
+    a second-order merge (sp+ar) that only fires after its inputs
+    exist — is applied to the vocabulary relation as chained array
+    folds, occurrences equi-join their encoded form, and the result is
+    the top-30 token frequencies. The DuckDB oracle replays the exact
+    fold with list_reduce, so the merge-application semantics (left-
+    to-right, non-overlapping, rank order) are value-checked end to
+    end — the first oracle-checked BPE ENCODE (bpe_pair_counts covers
+    the training statistic)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = textanalysis.bpe_encode_joined(d, "doc_id", "text", _BPE_FIXED_MERGES)
+    return (
+        enc.select(F.explode("bpe_tokens_arr").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(30)
+    )

@@ -1241,3 +1241,43 @@ class TestVideoContainerSniff:
         for cut in (6, 12, 40, len(p) - 3):
             fmt, _, _ = mm.sniff_media(p[:cut])
             assert fmt in ("mp4", "unknown")
+
+
+class TestBpeEncodeJoined:
+    def test_token_identical_to_arrow_encode(self, spark):
+        from pyspark.sql import functions as F
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            textanalysis as ta,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        merges = ta.bpe_learn(df, "text", n_merges=25)
+        want = {
+            r.doc_id: r.bpe_tokens_arr
+            for r in ta.bpe_encode(df, "text", merges)
+            .select("doc_id", "bpe_tokens_arr")
+            .collect()
+        }
+        got = {
+            r.doc_id: r.bpe_tokens_arr
+            for r in ta.bpe_encode_joined(df, "doc_id", "text", merges).collect()
+        }
+        assert got == want
+
+    def test_plan_has_no_python(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            textanalysis as ta,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "abab ab"), (2, "ba ab")], "doc_id long, text string"
+        )
+        plan = (
+            ta.bpe_encode_joined(df, "doc_id", "text", [("a", "b")])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+            assert node not in plan
