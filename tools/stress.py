@@ -112,6 +112,44 @@ def main() -> None:
     )
     union16.unpersist()
 
+    # temporal family at 1x and 10x events: as-of attribution is the
+    # heaviest temporal shape (union + partitioned window); amplify by
+    # replicating users with offset ids so per-key cardinality is
+    # constant and the growth is pure data volume
+    from hadoop_distributed_dynamic_file_system_spark import queries as q
+
+    ev = q._events(spark, "/root/testdata/sf0.1")
+    n_ev = ev.count()
+
+    def amplified_events(copies):
+        if copies == 1:
+            return ev
+        parts = [
+            ev.withColumn("user_id", F.col("user_id") + 1_000_000 * k)
+            for k in range(copies)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    from hadoop_distributed_dynamic_file_system_spark.operators import temporal
+
+    for copies in (1, 10):
+        e10 = amplified_events(copies)
+        purchases = e10.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+        )
+        clicks = e10.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("c_ts")
+        )
+        bench(
+            f"asof_join_events_x{copies}", n_ev * copies,
+            lambda p=purchases, c=clicks: noop(
+                temporal.asof_join(p, c, "user_id", "p_ts", "c_ts")
+            ),
+        )
+
     # span-level substring dedup on the amplified corpus (2x and 16x):
     # the round-5 heavy shape — gram-key winner election + coverage
     # anti-join + ordered reassembly; flat us/row pins that the
@@ -169,6 +207,10 @@ def main() -> None:
         "near-identical docs — a deliberately degenerate dense graph);",
         "the row pins CC's edge-set persist (without it the candidate",
         "funnel re-executes 3x) and contract-then-solve on high degree.",
+        "",
+        "`asof_join_events_x{1,10}` amplifies users with offset ids so",
+        "per-key cardinality is constant; falling us/row on 10x events",
+        "pins the as-of shape (union + partitioned window) as data-bound.",
         "",
         "`bpe_learn_dist_vocab_x{1,10}` rows = distinct VOCABULARY",
         "words (10 merge iterations each, all cluster-side); flat-or-",
