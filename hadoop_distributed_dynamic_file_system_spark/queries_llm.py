@@ -2941,6 +2941,87 @@ def warc_url_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("url")
 
 
+@query(
+    "warc_gzip_members",
+    """
+    WITH recs AS (
+      SELECT doc_id, CAST(0 AS INT) AS member_idx,
+        'https://site' || (doc_id % 50) || '.example.com/page/' || doc_id
+          AS target_uri,
+        'doc ' || doc_id AS body
+      FROM documents
+      UNION ALL
+      SELECT doc_id, CAST(1 AS INT) AS member_idx,
+        'https://cdn.example.com/assets/a' || (doc_id % 7) || '.js'
+          AS target_uri,
+        'ad payload ' || (doc_id % 7) AS body
+      FROM documents
+    )
+    SELECT doc_id, member_idx, 'response' AS warc_type,
+      regexp_extract(target_uri, 'https?://([^/\\s]+)', 1) AS host,
+      CAST(len(body) AS BIGINT) AS content_length, body
+    FROM recs
+    """,
+)
+def warc_gzip_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record-gzip WARC ingestion, end to end — the layout real
+    Common Crawl files ship (each WARC record is its own RFC-1952 gzip
+    member; members are concatenated so readers can split at member
+    boundaries). The fixture compresses two records per document with
+    the deterministic member writer; the engine path inflates members
+    (zlib C core under Arrow-batched mapInPandas — the one genuinely
+    non-Catalyst stage), then the header parse/URL hygiene runs as the
+    same pure column expressions as the uncompressed path. The oracle
+    is the roundtrip identity: compression is bijective, so the
+    expected parse is doc_id arithmetic alone — any member-boundary
+    walk, truncation, header-offset, or encoding bug hash-mismatches.
+    Reference parity: compressed-record streams are the reference's
+    codec-wrapped record readers (src/core/.../io/compress/GzipCodec
+    .java + StreamXmlRecordReader record splitting)."""
+    import pandas as pd
+
+    from .sources import warc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    crlf = "\r\n"
+
+    def rec(u: str, b: str) -> str:
+        return (
+            f"WARC/1.0{crlf}WARC-Type: response{crlf}"
+            f"WARC-Target-URI: {u}{crlf}"
+            f"Content-Length: {len(b)}{crlf}{crlf}{b}{crlf}{crlf}"
+        )
+
+    def build(it):
+        for pdf in it:
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                r0 = rec(f"https://site{i % 50}.example.com/page/{i}", f"doc {i}")
+                r1 = rec(
+                    f"https://cdn.example.com/assets/a{i % 7}.js",
+                    f"ad payload {i % 7}",
+                )
+                blobs.append(
+                    warc.gzip_member(r0.encode()) + warc.gzip_member(r1.encode())
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = d.mapInPandas(build, "doc_id bigint, blob binary")
+    recs = warc.explode_gzip_member_records(blobs, "doc_id", "blob")
+    parsed = recs.select(
+        "doc_id", "member_idx",
+        warc.parse_warc_record(F.col("record")).alias("r"),
+    )
+    return parsed.select(
+        "doc_id", "member_idx",
+        F.col("r.warc_type").alias("warc_type"),
+        warc.url_host(F.col("r.target_uri")).alias("host"),
+        F.col("r.content_length").alias("content_length"),
+        F.col("r.body").alias("body"),
+    )
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

@@ -145,6 +145,53 @@ class TestWarcSource:
         assert r.s == "https://h.example.com/a/b/c"
         assert r.d == 3
 
+    def test_gzip_member_split_pure(self):
+        from hadoop_distributed_dynamic_file_system_spark.sources import warc
+
+        a, b = b"alpha record", b"beta " * 100
+        blob = warc.gzip_member(a) + warc.gzip_member(b)
+        assert warc.split_gzip_members(blob) == [a, b]
+        # deterministic writer (no wall-clock mtime in the header)
+        assert warc.gzip_member(a) == warc.gzip_member(a)
+        # tolerant paths: empty, non-gzip, truncated tail keeps prefix
+        assert warc.split_gzip_members(b"") == []
+        assert warc.split_gzip_members(b"not gzip") == []
+        assert warc.split_gzip_members(
+            warc.gzip_member(a) + warc.gzip_member(b)[:-4]
+        ) == [a]
+        assert warc.split_gzip_members(None) == []
+
+    def test_explode_gzip_member_records(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.sources import warc
+        from pyspark.sql import functions as F
+
+        rec0 = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://a.example.com/x\r\n"
+            "Content-Length: 5\r\n\r\nhello\r\n\r\n"
+        )
+        rec1 = (
+            "WARC/1.0\r\nWARC-Type: request\r\n"
+            "WARC-Target-URI: https://a.example.com/x\r\n"
+            "Content-Length: 0\r\n\r\n\r\n\r\n"
+        )
+        blob = warc.gzip_member(rec0.encode()) + warc.gzip_member(rec1.encode())
+        df = spark.createDataFrame([(7, blob)], "doc_id long, blob binary")
+        out = (
+            warc.explode_gzip_member_records(df, "doc_id", "blob")
+            .select(
+                "doc_id", "member_idx",
+                warc.parse_warc_record(F.col("record")).alias("r"),
+            )
+            .select("doc_id", "member_idx", "r.*")
+            .orderBy("member_idx")
+            .collect()
+        )
+        assert [(r.doc_id, r.member_idx, r.warc_type) for r in out] == [
+            (7, 0, "response"), (7, 1, "request"),
+        ]
+        assert out[0].body == "hello" and out[0].content_length == 5
+
     def test_url_filter_blocks_hosts_and_depth(self, spark):
         from hadoop_distributed_dynamic_file_system_spark.sources import warc
 
