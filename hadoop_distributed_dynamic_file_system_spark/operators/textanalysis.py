@@ -155,6 +155,102 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
     return df.withColumn(out_col, F.md5(norm))
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window prep step of
+    a training/RAG pipeline (split each document into chunks of at most
+    `max_tokens` whitespace tokens, consecutive chunks sharing
+    `overlap` tokens). Pure column expressions: tokenize once behind
+    the projection boundary, generate chunk starts with `sequence`
+    (0, stride, 2·stride … < n_tokens), posexplode, slice the bound
+    token array — no Python, no shuffle, chunking is scan-local and
+    the output is ~(1 + overlap/stride)× the input in tokens. Zero-
+    token documents emit no chunks. Reference parity: the fixed-size
+    record re-blocking idea of NLineInputFormat
+    (src/mapred/.../lib/NLineInputFormat.java) applied at token
+    granularity."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap({overlap}) < max_tokens({max_tokens})")
+    stride = max_tokens - overlap
+    bound = _with_words(df, text_col)
+    n = F.size("_words")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    exploded = bound.filter(n > 0).select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+        F.col("_words"),
+    )
+    chunk = F.slice(F.col("_words"), F.col("_start") + 1, max_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.col("_start").cast("bigint").alias("start_token"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms — the lexical-retrieval scorer (decontamination lookups, RAG
+    candidate generation) the reference delegated to Lucene
+    (src/contrib/index). idf is the Robertson–Spärck Jones '+1' form
+    (ln(1 + (N − df + ½)/(df + ½)), always positive — Lucene's
+    convention); score(d) = Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b +
+    b·dl/avgdl)).
+
+    Scale shape: the query-term filter lands BEFORE the tf groupBy, so
+    the only shuffled rows are postings of the |Q| query terms — at
+    100 TB the shuffle is proportional to the hit set, not the corpus;
+    corpus stats (N, avgdl) and the |Q|-row df table ride broadcasts.
+    Scores are rounded 6dp (per-doc sums are ≤|Q| terms, far inside
+    the rounding unit)."""
+    bound = _with_words(df, text_col)
+    stats = bound.agg(
+        F.count("*").alias("__n"),
+        F.avg(F.size("_words")).alias("__avgdl"),
+    )
+    tf = (
+        bound.select(
+            F.col(id_col),
+            F.size("_words").alias("dl"),
+            F.explode("_words").alias("term"),
+        )
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfc), "term")
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(idf * tf_part), 6).alias("bm25"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+    )
+
+
 def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, term, tf) from whitespace tokens — the shared base of the
     tf-idf and inverted-index builders. One explode + one groupBy."""

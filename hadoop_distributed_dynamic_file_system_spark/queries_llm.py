@@ -3022,6 +3022,67 @@ def warc_gzip_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_GOPHER_WORDS} AS words FROM documents
+    ),
+    s AS (
+      SELECT doc_id, words, unnest(range(0, len(words), 16)) AS start
+      FROM t WHERE len(words) > 0
+    )
+    SELECT doc_id,
+      CAST(start // 16 AS INT) AS chunk_idx,
+      CAST(start AS BIGINT) AS start_token,
+      CAST(len(list_slice(words, start + 1, start + 24)) AS BIGINT) AS n_tokens,
+      array_to_string(list_slice(words, start + 1, start + 24), ' ')
+        AS chunk_text
+    FROM s
+    """,
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (24-token chunks, 8-token overlap)
+    over the corpus — the context-window prep stage; scan-local, no
+    shuffle (operators/textanalysis.chunk_tokens)."""
+    d = _t(spark, sf_dir, "documents")
+    return textanalysis.chunk_tokens(
+        d, "doc_id", "text", max_tokens=24, overlap=8
+    )
+
+
+_BM25_TERMS = ["join", "vector", "spark"]
+
+
+@query(
+    "bm25_retrieval",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_GOPHER_WORDS} AS words FROM documents),
+    stats AS (SELECT count(*) AS n, avg(len(words)) AS avgdl FROM w),
+    toks AS (SELECT doc_id, len(words) AS dl, unnest(words) AS term FROM w),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM toks
+      WHERE term IN ('join', 'vector', 'spark') GROUP BY doc_id, term
+    ),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+      round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+            * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+            6) AS bm25,
+      CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM tf JOIN dfc USING (term), stats
+    GROUP BY doc_id
+    """,
+)
+def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scores of the whole corpus against a 3-term query —
+    lexical retrieval for decontamination/RAG candidate generation;
+    the query-term filter precedes the tf shuffle so shuffled rows are
+    the hit postings only (operators/textanalysis.bm25_scores)."""
+    d = _t(spark, sf_dir, "documents")
+    return textanalysis.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

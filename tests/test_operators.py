@@ -1281,3 +1281,78 @@ class TestBpeEncodeJoined:
         )
         for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
             assert node not in plan
+
+
+class TestChunkTokens:
+    def test_window_shape_and_reconstruction(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        words = [f"w{i}" for i in range(10)]
+        df = spark.createDataFrame(
+            [(1, " ".join(words)), (2, "solo"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = ta.chunk_tokens(df, "doc_id", "text", max_tokens=4, overlap=2)
+        rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 1: starts 0,2,4,6,8 (stride 2), last chunk short
+        assert [r.start_token for r in by_doc[1]] == [0, 2, 4, 6, 8]
+        assert [r.n_tokens for r in by_doc[1]] == [4, 4, 4, 4, 2]
+        assert by_doc[1][0].chunk_text == "w0 w1 w2 w3"
+        assert by_doc[1][-1].chunk_text == "w8 w9"
+        # every token of the doc is covered by the union of chunks
+        covered = set()
+        for r in by_doc[1]:
+            covered.update(r.chunk_text.split())
+        assert covered == set(words)
+        # one-word doc -> one chunk; empty doc -> no chunks
+        assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "solo"
+        assert 3 not in by_doc
+
+    def test_rejects_bad_overlap(self, spark):
+        import pytest as _pytest
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            ta.chunk_tokens(df, "doc_id", "text", max_tokens=4, overlap=4)
+
+
+class TestBM25:
+    def test_hand_computed_score(self, spark):
+        import math
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        # 3 docs; query term "cat": df=2, N=3, dl: doc1=4, doc2=2, avgdl=3
+        df = spark.createDataFrame(
+            [(1, "cat cat dog fish"), (2, "cat bird"), (3, "dog dog fish")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in ta.bm25_scores(df, "doc_id", "text", ["cat"]).collect()}
+        assert set(out) == {1, 2}  # doc 3 has no query term
+        k1, b = 1.2, 0.75
+        idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+
+        def tfp(tf, dl):
+            return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 3.0))
+
+        assert out[1].bm25 == round(idf * tfp(2, 4), 6)
+        assert out[2].bm25 == round(idf * tfp(1, 2), 6)
+        assert out[1].n_terms_hit == 1
+        # more hits of the rarer situation rank doc1 above doc2
+        assert out[1].bm25 > out[2].bm25
+
+    def test_multi_term_sums(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.createDataFrame(
+            [(1, "cat dog"), (2, "cat cat"), (3, "bird")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in ta.bm25_scores(df, "doc_id", "text", ["cat", "dog"]).collect()}
+        assert out[1].n_terms_hit == 2 and out[2].n_terms_hit == 1
+        assert 3 not in out

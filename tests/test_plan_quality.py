@@ -76,6 +76,9 @@ class TestPlanQuality:
             "audio_fingerprint_roundtrip",  # mapInPandas encode + RIFF
                                             # parse + energy fingerprint
             "video_metadata_roundtrip",     # mapInPandas ISO-BMFF box walk
+            "warc_gzip_members",            # mapInPandas gzip-member
+                                            # compress + inflate (codec
+                                            # work — genuinely non-Catalyst)
         }
         for name, fn in q.QUERIES.items():
             plan = plan_of(fn(spark, sf_dir))
