@@ -224,3 +224,79 @@ def connected_components(
 def component_sizes(components: DataFrame) -> DataFrame:
     """Cluster-size histogram of a (node, comp) assignment."""
     return components.groupBy("comp").agg(F.count("*").alias("n_members"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list — link-graph
+    authority scoring, the crawl-curation signal (prioritize documents
+    from well-linked hosts) next to the content-quality family.
+
+    rank_{t+1}(v) = (1-d)/N + d·(Σ_{u→v} rank_t(u)/outdeg(u)
+                              + dangling_mass_t/N)
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly —
+    the standard stochastic-matrix completion, so Σ rank = 1 is
+    preserved every round. Parallel edges count multiply (multigraph
+    semantics); pass a distinct()'d edge list for simple-graph ranks.
+
+    Scale shape (same discipline as connected_components above):
+    - per round: one equi-join of the (src,dst,outdeg) relation with
+      the current rank vector, one groupBy(dst) sum, one left join
+      back onto the node set — all keyed on node ids, nothing
+      graph-sized is broadcast or collected;
+    - the edge⋈degree relation and node set are built once and
+      persisted; each round re-reads the materialized relation;
+    - dangling mass rides a broadcast 1-row aggregate (no collect);
+    - rank lineage is truncated per round with localCheckpoint (swap
+      for checkpoint() on a reliable dir at cluster scale);
+    - the only driver-side value is N (one count job at start).
+    """
+    e = cache.tracked_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = cache.tracked_persist(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    ed = cache.tracked_persist(e.join(deg, "src"))
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        mass = (
+            ed.join(ranks, F.col("src") == F.col("node"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        dang = ranks.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        ranks = (
+            nodes.join(mass, "node", "left")
+            .join(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.col("dmass") / n
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

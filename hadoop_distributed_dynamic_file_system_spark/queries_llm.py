@@ -3083,6 +3083,64 @@ def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
 
 
+def _pagerank_sql(iters: int) -> str:
+    """Generate the fixed-iteration PageRank oracle: one CTE per power
+    iteration over the symmetrized part↔supplier bipartite graph (no
+    dangling nodes by construction, so the dangling term is zero and
+    drops out; the Spark operator computes it and adds exact 0.0)."""
+    layers = ["r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n)"]
+    for i in range(1, iters + 1):
+        layers.append(f"""r{i} AS (
+      SELECT nd.node,
+             (1 - 0.85) / n.n + 0.85 * coalesce(m.in_mass, 0.0) AS rank
+      FROM nodes nd CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / d.outdeg) AS in_mass
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) m ON nd.node = m.node)""")
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT count(*) AS n FROM nodes),
+    {','.join(layers)}
+    SELECT node, round(rank, 6) AS rank FROM r{iters}
+    """
+
+
+@query("link_graph_rank", _pagerank_sql(3))
+def link_graph_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over the symmetrized
+    part↔supplier bipartite graph from lineitem — link-graph authority
+    as a crawl-curation signal (operators/graph.pagerank). The oracle
+    unrolls the same three iterations as CTEs; symmetrization means no
+    dangling nodes, so both engines compute the identical recurrence
+    and only the 6dp-rounded fixpoint is compared."""
+    from .operators import graph
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    e = li.select(p.alias("src"), s.alias("dst")).unionByName(
+        li.select(s.alias("src"), p.alias("dst"))
+    )
+    ranks = graph.pagerank(e, iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

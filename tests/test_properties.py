@@ -502,3 +502,54 @@ class TestLineDedupProperty:
     @pytest.fixture(autouse=True)
     def _bind_spark(self, spark):
         self._spark = spark
+
+
+class TestPageRankProperties:
+    """Random directed graphs (dangling nodes included) vs a dense
+    numpy power iteration of the same recurrence — pins the degree
+    normalization, dangling-mass redistribution, and iteration count."""
+
+    def _numpy_pagerank(self, edges, iters, d=0.85):
+        import numpy as np
+
+        nodes = sorted({v for e in edges for v in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        m = np.zeros((n, n))
+        for s, t in edges:
+            m[idx[t], idx[s]] += 1.0 / outdeg[s]
+        r = np.full(n, 1.0 / n)
+        dangling = np.array([outdeg.get(v, 0) == 0 for v in nodes])
+        for _ in range(iters):
+            dmass = r[dangling].sum()
+            r = (1 - d) / n + d * (m @ r + dmass / n)
+        return {v: r[idx[v]] for v in nodes}
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40)),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    def test_matches_dense_power_iteration(self, spark, edges):
+        from hadoop_distributed_dynamic_file_system_spark.operators import graph
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {
+            r.node: r.rank
+            for r in graph.pagerank(df, iterations=3).collect()
+        }
+        want = self._numpy_pagerank(edges, 3)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+        # mass conservation: ranks sum to 1
+        assert abs(sum(got.values()) - 1.0) < 1e-9
