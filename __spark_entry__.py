@@ -35,14 +35,16 @@ from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  #
 #
 # Round-5 window: slot 1 = bpe_pair_counts (r4's only red cell — a
 # DuckDB-HUGEINT oracle bug, CAST fix in queries_llm.py; must re-earn
-# green), slots 2-18 = the seventeen queries NEW this round (web-quality
+# green), slots 2-22 = the twenty-one queries NEW this round (web-quality
 # family, span dedup, classifier, bigram LM, leakage-safe splits, the
 # end-to-end curation pipeline, image aHash, audio fingerprint,
-# video metadata, WARC crawl ingestion, relational BPE encode —
-# never driver-checked), the rest = the
+# video metadata, WARC crawl ingestion incl. per-record gzip members,
+# relational BPE encode, token-window chunking, BM25 retrieval,
+# PageRank — never driver-checked), the rest = the
 # stalest (everything last checked r1/r2 + the oldest of the r3
-# cohort, alphabetical within a round). The remaining r3-checked
-# queries are due in the round-6 window.
+# cohort, alphabetical within a round). Names past slot 50
+# (q5/q7/q8/sort_key_spec) and the remaining r3-checked queries are
+# due in the round-6 window.
 _PRIORITY: list[str] = [
     "bpe_pair_counts",
     "gopher_quality_flags", "dup_line_stats", "top_bigram_char_frac",
@@ -53,6 +55,7 @@ _PRIORITY: list[str] = [
     "image_ahash_roundtrip", "audio_fingerprint_roundtrip",
     "video_metadata_roundtrip", "warc_url_extract",
     "bpe_encode_tokens",
+    "warc_gzip_members", "doc_chunks", "bm25_retrieval", "link_graph_rank",
     "ann_brute_force", "fingerprints",
     "minhash_signatures", "multimodal_decode", "simhash_fingerprints",
     "token_counts", "bad_records_skip", "crash_skip",

@@ -98,6 +98,12 @@ HEADLINE = [
     "video_metadata_roundtrip",
     "warc_url_extract",
     "bpe_encode_tokens",
+    # round-5 late additions: codec-tier crawl ingest, chunking,
+    # lexical retrieval, and the iterative link-graph ranker
+    "warc_gzip_members",
+    "doc_chunks",
+    "bm25_retrieval",
+    "link_graph_rank",
 ]
 
 
