@@ -268,6 +268,14 @@ def pagerank(
     )
     n = nodes.count()
     ed = cache.tracked_persist(e.join(deg, "src"))
+    # the dangling SET is fixed across rounds (only its mass changes):
+    # resolve it once, and when it's empty — every symmetrized graph —
+    # drop the term from the loop entirely instead of paying a
+    # per-round anti-join for a provable zero
+    dang_nodes = cache.tracked_persist(
+        nodes.join(deg.select(F.col("src").alias("node")), "node", "left_anti")
+    )
+    has_dangling = dang_nodes.count() > 0
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
@@ -280,23 +288,19 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        dang = ranks.join(
-            deg.select(F.col("src").alias("node")), "node", "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-        ranks = (
-            nodes.join(mass, "node", "left")
-            .join(F.broadcast(dang))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("in_mass"), F.lit(0.0))
-                        + F.col("dmass") / n
-                    )
-                ).alias("rank"),
+        new_mass = F.coalesce(F.col("in_mass"), F.lit(0.0))
+        it = nodes.join(mass, "node", "left")
+        if has_dangling:
+            # no broadcast hint: the dangling set is O(sink nodes) and
+            # can be graph-sized for crawl graphs — AQE picks the
+            # strategy from the persisted relation's actual size
+            dang = ranks.join(dang_nodes, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
             )
-            .localCheckpoint()
-        )
+            it = it.join(F.broadcast(dang))
+            new_mass = new_mass + F.col("dmass") / n
+        ranks = it.select(
+            "node",
+            (F.lit(base) + F.lit(damping) * new_mass).alias("rank"),
+        ).localCheckpoint()
     return ranks

@@ -43,6 +43,11 @@ QUERIES = [
     "dsir_importance_scores",
     "classifier_source_recovery",
     "bigram_lm_scores",
+    # round-5 late additions
+    "warc_gzip_members",
+    "doc_chunks",
+    "bm25_retrieval",
+    "link_graph_rank",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
