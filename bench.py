@@ -104,6 +104,7 @@ HEADLINE = [
     "doc_chunks",
     "bm25_retrieval",
     "link_graph_rank",
+    "normalized_corpus",
 ]
 
 

@@ -1,0 +1,72 @@
+"""Unicode text normalization — the cleanup pass every web-scale
+corpus runs before dedup/quality (C4/CCNet normalize before hashing:
+decomposed accents, control bytes, and whitespace runs otherwise make
+byte-identical texts hash differently).
+
+Stages and where they run:
+- NFC canonical composition: genuinely not expressible as Catalyst
+  expressions, so it is the documented Arrow tier — a vectorized
+  pandas_udf over pandas' str.normalize (ICU-grade tables via Python's
+  unicodedata, C implementation). Scan-local, no shuffle.
+- control-char strip, whitespace collapse, trim: JVM regexp columns.
+
+NOTE: this module intentionally has no `from __future__ import
+annotations` — pandas_udf resolves type hints at decoration time and
+stringified annotations break it (see operators/udaf.py).
+
+Reference parity: the reference's Text/UTF8 normalization surface is
+byte-level only (src/core/org/apache/hadoop/io/Text.java validation);
+corpus-grade Unicode canonicalization is part of the additive LLM
+family. The regex class below is spelled out explicitly (not `\\s`)
+because Java and RE2 disagree on `\\s` (`\\x0B`), and the DuckDB
+oracle must match byte for byte.
+"""
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# identical in Java regex and RE2 — the portable whitespace class
+WS_CLASS = r"[ \t\n\x0B\f\r]+"
+# C0 controls minus whitespace, plus DEL
+CTRL_CLASS = r"[\x00-\x08\x0E-\x1F\x7F]"
+
+
+def nfc_udf():
+    """Vectorized NFC normalizer (fresh udf per call: a module-level
+    pandas_udf would capture a SparkSession at import time)."""
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return nfc
+
+
+def unicode_normalize(col: Column, form: str = "NFC") -> Column:
+    """NFC/NFKC/NFD/NFKD canonicalization of a string column."""
+    if form == "NFC":
+        return nfc_udf()(col)
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return norm(col)
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "clean_text",
+    form: str = "NFC",
+) -> DataFrame:
+    """NFC-compose, strip control bytes, collapse whitespace runs to a
+    single space, trim. Scan-local: the plan is one Arrow projection
+    followed by JVM regexps — no shuffle, so at 100 TB this is a pure
+    map stage pipelined into whatever follows."""
+    c = unicode_normalize(F.col(text_col), form)
+    c = F.regexp_replace(c, CTRL_CLASS, "")
+    c = F.regexp_replace(c, WS_CLASS, " ")
+    return df.withColumn(out_col, F.trim(c))

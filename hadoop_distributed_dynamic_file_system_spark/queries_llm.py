@@ -3141,6 +3141,45 @@ def link_graph_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _textnorm_sql() -> str:
+    from .operators.textnorm import CTRL_CLASS, WS_CLASS
+
+    dirty = (
+        "text || ' cafe' || chr(769) || '  u' || chr(776) || 'ber '"
+        " || chr(1) || 'zz'"
+    )
+    return f"""
+    SELECT doc_id,
+      trim(regexp_replace(regexp_replace(
+        nfc_normalize({dirty}),
+        '{CTRL_CLASS}', '', 'g'), '{WS_CLASS}', ' ', 'g')) AS clean_text
+    FROM documents
+    """
+
+
+@query("normalized_corpus", _textnorm_sql())
+def normalized_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode cleanup pass (operators/textnorm.clean_text): NFC
+    composition (Arrow tier), control-byte strip, whitespace-run
+    collapse, trim. The fixture appends decomposed combining accents
+    (e+U+0301, u+U+0308), a control byte, and double spaces to every
+    document; the oracle runs DuckDB's independent nfc_normalize +
+    the SAME explicit regex classes (Java `\\s` and RE2 `\\s` disagree
+    on \\x0B, so the class is spelled out and shared from the operator
+    module). Any composition-table, strip-order, or regex-dialect
+    divergence hash-mismatches."""
+    from .operators import textnorm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # DECOMPOSED combining marks on the Spark side: the engine's NFC
+    # must actually compose them to meet the oracle's nfc_normalize
+    dirty = d.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" cafe\u0301  u\u0308ber \x01zz")),
+    )
+    return textnorm.clean_text(dirty, "text").select("doc_id", "clean_text")
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

@@ -1356,3 +1356,35 @@ class TestBM25:
         out = {r.doc_id: r for r in ta.bm25_scores(df, "doc_id", "text", ["cat", "dog"]).collect()}
         assert out[1].n_terms_hit == 2 and out[2].n_terms_hit == 1
         assert 3 not in out
+
+
+class TestCleanText:
+    def test_nfc_composes_and_strips(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textnorm
+
+        df = spark.createDataFrame(
+            [(1, "cafe\u0301  x\tb\x01c"), (2, "  already clean  ")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.clean_text for r in textnorm.clean_text(df, "text").collect()}
+        assert out[1] == "caf\u00e9 x bc"
+        assert out[2] == "already clean"
+
+    def test_idempotent(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textnorm
+
+        df = spark.createDataFrame([(1, "über  maß")], "doc_id long, text string")
+        once = textnorm.clean_text(df, "text").select(
+            "doc_id", "clean_text"
+        ).withColumnRenamed("clean_text", "text")
+        twice = textnorm.clean_text(once, "text").collect()[0]
+        assert twice.clean_text == "über maß"
+
+    def test_nfkc_folds_compatibility_forms(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textnorm
+
+        # U+FB01 LATIN SMALL LIGATURE FI folds under NFKC, not NFC
+        df = spark.createDataFrame([(1, "ﬁsh")], "doc_id long, text string")
+        nfc = textnorm.clean_text(df, "text", form="NFC").collect()[0].clean_text
+        nfkc = textnorm.clean_text(df, "text", form="NFKC").collect()[0].clean_text
+        assert nfc == "ﬁsh" and nfkc == "fish"

@@ -79,6 +79,8 @@ class TestPlanQuality:
             "warc_gzip_members",            # mapInPandas gzip-member
                                             # compress + inflate (codec
                                             # work — genuinely non-Catalyst)
+            "normalized_corpus",            # pandas_udf NFC composition
+                                            # (Unicode tables — non-Catalyst)
         }
         for name, fn in q.QUERIES.items():
             plan = plan_of(fn(spark, sf_dir))
