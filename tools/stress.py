@@ -194,6 +194,25 @@ def main() -> None:
             lambda c=corpus: ta.bpe_learn_distributed(c, "text", n_merges=10),
         )
 
+    # PageRank on synthetic graphs at 1M and 10M edges (3 iterations,
+    # avg out-degree 10, no dangling by construction): falling us/edge
+    # on the 10x step pins the loop as edge-bound — the per-iteration
+    # fixed overhead (localCheckpoint + scheduling) amortizes and the
+    # joins/groupBy grow with the edge list only
+    def pr_edges(m):
+        n = m // 10
+        return spark.range(m).select(
+            (F.col("id") % n).alias("src"),
+            ((F.col("id") * 2654435761) % n).alias("dst"),
+        )
+
+    for m in (1_000_000, 10_000_000):
+        edges = pr_edges(m)
+        bench(
+            f"pagerank_edges_{m // 1_000_000}m", m,
+            lambda e=edges: noop(graph.pagerank(e, iterations=3)),
+        )
+
     out = [
         "# STRESS — plan shapes at 10-20x the benchmark scale (local[32])",
         "",
@@ -216,6 +235,11 @@ def main() -> None:
         "words (10 merge iterations each, all cluster-side); flat-or-",
         "falling us/word on the 10x vocabulary is the evidence the",
         "per-merge fold is vocabulary-bound, not driver-bound.",
+        "",
+        "`pagerank_edges_{1,10}m` rows = EDGES (synthetic, avg",
+        "out-degree 10, 3 power iterations); falling us/edge on the",
+        "10x step pins the rank loop as edge-bound — per-iteration",
+        "fixed overhead amortizes, joins grow with the edge list only.",
         "",
         "| shape | rows | wall s | us/row |",
         "|---|---|---|---|",
