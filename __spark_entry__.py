@@ -56,7 +56,7 @@ _PRIORITY: list[str] = [
     "video_metadata_roundtrip", "warc_url_extract",
     "bpe_encode_tokens",
     "warc_gzip_members", "doc_chunks", "bm25_retrieval", "link_graph_rank",
-    "normalized_corpus",
+    "normalized_corpus", "kn_bigram_lm_scores",
     "ann_brute_force", "fingerprints",
     "minhash_signatures", "multimodal_decode", "simhash_fingerprints",
     "token_counts", "bad_records_skip", "crash_skip",

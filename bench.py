@@ -105,6 +105,7 @@ HEADLINE = [
     "bm25_retrieval",
     "link_graph_rank",
     "normalized_corpus",
+    "kn_bigram_lm_scores",
 ]
 
 

@@ -628,6 +628,72 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def kn_bigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, discount: float = 0.75
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram score per document — the
+    smoothing family real LM-quality pipelines use (Kneser & Ney '95;
+    KenLM's default), one step past `bigram_lm_scores`' add-one:
+
+        P(cur|prev) = max(c(prev,cur) − D, 0)/c(prev)
+                    + D·N1+(prev,·)/c(prev) · N1+(·,cur)/N1+(··)
+
+    where the N1+ are distinct-bigram-TYPE (continuation) counts —
+    the "how many contexts has this word followed" statistic that
+    makes KN rank versatile words above merely frequent ones.
+
+    All four model relations (bigram types with counts, context
+    totals + forward fan-out, continuation counts, the type total)
+    derive from ONE persisted bigram-type relation, so the model
+    build costs the same two corpus passes as bigram_lm_scores; the
+    scoring joins move only 8-byte xxhash64 keys. Scoring the corpus
+    against its own model keeps every scored count ≥ 1, so the
+    probability is strictly positive (≥ (1−D)/c(prev)) and the max()'s
+    zero branch is unreachable — it documents the full KN form for
+    held-out scoring; the unit tests verify the interpolated
+    probabilities normalize to 1 over the continuation vocabulary."""
+    bound = _with_words(df, text_col)
+    pairs = F.when(
+        F.size("_words") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_words") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_words"), i).alias("prev"),
+                F.element_at(F.col("_words"), i + F.lit(1)).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = bound.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        F.col(id_col),
+        F.xxhash64("_p.prev", "_p.cur").alias("_bk"),
+        F.xxhash64("_p.prev").alias("_ck"),
+        F.xxhash64("_p.cur").alias("_sk"),
+    )
+    bgk = tracked_persist(
+        bg.groupBy("_bk", "_ck", "_sk").agg(F.count("*").alias("_bc"))
+    )
+    ctx = bgk.groupBy("_ck").agg(
+        F.sum("_bc").alias("_cc"), F.count("*").alias("_nfwd")
+    )
+    cont = bgk.groupBy("_sk").agg(F.count("*").alias("_nbwd"))
+    tot = bgk.agg(F.count("*").alias("_t"))
+    d = float(discount)
+    p = F.greatest(F.col("_bc") - d, F.lit(0.0)) / F.col("_cc") + (
+        d * F.col("_nfwd") / F.col("_cc")
+    ) * (F.col("_nbwd") / F.col("_t"))
+    return (
+        bg.join(bgk.select("_bk", "_bc"), "_bk")
+        .join(ctx, "_ck")
+        .join(cont, "_sk")
+        .join(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def lm_quality_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """CCNet-style quality bucketing: split the corpus into head /
     middle / tail terciles of the unigram LM score (CCNet §4.3 does

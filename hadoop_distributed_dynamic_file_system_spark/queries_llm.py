@@ -3180,6 +3180,41 @@ def normalized_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textnorm.clean_text(dirty, "text").select("doc_id", "clean_text")
 
 
+@query(
+    "kn_bigram_lm_scores",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_GOPHER_WORDS} AS words FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)), i -> words[i])) AS prev,
+             unnest(list_transform(range(1, len(words)), i -> words[i+1])) AS cur
+      FROM w
+    ),
+    bgt AS (SELECT prev, cur, count(*) AS c FROM bg GROUP BY prev, cur),
+    ctx AS (SELECT prev, sum(c) AS cc, count(*) AS nfwd FROM bgt GROUP BY prev),
+    cont AS (SELECT cur, count(*) AS nbwd FROM bgt GROUP BY cur),
+    t AS (SELECT count(*) AS t FROM bgt)
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(greatest(bgt.c - 0.75, 0) / ctx.cc
+                 + (0.75 * ctx.nfwd / ctx.cc) * (cont.nbwd / t.t))), 6)
+             AS avg_logprob
+    FROM bg JOIN bgt USING (prev, cur) JOIN ctx USING (prev)
+    JOIN cont USING (cur) CROSS JOIN t
+    GROUP BY bg.doc_id
+    """,
+)
+def kn_bigram_lm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM score per document
+    (operators/textanalysis.kn_bigram_lm_scores, D=0.75) — the KenLM
+    smoothing family next to the add-one `bigram_lm_scores` twin; the
+    oracle recomputes the continuation-count interpolation from the
+    same zipped-unnest bigram stream."""
+    d = _t(spark, sf_dir, "documents")
+    return textanalysis.kn_bigram_lm_scores(d, "doc_id", "text")
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

@@ -1388,3 +1388,43 @@ class TestCleanText:
         nfc = textnorm.clean_text(df, "text", form="NFC").collect()[0].clean_text
         nfkc = textnorm.clean_text(df, "text", form="NFKC").collect()[0].clean_text
         assert nfc == "ﬁsh" and nfkc == "fish"
+
+
+class TestKneserNeyLM:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        # corpus "a b a b" + "b c": bigram types (a,b):2 (b,a):1 (b,c):1, T=3
+        # ctx a: cc=2, nfwd=1; ctx b: cc=2, nfwd=2; all continuation counts 1
+        # P(b|a) = (2-.75)/2 + (.75*1/2)*(1/3) = 0.75
+        # P(a|b) = P(c|b) = (1-.75)/2 + (.75*2/2)*(1/3) = 0.375
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "b c"), (3, "solo")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in ta.kn_bigram_lm_scores(df, "doc_id", "text").collect()}
+        assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
+        exp1 = (2 * math.log(0.75) + math.log(0.375)) / 3
+        assert abs(out[1].avg_logprob - exp1) < 1e-6
+        assert abs(out[2].avg_logprob - math.log(0.375)) < 1e-6
+        assert 3 not in out  # no bigrams -> absent, n-gram family convention
+
+    def test_interpolated_form_normalizes(self):
+        # model sanity (pure arithmetic): for each context, the
+        # interpolated probability summed over the continuation
+        # vocabulary is exactly 1 — the property KN discounting buys
+        bgt = {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+        vocab = {"a", "b", "c"}
+        t = len(bgt)
+        d = 0.75
+        for w1 in {"a", "b"}:
+            cc = sum(c for (p, _), c in bgt.items() if p == w1)
+            nfwd = sum(1 for (p, _) in bgt if p == w1)
+            total = 0.0
+            for w2 in vocab:
+                nbwd = sum(1 for (_, c2) in bgt if c2 == w2)
+                c12 = bgt.get((w1, w2), 0)
+                total += max(c12 - d, 0) / cc + (d * nfwd / cc) * (nbwd / t)
+            assert abs(total - 1.0) < 1e-12
