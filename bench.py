@@ -106,6 +106,8 @@ HEADLINE = [
     "link_graph_rank",
     "normalized_corpus",
     "kn_bigram_lm_scores",
+    "char_entropy_scores",
+    "oov_rate_top_vocab",
 ]
 
 

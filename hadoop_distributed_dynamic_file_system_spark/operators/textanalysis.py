@@ -759,6 +759,47 @@ def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 30) -> DataFrame:
     )
 
 
+def char_entropy_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shannon entropy (nats) of each document's character
+    distribution — the cheap repetitiveness signal (degenerate
+    keyboard-mash and single-char spam score near 0, natural text
+    sits around 3) that complements the n-gram repetition family
+    without training anything.
+
+    entropy = −Σ_c (n_c/L)·ln(n_c/L) over the doc's own chars.
+
+    Plan: sequence+substr char explode (spelled as substr, not
+    split-on-empty, so the Spark and DuckDB streams agree on every
+    edge), groupBy (doc, char), then a per-doc fold — two shuffles,
+    both on (doc, char)/(doc) keys, linear in characters. Zero-length
+    documents have no chars and are absent (n-gram family
+    convention)."""
+    counts = (
+        # the length>0 guard matters: Spark's sequence(1, 0) counts
+        # DOWN ([1,0]) instead of returning empty like DuckDB's range
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col),
+            F.length(F.col(text_col)).alias("_len"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(F.col(text_col))),
+                    lambda i: F.col(text_col).substr(i, F.lit(1)),
+                )
+            ).alias("_c"),
+        )
+        .groupBy(id_col, "_len", "_c")
+        .agg(F.count("*").alias("_n"))
+    )
+    p = F.col("_n") / F.col("_len").cast("double")
+    return counts.groupBy(id_col).agg(
+        F.max("_len").cast("bigint").alias("n_chars"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"),
+    )
+
+
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) over the lowered token stream — the ONE corpus-
     sized pass tokenizer training needs; everything after runs on this
@@ -768,6 +809,55 @@ def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
         .select(F.explode("_words").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 20,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus' own
+    top-`vocab_size` words (frequency DESC, word ASC tie-break) — the
+    tokenizer-coverage diagnostic a pipeline runs before committing to
+    a vocabulary: documents dense in OOV tokens either carry rare
+    content worth keeping or junk worth dropping, and this is the
+    signal that separates the review queue.
+
+    Plan: the vocabulary is TakeOrdered over the word-frequency
+    relation (top-k, never a global sort), broadcast to the token
+    stream for a left-anti count; totals come from the bound token
+    array — no corpus-sized shuffle beyond the word-frequency pass.
+    Zero-token documents are absent (n-gram family convention)."""
+    vocab = (
+        word_frequencies(df, text_col)
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(vocab_size)
+        .select("word")
+    )
+    bound = _with_words(df, text_col).filter(F.size("_words") > 0)
+    totals = bound.select(
+        F.col(id_col), F.size("_words").cast("bigint").alias("n_tokens")
+    )
+    oov = (
+        bound.select(F.col(id_col), F.explode("_words").alias("word"))
+        .join(F.broadcast(vocab), "word", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_oov"))
+    )
+    return (
+        totals.join(oov, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("bigint").alias("n_oov"),
+            F.round(
+                F.coalesce(F.col("n_oov"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
     )
 
 

@@ -3215,6 +3215,58 @@ def kn_bigram_lm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.kn_bigram_lm_scores(d, "doc_id", "text")
 
 
+@query(
+    "char_entropy_scores",
+    """
+    WITH c AS (
+      SELECT doc_id, len(text) AS l,
+             unnest(list_transform(range(1, len(text) + 1),
+                                   i -> substr(text, i, 1))) AS ch
+      FROM documents WHERE len(text) > 0
+    ),
+    cnt AS (SELECT doc_id, l, ch, count(*) AS n FROM c GROUP BY doc_id, l, ch)
+    SELECT doc_id, CAST(max(l) AS BIGINT) AS n_chars,
+           round(-sum((n / CAST(l AS DOUBLE))
+                      * ln(n / CAST(l AS DOUBLE))), 6) AS char_entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def char_entropy_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    training-free repetitiveness signal
+    (operators/textanalysis.char_entropy_scores)."""
+    d = _t(spark, sf_dir, "documents")
+    return textanalysis.char_entropy_scores(d, "doc_id", "text")
+
+
+@query(
+    "oov_rate_top_vocab",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_GOPHER_WORDS} AS words FROM documents),
+    tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+    wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+    vocab AS (SELECT word FROM wf ORDER BY freq DESC, word LIMIT 20),
+    oov AS (
+      SELECT doc_id, count(*) AS n_oov FROM tok
+      WHERE word NOT IN (SELECT word FROM vocab) GROUP BY doc_id
+    )
+    SELECT w.doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+           round(coalesce(o.n_oov, 0) / CAST(len(words) AS DOUBLE), 6)
+             AS oov_rate
+    FROM w LEFT JOIN oov o ON w.doc_id = o.doc_id
+    WHERE len(words) > 0
+    """,
+)
+def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus' own
+    top-20 words (frequency DESC, word ASC tie-break) — tokenizer
+    coverage diagnostic (operators/textanalysis.oov_rate); the
+    vocabulary is TakeOrdered + broadcast, never a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    return textanalysis.oov_rate(d, "doc_id", "text", vocab_size=20)
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

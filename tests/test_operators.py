@@ -1428,3 +1428,50 @@ class TestKneserNeyLM:
                 c12 = bgt.get((w1, w2), 0)
                 total += max(c12 - d, 0) / cc + (d * nfwd / cc) * (nbwd / t)
             assert abs(total - 1.0) < 1e-12
+
+
+class TestCharEntropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in ta.char_entropy_scores(df, "doc_id", "text").collect()}
+        assert out[1].char_entropy == 0.0          # degenerate
+        assert abs(out[2].char_entropy - math.log(2)) < 1e-6
+        assert abs(out[3].char_entropy - math.log(4)) < 1e-6  # max for 4 chars
+        assert out[3].n_chars == 4
+        assert 4 not in out                         # empty doc absent
+        # ordering: more diverse text scores strictly higher
+        assert out[1].char_entropy < out[2].char_entropy < out[3].char_entropy
+
+
+class TestOovRate:
+    def test_top_vocab_and_rates(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        # freqs: the:3, cat:2, dog:1, emu:1 -> top-2 = {the, cat}
+        df = spark.createDataFrame(
+            [(1, "the cat the"), (2, "cat dog emu the"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in ta.oov_rate(df, "doc_id", "text", vocab_size=2).collect()}
+        assert out[1].n_oov == 0 and out[1].oov_rate == 0.0
+        assert out[2].n_tokens == 4 and out[2].n_oov == 2
+        assert out[2].oov_rate == 0.5
+        assert 3 not in out
+
+    def test_tie_break_is_lexicographic(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        # all freq 1: top-2 must be the lexicographically first two
+        df = spark.createDataFrame(
+            [(1, "zeta alpha beta")], "doc_id long, text string"
+        )
+        row = ta.oov_rate(df, "doc_id", "text", vocab_size=2).collect()[0]
+        # vocab = {alpha, beta} -> zeta is the one OOV token
+        assert row.n_oov == 1
