@@ -108,6 +108,7 @@ HEADLINE = [
     "kn_bigram_lm_scores",
     "char_entropy_scores",
     "oov_rate_top_vocab",
+    "jl_projection",
 ]
 
 

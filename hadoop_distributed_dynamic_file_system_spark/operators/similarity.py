@@ -502,6 +502,45 @@ def lsh_hyperplanes(dim: int, num_planes: int) -> list[list[int]]:
     return planes
 
 
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    out_col: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    deterministic ±1 (Achlioptas-style) projection: y_j =
+    (Σ_i s_ij·x_i)/√k, signs from the same md5-parity generator as the
+    LSH hyperplanes so any engine reproduces the matrix bit-for-bit.
+    The pre-reduction step ANN/semantic-dedup tiers run when the raw
+    dimension makes the scoring join memory-bound (JL lemma: pairwise
+    distances preserved within (1±ε) for k = O(ln n / ε²)).
+
+    Plan: pure column arithmetic, one projection per output component,
+    all inside whole-stage codegen — scan-local, zero shuffle; at
+    100 TB this pipelines into whatever consumes the reduced vectors.
+    Elements are cast to double BEFORE accumulation (float addition
+    would round differently per engine), and the left-to-right
+    accumulation order is part of the operator contract (the oracle
+    replays the identical expression tree)."""
+    import math
+
+    planes = lsh_hyperplanes(dim, k)
+    scale = 1.0 / math.sqrt(k)
+    comps = []
+    for plane in planes:
+        expr = None
+        for i, s in enumerate(plane):
+            t = F.element_at(F.col(vec_col), i + 1).cast("double")
+            if expr is None:
+                expr = t if s > 0 else -t
+            else:
+                expr = expr + t if s > 0 else expr - t
+        comps.append(F.round(expr * F.lit(scale), 6))
+    return df.withColumn(out_col, F.array(*comps))
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

@@ -3267,6 +3267,36 @@ def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.oov_rate(d, "doc_id", "text", vocab_size=20)
 
 
+def _jl_sql(dim: int = 64, k: int = 8) -> str:
+    """Replay jl_project's exact expression tree in SQL: same ±1
+    signs, same double casts, same left-to-right accumulation, same
+    scale literal — bit-identical doubles before the 6dp round."""
+    import math
+
+    planes = similarity.lsh_hyperplanes(dim, k)
+    scale = repr(1.0 / math.sqrt(k))
+    comps = []
+    for p in planes:
+        terms = "".join(
+            (" + " if s > 0 else " - ") + f"CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i, s in enumerate(p)
+        )
+        terms = terms[3:] if terms.startswith(" + ") else "-" + terms[3:]
+        comps.append(f"round(({terms}) * {scale}, 6)")
+    return "SELECT vec_id, [" + ",\n      ".join(comps) + "] AS jl FROM embeddings"
+
+
+@query("jl_projection", _jl_sql())
+def jl_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss 64→8 reduction of the embeddings table
+    with the deterministic ±1 matrix (operators/similarity.jl_project)
+    — scan-local codegen arithmetic, zero shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.jl_project(e, "embedding", dim=64, k=8).select(
+        "vec_id", "jl"
+    )
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

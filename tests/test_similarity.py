@@ -211,3 +211,46 @@ class TestSemanticDedup:
         # spurious cross-bucket misses for exact ties
         rows = {r.vec_id: r for r in out.collect()}
         assert rows[1].kept and not rows[2].kept
+
+
+class TestJLProjection:
+    def test_one_hot_recovers_matrix_column(self, spark):
+        import math
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
+
+        dim, k = 16, 4
+        planes = sim.lsh_hyperplanes(dim, k)
+        # one-hot e_i -> component j = s_ji / sqrt(k), exactly
+        rows = [(i, [1.0 if j == i else 0.0 for j in range(dim)]) for i in range(dim)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r.vec_id: list(r.jl) for r in sim.jl_project(df, "embedding", dim, k).collect()}
+        s = 1.0 / math.sqrt(k)
+        for i in range(dim):
+            want = [round(planes[j][i] * s, 6) for j in range(k)]
+            assert out[i] == want, (i, out[i], want)
+
+    def test_distance_preservation_loose(self, spark):
+        # JL sanity on real-ish vectors: the mean pairwise distance
+        # ratio (projected/original) over a sample should land near 1
+        # even at k=8 — catches sign/scale bugs, not a proof of the
+        # lemma's epsilon
+        import numpy as np
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
+
+        rng = [(i, [float(((i * 31 + j * 17) % 13) - 6) for j in range(64)]) for i in range(30)]
+        df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+        out = {r.vec_id: np.array(r.jl) for r in sim.jl_project(df, "embedding", 64, 8).collect()}
+        orig = {i: np.array(v) for i, v in rng}
+        ratios = []
+        for a in range(0, 30, 3):
+            for b in range(1, 30, 7):
+                if a == b:
+                    continue
+                do = np.linalg.norm(orig[a] - orig[b])
+                dp = np.linalg.norm(out[a] - out[b])
+                if do > 0:
+                    ratios.append(dp / do)
+        m = float(np.mean(ratios))
+        assert 0.5 < m < 1.5, m
