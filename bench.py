@@ -109,6 +109,7 @@ HEADLINE = [
     "char_entropy_scores",
     "oov_rate_top_vocab",
     "jl_projection",
+    "ngram_containment",
 ]
 
 

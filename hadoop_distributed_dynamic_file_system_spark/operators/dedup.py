@@ -437,6 +437,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    cache: bool = True,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment between two corpora:
+    C(a→b) = |A∩B|/|A| and C(b→a) = |A∩B|/|B| — the quote/subset
+    detector Jaccard structurally misses (a snippet embedded in a long
+    document shares all ITS shingles but few of the host's, so Jaccard
+    stays low while containment hits 1.0). Lee et al. ACL'22 use
+    exactly this signal for partial-overlap dedup.
+
+    Same scale shape as ngram_jaccard_pairs: distinct shingles per
+    side (8-byte xxhash64 keys under `hash_shingles`), one equi-join
+    for the intersection, per-doc counts joined back — only pairs
+    sharing ≥1 shingle ever materialize; pairs survive when EITHER
+    direction reaches `threshold`."""
+    def exploded(df: DataFrame, side: str) -> DataFrame:
+        out = exploded_shingles(df, id_col, text_col, shingle_n).withColumnRenamed(
+            id_col, f"id_{side}"
+        )
+        if hash_shingles:
+            out = out.select(f"id_{side}", F.xxhash64("sh").alias("sh"))
+        out = out.distinct()
+        if cache:
+            out = tracked_persist(out)
+        return out
+
+    ea, eb = exploded(df_a, "a"), exploded(df_b, "b")
+    na = ea.groupBy("id_a").agg(F.count("*").alias("n_a"))
+    nb = eb.groupBy("id_b").agg(F.count("*").alias("n_b"))
+    common = (
+        ea.join(eb, "sh")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    c_ab = F.round(F.col("n_common") / F.col("n_a"), 6)
+    c_ba = F.round(F.col("n_common") / F.col("n_b"), 6)
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+        )
+        .filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            )
+            >= threshold
+        )
+    )
+
+
 def verify_pairs_edit_distance(
     corpus: DataFrame,
     pairs: DataFrame,

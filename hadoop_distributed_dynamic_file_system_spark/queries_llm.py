@@ -3297,6 +3297,69 @@ def jl_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ngram_containment",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS words, text
+      FROM documents
+    ),
+    snip AS (
+      SELECT doc_id + 200000 AS doc_id,
+             array_to_string(
+               list_slice(words, 1, greatest(len(words) // 2, 4)), ' ')
+               AS text
+      FROM w
+    ),
+    ea AS (
+      SELECT DISTINCT doc_id AS id_a,
+             unnest({_SQL_SHINGLES.format(t="text")}) AS sh
+      FROM snip
+    ),
+    eb AS (
+      SELECT DISTINCT doc_id AS id_b,
+             unnest({_SQL_SHINGLES.format(t="text")}) AS sh
+      FROM w
+    ),
+    na AS (SELECT id_a, count(*) AS n_a FROM ea GROUP BY id_a),
+    nb AS (SELECT id_b, count(*) AS n_b FROM eb GROUP BY id_b),
+    common AS (
+      SELECT id_a, id_b, count(*) AS n_common
+      FROM ea JOIN eb USING (sh) GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           round(n_common / n_a, 6) AS containment_a_in_b,
+           round(n_common / n_b, 6) AS containment_b_in_a
+    FROM common JOIN na USING (id_a) JOIN nb USING (id_b)
+    WHERE greatest(round(n_common / n_a, 6), round(n_common / n_b, 6)) >= 0.8
+    """,
+)
+def ngram_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram containment between planted half-document
+    snippets and the original corpus
+    (operators/dedup.ngram_containment_pairs): every snippet's shingle
+    set is a subset of its source, so containment_a_in_b = 1.0 where
+    Jaccard would sit near 0.5 — the quote/subset detection signal."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), r"\s+")
+    snip = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                words,
+                1,
+                F.greatest(
+                    F.floor(F.size(words) / 2).cast("int"), F.lit(4)
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return dedup.ngram_containment_pairs(
+        snip, d, "doc_id", "text", threshold=0.8
+    )
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

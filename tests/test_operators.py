@@ -1475,3 +1475,31 @@ class TestOovRate:
         row = ta.oov_rate(df, "doc_id", "text", vocab_size=2).collect()[0]
         # vocab = {alpha, beta} -> zeta is the one OOV token
         assert row.n_oov == 1
+
+
+class TestNgramContainment:
+    def test_snippet_contained_but_low_jaccard(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        host = " ".join(f"w{i}" for i in range(40))
+        snippet = " ".join(f"w{i}" for i in range(10, 18))
+        a = spark.createDataFrame([(1, snippet)], "doc_id long, text string")
+        b = spark.createDataFrame([(2, host), (3, "x y z q r s")], "doc_id long, text string")
+        out = dedup.ngram_containment_pairs(a, b, "doc_id", "text", threshold=0.8).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.id_a, r.id_b) == (1, 2)
+        # all 6 snippet shingles are in the host's 38
+        assert r.containment_a_in_b == 1.0
+        assert r.containment_b_in_a == round(6 / 38, 6)
+        # Jaccard for the same pair would be 6/38 — far below 0.8:
+        # this is precisely the pair the symmetric metric misses
+
+    def test_both_directions_survive_threshold(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "a b c d e f"
+        a = spark.createDataFrame([(1, t)], "doc_id long, text string")
+        b = spark.createDataFrame([(2, t)], "doc_id long, text string")
+        r = dedup.ngram_containment_pairs(a, b, "doc_id", "text").collect()[0]
+        assert r.containment_a_in_b == 1.0 and r.containment_b_in_a == 1.0
