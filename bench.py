@@ -110,6 +110,7 @@ HEADLINE = [
     "oov_rate_top_vocab",
     "jl_projection",
     "ngram_containment",
+    "int8_quantized_embeddings",
 ]
 
 

@@ -541,6 +541,44 @@ def jl_project(
     return df.withColumn(out_col, F.array(*comps))
 
 
+def int8_quantize(
+    df: DataFrame,
+    vec_col: str,
+    out_vec: str = "qvec",
+    out_scale: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round(x_i·127/max|x|) as a byte array — the 4× shuffle/
+    storage shrink ANN tiers apply before moving embeddings (the same
+    memory-bound motivation as PQ, but exactly invertible to within
+    half a quantization step and with trivial dequantized dot
+    products: x·y ≈ qscale_x·qscale_y·(qx·qy)).
+
+    Scan-local column arithmetic, zero shuffle. Elements are cast to
+    double BEFORE the multiply/divide (float arithmetic rounds
+    differently per engine) and the expression tree is part of the
+    contract — the oracle replays it for bit-identical doubles going
+    into round(). Zero vectors (max|x| = 0) are dropped (documented
+    convention; quantizing them is meaningless and the scale would
+    divide by zero)."""
+    absx = F.transform(
+        F.col(vec_col), lambda x: F.abs(x.cast("double"))
+    )
+    m = F.array_max(absx)
+    out = df.withColumn("_mx", m).filter(F.col("_mx") > 0)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 127.0 / F.col("_mx")).cast(
+            "byte"
+        ),
+    )
+    return (
+        out.withColumn(out_scale, F.col("_mx") / F.lit(127.0))
+        .withColumn(out_vec, q)
+        .drop("_mx")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

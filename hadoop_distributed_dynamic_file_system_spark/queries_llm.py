@@ -3360,6 +3360,34 @@ def ngram_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "int8_quantized_embeddings",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           mx / 127.0 AS qscale,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS TINYINT))
+             AS qvec
+    FROM m WHERE mx > 0
+    """,
+)
+def int8_quantized_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embeddings table
+    (operators/similarity.int8_quantize) — the 4x shuffle shrink tier;
+    the oracle replays the identical double-cast expression tree, so
+    any scale, rounding-mode, or cast divergence hash-mismatches."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.int8_quantize(e, "embedding").select(
+        "vec_id", "qscale", "qvec"
+    )
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

@@ -254,3 +254,38 @@ class TestJLProjection:
                     ratios.append(dp / do)
         m = float(np.mean(ratios))
         assert 0.5 < m < 1.5, m
+
+
+class TestInt8Quantize:
+    def test_exact_values_and_range(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -2.0, 0.5, 4.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r.vec_id: r for r in sim.int8_quantize(df, "embedding").collect()}
+        r = out[1]
+        # max|x| = 4 -> scale = 4/127; q = round(x*127/4)
+        assert abs(r.qscale - 4.0 / 127) < 1e-15
+        assert list(r.qvec) == [32, -64, 16, 127]
+        # zero vector dropped (documented convention)
+        assert 2 not in out
+
+    def test_dequantized_cosine_close(self, spark):
+        import numpy as np
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
+
+        rows = [(i, [float(((i * 7 + j * 13) % 21) - 10) / 3.0 for j in range(64)])
+                for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r.vec_id: (r.qscale, np.array(r.qvec, dtype=float))
+               for r in sim.int8_quantize(df, "embedding").collect()}
+        orig = {i: np.array(v) for i, v in rows}
+        for i in orig:
+            s, q = out[i]
+            deq = s * q
+            a, b = orig[i], deq
+            cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+            assert cos > 0.999, (i, cos)
