@@ -816,3 +816,37 @@ def streaming_web_curation(
     return deduped.select(
         id_col, text_col, "n_kept", F.round(score, 6).alias("score")
     )
+
+
+def streaming_normalize_chunk(
+    doc_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Ingest-time Unicode-normalize + token-window chunk over an
+    arriving corpus — the context-window prep stage running
+    continuously. Every stage is a stateless projection or generator
+    (Arrow NFC udf, JVM regexps, sequence+posexplode+slice), so the
+    query needs no watermark and no state store; a restart resumes
+    from source offsets alone, and at cluster scale the stage
+    parallelism is the source's partition count (no shuffle is
+    introduced). Emits the same (id, chunk_idx, start_token,
+    n_tokens, chunk_text) rows as the batch twin
+    textnorm.clean_text → textanalysis.chunk_tokens (pinned by
+    TestStreamingNormalizeChunk)."""
+    from ..operators import textanalysis, textnorm
+
+    cleaned = textnorm.clean_text(
+        doc_stream.select(id_col, text_col), text_col
+    )
+    return textanalysis.chunk_tokens(
+        cleaned.select(
+            F.col(id_col), F.col("clean_text").alias(text_col)
+        ),
+        id_col,
+        text_col,
+        max_tokens=max_tokens,
+        overlap=overlap,
+    )

@@ -834,3 +834,46 @@ class TestStreamingMultimodalDecode:
         assert got == want
         assert ("1", "bmp") not in got  # schema sanity: ids stay long
         assert (1, "bmp", 16, 12) in got
+
+
+class TestStreamingNormalizeChunk:
+    def test_stream_matches_batch_composition(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            textanalysis,
+            textnorm,
+        )
+
+        batch = spark.createDataFrame(
+            [
+                (1, "cafe\u0301  one two three four five six seven"),
+                (2, "x \x01 " + " ".join(f"w{i}" for i in range(9))),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        src = tmp_path / "chunk_docs_in"
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src), "doc_id long, text string"
+        )
+        out = ev.run_to_memory(
+            ev.streaming_normalize_chunk(stream, max_tokens=4, overlap=1),
+            "norm_chunk_out",
+        )
+        got = {
+            (r.doc_id, r.chunk_idx, r.start_token, r.n_tokens, r.chunk_text)
+            for r in out.collect()
+        }
+        twin = textanalysis.chunk_tokens(
+            textnorm.clean_text(batch, "text")
+            .select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id", "text", max_tokens=4, overlap=1,
+        )
+        want = {
+            (r.doc_id, r.chunk_idx, r.start_token, r.n_tokens, r.chunk_text)
+            for r in twin.collect()
+        }
+        assert got == want and len(got) > 0
+        # NFC actually ran in the stream: composed é in doc 1's chunk 0
+        c0 = next(t for t in got if t[0] == 1 and t[1] == 0)
+        assert "caf\u00e9" in c0[4]
