@@ -59,7 +59,7 @@ _PRIORITY: list[str] = [
     "warc_gzip_members", "doc_chunks", "bm25_retrieval", "link_graph_rank",
     "normalized_corpus", "kn_bigram_lm_scores",
     "char_entropy_scores", "oov_rate_top_vocab", "jl_projection",
-    "ngram_containment", "int8_quantized_embeddings",
+    "ngram_containment", "int8_quantized_embeddings", "ann_int8_topk",
     "ann_brute_force", "fingerprints",
     "minhash_signatures", "multimodal_decode", "simhash_fingerprints",
     "token_counts", "bad_records_skip", "crash_skip",

@@ -111,6 +111,7 @@ HEADLINE = [
     "jl_projection",
     "ngram_containment",
     "int8_quantized_embeddings",
+    "ann_int8_topk",
 ]
 
 

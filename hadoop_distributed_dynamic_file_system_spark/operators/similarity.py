@@ -579,6 +579,42 @@ def int8_quantize(
     )
 
 
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric quantized retrieval: the corpus side is int8-
+    quantized (4× smaller to shuffle/broadcast/cache — the reason the
+    tier exists), queries stay full precision, and dequantization
+    folds into the score: dot(q, x̂) = qscale·Σ q_i·qvec_i. Same
+    output contract as brute_force_topk ((query_id, vec_id, score,
+    rk), 6dp-rounded before ranking, vec_id tiebreak), so the two are
+    drop-in interchangeable and recall is directly measurable."""
+    qz = int8_quantize(corpus.select(id_col, vec_col), vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = qz.select(
+        id_col,
+        "qscale",
+        F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("cv"),
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col(id_col)).select(
+        "query_id",
+        id_col,
+        F.round(
+            F.col("qscale") * dot(F.col("qv"), F.col("cv")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

@@ -3388,6 +3388,46 @@ def int8_quantized_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_int8_topk",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, mx / 127.0 AS qscale,
+             list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 / mx)
+                              AS TINYINT) AS DOUBLE)) AS cv
+      FROM m WHERE mx > 0
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, vec_id,
+             round(qscale * list_dot_product(qv, cv), 6) AS score
+      FROM c CROSS JOIN q WHERE query_id <> vec_id
+    )
+    SELECT query_id, vec_id, score, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def ann_int8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric int8-quantized top-10 retrieval
+    (operators/similarity.int8_topk): corpus vectors quantized to
+    byte codes (4x smaller), queries full precision, dequantization
+    folded into the dot product — same contract as ann_brute_force,
+    so recall against the exact ranking is directly measurable."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.int8_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

@@ -289,3 +289,38 @@ class TestInt8Quantize:
             a, b = orig[i], deq
             cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
             assert cos > 0.999, (i, cos)
+
+
+class TestInt8TopK:
+    def test_high_recall_vs_exact_dot(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
+
+        rows = [(i, [float(((i * 7 + j * 13) % 21) - 10) / 3.0 for j in range(64)])
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = df.filter("vec_id < 3")
+        got = sim.int8_topk(df, queries, k=5).collect()
+        import numpy as np
+
+        orig = {i: np.array(v) for i, v in rows}
+        for qid in range(3):
+            approx = [r.vec_id for r in got if r.query_id == qid]
+            exact_scores = sorted(
+                ((orig[qid] @ orig[c], c) for c in orig if c != qid),
+                key=lambda t: (-t[0], t[1]),
+            )
+            exact = [c for _, c in exact_scores[:5]]
+            overlap = len(set(approx) & set(exact))
+            assert overlap >= 4, (qid, approx, exact)
+
+    def test_contract_matches_brute_force_shape(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
+
+        df = spark.createDataFrame(
+            [(i, [float(i + j) for j in range(4)]) for i in range(6)],
+            "vec_id long, embedding array<double>",
+        )
+        out = sim.int8_topk(df, df.filter("vec_id = 0"), k=3)
+        assert out.columns == ["query_id", "vec_id", "score", "rk"]
+        rows = out.collect()
+        assert [r.rk for r in sorted(rows, key=lambda r: r.rk)] == [1, 2, 3]
