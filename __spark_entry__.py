@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     "normalized_corpus", "kn_bigram_lm_scores",
     "char_entropy_scores", "oov_rate_top_vocab", "jl_projection",
     "ngram_containment", "int8_quantized_embeddings", "ann_int8_topk",
+    "training_order_shuffle",
     "ann_brute_force", "fingerprints",
     "minhash_signatures", "multimodal_decode", "simhash_fingerprints",
     "token_counts", "bad_records_skip", "crash_skip",

@@ -112,6 +112,7 @@ HEADLINE = [
     "ngram_containment",
     "int8_quantized_embeddings",
     "ann_int8_topk",
+    "training_order_shuffle",
 ]
 
 

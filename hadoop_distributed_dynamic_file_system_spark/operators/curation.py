@@ -350,3 +350,35 @@ def split_by_cluster(
     return df.select(
         F.col(id_col), F.col(cluster_col), expr.alias("split")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    stable pseudo-random position (1..N) by ranking on
+    md5(id || ':' || seed) — the "shuffle the corpus once, same order
+    on every rerun/resume" step a training pipeline takes before
+    sharding examples. A different seed is a different permutation;
+    the same seed is byte-identical across runs and engines (md5 is
+    the repo's portable hash).
+
+    Scale shape: delegates to sort.global_rank — ONE range shuffle on
+    the hash key, per-partition sort, broadcast offsets; never a
+    single-task global window. The hash key is uniform by
+    construction, so range partitions are balanced regardless of id
+    skew (the reason to rank the hash, not the id)."""
+    from .sort import global_rank
+
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    out = global_rank(
+        df.withColumn("_shufkey", key),
+        [F.col("_shufkey"), F.col(id_col)],
+        rank_col=pos_col,
+    )
+    return out.drop("_shufkey")

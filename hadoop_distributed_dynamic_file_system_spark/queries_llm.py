@@ -3428,6 +3428,28 @@ def ann_int8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.int8_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+@query(
+    "training_order_shuffle",
+    """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5(doc_id || ':42'), doc_id)
+             AS shuffle_pos
+    FROM documents
+    """,
+)
+def training_order_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (operators/curation.deterministic_shuffle, seed 42): stable
+    pseudo-random position per document by ranking md5(id||':'||seed)
+    through the scale-safe global_rank (one range shuffle + broadcast
+    offsets — never a single-task window, which is what the oracle's
+    row_number() compiles to and why the operator exists)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return curation.deterministic_shuffle(d, "doc_id", seed=42).select(
+        "doc_id", F.col("shuffle_pos").cast("bigint").alias("shuffle_pos")
+    )
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

@@ -1503,3 +1503,20 @@ class TestNgramContainment:
         b = spark.createDataFrame([(2, t)], "doc_id long, text string")
         r = dedup.ngram_containment_pairs(a, b, "doc_id", "text").collect()[0]
         assert r.containment_a_in_b == 1.0 and r.containment_b_in_a == 1.0
+
+
+class TestDeterministicShuffle:
+    def test_permutation_stable_and_seeded(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import curation
+
+        df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        a = {r.doc_id: r.shuffle_pos for r in curation.deterministic_shuffle(df, "doc_id").collect()}
+        b = {r.doc_id: r.shuffle_pos for r in curation.deterministic_shuffle(df, "doc_id").collect()}
+        assert a == b                                  # rerun-stable
+        assert sorted(a.values()) == list(range(1, 51))  # true permutation
+        c = {r.doc_id: r.shuffle_pos for r in
+             curation.deterministic_shuffle(df, "doc_id", seed=7).collect()}
+        assert c != a                                  # seed changes order
+        assert sorted(c.values()) == list(range(1, 51))
+        # actually shuffled, not identity
+        assert a != {i: i + 1 for i in range(50)}
