@@ -113,6 +113,7 @@ HEADLINE = [
     "int8_quantized_embeddings",
     "ann_int8_topk",
     "training_order_shuffle",
+    "script_profile",
 ]
 
 

@@ -70,3 +70,51 @@ def clean_text(
     c = F.regexp_replace(c, CTRL_CLASS, "")
     c = F.regexp_replace(c, WS_CLASS, " ")
     return df.withColumn(out_col, F.trim(c))
+
+
+# portable char classes (Java regex and RE2 agree on every one)
+_CLASS_RES = {
+    "letter": r"[A-Za-z]",
+    "digit": r"[0-9]",
+    "space": r"[ \t\n\x0B\f\r]",
+    "nonascii": r"[^\x00-\x7F]",
+}
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-class profile: fractions of ASCII
+    letters, digits, whitespace, non-ASCII, and (by remainder) ASCII
+    punctuation/symbols — the cheap charset/script diagnostic a crawl
+    pipeline uses to route documents (binary-ish payloads spike the
+    punctuation residue, non-Latin scripts spike nonascii_frac,
+    boilerplate code spikes digits+punct).
+
+    Counting is `length(text) − length(regexp_replace(text, class,
+    ''))` per class — pure codegen regexps over one scan, no shuffle,
+    and the identical expression runs in the DuckDB oracle (the
+    classes avoid `\\s`/`\\w`, where Java and RE2 disagree).
+    Zero-length documents are absent (n-gram family convention)."""
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def frac(cls: str) -> Column:
+        kept = n - F.length(F.regexp_replace(t, _CLASS_RES[cls], ""))
+        return F.round(kept / n.cast("double"), 6)
+
+    out = df.filter(n > 0).select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        frac("letter").alias("letter_frac"),
+        frac("digit").alias("digit_frac"),
+        frac("space").alias("space_frac"),
+        frac("nonascii").alias("nonascii_frac"),
+    )
+    other = F.round(
+        F.lit(1.0)
+        - F.col("letter_frac")
+        - F.col("digit_frac")
+        - F.col("space_frac")
+        - F.col("nonascii_frac"),
+        6,
+    )
+    return out.withColumn("other_frac", other)

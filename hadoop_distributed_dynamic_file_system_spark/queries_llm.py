@@ -3450,6 +3450,51 @@ def training_order_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "script_profile",
+    """
+    WITH d AS (
+      SELECT doc_id, text || ' ' || chr(233) || (doc_id % 100) || '!'
+               AS t
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+        round((len(t) - len(regexp_replace(t, '[A-Za-z]', '', 'g')))
+              / CAST(len(t) AS DOUBLE), 6) AS letter_frac,
+        round((len(t) - len(regexp_replace(t, '[0-9]', '', 'g')))
+              / CAST(len(t) AS DOUBLE), 6) AS digit_frac,
+        round((len(t) - len(regexp_replace(t, '[ \\t\\n\\x0B\\f\\r]', '', 'g')))
+              / CAST(len(t) AS DOUBLE), 6) AS space_frac,
+        round((len(t) - len(regexp_replace(t, '[^\\x00-\\x7F]', '', 'g')))
+              / CAST(len(t) AS DOUBLE), 6) AS nonascii_frac
+      FROM d WHERE len(t) > 0
+    )
+    SELECT *, round(1.0 - letter_frac - digit_frac - space_frac
+                    - nonascii_frac, 6) AS other_frac
+    FROM f
+    """,
+)
+def script_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile (operators/textnorm.script_profile)
+    over documents with injected non-ASCII, digits, and punctuation —
+    the charset/script routing diagnostic; pure codegen regexps, one
+    scan, zero shuffle, identical classes in the oracle."""
+    from .operators import textnorm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" é"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("!"),
+        ).alias("text"),
+    )
+    return textnorm.script_profile(fixture, "doc_id", "text")
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

@@ -192,3 +192,22 @@ class TestEmptyDocRobustness:
         assert out[1].dup_line_char_frac is None  # zero line chars
         assert out[1].dup_line_frac == round(2 / 3, 6)  # 3 empty lines
         assert out[2].dup_line_frac == round(1 / 3, 6)
+
+
+class TestScriptProfile:
+    def test_hand_computed_fractions(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textnorm
+
+        # 10 chars: 4 letters, 2 digits, 2 spaces, 1 non-ascii, 1 punct
+        df = spark.createDataFrame(
+            [(1, "ab cd 12é!"), (2, "")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in textnorm.script_profile(df, "doc_id", "text").collect()}
+        r = out[1]
+        assert r.n_chars == 10
+        assert r.letter_frac == 0.4
+        assert r.digit_frac == 0.2
+        assert r.space_frac == 0.2
+        assert r.nonascii_frac == 0.1
+        assert r.other_frac == 0.1
+        assert 2 not in out
