@@ -3495,6 +3495,95 @@ def script_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textnorm.script_profile(fixture, "doc_id", "text")
 
 
+@query(
+    "lsh_recall_report",
+    f"""
+    WITH {_SQL_DOCS_DUP.strip()},
+    ea AS (
+      SELECT DISTINCT doc_id AS id_a, unnest({_SQL_SHINGLES.format(t="text")}) AS sh
+      FROM docs2 WHERE doc_id < 100000
+    ),
+    eb AS (
+      SELECT DISTINCT doc_id AS id_b, unnest({_SQL_SHINGLES.format(t="text")}) AS sh
+      FROM docs2 WHERE doc_id >= 100000
+    ),
+    na AS (SELECT id_a, count(*) AS n_a FROM ea GROUP BY id_a),
+    nb AS (SELECT id_b, count(*) AS n_b FROM eb GROUP BY id_b),
+    common AS (
+      SELECT id_a, id_b, count(*) AS n_common
+      FROM ea JOIN eb USING (sh) GROUP BY id_a, id_b
+    ),
+    truth AS (
+      SELECT id_a, id_b
+      FROM common JOIN na USING (id_a) JOIN nb USING (id_b)
+      WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
+    ),
+    sigs AS ({_minhash_sql(8, "docs2")}),
+    banded AS (
+      SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS bkey FROM sigs
+      UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sigs
+      UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sigs
+      UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE a.doc_id < 100000 AND b.doc_id >= 100000
+    ),
+    hits AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           round((SELECT count(*) FROM hits)
+                 / (SELECT count(*) FROM truth), 6) AS recall,
+           round((SELECT count(*) FROM hits)
+                 / (SELECT count(*) FROM cand), 6) AS precision
+    """,
+)
+def lsh_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report of the near-dedup funnel itself:
+    ground truth = cross-half pairs with EXACT 3-gram Jaccard ≥ 0.5
+    (the shingle equi-join), candidates = the MinHash-LSH band join
+    (k=8, bands=4) restricted to the same cross-half orientation;
+    recall/precision from the pair intersection. The operator an
+    engineer runs before trusting LSH parameters at 100 TB — both
+    funnels are the production plans, only the final counts are
+    scalars."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    a = corpus.filter(F.col("doc_id") < 100000)
+    b = corpus.filter(F.col("doc_id") >= 100000)
+    truth = tracked_persist(
+        dedup.ngram_jaccard_pairs(
+            a, b, "doc_id", "text", threshold=0.5
+        ).select("id_a", "id_b")
+    )
+    sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
+    cand = tracked_persist(
+        dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+        .filter((F.col("id_a") < 100000) & (F.col("id_b") >= 100000))
+        .select("id_a", "id_b")
+    )
+    nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    nh = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return (
+        nt.join(nc)
+        .join(nh)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+            F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias(
+                "precision"
+            ),
+        )
+    )
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]
