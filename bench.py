@@ -114,6 +114,7 @@ HEADLINE = [
     "ann_int8_topk",
     "training_order_shuffle",
     "script_profile",
+    "normalized_dedup",
 ]
 
 

@@ -3584,6 +3584,55 @@ def lsh_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _normalized_dedup_sql() -> str:
+    from .operators.textnorm import CTRL_CLASS, WS_CLASS
+
+    return f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id,
+             regexp_replace(text, ' ', '  ', 'g') || ' ' AS text
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+          '{CTRL_CLASS}', '', 'g'), '{WS_CLASS}', ' ', 'g')) AS t
+      FROM docs2
+    )
+    SELECT md5(t) AS content_hash, min(doc_id) AS keeper,
+           count(*) AS n_copies
+    FROM cleaned GROUP BY md5(t)
+    """
+
+
+@query("normalized_dedup", _normalized_dedup_sql())
+def normalized_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-dedup composition: planted variants differing
+    only in whitespace runs and trailing space hash differently raw
+    (byte-level exact dedup misses them all) but collapse onto their
+    originals after textnorm.clean_text — every cluster here has
+    n_copies = 2, which is the pipeline-ordering argument for running
+    normalization before the hash pass. Plan: Arrow NFC + regexps,
+    then the standard md5-key aggregation; nothing but 16-byte hashes
+    shuffles."""
+    from .operators import textnorm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.regexp_replace("text", " ", "  "), F.lit(" ")
+        ).alias("text"),
+    )
+    both = d.unionByName(variants)
+    cleaned = textnorm.clean_text(both, "text").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    return dedup.exact_dedup(cleaned, ["text"], "doc_id")
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]
