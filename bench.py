@@ -115,6 +115,7 @@ HEADLINE = [
     "training_order_shuffle",
     "script_profile",
     "normalized_dedup",
+    "crawl_to_chunks_pipeline",
 ]
 
 

@@ -3633,6 +3633,136 @@ def normalized_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(cleaned, ["text"], "doc_id")
 
 
+def _crawl_to_chunks_sql() -> str:
+    from .operators.textnorm import CTRL_CLASS, WS_CLASS
+
+    return f"""
+    WITH ingested AS (
+      SELECT doc_id,
+             'site' || (doc_id % 50) || '.example.com' AS host,
+             text
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, host,
+        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+          '{CTRL_CLASS}', '', 'g'), '{WS_CLASS}', ' ', 'g')) AS t
+      FROM ingested
+    ),
+    kept AS (
+      SELECT c.doc_id, c.host, c.t,
+             len(list_filter(string_split_regex(lower(c.t), '\\s+'),
+                             w -> w <> '')) AS nw
+      FROM cleaned c
+      JOIN (SELECT md5(t) AS h, min(doc_id) AS keeper
+            FROM cleaned GROUP BY md5(t)) k
+        ON md5(c.t) = k.h AND c.doc_id = k.keeper
+      WHERE len(list_filter(string_split_regex(lower(c.t), '\\s+'),
+                            w -> w <> '')) >= 10
+    ),
+    w AS (
+      SELECT doc_id, host,
+             list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '')
+               AS words
+      FROM kept
+    ),
+    s AS (
+      SELECT doc_id, host, words,
+             unnest(range(0, len(words), 16)) AS start
+      FROM w WHERE len(words) > 0
+    )
+    SELECT doc_id, host,
+      CAST(start // 16 AS INT) AS chunk_idx,
+      CAST(start AS BIGINT) AS start_token,
+      CAST(len(list_slice(words, start + 1, start + 24)) AS BIGINT)
+        AS n_tokens,
+      array_to_string(list_slice(words, start + 1, start + 24), ' ')
+        AS chunk_text
+    FROM s
+    """
+
+
+@query("crawl_to_chunks_pipeline", _crawl_to_chunks_sql())
+def crawl_to_chunks_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole crawl-ingestion story as ONE plan — the flagship
+    composition of this round's additions:
+
+      per-record-gzip WARC blobs → member inflate → header parse →
+      URL hygiene gate (ad host dropped) → Unicode normalize →
+      exact dedup (post-normalization, keeper wins) →
+      Gopher-lite length gate (≥10 tokens) → token-window chunking
+
+    The fixture packs each document's text as a WARC response member
+    plus an ad-host record per blob; the oracle is the roundtrip
+    identity for ingestion and then replays normalize/dedup/gate/
+    chunking relationally. Plan shape: one Arrow inflate stage and
+    one Arrow NFC stage, the dedup winner election is the only
+    shuffle before the scan-local chunk explode — at 100 TB this is
+    decompression-bound ingest plus a 16-byte-key shuffle, exactly
+    the production crawl pipeline."""
+    import pandas as pd
+
+    from .operators import dedup as _dedup
+    from .operators import textnorm
+    from .sources import warc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    crlf = "\r\n"
+
+    def rec(u: str, b: str) -> str:
+        return (
+            f"WARC/1.0{crlf}WARC-Type: response{crlf}"
+            f"WARC-Target-URI: {u}{crlf}"
+            f"Content-Length: {len(b)}{crlf}{crlf}{b}{crlf}{crlf}"
+        )
+
+    def build(it):
+        for pdf in it:
+            blobs = []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                r0 = rec(f"https://site{i % 50}.example.com/page/{i}", txt)
+                r1 = rec("https://ads.example.com/banner", "ad payload")
+                blobs.append(
+                    warc.gzip_member(r0.encode()) + warc.gzip_member(r1.encode())
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = d.mapInPandas(build, "doc_id bigint, blob binary")
+    recs = warc.explode_gzip_member_records(blobs, "doc_id", "blob")
+    parsed = recs.select(
+        "doc_id", warc.parse_warc_record(F.col("record")).alias("r")
+    ).select(
+        "doc_id",
+        warc.url_host(F.col("r.target_uri")).alias("host"),
+        F.col("r.body").alias("text"),
+        F.col("r.target_uri").alias("url"),
+    )
+    gated = warc.url_filter(parsed, "url", blocked_host_re=r"^ads\.").drop(
+        "url"
+    )
+    cleaned = textnorm.clean_text(gated, "text").select(
+        "doc_id", "host", F.col("clean_text").alias("text")
+    )
+    # post-normalization exact dedup: keep the keeper row only
+    keepers = _dedup.exact_dedup(cleaned, ["text"], "doc_id").select(
+        F.col("keeper").alias("doc_id")
+    )
+    kept = cleaned.join(keepers, "doc_id")
+    kept = kept.filter(
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""))
+        >= 10
+    )
+    chunks = textanalysis.chunk_tokens(
+        kept, "doc_id", "text", max_tokens=24, overlap=8
+    )
+    return chunks.join(
+        kept.select("doc_id", "host"), "doc_id"
+    ).select(
+        "doc_id", "host", "chunk_idx", "start_token", "n_tokens", "chunk_text"
+    )
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

@@ -81,6 +81,9 @@ class TestPlanQuality:
                                             # work — genuinely non-Catalyst)
             "normalized_corpus",            # pandas_udf NFC composition
                                             # (Unicode tables — non-Catalyst)
+            "normalized_dedup",             # same NFC stage before dedup
+            "crawl_to_chunks_pipeline",     # gzip inflate + NFC stages of
+                                            # the flagship ingest pipeline
         }
         for name, fn in q.QUERIES.items():
             plan = plan_of(fn(spark, sf_dir))
