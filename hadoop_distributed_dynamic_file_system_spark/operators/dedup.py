@@ -375,6 +375,43 @@ def simhash_near_pairs(
 
 
 # ------------------------------------------------------------------ jaccard
+def _pairwise_shingle_stats(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    cache: bool,
+    hash_shingles: bool,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the pairwise shingle-overlap metrics
+    (Jaccard, containment): distinct shingles per side (8-byte
+    xxhash64 keys under `hash_shingles`), per-doc counts, and the
+    intersection sizes from one equi-join. Returns (common, na, nb)
+    with columns (id_a, id_b, n_common) / (id_a, n_a) / (id_b, n_b);
+    only pairs sharing >= 1 shingle ever materialize in `common`."""
+    def exploded(df: DataFrame, side: str) -> DataFrame:
+        out = exploded_shingles(df, id_col, text_col, shingle_n).withColumnRenamed(
+            id_col, f"id_{side}"
+        )
+        if hash_shingles:
+            out = out.select(f"id_{side}", F.xxhash64("sh").alias("sh"))
+        out = out.distinct()
+        if cache:
+            out = tracked_persist(out)  # eager — both consumers race otherwise
+        return out
+
+    ea, eb = exploded(df_a, "a"), exploded(df_b, "b")
+    na = ea.groupBy("id_a").agg(F.count("*").alias("n_a"))
+    nb = eb.groupBy("id_b").agg(F.count("*").alias("n_b"))
+    common = (
+        ea.join(eb, "sh")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return common, na, nb
+
+
 def ngram_jaccard_pairs(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -402,24 +439,8 @@ def ngram_jaccard_pairs(
     billion distinct shingles, ~3%·ε; disable for a provably exact
     answer).
     """
-    def exploded(df: DataFrame, side: str) -> DataFrame:
-        out = exploded_shingles(df, id_col, text_col, shingle_n).withColumnRenamed(
-            id_col, f"id_{side}"
-        )
-        if hash_shingles:
-            out = out.select(f"id_{side}", F.xxhash64("sh").alias("sh"))
-        out = out.distinct()
-        if cache:
-            out = tracked_persist(out)  # eager — both consumers race otherwise
-        return out
-
-    ea, eb = exploded(df_a, "a"), exploded(df_b, "b")
-    na = ea.groupBy("id_a").agg(F.count("*").alias("n_a"))
-    nb = eb.groupBy("id_b").agg(F.count("*").alias("n_b"))
-    common = (
-        ea.join(eb, "sh")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    common, na, nb = _pairwise_shingle_stats(
+        df_a, df_b, id_col, text_col, shingle_n, cache, hash_shingles
     )
     return (
         common.join(na, "id_a")
@@ -459,24 +480,8 @@ def ngram_containment_pairs(
     for the intersection, per-doc counts joined back — only pairs
     sharing ≥1 shingle ever materialize; pairs survive when EITHER
     direction reaches `threshold`."""
-    def exploded(df: DataFrame, side: str) -> DataFrame:
-        out = exploded_shingles(df, id_col, text_col, shingle_n).withColumnRenamed(
-            id_col, f"id_{side}"
-        )
-        if hash_shingles:
-            out = out.select(f"id_{side}", F.xxhash64("sh").alias("sh"))
-        out = out.distinct()
-        if cache:
-            out = tracked_persist(out)
-        return out
-
-    ea, eb = exploded(df_a, "a"), exploded(df_b, "b")
-    na = ea.groupBy("id_a").agg(F.count("*").alias("n_a"))
-    nb = eb.groupBy("id_b").agg(F.count("*").alias("n_b"))
-    common = (
-        ea.join(eb, "sh")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    common, na, nb = _pairwise_shingle_stats(
+        df_a, df_b, id_col, text_col, shingle_n, cache, hash_shingles
     )
     c_ab = F.round(F.col("n_common") / F.col("n_a"), 6)
     c_ba = F.round(F.col("n_common") / F.col("n_b"), 6)

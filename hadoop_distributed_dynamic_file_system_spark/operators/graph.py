@@ -267,6 +267,10 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge set -> empty rank relation, not a ZeroDivisionError
+        # (same tolerance convention as the zero-word/zero-char text ops)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     ed = cache.tracked_persist(e.join(deg, "src"))
     # the dangling SET is fixed across rounds (only its mass changes):
     # resolve it once, and when it's empty — every symmetrized graph —

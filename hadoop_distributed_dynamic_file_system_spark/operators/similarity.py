@@ -588,26 +588,26 @@ def int8_topk(
 ) -> DataFrame:
     """Asymmetric quantized retrieval: the corpus side is int8-
     quantized (4× smaller to shuffle/broadcast/cache — the reason the
-    tier exists), queries stay full precision, and dequantization
-    folds into the score: dot(q, x̂) = qscale·Σ q_i·qvec_i. Same
-    output contract as brute_force_topk ((query_id, vec_id, score,
-    rk), 6dp-rounded before ranking, vec_id tiebreak), so the two are
-    drop-in interchangeable and recall is directly measurable."""
+    tier exists), queries stay full precision, and the score is the
+    COSINE against the quantized codes — the per-vector qscale cancels
+    in cosine, so ranking needs only the byte array. Scoring cosine
+    (not raw dot) keeps the metric identical to brute_force_topk's,
+    so the same output contract ((query_id, vec_id, score, rk),
+    6dp-rounded before ranking, vec_id tiebreak) makes the two
+    genuinely drop-in interchangeable and recall attributable to
+    quantization alone, not a metric change."""
     qz = int8_quantize(corpus.select(id_col, vec_col), vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
     c = qz.select(
         id_col,
-        "qscale",
         F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("cv"),
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col(id_col)).select(
         "query_id",
         id_col,
-        F.round(
-            F.col("qscale") * dot(F.col("qv"), F.col("cv")), 6
-        ).alias("score"),
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return scored.withColumn("rk", F.row_number().over(w)).filter(

@@ -161,6 +161,7 @@ def chunk_tokens(
     text_col: str,
     max_tokens: int = 128,
     overlap: int = 16,
+    lowercase: bool = True,
 ) -> DataFrame:
     """Sliding-window token chunking — the context-window prep step of
     a training/RAG pipeline (split each document into chunks of at most
@@ -170,14 +171,29 @@ def chunk_tokens(
     (0, stride, 2·stride … < n_tokens), posexplode, slice the bound
     token array — no Python, no shuffle, chunking is scan-local and
     the output is ~(1 + overlap/stride)× the input in tokens. Zero-
-    token documents emit no chunks. Reference parity: the fixed-size
-    record re-blocking idea of NLineInputFormat
+    token documents emit no chunks.
+
+    `lowercase=True` (default) tokenizes with the module's `_words`
+    rule — lower + ASCII-whitespace split — so chunk_text is CASE-
+    FOLDED, consistent with every other operator in this family and
+    with the DuckDB oracles; pass lowercase=False to preserve the
+    original casing (same split, no fold) when chunks must remain
+    verbatim text. Reference parity: the fixed-size record
+    re-blocking idea of NLineInputFormat
     (src/mapred/.../lib/NLineInputFormat.java) applied at token
     granularity."""
     if not 0 <= overlap < max_tokens:
         raise ValueError(f"need 0 <= overlap({overlap}) < max_tokens({max_tokens})")
     stride = max_tokens - overlap
-    bound = _with_words(df, text_col)
+    if lowercase:
+        bound = _with_words(df, text_col)
+    else:
+        bound = df.withColumn(
+            "_words",
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+            ),
+        )
     n = F.size("_words")
     starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
     exploded = bound.filter(n > 0).select(

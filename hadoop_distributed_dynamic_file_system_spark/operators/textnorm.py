@@ -33,21 +33,10 @@ WS_CLASS = r"[ \t\n\x0B\f\r]+"
 CTRL_CLASS = r"[\x00-\x08\x0E-\x1F\x7F]"
 
 
-def nfc_udf():
-    """Vectorized NFC normalizer (fresh udf per call: a module-level
-    pandas_udf would capture a SparkSession at import time)."""
-
-    @pandas_udf("string")
-    def nfc(s: pd.Series) -> pd.Series:
-        return s.str.normalize("NFC")
-
-    return nfc
-
-
 def unicode_normalize(col: Column, form: str = "NFC") -> Column:
-    """NFC/NFKC/NFD/NFKD canonicalization of a string column."""
-    if form == "NFC":
-        return nfc_udf()(col)
+    """NFC/NFKC/NFD/NFKD canonicalization of a string column (fresh
+    pandas_udf per call: a module-level udf would capture a
+    SparkSession at import time)."""
 
     @pandas_udf("string")
     def norm(s: pd.Series) -> pd.Series:

@@ -2983,14 +2983,7 @@ def warc_gzip_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import warc
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    crlf = "\r\n"
-
-    def rec(u: str, b: str) -> str:
-        return (
-            f"WARC/1.0{crlf}WARC-Type: response{crlf}"
-            f"WARC-Target-URI: {u}{crlf}"
-            f"Content-Length: {len(b)}{crlf}{crlf}{b}{crlf}{crlf}"
-        )
+    rec = warc.response_record
 
     def build(it):
         for pdf in it:
@@ -3398,7 +3391,7 @@ def int8_quantized_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     c AS (
-      SELECT vec_id, mx / 127.0 AS qscale,
+      SELECT vec_id,
              list_transform(embedding,
                x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 / mx)
                               AS TINYINT) AS DOUBLE)) AS cv
@@ -3408,7 +3401,9 @@ def int8_quantized_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM embeddings WHERE vec_id < 5),
     scored AS (
       SELECT query_id, vec_id,
-             round(qscale * list_dot_product(qv, cv), 6) AS score
+             round(list_dot_product(qv, cv) /
+                   sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)),
+                   6) AS score
       FROM c CROSS JOIN q WHERE query_id <> vec_id
     )
     SELECT query_id, vec_id, score, rk FROM (
@@ -3421,9 +3416,10 @@ def int8_quantized_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_int8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric int8-quantized top-10 retrieval
     (operators/similarity.int8_topk): corpus vectors quantized to
-    byte codes (4x smaller), queries full precision, dequantization
-    folded into the dot product — same contract as ann_brute_force,
-    so recall against the exact ranking is directly measurable."""
+    byte codes (4x smaller), queries full precision, cosine against
+    the codes (qscale cancels) — the same metric and contract as
+    ann_brute_force, so recall loss is attributable to quantization
+    alone."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.int8_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
@@ -3707,14 +3703,7 @@ def crawl_to_chunks_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import warc
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    crlf = "\r\n"
-
-    def rec(u: str, b: str) -> str:
-        return (
-            f"WARC/1.0{crlf}WARC-Type: response{crlf}"
-            f"WARC-Target-URI: {u}{crlf}"
-            f"Content-Length: {len(b)}{crlf}{crlf}{b}{crlf}{crlf}"
-        )
+    rec = warc.response_record
 
     def build(it):
         for pdf in it:
@@ -3741,17 +3730,28 @@ def crawl_to_chunks_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = warc.url_filter(parsed, "url", blocked_host_re=r"^ads\.").drop(
         "url"
     )
-    cleaned = textnorm.clean_text(gated, "text").select(
-        "doc_id", "host", F.col("clean_text").alias("text")
+    # cleaned feeds the keeper aggregation AND the keeper join; kept
+    # feeds the chunker AND the host re-join — persist both, or the
+    # gzip-inflate + NFC Arrow stages re-execute once per consumer
+    # (the plan showed 8 MapInPandas nodes unpersisted; with these two
+    # persists the docstring's one-inflate/one-NFC shape is real)
+    cleaned = tracked_persist(
+        textnorm.clean_text(gated, "text").select(
+            "doc_id", "host", F.col("clean_text").alias("text")
+        )
     )
     # post-normalization exact dedup: keep the keeper row only
     keepers = _dedup.exact_dedup(cleaned, ["text"], "doc_id").select(
         F.col("keeper").alias("doc_id")
     )
     kept = cleaned.join(keepers, "doc_id")
-    kept = kept.filter(
-        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""))
-        >= 10
+    kept = tracked_persist(
+        kept.filter(
+            F.size(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+            )
+            >= 10
+        )
     )
     chunks = textanalysis.chunk_tokens(
         kept, "doc_id", "text", max_tokens=24, overlap=8

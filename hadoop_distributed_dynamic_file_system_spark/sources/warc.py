@@ -65,6 +65,20 @@ def parse_warc_record(record: Column) -> Column:
     )
 
 
+def response_record(uri: str, body: str) -> str:
+    """One WARC/1.0 response record as text (CRLF framing,
+    Content-Length = character length of the body) — the single
+    fixture-side twin of `parse_warc_record`, so every test/query
+    builder shares one record format and cannot drift from the
+    parser's header/body expectations."""
+    crlf = "\r\n"
+    return (
+        f"WARC/1.0{crlf}WARC-Type: response{crlf}"
+        f"WARC-Target-URI: {uri}{crlf}"
+        f"Content-Length: {len(body)}{crlf}{crlf}{body}{crlf}{crlf}"
+    )
+
+
 def gzip_member(payload: bytes) -> bytes:
     """One gzip MEMBER (RFC 1952) for `payload`, deterministic: fixed
     compression level, and zlib's gzip wrapper writes MTIME=0/OS=255

@@ -1520,3 +1520,26 @@ class TestDeterministicShuffle:
         assert sorted(c.values()) == list(range(1, 51))
         # actually shuffled, not identity
         assert a != {i: i + 1 for i in range(50)}
+
+
+class TestChunkTokensCase:
+    def test_lowercase_false_preserves_text(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.createDataFrame([(1, "The CEO of IBM")], "doc_id long, text string")
+        folded = ta.chunk_tokens(df, "doc_id", "text", max_tokens=4, overlap=0).collect()
+        verbatim = ta.chunk_tokens(
+            df, "doc_id", "text", max_tokens=4, overlap=0, lowercase=False
+        ).collect()
+        assert folded[0].chunk_text == "the ceo of ibm"
+        assert verbatim[0].chunk_text == "The CEO of IBM"
+
+
+class TestPageRankEmptyGraph:
+    def test_empty_edges_return_empty_ranks(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import graph
+
+        empty = spark.createDataFrame([], "src string, dst string")
+        out = graph.pagerank(empty, iterations=3)
+        assert out.columns == ["node", "rank"]
+        assert out.count() == 0

@@ -292,7 +292,9 @@ class TestInt8Quantize:
 
 
 class TestInt8TopK:
-    def test_high_recall_vs_exact_dot(self, spark):
+    def test_high_recall_vs_brute_force(self, spark):
+        # the drop-in claim, tested literally: same metric (cosine),
+        # same contract, recall measured against brute_force_topk
         from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
 
         rows = [(i, [float(((i * 7 + j * 13) % 21) - 10) / 3.0 for j in range(64)])
@@ -300,18 +302,12 @@ class TestInt8TopK:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         queries = df.filter("vec_id < 3")
         got = sim.int8_topk(df, queries, k=5).collect()
-        import numpy as np
-
-        orig = {i: np.array(v) for i, v in rows}
+        exact = sim.brute_force_topk(df, queries, k=5).collect()
         for qid in range(3):
-            approx = [r.vec_id for r in got if r.query_id == qid]
-            exact_scores = sorted(
-                ((orig[qid] @ orig[c], c) for c in orig if c != qid),
-                key=lambda t: (-t[0], t[1]),
-            )
-            exact = [c for _, c in exact_scores[:5]]
-            overlap = len(set(approx) & set(exact))
-            assert overlap >= 4, (qid, approx, exact)
+            approx_ids = {r.vec_id for r in got if r.query_id == qid}
+            exact_ids = {r.vec_id for r in exact if r.query_id == qid}
+            overlap = len(approx_ids & exact_ids)
+            assert overlap >= 4, (qid, approx_ids, exact_ids)
 
     def test_contract_matches_brute_force_shape(self, spark):
         from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
