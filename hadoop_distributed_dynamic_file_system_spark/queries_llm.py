@@ -3678,31 +3678,17 @@ def _crawl_to_chunks_sql() -> str:
     """
 
 
-@query("crawl_to_chunks_pipeline", _crawl_to_chunks_sql())
-def crawl_to_chunks_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole crawl-ingestion story as ONE plan — the flagship
-    composition of this round's additions:
-
-      per-record-gzip WARC blobs → member inflate → header parse →
-      URL hygiene gate (ad host dropped) → Unicode normalize →
-      exact dedup (post-normalization, keeper wins) →
-      Gopher-lite length gate (≥10 tokens) → token-window chunking
-
-    The fixture packs each document's text as a WARC response member
-    plus an ad-host record per blob; the oracle is the roundtrip
-    identity for ingestion and then replays normalize/dedup/gate/
-    chunking relationally. Plan shape: one Arrow inflate stage and
-    one Arrow NFC stage, the dedup winner election is the only
-    shuffle before the scan-local chunk explode — at 100 TB this is
-    decompression-bound ingest plus a 16-byte-key shuffle, exactly
-    the production crawl pipeline."""
+def crawl_to_chunks(d: DataFrame) -> DataFrame:
+    """The crawl-ingestion pipeline over a (doc_id, text) corpus —
+    the reusable body of `crawl_to_chunks_pipeline` (the query binds
+    it to the documents table; tools/stress.py drives it with a 16×
+    amplified corpus)."""
     import pandas as pd
 
     from .operators import dedup as _dedup
     from .operators import textnorm
     from .sources import warc
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     rec = warc.response_record
 
     def build(it):
@@ -3761,6 +3747,30 @@ def crawl_to_chunks_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "host", "chunk_idx", "start_token", "n_tokens", "chunk_text"
     )
+
+
+@query("crawl_to_chunks_pipeline", _crawl_to_chunks_sql())
+def crawl_to_chunks_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole crawl-ingestion story as ONE plan — the flagship
+    composition of this round's additions:
+
+      per-record-gzip WARC blobs → member inflate → header parse →
+      URL hygiene gate (ad host dropped) → Unicode normalize →
+      exact dedup (post-normalization, keeper wins) →
+      Gopher-lite length gate (≥10 tokens) → token-window chunking
+
+    The fixture packs each document's text as a WARC response member
+    plus an ad-host record per blob; the oracle is the roundtrip
+    identity for ingestion and then replays normalize/dedup/gate/
+    chunking relationally. Plan shape: one Arrow inflate stage and
+    one Arrow NFC stage, the dedup winner election is the only
+    shuffle before the scan-local chunk explode — at 100 TB this is
+    decompression-bound ingest plus a 16-byte-key shuffle, exactly
+    the production crawl pipeline."""
+    return crawl_to_chunks(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
 
 
 _BPE_FIXED_MERGES = [

@@ -194,6 +194,21 @@ def main() -> None:
             lambda c=corpus: ta.bpe_learn_distributed(c, "text", n_merges=10),
         )
 
+    # crawl-to-chunks flagship at 1x and 16x documents: the gzip-member
+    # ingest path (compress fixture + inflate + NFC + dedup + chunk);
+    # flat-or-falling us/doc on the 16x step pins the pipeline as
+    # decompression/scan-bound with its one 16-byte-key shuffle
+    from hadoop_distributed_dynamic_file_system_spark.queries_llm import (
+        crawl_to_chunks,
+    )
+
+    for copies in (1, 16):
+        corpus = amplified(copies)
+        bench(
+            f"crawl_to_chunks_x{copies}", base * copies,
+            lambda c=corpus: noop(crawl_to_chunks(c)),
+        )
+
     # PageRank on synthetic graphs at 1M and 10M edges (3 iterations,
     # avg out-degree 10, no dangling by construction): falling us/edge
     # on the 10x step pins the loop as edge-bound — the per-iteration
@@ -235,6 +250,11 @@ def main() -> None:
         "words (10 merge iterations each, all cluster-side); flat-or-",
         "falling us/word on the 10x vocabulary is the evidence the",
         "per-merge fold is vocabulary-bound, not driver-bound.",
+        "",
+        "`crawl_to_chunks_x{1,16}` rows = DOCUMENTS through the whole",
+        "flagship ingest (gzip-member compress fixture + inflate + NFC",
+        "+ dedup + chunk); falling us/doc on the 16x step pins it as",
+        "decompression/scan-bound around its one 16-byte-key shuffle.",
         "",
         "`pagerank_edges_{1,10}m` rows = EDGES (synthetic, avg",
         "out-degree 10, 3 power iterations); falling us/edge on the",
