@@ -116,6 +116,7 @@ HEADLINE = [
     "script_profile",
     "normalized_dedup",
     "crawl_to_chunks_pipeline",
+    "ann_ivf_int8",
 ]
 
 

@@ -615,6 +615,37 @@ def int8_topk(
     )
 
 
+def ivf_int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF over int8-quantized inverted lists — the memory-bound AND
+    selective tier: bucket pruning cuts the scanned fraction to
+    nprobe/num_centroids (the IVF win) while the lists themselves
+    store byte codes, 4× smaller to cache/shuffle (the int8 win).
+    Scoring is cosine against the codes — the per-vector scale cancels
+    — so the metric matches every other ANN tier and recall
+    decomposes cleanly: loss vs brute force = bucket-miss (IVF)
+    + quantization (int8), each measurable against the intermediate
+    tiers. Composition: quantize the assigned relation, then the
+    standard bucket-pruned probe join scores the code arrays
+    directly."""
+    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    codes = int8_quantize(assigned, "cv").select(
+        F.col(id_col),
+        "centroid_id",
+        F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("cv"),
+    )
+    return _probe_assigned(
+        codes, queries, centroids, id_col, vec_col, k, nprobe
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

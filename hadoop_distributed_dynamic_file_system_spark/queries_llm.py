@@ -3773,6 +3773,76 @@ def crawl_to_chunks_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "ann_ivf_int8",
+    f"""
+    WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
+                 FROM embeddings WHERE vec_id < 8),
+    c0 AS (SELECT vec_id, embedding::DOUBLE[] AS cv0 FROM embeddings),
+    assigned AS (
+      SELECT vec_id, cv0, centroid_id FROM (
+        SELECT c0.vec_id, c0.cv0, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY c0.vec_id
+                 ORDER BY round(list_dot_product(cv0, zv) /
+                          sqrt(list_dot_product(cv0, cv0)
+                               * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS crk
+        FROM c0 CROSS JOIN cen
+      ) WHERE crk = 1
+    ),
+    codes AS (
+      SELECT vec_id, centroid_id,
+             list_transform(cv0,
+               x -> CAST(CAST(round(x * 127.0 / mx) AS TINYINT) AS DOUBLE))
+               AS cv
+      FROM (
+        SELECT vec_id, centroid_id, cv0,
+               list_max(list_transform(cv0, x -> abs(x))) AS mx
+        FROM assigned
+      ) WHERE mx > 0
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 3),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(qv, zv) /
+                          sqrt(list_dot_product(qv, qv)
+                               * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS prk
+        FROM q CROSS JOIN cen
+      ) WHERE prk <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, {_SQL_COS} AS score
+      FROM codes a JOIN probes p USING (centroid_id)
+      WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, vec_id, score, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def ann_ivf_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over int8-quantized inverted lists
+    (operators/similarity.ivf_int8_topk): bucket pruning × 4x-smaller
+    lists, cosine against the codes — recall loss decomposes into
+    bucket-miss (vs ann_ivf) and quantization (vs ann_brute_force)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_int8_topk(
+        emb, qs, centroids, k=5, nprobe=2
+    ).select("query_id", "vec_id", "score", "rk")
+
+
 _BPE_FIXED_MERGES = [
     ("a", "r"), ("s", "p"), ("sp", "ar"), ("t", "h"), ("th", "e"), ("b", "a"),
 ]

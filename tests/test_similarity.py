@@ -320,3 +320,26 @@ class TestInt8TopK:
         assert out.columns == ["query_id", "vec_id", "score", "rk"]
         rows = out.collect()
         assert [r.rk for r in sorted(rows, key=lambda r: r.rk)] == [1, 2, 3]
+
+
+class TestIvfInt8:
+    def test_recall_decomposition_chain(self, spark):
+        # the three tiers agree on metric/contract, so recall can be
+        # measured pairwise: ivf_int8 vs ivf isolates quantization,
+        # ivf vs brute isolates bucket-miss
+        from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
+
+        rows = [(i, [float(((i * 7 + j * 13) % 21) - 10) / 3.0 for j in range(64)])
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = df.filter("vec_id < 6").select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        qs = df.filter("vec_id < 2")
+        full = sim.ivf_topk(df, qs, cents, k=5, nprobe=3).collect()
+        quant = sim.ivf_int8_topk(df, qs, cents, k=5, nprobe=3).collect()
+        for qid in range(2):
+            a = {r.vec_id for r in full if r.query_id == qid}
+            b = {r.vec_id for r in quant if r.query_id == qid}
+            assert len(a & b) >= 4, (qid, a, b)
+        assert {c for r in quant for c in (r.query_id,)} == {0, 1}
