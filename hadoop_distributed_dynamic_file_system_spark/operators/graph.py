@@ -232,6 +232,8 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
+    weight: str | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an edge list — link-graph
     authority scoring, the crawl-curation signal (prioritize documents
@@ -256,11 +258,26 @@ def pagerank(
     - rank lineage is truncated per round with localCheckpoint (swap
       for checkpoint() on a reliable dir at cluster scale);
     - the only driver-side value is N (one count job at start).
+
+    `weight` names an edge-weight column: contributions become
+    rank·w/Σ_out w (weighted out-mass normalization; unweighted is the
+    w=1 special case). `tol` switches to convergence stopping: after
+    each round the L1 delta Σ|rank_t − rank_{t−1}| is aggregated (one
+    extra scalar job per round, same one-scalar discipline as CC's
+    changed-count) and the loop exits early when it drops below tol;
+    `iterations` then acts as the hard cap.
     """
-    e = cache.tracked_persist(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    w_expr = (
+        F.col(weight).cast("double") if weight is not None else F.lit(1.0)
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e = cache.tracked_persist(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            w_expr.alias("w"),
+        )
+    )
+    deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     nodes = cache.tracked_persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -283,11 +300,12 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
+        prev = ranks
         mass = (
             ed.join(ranks, F.col("src") == F.col("node"))
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
+                (F.col("rank") * F.col("w") / F.col("outdeg")).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
@@ -307,4 +325,14 @@ def pagerank(
             "node",
             (F.lit(base) + F.lit(damping) * new_mass).alias("rank"),
         ).localCheckpoint()
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    prev.select("node", F.col("rank").alias("_prev")), "node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("d"))
+                .first()[0]
+            )
+            if delta is not None and delta < tol:
+                break
     return ranks

@@ -553,3 +553,62 @@ class TestPageRankProperties:
             assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
         # mass conservation: ranks sum to 1
         assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+class TestWeightedPageRank:
+    def _numpy_weighted(self, edges, iters, d=0.85):
+        import numpy as np
+
+        nodes = sorted({v for s, t, _ in edges for v in (s, t)})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        outw = {}
+        for s, _, w in edges:
+            outw[s] = outw.get(s, 0.0) + w
+        m = np.zeros((n, n))
+        for s, t, w in edges:
+            m[idx[t], idx[s]] += w / outw[s]
+        r = np.full(n, 1.0 / n)
+        dangling = np.array([outw.get(v, 0.0) == 0.0 for v in nodes])
+        for _ in range(iters):
+            dmass = r[dangling].sum()
+            r = (1 - d) / n + d * (m @ r + dmass / n)
+        return {v: r[idx[v]] for v in nodes}
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 25), st.integers(0, 25),
+                st.integers(1, 9),
+            ),
+            min_size=1, max_size=50,
+        )
+    )
+    def test_matches_weighted_dense_iteration(self, spark, edges):
+        from hadoop_distributed_dynamic_file_system_spark.operators import graph
+
+        edges = [(a, b, float(w)) for a, b, w in edges if a != b]
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "src int, dst int, w double")
+        got = {
+            r.node: r.rank
+            for r in graph.pagerank(df, iterations=3, weight="w").collect()
+        }
+        want = self._numpy_weighted(edges, 3)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+    def test_tol_converges_to_fixpoint(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import graph
+
+        # small strongly-connected ring + chord: converges quickly
+        edges = [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (4, 0)]
+        df = spark.createDataFrame(edges, "src int, dst int")
+        deep = {r.node: r.rank for r in graph.pagerank(df, iterations=60).collect()}
+        conv = {r.node: r.rank
+                for r in graph.pagerank(df, iterations=60, tol=1e-10).collect()}
+        for v in deep:
+            assert abs(deep[v] - conv[v]) < 1e-7
