@@ -23,11 +23,11 @@ from hadoop_distributed_dynamic_file_system_spark import queries as _q  # noqa: 
 from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  # noqa: E402,F401
 
 # The round driver's oracle checks the FIRST 50 entries of queries().
-# ROTATION INVARIANT: there are more registered queries (160) than
+# ROTATION INVARIANT: there are more registered queries (161) than
 # window slots (50), so the window is rebuilt each round by STALENESS —
 # never-driver-checked queries first, then any query that was ever
 # driver-red until it re-earns green, then oldest-last-green (ties
-# alphabetical). 50 slots x 4 rounds >= 160, so every registered query
+# alphabetical). 50 slots x 4 rounds >= 161, so every registered query
 # gets a fresh driver row at least every FOUR rounds (K=4 as the
 # registry grows); tools/check.py still runs ALL entries locally every
 # round at sf0.01 AND sf0.1. Regenerate the list below from the
@@ -35,7 +35,7 @@ from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  #
 #
 # Round-5 window: slot 1 = bpe_pair_counts (r4's only red cell — a
 # DuckDB-HUGEINT oracle bug, CAST fix in queries_llm.py; must re-earn
-# green), slots 2-36 = the thirty-five queries NEW this round (web-quality
+# green), slots 2-37 = the thirty-six queries NEW this round (web-quality
 # family, span dedup, classifier, bigram LM, leakage-safe splits, the
 # end-to-end curation pipeline, image aHash, audio fingerprint, video
 # metadata, WARC crawl ingestion incl. per-record gzip members,
@@ -45,10 +45,10 @@ from hadoop_distributed_dynamic_file_system_spark import queries_llm as _qllm  #
 # asymmetric quantized ANN, deterministic training-order shuffle,
 # script/charset profile, LSH recall/precision report,
 # normalize-then-dedup composition, the crawl-to-chunks
-# flagship pipeline, IVF over int8 lists —
+# flagship pipeline, IVF over int8 lists, weighted PageRank —
 # never driver-checked), the rest = the stalest (r1/r2-checked,
-# alphabetical within a round). The eighteen names pushed past slot
-# 50 (md5_filter/multi_input_union/percent_filter/pipe_translate/point_lookup/q10/q13/q14/q15/q16/q17/q19/q22/q4/q5/q7/q8/sort_key_spec) and
+# alphabetical within a round). The nineteen names pushed past slot
+# 50 (kv_parse/md5_filter/multi_input_union/percent_filter/pipe_translate/point_lookup/q10/q13/q14/q15/q16/q17/q19/q22/q4/q5/q7/q8/sort_key_spec) and
 # the remaining r3-checked queries are due in the round-6 window.
 _PRIORITY: list[str] = [
     "bpe_pair_counts",
@@ -66,6 +66,7 @@ _PRIORITY: list[str] = [
     "ngram_containment", "int8_quantized_embeddings", "ann_int8_topk",
     "training_order_shuffle", "script_profile", "lsh_recall_report",
     "normalized_dedup", "crawl_to_chunks_pipeline", "ann_ivf_int8",
+    "link_graph_rank_weighted",
     "ann_brute_force", "fingerprints",
     "minhash_signatures", "multimodal_decode", "simhash_fingerprints",
     "token_counts", "bad_records_skip", "crash_skip",

@@ -117,6 +117,7 @@ HEADLINE = [
     "normalized_dedup",
     "crawl_to_chunks_pipeline",
     "ann_ivf_int8",
+    "link_graph_rank_weighted",
 ]
 
 

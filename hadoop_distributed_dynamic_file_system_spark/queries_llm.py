@@ -3076,11 +3076,14 @@ def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
 
 
-def _pagerank_sql(iters: int) -> str:
+def _pagerank_sql(iters: int, weighted: bool = False) -> str:
     """Generate the fixed-iteration PageRank oracle: one CTE per power
     iteration over the symmetrized part↔supplier bipartite graph (no
     dangling nodes by construction, so the dangling term is zero and
-    drops out; the Spark operator computes it and adds exact 0.0)."""
+    drops out; the Spark operator computes it and adds exact 0.0).
+    `weighted` uses the lineitem multiplicity per (part, supplier)
+    pair as the edge weight — contributions become rank·w/Σ_out w."""
+    contrib = "r.rank * e.w / d.outdeg" if weighted else "r.rank / d.outdeg"
     layers = ["r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n)"]
     for i in range(1, iters + 1):
         layers.append(f"""r{i} AS (
@@ -3088,21 +3091,34 @@ def _pagerank_sql(iters: int) -> str:
              (1 - 0.85) / n.n + 0.85 * coalesce(m.in_mass, 0.0) AS rank
       FROM nodes nd CROSS JOIN n
       LEFT JOIN (
-        SELECT e.dst AS node, sum(r.rank / d.outdeg) AS in_mass
+        SELECT e.dst AS node, sum({contrib}) AS in_mass
         FROM edges e
         JOIN r{i - 1} r ON e.src = r.node
         JOIN deg d ON e.src = d.src
         GROUP BY e.dst
       ) m ON nd.node = m.node)""")
-    return f"""
-    WITH e0 AS (
+    if weighted:
+        e0 = """e0 AS (
+      SELECT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, w FROM e0
+      UNION ALL SELECT dst AS src, src AS dst, w FROM e0
+    ),
+    deg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src)"""
+    else:
+        e0 = """e0 AS (
       SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
       FROM lineitem
     ),
     edges AS (
       SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
     ),
-    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)"""
+    return f"""
+    WITH {e0},
     nodes AS (SELECT DISTINCT src AS node FROM edges),
     n AS (SELECT count(*) AS n FROM nodes),
     {','.join(layers)}
@@ -3841,6 +3857,29 @@ def ann_ivf_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_int8_topk(
         emb, qs, centroids, k=5, nprobe=2
     ).select("query_id", "vec_id", "score", "rk")
+
+
+@query("link_graph_rank_weighted", _pagerank_sql(3, weighted=True))
+def link_graph_rank_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 iterations, d=0.85): edge weight = the
+    lineitem multiplicity per (part, supplier) pair, so heavily-traded
+    relationships carry proportionally more authority
+    (operators/graph.pagerank weight= path — the crawl analog is
+    link-count-weighted host graphs)."""
+    from .operators import graph
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    e = li.select(p.alias("src"), s.alias("dst"), "w").unionByName(
+        li.select(s.alias("src"), p.alias("dst"), "w")
+    )
+    ranks = graph.pagerank(e, iterations=3, damping=0.85, weight="w")
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
 _BPE_FIXED_MERGES = [
