@@ -103,7 +103,12 @@ HEADLINE = [
     "warc_gzip_members",
     "doc_chunks",
     "bm25_retrieval",
-    "link_graph_rank",
+    # link_graph_rank (plain) is NOT benched: it is the w=1 special
+    # case of the weighted power iteration below, and two variants of
+    # the same loop cost ~12s of wall that measures iteration-count ×
+    # fixed local-mode overhead twice (VERDICT-r5 "what's wrong #2").
+    # Plain PageRank stays oracle-checked in the registry and
+    # STRESS-measured per-edge (tools/stress.py).
     "normalized_corpus",
     "kn_bigram_lm_scores",
     "char_entropy_scores",
@@ -118,6 +123,12 @@ HEADLINE = [
     "crawl_to_chunks_pipeline",
     "ann_ivf_int8",
     "link_graph_rank_weighted",
+    # round-6 additions: corpus-fit diagnostic, hybrid lexical+dense
+    # fusion, the two-stage re-rank serving shape, host-level gating
+    "zipf_slope",
+    "hybrid_rrf_retrieval",
+    "ann_two_stage_rerank",
+    "host_quality_rollup",
 ]
 
 

@@ -32,6 +32,16 @@ from .sampling import md5_bucket
 _BUCKET_DIGITS = 4  # 16^4 = 65536 >> any practical B
 
 
+def word_bucket(word: Column, buckets: int = 1024) -> Column:
+    """THE feature-hash bucket expression: md5 hex prefix mod
+    `buckets`. Exported so every consumer of a trained weight relation
+    (hashed_tf here, DSIR bucket weights, streaming's per-row scoring
+    form) shares one formula — a scorer that re-implements it inline
+    with a different `buckets` silently diverges from the model it was
+    trained against (the ADVICE-r5 streaming finding)."""
+    return md5_bucket(word, _BUCKET_DIGITS) % buckets
+
+
 def hashed_tf(
     df: DataFrame,
     id_col: str,
@@ -49,7 +59,7 @@ def hashed_tf(
         ).alias("_w"),
     )
     feats = toks.groupBy(
-        id_col, (md5_bucket(F.col("_w"), _BUCKET_DIGITS) % buckets).alias("b")
+        id_col, word_bucket(F.col("_w"), buckets).alias("b")
     ).agg(F.count("*").cast("double").alias("tf"))
     if normalize:
         totals = feats.groupBy(id_col).agg(F.sum("tf").alias("_n"))

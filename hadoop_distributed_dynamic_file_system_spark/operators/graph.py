@@ -270,12 +270,21 @@ def pagerank(
     w_expr = (
         F.col(weight).cast("double") if weight is not None else F.lit(1.0)
     )
+    # Weights must be NONNEGATIVE (they are flow multiplicities; a
+    # negative weight has no rank-mass meaning). Edges with w <= 0 are
+    # dropped before degree computation: a zero-weight edge carries
+    # zero mass, so the drop is exact — and crucially a node whose
+    # out-edges ALL have w = 0 then lands in the dangling set instead
+    # of producing 0.0/0.0 = NULL contributions that sum() silently
+    # swallows while the node escapes the dangling anti-join (the
+    # ADVICE-r5 mass-leak: sum(rank) = 1 would break). NULL weights
+    # (cast failures) are dropped by the same predicate.
     e = cache.tracked_persist(
         edges.select(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
             w_expr.alias("w"),
-        )
+        ).filter(F.col("w") > 0)
     )
     deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     nodes = cache.tracked_persist(

@@ -595,7 +595,16 @@ def int8_topk(
     so the same output contract ((query_id, vec_id, score, rk),
     6dp-rounded before ranking, vec_id tiebreak) makes the two
     genuinely drop-in interchangeable and recall attributable to
-    quantization alone, not a metric change."""
+    quantization alone, not a metric change.
+
+    Zero-vector corpus rows (max|x| = 0) are EXCLUDED from the index —
+    int8_quantize drops them (its documented convention) — so this
+    tier can return fewer candidates than brute_force_topk over the
+    same corpus. That is the intended contract: a zero vector has no
+    direction, its cosine against any query is undefined (brute force
+    scores it null-ish/0 and it never wins a top-k slot anyway), and
+    emitting it with a fake zero code would only pad the index
+    (ADVICE-r5 documentation ask)."""
     qz = int8_quantize(corpus.select(id_col, vec_col), vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -634,7 +643,13 @@ def ivf_int8_topk(
     + quantization (int8), each measurable against the intermediate
     tiers. Composition: quantize the assigned relation, then the
     standard bucket-pruned probe join scores the code arrays
-    directly."""
+    directly.
+
+    As with int8_topk, zero-vector corpus rows are excluded from the
+    quantized lists (int8_quantize's documented drop), so candidate
+    counts can run below brute_force_topk's over the same corpus —
+    intended, since a direction-less vector can never win a cosine
+    top-k slot (ADVICE-r5 documentation ask)."""
     assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
     codes = int8_quantize(assigned, "cv").select(
         F.col(id_col),
@@ -747,4 +762,98 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("kept"),
             "dup_of",
         )
+    )
+
+
+def two_stage_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    candidates: int = 30,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Two-stage retrieval — THE production ANN serving shape:
+
+      stage 1 (cheap, wide): ivf_int8_topk generates `candidates`
+      ids per query from the bucket-pruned int8 inverted lists;
+      stage 2 (exact, narrow): only those candidate rows rejoin the
+      full-precision corpus for an exact cosine re-rank to `k`.
+
+    The compute asymmetry is the point: stage 1 touches
+    nprobe/num_centroids of the corpus at 1 byte/dim; stage 2 touches
+    `candidates` rows per query at full precision — at 100 TB the
+    exact math runs on a relation ~|Q|·candidates rows, independent
+    of corpus size. Final scores are EXACT cosines, so any candidate
+    the int8 tier ranked by quantized score is re-scored at full
+    precision — recall loss comes only from candidate misses
+    (bucket-miss + quantization-reorder past `candidates`), and
+    widening `candidates` trades stage-2 work for recall without
+    touching the index.
+
+    Same output contract as every tier: (query_id, vec_id, score,
+    rk), 6dp-rounded before ranking, vec_id tiebreak."""
+    cand = ivf_int8_topk(
+        corpus, queries, centroids, id_col, vec_col,
+        k=candidates, nprobe=nprobe,
+    ).select("query_id", id_col)
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        cand.join(c, id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of
+    N ranked lists — the standard hybrid-retrieval combiner (lexical
+    BM25 + dense ANN): score(d) = Σ_lists 1/(c + rank_d). Rank-based,
+    so the lists' raw scores need no calibration against each other —
+    the reason RRF is the default fusion in production RAG stacks.
+
+    Each input is a (query_id, `id_col`, rk) relation (extra columns
+    ignored). A document missing from a list simply contributes
+    nothing for that list. Output: (query_id, `id_col`, rrf, rk)
+    top-`k` per query, fused score rounded 6dp before ranking,
+    `id_col` tiebreak — the same contract as the ANN tiers, so a
+    fused retriever is drop-in comparable with its inputs.
+
+    Plan: union of the (already small: |Q|·k_in rows) ranked lists →
+    one groupBy — fusion cost is independent of corpus size."""
+    parts = [
+        r.select(
+            "query_id",
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rk"))).alias("_contrib"),
+        )
+        for r in ranked_lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", id_col).agg(
+        F.round(F.sum("_contrib"), 6).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc(id_col))
+    return fused.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
     )

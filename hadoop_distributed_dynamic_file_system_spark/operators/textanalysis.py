@@ -1155,3 +1155,131 @@ def bpe_encode(
             yield pdf
 
     return df.mapInPandas(batches, schema=schema)
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 100,
+) -> DataFrame:
+    """Least-squares fit of the corpus' Zipf curve: slope/intercept of
+    ln(freq) ~ ln(rank) over the top-`top_n` words (frequency DESC,
+    word ASC tie-break). A natural corpus sits near slope -1; a
+    template-y or deduplication-damaged corpus flattens, boilerplate
+    steepens — the one-row "is this corpus linguistically normal"
+    diagnostic a curation run publishes next to its volume counts.
+
+    Determinism contract: ln(rank) and ln(freq) are rounded to 6dp and
+    lifted to exact integer micro-units; every aggregate the normal
+    equations need (Σx, Σy, Σxy, Σx²) is then an exact int64 sum, so
+    slope/intercept are bit-identical across engines regardless of
+    summation order (the same micro-unit discipline as
+    web_curation's mean_score). Magnitudes: |x|,|y| ≤ ln(freq)·1e6;
+    Σxy over `top_n` ≤ ~1e17 at 100 TB scale — inside int64.
+
+    Plan shape: one corpus tokenize + groupBy (the word_frequencies
+    pass), TakeOrdered(top_n) — never a global sort — then a
+    `top_n`-row window + single-row aggregate. Scale cost = the
+    frequency pass; everything after is constant-size.
+    """
+    from pyspark.sql import Window
+
+    freq = word_frequencies(df, text_col)
+    top = freq.orderBy(F.desc("freq"), F.asc("word")).limit(top_n)
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    # micro-unit lift: round(ln·1e6) to an exact integer double, THEN
+    # cast — a bare double→long cast TRUNCATES in Spark but ROUNDS in
+    # DuckDB (the decile_histogram lesson), so the rounding must be
+    # explicit and shared by the oracle
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"), "freq"
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")) * 1000000.0, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000000.0, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # slope in micro-unit space equals slope in real space (the 1e6
+    # factors cancel); intercept needs one 1e-6 rescale
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    intercept = (
+        (F.col("sy") - slope * F.col("sx")) / F.col("n") / F.lit(1000000.0)
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+def bm25_multi_query(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 against MANY queries in one plan: `queries` is a
+    (query_id, term) relation (one row per distinct query term).
+    Output: (query_id, `id_col`, bm25, n_terms_hit) for every
+    (query, doc) pair sharing at least one term.
+
+    Same scoring math as bm25_scores (RSJ '+1' idf from the GLOBAL
+    per-term document frequency — df does not depend on the query, so
+    the df relation is computed once and shared by all queries).
+
+    Scale shape: docs explode to postings and are immediately
+    semi-joined against the broadcast distinct-term set, so the tf
+    shuffle is proportional to the union of all queries' hit sets —
+    the multi-query analog of bm25_scores' query-term filter; corpus
+    stats and the per-term df ride broadcasts, and the final
+    (query_id, doc) aggregation shuffles only scored postings."""
+    qt = queries.select("query_id", F.col("term")).distinct()
+    terms = qt.select("term").distinct()
+    bound = _with_words(docs, text_col)
+    stats = bound.agg(
+        F.count("*").alias("__n"),
+        F.avg(F.size("_words")).alias("__avgdl"),
+    )
+    tf = (
+        bound.select(
+            F.col(id_col),
+            F.size("_words").alias("dl"),
+            F.explode("_words").alias("term"),
+        )
+        .join(F.broadcast(terms), "term", "left_semi")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    tf = tracked_persist(tf)  # feeds df AND the per-query scoring join
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfc), "term")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.round(F.sum(idf * tf_part), 6).alias("bm25"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+    )

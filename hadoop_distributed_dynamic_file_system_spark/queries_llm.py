@@ -2477,6 +2477,90 @@ def leakage_safe_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("cluster_id", "cluster_id")
 
 
+def web_curation(docs: DataFrame, ref: DataFrame) -> DataFrame:
+    """The FineWeb-style curation pipeline body over a (doc_id, text,
+    source) corpus — the reusable form of `web_curation_pipeline` (the
+    query binds it to the documents table with planted duplicates;
+    tools/stress.py drives it with an amplified corpus):
+
+      quality gate (Gopher metrics) → exact dedup (first doc per
+      content hash) → span-level substring dedup (near-copies come
+      back gutted; docs under 10 surviving words drop) → quality-
+      classifier scoring of the CLEANED text (NB weights, target
+      src0 of `ref`) → leakage-safe-style split assignment → per-
+      (source, split) report of volume, mean score, surviving tokens.
+
+    `ref` is the corpus the DSIR weight relation is trained on
+    (typically the un-amplified originals)."""
+    from .operators import classifier, webquality
+
+    g = webquality.gopher_quality(docs, "doc_id", "text", min_words=20)
+    gate = (
+        docs.join(
+            g.filter(
+                (F.col("n_words") >= 20)
+                & (F.col("alpha_frac") > 0.8)
+                & F.col("mean_word_len").between(2, 12)
+            ).select("doc_id"),
+            "doc_id",
+        )
+    )
+    from pyspark.sql import Window
+
+    exact = (
+        gate.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    exact = tracked_persist(exact)  # feeds span dedup AND the report join
+    spans = dedup.remove_duplicated_spans(exact, "doc_id", "text", n=5).filter(
+        F.col("n_kept") >= 10
+    )
+    wt = webquality.dsir_bucket_weights(
+        ref.select("doc_id", "text"),
+        "text",
+        target=ref.filter(F.col("source") == "src0").select("text"),
+    )
+    spans = tracked_persist(spans)
+    scores = classifier.quality_classifier_scores(
+        spans.select("doc_id", F.col("cleaned").alias("text")),
+        "doc_id",
+        "text",
+        wt,
+        buckets=1024,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    from .operators.sampling import md5_bucket
+
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 6) % 10
+    assigned = (
+        spans.select("doc_id", "n_kept")
+        .join(scores, "doc_id")
+        .join(exact.select("doc_id", "source"), "doc_id")
+        .withColumn(
+            "split",
+            F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"),
+        )
+    )
+    # order-independent mean: sum exact integer micro-units of the
+    # 6dp-rounded per-doc scores, divide once — avg() over doubles
+    # straddles 6th-decimal boundaries depending on summation order
+    return assigned.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("score") * 1000000).cast("long"))
+            / F.lit(1000000.0)
+            / F.count("*"),
+            6,
+        ).alias("mean_score"),
+        F.sum("n_kept").cast("long").alias("tokens_kept"),
+    )
+
+
 @query(
     "web_curation_pipeline",
     f"""
@@ -2598,19 +2682,9 @@ def leakage_safe_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def web_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end FineWeb-style curation pipeline in one plan, over a
     corpus with planted exact (+100000) AND near (+200000, first word
-    dropped) duplicates:
-
-      quality gate (Gopher metrics) → exact dedup (first doc per
-      content hash) → span-level substring dedup (near-copies come
-      back gutted; docs under 10 surviving words drop) → quality-
-      classifier scoring of the CLEANED text (NB weights, target
-      src0) → leakage-safe-style split assignment → per-(source,
-      split) report of volume, mean score, surviving tokens.
-
-    Every stage is one of the registered operators composed as-is;
-    the report is what a curation run publishes per ingest batch."""
-    from .operators import classifier, webquality
-
+    dropped) duplicates — see `web_curation` for the stage list. Every
+    stage is one of the registered operators composed as-is; the
+    report is what a curation run publishes per ingest batch."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     docs3 = (
         d.unionByName(
@@ -2623,71 +2697,7 @@ def web_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    g = webquality.gopher_quality(docs3, "doc_id", "text", min_words=20)
-    gate = (
-        docs3.join(
-            g.filter(
-                (F.col("n_words") >= 20)
-                & (F.col("alpha_frac") > 0.8)
-                & F.col("mean_word_len").between(2, 12)
-            ).select("doc_id"),
-            "doc_id",
-        )
-    )
-    from pyspark.sql import Window
-
-    exact = (
-        gate.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(F.md5("text")).orderBy("doc_id")
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    exact = tracked_persist(exact)  # feeds span dedup AND the report join
-    spans = dedup.remove_duplicated_spans(exact, "doc_id", "text", n=5).filter(
-        F.col("n_kept") >= 10
-    )
-    wt = webquality.dsir_bucket_weights(
-        d.select("doc_id", "text"),
-        "text",
-        target=d.filter(F.col("source") == "src0").select("text"),
-    )
-    spans = tracked_persist(spans)
-    scores = classifier.quality_classifier_scores(
-        spans.select("doc_id", F.col("cleaned").alias("text")),
-        "doc_id",
-        "text",
-        wt,
-        buckets=1024,
-    ).select("doc_id", F.round("score", 6).alias("score"))
-    from .operators.sampling import md5_bucket
-
-    bucket = md5_bucket(F.col("doc_id").cast("string"), 6) % 10
-    assigned = (
-        spans.select("doc_id", "n_kept")
-        .join(scores, "doc_id")
-        .join(exact.select("doc_id", "source"), "doc_id")
-        .withColumn(
-            "split",
-            F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"),
-        )
-    )
-    # order-independent mean: sum exact integer micro-units of the
-    # 6dp-rounded per-doc scores, divide once — avg() over doubles
-    # straddles 6th-decimal boundaries depending on summation order
-    return assigned.groupBy("source", "split").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.round(
-            F.sum(F.round(F.col("score") * 1000000).cast("long"))
-            / F.lit(1000000.0)
-            / F.count("*"),
-            6,
-        ).alias("mean_score"),
-        F.sum("n_kept").cast("long").alias("tokens_kept"),
-    )
+    return web_curation(docs3, d)
 
 
 @query(
@@ -3279,7 +3289,12 @@ def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jl_sql(dim: int = 64, k: int = 8) -> str:
     """Replay jl_project's exact expression tree in SQL: same ±1
     signs, same double casts, same left-to-right accumulation, same
-    scale literal — bit-identical doubles before the 6dp round."""
+    scale literal — bit-identical doubles before the 6dp round.
+
+    Output is SCALARIZED to (vec_id, idx, value) rows — the driver's
+    value-hash canonicalizes through pandas factorize, which cannot
+    hash list cells (the r5 red-cell lesson); DuckDB's zipped
+    unnest(range)/unnest(list) replays Spark's posexplode."""
     import math
 
     planes = similarity.lsh_hyperplanes(dim, k)
@@ -3292,17 +3307,29 @@ def _jl_sql(dim: int = 64, k: int = 8) -> str:
         )
         terms = terms[3:] if terms.startswith(" + ") else "-" + terms[3:]
         comps.append(f"round(({terms}) * {scale}, 6)")
-    return "SELECT vec_id, [" + ",\n      ".join(comps) + "] AS jl FROM embeddings"
+    inner = (
+        "SELECT vec_id,\n"
+        f"       unnest(range(0, {k})) AS idx,\n"
+        "       unnest([" + ",\n      ".join(comps) + "]) AS value\n"
+        "FROM embeddings"
+    )
+    return (
+        "SELECT vec_id, CAST(idx AS INTEGER) AS idx, value FROM ("
+        + inner
+        + ")"
+    )
 
 
 @query("jl_projection", _jl_sql())
 def jl_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss 64→8 reduction of the embeddings table
     with the deterministic ±1 matrix (operators/similarity.jl_project)
-    — scan-local codegen arithmetic, zero shuffle."""
+    — scan-local codegen arithmetic, zero shuffle. The array is
+    posexploded to one (vec_id, idx, value) row per component so the
+    output is scalar-only (driver hash contract; see _jl_sql)."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.jl_project(e, "embedding", dim=64, k=8).select(
-        "vec_id", "jl"
+        "vec_id", F.posexplode("jl").alias("idx", "value")
     )
 
 
@@ -3377,23 +3404,30 @@ def ngram_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_max(list_transform(embedding,
                                      x -> abs(CAST(x AS DOUBLE)))) AS mx
       FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             mx / 127.0 AS qscale,
+             unnest(range(0, len(embedding))) AS idx,
+             unnest(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS TINYINT)))
+               AS qcode
+      FROM m WHERE mx > 0
     )
-    SELECT vec_id,
-           mx / 127.0 AS qscale,
-           list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS TINYINT))
-             AS qvec
-    FROM m WHERE mx > 0
+    SELECT vec_id, qscale, CAST(idx AS INTEGER) AS idx, qcode FROM q
     """,
 )
 def int8_quantized_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embeddings table
     (operators/similarity.int8_quantize) — the 4x shuffle shrink tier;
     the oracle replays the identical double-cast expression tree, so
-    any scale, rounding-mode, or cast divergence hash-mismatches."""
+    any scale, rounding-mode, or cast divergence hash-mismatches. The
+    byte array is posexploded to (vec_id, qscale, idx, qcode) scalar
+    rows (driver hash contract — list cells are unhashable in the
+    driver's canonicalizer; r5 red-cell fix)."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.int8_quantize(e, "embedding").select(
-        "vec_id", "qscale", "qvec"
+        "vec_id", "qscale", F.posexplode("qvec").alias("idx", "qcode")
     )
 
 
@@ -3943,4 +3977,335 @@ def bpe_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(30)
+    )
+
+
+# ==================================================== round-6 additions
+
+
+@query(
+    "zipf_slope",
+    f"""
+    WITH w AS (SELECT unnest({_SQL_GOPHER_WORDS}) AS word FROM documents),
+    f AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+    top AS (SELECT word, freq FROM f ORDER BY freq DESC, word LIMIT 100),
+    r AS (SELECT row_number() OVER (ORDER BY freq DESC, word) AS rank, freq
+          FROM top),
+    m AS (
+      SELECT
+        CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+        CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+      FROM r
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM m
+    )
+    SELECT n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                  / n) / 1000000.0, 6) AS zipf_intercept
+    FROM a
+    """,
+)
+def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus' top-100 words
+    (operators/textanalysis.zipf_fit): least-squares slope/intercept
+    of ln(freq) ~ ln(rank), the one-row linguistic-normality
+    diagnostic (natural text sits near slope -1; template spam
+    flattens). All regression sums run in exact integer micro-units,
+    so the fit is bit-identical across engines."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textanalysis.zipf_fit(d, "text", top_n=100)
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH qdocs AS (
+      SELECT doc_id AS query_id, {_SQL_GOPHER_WORDS} AS words
+      FROM documents WHERE doc_id < 3
+    ),
+    qt AS (
+      SELECT DISTINCT query_id, unnest(list_slice(words, 1, 4)) AS term
+      FROM qdocs
+    ),
+    terms AS (SELECT DISTINCT term FROM qt),
+    bound AS (
+      SELECT doc_id, {_SQL_GOPHER_WORDS} AS words FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(CAST(len(words) AS DOUBLE)) AS avgdl
+      FROM bound
+    ),
+    post AS (
+      SELECT doc_id, len(words) AS dl, unnest(words) AS term FROM bound
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      FROM post WHERE term IN (SELECT term FROM terms)
+      GROUP BY doc_id, term
+    ),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    lex AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(
+               ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf JOIN dfc USING (term) JOIN qt USING (term) CROSS JOIN stats
+      WHERE tf.doc_id <> qt.query_id
+      GROUP BY qt.query_id, tf.doc_id
+    ),
+    lexr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS rk
+      FROM lex
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    dense AS (
+      SELECT query_id, vec_id AS doc_id, {_SQL_COS} AS score
+      FROM c CROSS JOIN q WHERE query_id <> vec_id
+    ),
+    denser AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM dense
+    ),
+    contrib AS (
+      SELECT query_id, doc_id, 1.0 / (60.0 + rk) AS c
+      FROM lexr WHERE rk <= 10
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60.0 + rk) AS c
+      FROM denser WHERE rk <= 10
+    ),
+    fused AS (
+      SELECT query_id, doc_id, round(sum(c), 6) AS rrf
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    ) WHERE rk <= 10
+    """,
+)
+def hybrid_rrf_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — lexical BM25 ∪ dense cosine, fused by
+    reciprocal-rank fusion (the production RAG retriever shape):
+    3 query documents (their first 4 distinct words as the lexical
+    query; their aligned embedding as the dense query) each rank the
+    corpus two ways, and rrf_fuse combines the top-10 lists with
+    score(d) = Σ 1/(60+rank) (operators/textanalysis.bm25_multi_query
+    + operators/similarity.{{brute_force_topk, rrf_fuse}}).
+
+    Scale: the lexical side shuffles only postings of the union of
+    query terms; the dense side is one broadcast-query corpus pass;
+    fusion runs on |Q|·10-row relations. Self-hits are excluded from
+    both lists (brute_force_topk's convention)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+    )
+    qterms = (
+        d.filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(words, 1, 4)).alias("term"),
+        )
+        .distinct()
+    )
+    lex = textanalysis.bm25_multi_query(d, qterms, "doc_id", "text").filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = lex.withColumn("rk", F.row_number().over(wl)).filter(
+        F.col("rk") <= 10
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=10
+    ).withColumnRenamed("vec_id", "doc_id")
+    fused = similarity.rrf_fuse([lexr, dense], "doc_id", k=10, c=60)
+    return fused.select("query_id", "doc_id", "rrf", "rk")
+
+
+@query(
+    "ann_two_stage_rerank",
+    f"""
+    WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
+                 FROM embeddings WHERE vec_id < 8),
+    c0 AS (SELECT vec_id, embedding::DOUBLE[] AS cv0 FROM embeddings),
+    assigned AS (
+      SELECT vec_id, cv0, centroid_id FROM (
+        SELECT c0.vec_id, c0.cv0, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY c0.vec_id
+                 ORDER BY round(list_dot_product(cv0, zv) /
+                          sqrt(list_dot_product(cv0, cv0)
+                               * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS crk
+        FROM c0 CROSS JOIN cen
+      ) WHERE crk = 1
+    ),
+    codes AS (
+      SELECT vec_id, centroid_id,
+             list_transform(cv0,
+               x -> CAST(CAST(round(x * 127.0 / mx) AS TINYINT) AS DOUBLE))
+               AS cv
+      FROM (
+        SELECT vec_id, centroid_id, cv0,
+               list_max(list_transform(cv0, x -> abs(x))) AS mx
+        FROM assigned
+      ) WHERE mx > 0
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 3),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(qv, zv) /
+                          sqrt(list_dot_product(qv, qv)
+                               * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS prk
+        FROM q CROSS JOIN cen
+      ) WHERE prk <= 2
+    ),
+    stage1 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {_SQL_COS} DESC, a.vec_id) AS rk
+        FROM codes a JOIN probes p USING (centroid_id)
+        WHERE p.query_id <> a.vec_id
+      ) WHERE rk <= 20
+    ),
+    rescored AS (
+      SELECT s.query_id, s.vec_id,
+             round(list_dot_product(q.qv, c0.cv0) /
+                   sqrt(list_dot_product(q.qv, q.qv)
+                        * list_dot_product(c0.cv0, c0.cv0)), 6) AS score
+      FROM stage1 s JOIN c0 USING (vec_id) JOIN q USING (query_id)
+    )
+    SELECT query_id, vec_id, score, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rk
+      FROM rescored
+    ) WHERE rk <= 5
+    """,
+)
+def ann_two_stage_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (operators/similarity.two_stage_rerank):
+    the int8 IVF tier generates 20 candidates per query (bucket-pruned
+    byte lists — the cheap wide stage), then ONLY those rows rejoin
+    the full-precision corpus for an exact cosine top-5 (the narrow
+    exact stage). At 100 TB the exact math runs on |Q|·20 rows,
+    independent of corpus size — the production serving shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    return similarity.two_stage_rerank(
+        emb, qs, centroids, k=5, candidates=20, nprobe=2
+    ).select("query_id", "vec_id", "score", "rk")
+
+
+@query(
+    "host_quality_rollup",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    hosted AS (
+      SELECT doc_id, text,
+             'site' || (doc_id % 50) || '.example.com' AS host
+      FROM docs2
+    ),
+    q AS (
+      SELECT doc_id,
+        round(CASE WHEN len({_SQL_WORDS.format(t="lower(text)")}) >= 5
+                   THEN 0.25 ELSE 0 END
+            + CASE WHEN round(list_sum(list_transform(
+                      {_SQL_WORDS.format(t="lower(text)")}, w -> length(w)))
+                    / greatest(len({_SQL_WORDS.format(t="lower(text)")}), 1), 6)
+                   BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END
+            + CASE WHEN round((length(text) - length(regexp_replace(text,
+                      '[^\\w\\s]', '', 'g'))) / greatest(length(text), 1), 6)
+                   <= 0.2 THEN 0.25 ELSE 0 END
+            + CASE WHEN round(len(list_filter(
+                      {_SQL_WORDS.format(t="lower(text)")},
+                      w -> list_contains(
+                        ['the','a','of','and','to','in','is','it'], w)))
+                    / greatest(len({_SQL_WORDS.format(t="lower(text)")}), 1), 6)
+                   >= 0.05 THEN 0.25 ELSE 0 END, 2)::DOUBLE AS quality
+      FROM hosted
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+             AS dup_frac,
+           round(sum(CAST(round(quality * 100, 0) AS BIGINT))
+                 / 100.0 / count(*), 6) AS mean_quality,
+           (round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+              <= 0.25) AS kept
+    FROM hosted JOIN q USING (doc_id) GROUP BY host
+    """,
+)
+def host_quality_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level curation signals — the per-host rollup a crawl
+    pipeline publishes before host-level gating (CCNet/FineWeb drop
+    whole hosts whose duplication or quality stats are pathological,
+    BEFORE paying per-document work): per host, document count,
+    distinct-content count (md5 grouping — the exact-dedup key),
+    duplicate fraction, mean quality score (integer centi-unit sum —
+    order-independent), and the keep/drop verdict (dup_frac ≤ 0.25).
+    Fixture plants exact duplicates on every 5th host id so kept
+    varies. One groupBy on the host key; at 100 TB the rollup relation
+    is |hosts| rows — broadcastable back as a gate."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs2 = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    hosted = docs2.withColumn(
+        "host",
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com"),
+        ),
+    )
+    scored = textanalysis.quality_score(hosted, "text")
+    dup_frac = F.round(
+        1.0 - F.countDistinct(F.md5("text")) / F.count("*"), 6
+    )
+    return scored.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_unique"),
+        dup_frac.alias("dup_frac"),
+        F.round(
+            F.sum(F.round(F.col("quality") * 100, 0).cast("long"))
+            / F.lit(100.0)
+            / F.count("*"),
+            6,
+        ).alias("mean_quality"),
+        (dup_frac <= 0.25).alias("kept"),
     )

@@ -29,20 +29,32 @@ import zlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# record boundary: a new record starts at "WARC/1.0"
-_RECORD_SPLIT = r"(?=WARC/1\.0)"
+# record boundary: a record TERMINATOR (CRLFCRLF) immediately followed
+# by the next record's version line. Requiring the full
+# "\r\n\r\nWARC/1.0\r\n" sequence (not a bare "WARC/1.0") means a body
+# that merely mentions WARC/1.0 — e.g. a page about the WARC format —
+# no longer mis-splits; only a body containing the exact
+# terminator+header byte sequence would, which ISO 28500 prevents in
+# conforming writers (Content-Length delimits the payload; see
+# parse_warc_record for the length-based body slice).
+_RECORD_SPLIT = r"\r\n\r\n(?=WARC/1\.0\r\n)"
 _URI_RE = r"WARC-Target-URI: ([^\r\n]+)"
 _TYPE_RE = r"WARC-Type: ([^\r\n]+)"
 _LEN_RE = r"Content-Length: ([0-9]+)"
+# fallback ONLY for records with no parseable Content-Length: first
+# blank line to the next blank line. This truncates bodies containing
+# an embedded CRLFCRLF (HTTP-response payloads), which is exactly why
+# conforming records are sliced by Content-Length instead.
 _BODY_RE = r"\r\n\r\n([\s\S]*?)(?:\r\n\r\n|$)"
 _HOST_RE = r"https?://([^/\s]+)"
 
 
 def explode_warc_records(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
-    """(id, record) stream: split a concatenated-WARC blob on record
-    starts (lookahead keeps the header in each piece), drop empty
-    leading fragments. Order within a blob is preserved by posexplode
-    as `record_idx`."""
+    """(id, record) stream: split a concatenated-WARC blob at record
+    terminators (lookahead keeps each header with its record; the
+    consumed CRLFCRLF is the PREVIOUS record's terminator, whose body
+    is length-sliced anyway), drop empty fragments. Order within a
+    blob is preserved by posexplode as `record_idx`."""
     parts = F.filter(
         F.split(F.col(blob_col), _RECORD_SPLIT), lambda p: p != ""
     )
@@ -54,14 +66,31 @@ def explode_warc_records(df: DataFrame, id_col: str, blob_col: str) -> DataFrame
 def parse_warc_record(record: Column) -> Column:
     """struct(warc_type, target_uri, content_length, body) from one
     record's text. Missing headers parse to empty string / null length
-    (regexp_extract's no-match convention — identical in DuckDB)."""
+    (regexp_extract's no-match convention — identical in DuckDB).
+
+    The body is sliced by the parsed Content-Length — substring
+    starting right after the first header-terminating CRLFCRLF — so a
+    payload containing its own blank lines (an HTTP response: status
+    line + headers + CRLFCRLF + HTML) survives intact; ISO 28500
+    defines Content-Length as the payload delimiter, and the ADVICE-r5
+    review showed the old blank-line regex silently truncated such
+    bodies. In this text-typed reader lengths count CHARACTERS (the
+    fixture writer `response_record` emits len(body) chars); a
+    byte-oriented crawl should decode after member splitting
+    (explode_gzip_member_records) where lengths are still bytes.
+    Records with no Content-Length fall back to the blank-line regex
+    (documented truncation)."""
+    hdr_end = F.instr(record, "\r\n\r\n")
+    clen = F.regexp_extract(record, _LEN_RE, 1).try_cast("long")
+    body = F.when(
+        (hdr_end > 0) & clen.isNotNull(),
+        record.substr(hdr_end + F.lit(4), clen.cast("int")),
+    ).otherwise(F.regexp_extract(record, _BODY_RE, 1))
     return F.struct(
         F.regexp_extract(record, _TYPE_RE, 1).alias("warc_type"),
         F.regexp_extract(record, _URI_RE, 1).alias("target_uri"),
-        F.regexp_extract(record, _LEN_RE, 1)
-        .try_cast("long")
-        .alias("content_length"),
-        F.regexp_extract(record, _BODY_RE, 1).alias("body"),
+        clen.alias("content_length"),
+        body.alias("body"),
     )
 
 

@@ -754,6 +754,7 @@ def streaming_web_curation(
     text_col: str = "text",
     min_words: int = 20,
     min_alpha_frac: float = 0.8,
+    buckets: int = 1024,
 ) -> DataFrame:
     """Round-5 funnel: the web-quality operators run continuously over
     an arriving crawl —
@@ -798,19 +799,24 @@ def streaming_web_curation(
         band_index,
         text_col=text_col,
     )
+    from ..operators.classifier import word_bucket
+
     wrows = weights.collect()  # model: bounded at `buckets` rows
     wmap = F.create_map(
         *[x for r in wrows for x in (F.lit(int(r["b"])), F.lit(float(r["w"])))]
     )
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
-    bucket_of = lambda w: (  # noqa: E731 — same md5 bucket as hashed_tf
-        F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long") % 1024
-    )
+    # `buckets` MUST equal the value the weight relation was trained
+    # with (classifier.fit_logreg / dsir_bucket_weights take it as a
+    # parameter); the shared word_bucket helper keeps the formula
+    # itself from drifting (ADVICE-r5).
     dot = F.aggregate(
         words,
         F.lit(0.0),
         lambda acc, w: acc
-        + F.coalesce(F.try_element_at(wmap, bucket_of(w)), F.lit(0.0)),
+        + F.coalesce(
+            F.try_element_at(wmap, word_bucket(w, buckets)), F.lit(0.0)
+        ),
     ) / F.size(words)
     score = 1.0 / (1.0 + F.exp(-dot))
     return deduped.select(

@@ -60,6 +60,71 @@ class TestArrowTypeGate:
             assert spark_type_class(f.dataType) == arrow_type_class(at.type)
 
 
+class TestNonScalarGate:
+    """Round 5's red-cell class: the driver's pandas sort_values →
+    factorize hash path raises on Array/Map/Struct cells, while the
+    local canon_cell happily canonicalizes lists — the second
+    consecutive local/driver canonicalization divergence. The checker
+    must now reject any registered query emitting non-scalar columns,
+    exactly the pre-fix jl_projection / int8_quantized_embeddings
+    shape."""
+
+    def test_array_output_flagged(self, spark, duck):
+        sdf = spark.createDataFrame(
+            [(1, [0.5, 0.25])], "vec_id long, jl array<double>"
+        )
+        tbl = duck.execute(
+            "SELECT CAST(1 AS BIGINT) vec_id, [0.5, 0.25] AS jl"
+        ).fetch_arrow_table()
+        problems = compare("prefix_jl_shape", sdf, tbl)
+        assert problems and any("non-scalar" in p for p in problems)
+
+    def test_struct_and_map_output_flagged(self, spark, duck):
+        sdf = spark.createDataFrame(
+            [((1, 2), {"a": 1})],
+            "s struct<x:long,y:long>, m map<string,long>",
+        )
+        assert any("non-scalar" in p for p in compare("structs", sdf, None))
+
+    def test_scalarized_form_passes(self, spark, duck):
+        """posexplode'd (vec_id, idx, value) — the fixed shape."""
+        sdf = spark.createDataFrame(
+            [(1, 0, 0.5), (1, 1, 0.25)], "vec_id long, idx int, value double"
+        )
+        tbl = duck.execute(
+            "SELECT vec_id, CAST(idx AS INTEGER) idx, value FROM ("
+            "  SELECT CAST(1 AS BIGINT) vec_id,"
+            "         unnest(range(0, 2)) AS idx,"
+            "         unnest([CAST(0.5 AS DOUBLE), CAST(0.25 AS DOUBLE)]) AS value)"
+        ).fetch_arrow_table()
+        assert compare("jl_fixed", sdf, tbl) == []
+
+    def test_lint_flags_list_oracle(self, duck):
+        """The pre-fix oracle (list projection) must be statically
+        flagged by lint_oracles' SUSPECT_TYPES."""
+        desc = duck.execute(
+            "DESCRIBE SELECT [1.0, 2.0] AS jl"
+        ).fetchall()
+        assert any(
+            any(s in t.upper() for s in SUSPECT_TYPES) for _, t, *_ in desc
+        ), "DESCRIBE of a list projection must be flagged"
+
+    def test_no_registered_query_emits_nonscalar(self, spark):
+        """The 161-query schema sweep the r5 judge ran by hand, as a
+        permanent test: every queries() entry must build to a
+        scalar-only schema at sf0.001."""
+        import __spark_entry__ as entrymod
+        from tools.check import nonscalar_cols
+
+        bad = {}
+        for name, fn in entrymod.queries().items():
+            df = fn(spark, "/root/testdata/sf0.001")
+            cols = nonscalar_cols(df)
+            if cols:
+                bad[name] = cols
+        assert bad == {}, f"non-scalar outputs registered: {bad}"
+
+
 class TestOracleLint:
     def test_lint_flags_prefix_oracle(self, duck):
         """The pre-fix bpe_pair_counts projection must be flagged."""

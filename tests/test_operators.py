@@ -1357,6 +1357,81 @@ class TestBM25:
         assert out[1].n_terms_hit == 2 and out[2].n_terms_hit == 1
         assert 3 not in out
 
+    def test_multi_query_matches_single_query(self, spark):
+        """bm25_multi_query per query_id == bm25_scores with that
+        query's bag — the df/stats sharing must not change scores."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        docs = spark.createDataFrame(
+            [(1, "cat cat dog fish"), (2, "cat bird"), (3, "dog dog fish"),
+             (4, "bird bird cat")],
+            "doc_id long, text string",
+        )
+        queries = spark.createDataFrame(
+            [(100, "cat"), (100, "dog"), (200, "bird")],
+            "query_id long, term string",
+        )
+        multi = ta.bm25_multi_query(docs, queries, "doc_id", "text").collect()
+        for qid, bag in ((100, ["cat", "dog"]), (200, ["bird"])):
+            single = {
+                r.doc_id: (r.bm25, r.n_terms_hit)
+                for r in ta.bm25_scores(docs, "doc_id", "text", bag).collect()
+            }
+            got = {
+                r.doc_id: (r.bm25, r.n_terms_hit)
+                for r in multi if r.query_id == qid
+            }
+            assert got == single, qid
+
+    def test_duplicate_query_terms_count_once(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        docs = spark.createDataFrame(
+            [(1, "cat dog"), (2, "fish")], "doc_id long, text string"
+        )
+        queries = spark.createDataFrame(
+            [(9, "cat"), (9, "cat")], "query_id long, term string"
+        )
+        out = ta.bm25_multi_query(docs, queries, "doc_id", "text").collect()
+        assert len(out) == 1 and out[0].n_terms_hit == 1
+
+
+class TestZipfFit:
+    def test_hand_computed_fit(self, spark):
+        """Three words at freqs 4/2/1: exact least squares over
+        micro-unit logs, replayed in Python."""
+        import math
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        df = spark.createDataFrame(
+            [(1, "a a a a b b c")], "doc_id long, text string"
+        )
+        row = ta.zipf_fit(df, "text", top_n=10).collect()[0]
+        xs = [round(math.log(r) * 1e6) for r in (1, 2, 3)]
+        ys = [round(math.log(f) * 1e6) for f in (4, 2, 1)]
+        n = 3
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n / 1e6
+        assert row.n_terms == 3
+        assert row.zipf_slope == round(slope, 6)
+        assert row.zipf_intercept == round(intercept, 6)
+
+    def test_perfect_zipf_slope_is_minus_one(self, spark):
+        """freq(rank) = C/rank exactly -> slope -1 (within the 6dp
+        micro-unit resolution)."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as ta
+
+        words = []
+        for r in range(1, 9):
+            words += [f"w{r:02d}"] * (840 // r)  # 840 divisible by 1..8
+        df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+        row = ta.zipf_fit(df, "text", top_n=8).collect()[0]
+        assert abs(row.zipf_slope - (-1.0)) < 1e-5
+
 
 class TestCleanText:
     def test_nfc_composes_and_strips(self, spark):

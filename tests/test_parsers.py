@@ -129,6 +129,61 @@ class TestWarcSource:
         assert parsed[0].content_length == 5 and parsed[0].body == "hello"
         assert parsed[2].body == "ad"
 
+    def test_http_response_body_survives_embedded_blank_line(self, spark):
+        """ADVICE-r5 medium: a real WARC response payload is HTTP
+        headers + CRLFCRLF + HTML — the old blank-line regex kept only
+        the HTTP header block. Content-Length slicing must keep the
+        whole payload, and a body that *mentions* WARC/1.0 on its own
+        line must not split the record stream."""
+        from pyspark.sql import functions as F
+
+        from hadoop_distributed_dynamic_file_system_spark.sources import warc
+
+        http_body = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            "<html>about the\r\nWARC/1.0\r\nformat</html>"
+        )
+        rec = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://a.example.com/w\r\n"
+            f"Content-Length: {len(http_body)}\r\n\r\n{http_body}\r\n\r\n"
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://b.example.com/v\r\n"
+            "Content-Length: 4\r\n\r\nnext\r\n\r\n"
+        )
+        df = spark.createDataFrame([(1, rec)], "doc_id long, blob string")
+        out = (
+            warc.explode_warc_records(df, "doc_id", "blob")
+            .select(
+                "record_idx",
+                warc.parse_warc_record(F.col("record")).alias("r"),
+            )
+            .select("record_idx", "r.*")
+            .orderBy("record_idx")
+            .collect()
+        )
+        assert len(out) == 2, "WARC/1.0 inside a body must not split"
+        assert out[0].body == http_body
+        assert out[1].body == "next"
+
+    def test_missing_content_length_falls_back_to_blank_line(self, spark):
+        from pyspark.sql import functions as F
+
+        from hadoop_distributed_dynamic_file_system_spark.sources import warc
+
+        rec = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://a.example.com/x\r\n\r\nhello\r\n\r\n"
+        )
+        df = spark.createDataFrame([(1, rec)], "doc_id long, blob string")
+        r = (
+            warc.explode_warc_records(df, "doc_id", "blob")
+            .select(warc.parse_warc_record(F.col("record")).alias("r"))
+            .select("r.*")
+            .collect()[0]
+        )
+        assert r.content_length is None and r.body == "hello"
+
     def test_url_helpers(self, spark):
         from hadoop_distributed_dynamic_file_system_spark.sources import warc
         from pyspark.sql import functions as F

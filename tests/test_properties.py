@@ -601,6 +601,30 @@ class TestWeightedPageRank:
         for v in want:
             assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
 
+    def test_zero_weight_out_edges_become_dangling(self, spark):
+        """ADVICE-r5: a node whose out-edges all weigh 0 used to leak
+        its rank mass (0/0 -> NULL contributions dropped by sum while
+        the node dodged the dangling set). Zero-weight edges are now
+        dropped up front, routing such nodes into the dangling set —
+        the mass invariant sum(rank) = 1 must hold and no rank may be
+        NULL."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import graph
+
+        # 2 -> 0 carries weight, 2's remaining out-edge and 0 -> 1 at
+        # weight 0; node 1 has only a zero-weight out-edge
+        edges = [
+            (0, 1, 2.0),
+            (1, 2, 0.0),
+            (2, 0, 3.0),
+            (2, 1, 0.0),
+        ]
+        df = spark.createDataFrame(edges, "src int, dst int, w double")
+        rows = graph.pagerank(df, iterations=8, weight="w").collect()
+        ranks = {r.node: r.rank for r in rows}
+        assert set(ranks) == {0, 1, 2}
+        assert all(v is not None for v in ranks.values())
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
     def test_tol_converges_to_fixpoint(self, spark):
         from hadoop_distributed_dynamic_file_system_spark.operators import graph
 

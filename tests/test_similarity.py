@@ -343,3 +343,81 @@ class TestIvfInt8:
             b = {r.vec_id for r in quant if r.query_id == qid}
             assert len(a & b) >= 4, (qid, a, b)
         assert {c for r in quant for c in (r.query_id,)} == {0, 1}
+
+
+class TestTwoStageRerank:
+    def _corpus(self, spark, n=60):
+        rows = [(i, [float(((i * 7 + j * 13) % 21) - 10) / 3.0 for j in range(64)])
+                for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_rerank_scores_are_exact_cosines(self, spark):
+        """Stage-2 re-scores at full precision: every (query, vec)
+        surviving the re-rank must carry the same score brute force
+        assigns that pair."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
+
+        df = self._corpus(spark)
+        cents = df.filter("vec_id < 6").select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        qs = df.filter("vec_id < 2")
+        got = sim.two_stage_rerank(df, qs, cents, k=5, candidates=20, nprobe=3).collect()
+        exact = {
+            (r.query_id, r.vec_id): r.score
+            for r in sim.brute_force_topk(df, qs, k=59).collect()
+        }
+        assert len(got) == 10
+        for r in got:
+            assert exact[(r.query_id, r.vec_id)] == r.score
+
+    def test_wide_candidates_recover_brute_force(self, spark):
+        """candidates -> corpus size and nprobe -> all buckets makes
+        the two-stage EXACT: the candidate set covers everything, so
+        the re-rank must equal brute force row for row."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
+
+        df = self._corpus(spark, n=30)
+        cents = df.filter("vec_id < 4").select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        qs = df.filter("vec_id < 2")
+        got = sorted(
+            sim.two_stage_rerank(df, qs, cents, k=5, candidates=29, nprobe=4).collect(),
+            key=lambda r: (r.query_id, r.rk),
+        )
+        want = sorted(
+            sim.brute_force_topk(df, qs, k=5).collect(),
+            key=lambda r: (r.query_id, r.rk),
+        )
+        assert [(r.query_id, r.vec_id, r.score, r.rk) for r in got] == [
+            (r.query_id, r.vec_id, r.score, r.rk) for r in want
+        ]
+
+
+class TestRrfFuse:
+    def test_known_fusion_arithmetic(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
+
+        l1 = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, doc_id long, rk int"
+        )
+        l2 = spark.createDataFrame(
+            [(0, 11, 1), (0, 13, 2)], "query_id long, doc_id long, rk int"
+        )
+        out = {r.doc_id: (r.rrf, r.rk)
+               for r in sim.rrf_fuse([l1, l2], "doc_id", k=10).collect()}
+        # doc 11: 1/62 + 1/61; doc 10: 1/61; doc 13: 1/62; doc 12: 1/63
+        assert out[11][0] == round(1 / 62 + 1 / 61, 6)
+        assert out[11][1] == 1
+        assert out[10] == (round(1 / 61, 6), 2)
+        assert out[13] == (round(1 / 62, 6), 3)
+        assert out[12] == (round(1 / 63, 6), 4)
+
+    def test_missing_doc_contributes_nothing(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import similarity as sim
+
+        l1 = spark.createDataFrame([(0, 1, 1)], "query_id long, doc_id long, rk int")
+        l2 = spark.createDataFrame([(1, 2, 1)], "query_id long, doc_id long, rk int")
+        rows = sim.rrf_fuse([l1, l2], "doc_id", k=5).collect()
+        assert {(r.query_id, r.doc_id, r.rk) for r in rows} == {(0, 1, 1), (1, 2, 1)}

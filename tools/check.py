@@ -139,6 +139,26 @@ def canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def nonscalar_cols(spark_df):
+    """Columns the driver's value-hash cannot canonicalize.
+
+    The driver sorts results via pandas ``sort_values`` → factorize,
+    which raises ``TypeError: unhashable type: 'list'`` on any
+    Array/Map/Struct cell — the exact failure that kept
+    ``jl_projection`` and ``int8_quantized_embeddings`` red in r5
+    while this local gate (whose canon_cell handles lists) passed
+    them. Any registered query must emit scalar-only output; digest
+    arrays with posexplode / concat_ws before returning.
+    """
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def compare(name, spark_df, duck_tbl):
     """Compare a Spark DataFrame against a DuckDB Arrow table.
 
@@ -146,6 +166,13 @@ def compare(name, spark_df, duck_tbl):
     rows — the Python fetch path collapses HUGEINT to int and hides
     the decimal128-vs-int64 class the driver's Arrow-level hash fails.
     """
+    bad = nonscalar_cols(spark_df)
+    if bad:
+        return [
+            f"non-scalar output column(s) {bad}: the driver's hash "
+            "path cannot canonicalize Array/Map/Struct cells — "
+            "posexplode or concat_ws them to scalars"
+        ]
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_cols = [c.lower() for c in duck_tbl.schema.names]
@@ -205,6 +232,14 @@ def main():
         try:
             df = fn(spark, sf_dir)
             if name not in oracles:
+                bad = nonscalar_cols(df)
+                if bad:
+                    n_fail += 1
+                    print(
+                        f"  ✗ {name}: rows-only but non-scalar output "
+                        f"column(s) {bad} (registry contract: scalar-only)"
+                    )
+                    continue
                 cnt = df.count()
                 print(f"  ~ {name}: rows-only check, {cnt} rows ({time.time()-t0:.1f}s)")
                 n_skip += 1

@@ -28,7 +28,13 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-SUSPECT_TYPES = ("HUGEINT", "DECIMAL")
+# HUGEINT/DECIMAL: uncast integer composites (the r4 bpe_pair_counts
+# class). LIST/STRUCT/MAP: non-scalar output the driver's pandas
+# sort_values→factorize hash path cannot canonicalize (the r5
+# jl_projection/int8_quantized_embeddings class — "unhashable type:
+# 'list'"). Both classes pass the local value comparison and fail only
+# at the driver, which is why they are linted statically here.
+SUSPECT_TYPES = ("HUGEINT", "DECIMAL", "[]", "STRUCT", "MAP(", "LIST")
 
 
 def lint(sf_dir: str) -> int:

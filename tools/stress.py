@@ -202,11 +202,47 @@ def main() -> None:
         crawl_to_chunks,
     )
 
-    for copies in (1, 16):
-        corpus = amplified(copies)
+    # explode-based amplifier for LARGE copy counts: one generator row
+    # per (doc, k) instead of a copies-way unionByName (whose analysis
+    # cost grows with the branch count); k%20 leading words dropped so
+    # copies are near-duplicates with unique ids; `source` carried for
+    # the curation report
+    def amplified_big(copies):
+        return sf_docs.select(
+            "doc_id", "text", "source",
+            F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("_k"),
+        ).select(
+            (F.col("doc_id") + 100_000 * F.col("_k")).alias("doc_id"),
+            F.expr(
+                "regexp_replace(text, concat('^(\\\\S+\\\\s+){', _k % 20, '}'), '')"
+            ).alias("text"),
+            "source",
+        )
+
+    # flagship 1: crawl-to-chunks at 1x, 16x, and the sf1-equivalent
+    # 100x (>= 100x the sf0.01 oracle corpus — VERDICT-r5 ask #5: the
+    # next 10x claim measured, not extrapolated)
+    for copies in (1, 16, 100):
+        corpus = amplified_big(copies).select("doc_id", "text")
         bench(
             f"crawl_to_chunks_x{copies}", base * copies,
             lambda c=corpus: noop(crawl_to_chunks(c)),
+        )
+
+    # flagship 2: the web-curation pipeline (gate -> exact dedup ->
+    # span dedup -> classifier -> split -> report) over the amplified
+    # near-dup corpus; DSIR weights train on the un-amplified
+    # originals (the production shape: model relation is fixed while
+    # the scored corpus grows)
+    from hadoop_distributed_dynamic_file_system_spark.queries_llm import (
+        web_curation,
+    )
+
+    for copies in (2, 16, 100):
+        corpus = amplified_big(copies)
+        bench(
+            f"web_curation_x{copies}", base * copies,
+            lambda c=corpus: noop(web_curation(c, sf_docs)),
         )
 
     # PageRank on synthetic graphs at 1M and 10M edges (3 iterations,
@@ -251,10 +287,19 @@ def main() -> None:
         "falling us/word on the 10x vocabulary is the evidence the",
         "per-merge fold is vocabulary-bound, not driver-bound.",
         "",
-        "`crawl_to_chunks_x{1,16}` rows = DOCUMENTS through the whole",
-        "flagship ingest (gzip-member compress fixture + inflate + NFC",
-        "+ dedup + chunk); falling us/doc on the 16x step pins it as",
-        "decompression/scan-bound around its one 16-byte-key shuffle.",
+        "`crawl_to_chunks_x{1,16,100}` rows = DOCUMENTS through the",
+        "whole flagship ingest (gzip-member compress fixture + inflate",
+        "+ NFC + dedup + chunk); falling us/doc through the 100x",
+        "(sf1-equivalent) step pins it as decompression/scan-bound",
+        "around its one 16-byte-key shuffle.",
+        "",
+        "`web_curation_x{2,16,100}` rows = DOCUMENTS through the",
+        "curation flagship (Gopher gate -> exact dedup -> span dedup",
+        "-> DSIR-weighted classifier -> split -> report); the DSIR",
+        "model trains on the un-amplified originals (fixed model,",
+        "growing corpus — the production shape). Flat-or-falling",
+        "us/doc at 100x (>= sf1-equivalent) is the measured basis for",
+        "the next 10x claim.",
         "",
         "`pagerank_edges_{1,10}m` rows = EDGES (synthetic, avg",
         "out-degree 10, 3 power iterations); falling us/edge on the",
