@@ -129,6 +129,9 @@ HEADLINE = [
     "hybrid_rrf_retrieval",
     "ann_two_stage_rerank",
     "host_quality_rollup",
+    "scd2_user_state",
+    "kmv_source_overlap",
+    "mixing_token_plan",
 ]
 
 

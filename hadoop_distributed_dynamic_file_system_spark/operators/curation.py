@@ -382,3 +382,56 @@ def deterministic_shuffle(
         rank_col=pos_col,
     )
     return out.drop("_shufkey")
+
+
+def mixing_plan(
+    token_counts: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    alpha: float = 0.5,
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """The data-recipe calculation: given per-source token counts,
+    compute the temperature-α target mixture and the per-source
+    repeat factor (epochs) needed to fill a token budget — the
+    planning step BEFORE temperature_mix executes a sampling pass
+    (GPT-3/PaLM-style mixtures publish exactly this table).
+
+    Per source s: natural_frac = n_s/Σn; target_frac = n_s^α / Σ n^α;
+    repeat_factor = target_frac·budget / n_s (>1 means the source is
+    epoch-repeated, <1 subsampled). budget defaults to Σn (reshuffle
+    the same volume).
+
+    Determinism: the per-source weight n^α is lifted to exact integer
+    micro-units (round(n^α·1e6) as int64) BEFORE the normalizing sum,
+    so Σw is an exact integer and every frac is one deterministic
+    IEEE division — a double Σ of 20 sources would round differently
+    per summation order (the web_curation mean_score discipline), and
+    the micro-round also absorbs any last-ulp pow() divergence between
+    engines (α=0.5 additionally uses sqrt, which is IEEE-exact).
+    Input is the per-source rollup relation (|sources| rows): this is
+    driver-free column arithmetic on a broadcast-sized relation,
+    whatever the corpus size behind the counts."""
+    n = F.col(tokens_col).cast("double")
+    w = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    t = token_counts.select(
+        F.col(source_col), F.col(tokens_col).cast("long").alias("tokens"),
+        F.round(w * 1000000.0, 0).cast("long").alias("__w"),
+    )
+    tot = t.agg(
+        F.sum("tokens").alias("__total"), F.sum("__w").alias("__wsum")
+    )
+    budget = (
+        F.lit(float(budget_tokens))
+        if budget_tokens is not None
+        else F.col("__total").cast("double")
+    )
+    return t.join(F.broadcast(tot)).select(
+        source_col,
+        "tokens",
+        F.round(F.col("tokens") / F.col("__total"), 6).alias("natural_frac"),
+        F.round(F.col("__w") / F.col("__wsum"), 6).alias("target_frac"),
+        F.round(
+            (F.col("__w") / F.col("__wsum")) * budget / F.col("tokens"), 6
+        ).alias("repeat_factor"),
+    )

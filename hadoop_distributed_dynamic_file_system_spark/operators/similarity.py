@@ -523,22 +523,31 @@ def jl_project(
     Elements are cast to double BEFORE accumulation (float addition
     would round differently per engine), and the left-to-right
     accumulation order is part of the operator contract (the oracle
-    replays the identical expression tree)."""
+    replays the identical expression tree).
+
+    The dim×k-term tree is built as ONE SQL string handed to F.expr,
+    not nested Column operators: a round-6 probe at sf0.1 timed the
+    Column-by-Column build at ~2.4 s of py4j round-trips (vs 0.03 s
+    Catalyst analysis and 0.3 s steady-state execution — construction
+    DOMINATED the bench row), while the expr-string build is ~0.15 s
+    and value-identical. For much larger dim·k, mapInArrow is the
+    escape hatch (constant build cost, pays Arrow transfer); at 64×8
+    the codegen path wins."""
     import math
 
     planes = lsh_hyperplanes(dim, k)
-    scale = 1.0 / math.sqrt(k)
+    scale = repr(1.0 / math.sqrt(k))
     comps = []
     for plane in planes:
-        expr = None
-        for i, s in enumerate(plane):
-            t = F.element_at(F.col(vec_col), i + 1).cast("double")
-            if expr is None:
-                expr = t if s > 0 else -t
-            else:
-                expr = expr + t if s > 0 else expr - t
-        comps.append(F.round(expr * F.lit(scale), 6))
-    return df.withColumn(out_col, F.array(*comps))
+        # vec[i] is 0-based in Spark SQL (element_at is the 1-based
+        # form); both cast each element to double before accumulating
+        terms = "".join(
+            (" + " if s > 0 else " - ") + f"CAST({vec_col}[{i}] AS DOUBLE)"
+            for i, s in enumerate(plane)
+        )
+        terms = terms[3:] if terms.startswith(" + ") else "-" + terms[3:]
+        comps.append(f"round(({terms}) * {scale}, 6)")
+    return df.withColumn(out_col, F.expr("array(" + ",".join(comps) + ")"))
 
 
 def int8_quantize(

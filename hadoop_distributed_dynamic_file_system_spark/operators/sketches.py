@@ -193,3 +193,91 @@ def heavy_hitters(
     keys = df.select(key_col).distinct()
     est = cm_estimate(sketch, keys, key_col, width=width)
     return est.filter(F.col("est") >= threshold)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values sketch per group: the k smallest xxhash64
+    values of the group's DISTINCT keys (Bar-Yossef et al. '02 /
+    Beyer et al. SIGMOD'07 — the theta-sketch family's simplest
+    member). DETERMINISTIC for fixed data (unlike HLL's estimate it
+    IS a set of concrete hashes), order- and partitioning-independent,
+    and mergeable: union two sketches = k smallest of the union — so
+    per-partition/per-day sketches roll up without touching raw data.
+
+    Plan: distinct (the one data-sized shuffle) → per-group window
+    rank → keep rk ≤ k. Output: (group, h, rk). At 100 TB each group's
+    state is k longs — the cross-source overlap matrix below moves
+    |groups|·k·8 bytes, not documents.
+
+    Hash = integer value of the first 15 md5 hex digits (60 uniform
+    bits) — the engine-portable hash family every sampling operator
+    here shares (DuckDB has no xxhash64, so md5-prefix is what keeps
+    the sketch itself oracle-replayable; swap in xxhash64 for pure
+    speed when cross-engine checkability isn't needed)."""
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashed = (
+        df.select(F.col(group_col).alias("g"), F.col(key_col))
+        .distinct()
+        .select("g", h.alias("h"))
+        .distinct()  # two keys may hash equal; KMV is over hash VALUES
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("h"))
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col("g").alias(group_col), "h", "rk")
+    )
+
+
+def kmv_pairwise_overlap(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Estimated Jaccard overlap between every pair of groups from
+    their KMV sketches — the cross-source duplication matrix a mixing
+    plan consults BEFORE paying a full inter-source dedup pass.
+
+    Estimator (Beyer et al.): for groups A, B let U = the k smallest
+    hashes of sketch(A) ∪ sketch(B); Ĵ = |U ∩ A ∩ B| / |U|. Exact when
+    a group has < k distinct keys (the sketch IS the set), unbiased
+    with sd ≈ J(1-J)/√k otherwise, and deterministic for fixed data —
+    which is what makes it oracle-checkable.
+
+    Plan: groups × groups (a |groups|²-row relation — tiny) driving
+    equi-joins against the k-row-per-group sketch; every relation in
+    sight is broadcast-sized."""
+    from pyspark.sql import Window
+
+    s = sketch.select(F.col(group_col).alias("g"), "h")
+    ga = s.select(F.col("g").alias("ga")).distinct()
+    gb = s.select(F.col("g").alias("gb")).distinct()
+    pairs = ga.join(gb, F.col("ga") < F.col("gb"))
+    u = (
+        pairs.join(s.select(F.col("g").alias("ga"), "h"), "ga")
+        .select("ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(s.select(F.col("g").alias("gb"), "h"), "gb")
+            .select("ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy(F.asc("h"))
+    uk = u.withColumn("urk", F.row_number().over(w)).filter(F.col("urk") <= k)
+    return uk.groupBy("ga", "gb").agg(
+        F.count("*").cast("long").alias("union_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("both_k"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b")) / F.count("*"), 6
+        ).alias("est_jaccard"),
+    )

@@ -59,6 +59,12 @@ def _utc(spark: SparkSession) -> None:
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # Duplicate registrations are a silent-overwrite bug (round 6
+        # nearly shipped a new query shadowing round 3's
+        # source_overlap_matrix — the old query would have vanished
+        # from the registry without any test noticing).
+        if name in QUERIES:
+            raise ValueError(f"query {name!r} registered twice")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

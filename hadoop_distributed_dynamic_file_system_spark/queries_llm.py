@@ -4309,3 +4309,169 @@ def host_quality_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_quality"),
         (dup_frac <= 0.25).alias("kept"),
     )
+
+
+@query(
+    "scd2_user_state",
+    """
+    WITH s AS (
+      SELECT user_id, ts, min(event_type) AS event_type
+      FROM events GROUP BY user_id, ts
+    ),
+    m AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM s
+    ),
+    f AS (
+      SELECT user_id, ts, event_type FROM m
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+             AS is_current
+    FROM f
+    """,
+)
+def scd2_user_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from the event stream
+    (operators/temporal.scd2_intervals): each user's event_type
+    observations collapse into validity intervals [valid_from,
+    valid_to) with re-observations of the same state extending the
+    open interval — the warehouse-standard dimension-history shape.
+    Simultaneous observations (same user, same ts) pre-aggregate to
+    one deterministic state (min) so the per-key ordering is total in
+    both engines. One key shuffle + two window passes, no self-join."""
+    from .operators import temporal
+    from .queries import _events
+
+    ev = _events(spark, sf_dir)
+    states = ev.groupBy("user_id", "ts").agg(
+        F.min("event_type").alias("event_type")
+    )
+    return temporal.scd2_intervals(states, "user_id", "ts", ["event_type"])
+
+
+@query(
+    "kmv_source_overlap",
+    f"""
+    WITH pools AS (
+      SELECT 'p' || (doc_id % 4) AS g, text FROM documents
+      UNION ALL
+      SELECT 'p' || ((doc_id + 1) % 4) AS g, text FROM documents
+      WHERE doc_id % 3 = 0
+    ),
+    hashed AS (
+      SELECT DISTINCT g, {_sql_hexval("md5(text)", 1, 15)} AS h
+      FROM (SELECT DISTINCT g, text FROM pools)
+    ),
+    sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+        FROM hashed
+      ) WHERE rk <= 64
+    ),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb
+      FROM (SELECT DISTINCT g FROM sk) a, (SELECT DISTINCT g FROM sk) b
+      WHERE a.g < b.g
+    ),
+    u AS (
+      SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.g = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, s.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON s.g = p.gb
+      ) GROUP BY ga, gb, h
+    ),
+    uk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS urk
+        FROM u
+      ) WHERE urk <= 64
+    )
+    SELECT ga AS src_a, gb AS src_b,
+           CAST(count(*) AS BIGINT) AS union_k,
+           CAST(sum(in_a * in_b) AS BIGINT) AS both_k,
+           round(sum(in_a * in_b) / count(*), 6) AS est_jaccard
+    FROM uk GROUP BY ga, gb
+    """,
+)
+def kmv_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix from KMV sketches
+    (operators/sketches.kmv_sketch + kmv_pairwise_overlap): four
+    document pools where every third document is also planted into
+    the NEXT pool (every adjacent pair overlaps ~1/8); each pool is
+    sketched to its 64 minimum md5-prefix hashes and every pair's
+    Jaccard is estimated from the sketches alone — the
+    |groups|·k-byte planning signal a mixing run consults before
+    paying a full inter-source dedup pass. The oracle replays the
+    sketch (it is deterministic data, not an estimate contract)."""
+    from .operators import sketches
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pool = lambda off: F.concat(  # noqa: E731
+        F.lit("p"), ((F.col("doc_id") + off) % 4).cast("string")
+    )
+    pools = d.select(pool(0).alias("pool"), "text").unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            pool(1).alias("pool"), "text"
+        )
+    )
+    sk = sketches.kmv_sketch(pools, "text", "pool", k=64)
+    return sketches.kmv_pairwise_overlap(sk, "pool", k=64).select(
+        F.col("ga").alias("src_a"),
+        F.col("gb").alias("src_b"),
+        "union_k",
+        "both_k",
+        "est_jaccard",
+    )
+
+
+@query(
+    "mixing_token_plan",
+    f"""
+    WITH t AS (
+      SELECT source, CAST(sum(len({_SQL_GOPHER_WORDS})) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, tokens,
+             CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0, 0)
+                  AS BIGINT) AS wm
+      FROM t
+    ),
+    tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS total,
+             CAST(sum(wm) AS BIGINT) AS wsum
+      FROM w
+    )
+    SELECT source, tokens,
+           round(tokens / CAST(total AS DOUBLE), 6) AS natural_frac,
+           round(wm / CAST(wsum AS DOUBLE), 6) AS target_frac,
+           round((wm / CAST(wsum AS DOUBLE)) * CAST(total AS DOUBLE)
+                 / tokens, 6) AS repeat_factor
+    FROM w CROSS JOIN tot
+    """,
+)
+def mixing_token_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-recipe table (operators/curation.mixing_plan):
+    per-source token volume, natural mixture fraction, temperature-
+    α=0.5 target fraction, and the repeat factor (epochs) filling a
+    budget of Σ tokens — the planning step before temperature_mix
+    executes a sampling pass. Weight normalization runs on exact
+    integer micro-units, so the table is bit-identical across
+    engines."""
+    from .operators import curation
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+    )
+    tc = d.groupBy("source").agg(
+        F.sum(F.size(words)).cast("long").alias("tokens")
+    )
+    return curation.mixing_plan(tc, "source", "tokens", alpha=0.5)

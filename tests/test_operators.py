@@ -1618,3 +1618,70 @@ class TestPageRankEmptyGraph:
         out = graph.pagerank(empty, iterations=3)
         assert out.columns == ["node", "rank"]
         assert out.count() == 0
+
+
+class TestKmvSketch:
+    def test_sketch_is_k_smallest_and_mergeable_estimate(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import sketches
+
+        rows = [(f"g{ i % 2}", f"key{i}") for i in range(200)]
+        df = spark.createDataFrame(rows, "g string, k string")
+        sk = sketches.kmv_sketch(df, "k", "g", k=16)
+        per = {}
+        for r in sk.collect():
+            per.setdefault(r.g, []).append(r.h)
+        assert set(per) == {"g0", "g1"}
+        for g, hs in per.items():
+            assert len(hs) == 16 and sorted(hs) == hs or len(set(hs)) == 16
+
+    def test_small_groups_estimate_is_exact(self, spark):
+        """Groups below k: the sketch IS the set, so the estimator is
+        the exact Jaccard."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import sketches
+
+        a = [("A", f"s{i}") for i in range(10)]
+        b = [("B", f"s{i}") for i in range(5, 15)]  # overlap 5, union 15
+        df = spark.createDataFrame(a + b, "g string, k string")
+        sk = sketches.kmv_sketch(df, "k", "g", k=64)
+        row = sketches.kmv_pairwise_overlap(sk, "g", k=64).collect()[0]
+        assert (row.ga, row.gb) == ("A", "B")
+        assert row.union_k == 15 and row.both_k == 5
+        assert row.est_jaccard == round(5 / 15, 6)
+
+    def test_large_groups_estimate_near_truth(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import sketches
+
+        a = [("A", f"s{i}") for i in range(600)]
+        b = [("B", f"s{i}") for i in range(400, 1000)]  # J = 200/1000
+        df = spark.createDataFrame(a + b, "g string, k string")
+        sk = sketches.kmv_sketch(df, "k", "g", k=128)
+        row = sketches.kmv_pairwise_overlap(sk, "g", k=128).collect()[0]
+        assert abs(row.est_jaccard - 0.2) < 0.12  # sd ~ sqrt(J(1-J)/k) ~ 0.035
+
+
+class TestMixingPlan:
+    def test_hand_computed_plan(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import curation
+
+        tc = spark.createDataFrame(
+            [("a", 900), ("b", 100)], "source string, tokens long"
+        )
+        out = {r.source: r for r in curation.mixing_plan(tc, "source", "tokens").collect()}
+        wa, wb = round(30.0 * 1e6), round(10.0 * 1e6)  # sqrt micro-units
+        assert out["a"].natural_frac == 0.9
+        assert out["a"].target_frac == round(wa / (wa + wb), 6) == 0.75
+        assert out["b"].target_frac == 0.25
+        # budget defaults to total (1000): a repeats 0.75*1000/900
+        assert out["a"].repeat_factor == round(0.75 * 1000 / 900, 6)
+        assert out["b"].repeat_factor == round(0.25 * 1000 / 100, 6) == 2.5
+
+    def test_budget_scales_repeats_not_fracs(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import curation
+
+        tc = spark.createDataFrame(
+            [("a", 900), ("b", 100)], "source string, tokens long"
+        )
+        out = {r.source: r for r in curation.mixing_plan(
+            tc, "source", "tokens", budget_tokens=2000).collect()}
+        assert out["b"].target_frac == 0.25
+        assert out["b"].repeat_factor == 5.0

@@ -320,3 +320,49 @@ class TestTimeWeightedAvg:
             ["k"], "ts", "v",
         ).collect()
         assert len(out) == 1 and out[0].twa == 7.5
+
+
+class TestScd2Intervals:
+    def test_collapse_and_intervals(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import temporal
+
+        rows = [
+            (1, 10, "a"), (1, 20, "a"),  # re-observation extends, no split
+            (1, 30, "b"), (1, 40, "a"),  # a -> b -> back to a = 3 intervals
+            (2, 15, "x"),
+        ]
+        df = spark.createDataFrame(rows, "k long, ts long, v string")
+        out = sorted(
+            temporal.scd2_intervals(df, "k", "ts", ["v"]).collect(),
+            key=lambda r: (r.k, r.valid_from),
+        )
+        got = [(r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in out]
+        assert got == [
+            (1, "a", 10, 30, False),
+            (1, "b", 30, 40, False),
+            (1, "a", 40, None, True),
+            (2, "x", 15, None, True),
+        ]
+
+    def test_null_attr_transitions(self, spark):
+        """eqNullSafe: null->null is NO change; null->value and
+        value->null are changes."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import temporal
+
+        rows = [(1, 1, None), (1, 2, None), (1, 3, "v"), (1, 4, None)]
+        df = spark.createDataFrame(rows, "k long, ts long, v string")
+        out = sorted(
+            temporal.scd2_intervals(df, "k", "ts", ["v"]).collect(),
+            key=lambda r: r.valid_from,
+        )
+        assert [(r.v, r.valid_from, r.valid_to) for r in out] == [
+            (None, 1, 3), ("v", 3, 4), (None, 4, None),
+        ]
+
+    def test_multi_attr_change_on_any(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import temporal
+
+        rows = [(1, 1, "a", 5), (1, 2, "a", 6), (1, 3, "a", 6)]
+        df = spark.createDataFrame(rows, "k long, ts long, v string, n long")
+        out = temporal.scd2_intervals(df, "k", "ts", ["v", "n"]).collect()
+        assert len(out) == 2  # n changed at ts=2; ts=3 extends
