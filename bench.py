@@ -132,6 +132,7 @@ HEADLINE = [
     "scd2_user_state",
     "kmv_source_overlap",
     "mixing_token_plan",
+    "png_ahash_roundtrip",
 ]
 
 

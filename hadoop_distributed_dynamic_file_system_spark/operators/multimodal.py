@@ -8,12 +8,13 @@ REAL (no media library needed — pure byte/numpy arithmetic):
 - `sniff_media` / `decode_media_metadata`: container sniffing by magic
   bytes + header parse for BMP/PNG/GIF/JPEG/PPM/WAV (what `identify`
   does) — true formats and dimensions;
-- `bmp_pixels` / `image_features`: full 24-bpp BMP raster decode and
-  luminance statistics;
+- `bmp_pixels` / `png_pixels` / `image_features`: full raster decode
+  (24-bpp BMP; 8-bit gray/truecolor PNG via stdlib zlib — chunk walk,
+  IDAT inflate, all five scanline unfilters) and luminance statistics;
 - `wav_chunks`: RIFF/PCM16 parse with true windowed RMS.
 
 STUBBED (needs a codec, gated on REAL_DECODE_AVAILABLE / absent libs):
-pixel-level work on compressed rasters (JPEG/PNG decode, resize
+pixel-level work on entropy-coded rasters (JPEG decode, resize
 re-encode, video frame extraction) — those keep the deterministic
 md5-derived fakes so the plumbing stays testable in this container.
 
@@ -49,9 +50,10 @@ except Exception:
 # Uncompressed/self-describing containers are pure byte arithmetic — no
 # media library needed. These are REAL decoders (not stubs): header
 # sniffing for BMP/PNG/GIF/JPEG/PPM/WAV, full pixel decode for
-# BMP/PPM, PCM sample access for WAV. Only pixel-level work on
-# COMPRESSED formats (JPEG/PNG raster) still needs PIL and stays
-# behind REAL_DECODE_AVAILABLE.
+# BMP/PPM and (since round 6) 8-bit gray/truecolor PNG — PNG's only
+# mandatory codec is zlib, which the standard library ships, so its
+# raster is REAL-decodable (png_pixels below). Only JPEG-class entropy
+# coding still needs PIL and stays behind REAL_DECODE_AVAILABLE.
 
 
 def make_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
@@ -341,9 +343,10 @@ def decode_media_metadata(binaries: DataFrame) -> DataFrame:
 
 
 def image_features(binaries: DataFrame) -> DataFrame:
-    """REAL pixel features for decodable rasters (BMP): mean/std
-    luminance (ITU-R 601) per image; nulls for formats whose raster
-    needs a codec (those route through the PIL gate)."""
+    """REAL pixel features for decodable rasters (BMP + 8-bit PNG, via
+    raster_pixels): mean/std luminance (ITU-R 601) per image; nulls
+    for formats whose raster needs a codec (JPEG routes through the
+    PIL gate)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -353,12 +356,10 @@ def image_features(binaries: DataFrame) -> DataFrame:
             for b in pdf["payload"]:
                 b = bytes(b)
                 # try/except mirrors sniff_media: a payload that merely
-                # STARTS with 'BM' but is truncated/malformed must yield
-                # nulls, not fail the whole job from inside mapInPandas.
+                # STARTS with a raster magic but is truncated/malformed
+                # must yield nulls, not fail the job from mapInPandas.
                 try:
-                    if b[:2] != b"BM":
-                        raise ValueError("not a BMP")
-                    px = bmp_pixels(b).astype(np.float64)
+                    px = raster_pixels(b).astype(np.float64)
                     lum = (
                         0.299 * px[:, :, 0]
                         + 0.587 * px[:, :, 1]
@@ -384,12 +385,13 @@ def image_features(binaries: DataFrame) -> DataFrame:
 
 def compressed_raster_features(binaries: DataFrame) -> DataFrame:
     """Pixel features (mean/std ITU-R 601 luminance) for COMPRESSED
-    rasters (PNG/JPEG/GIF/WebP) — the one decode tier that genuinely
-    needs a codec library. With PIL present (REAL_DECODE_AVAILABLE)
-    this is a real decode in the same Arrow-batched mapInPandas shape
-    as image_features; without it every row yields nulls — the
-    plumbing (schema, batching, null discipline) is identical either
-    way, so flipping the gate changes values, not the plan.
+    rasters. Two real paths: 8-bit gray/truecolor PNG decodes with the
+    stdlib-zlib decoder (png_pixels — REAL in every container);
+    everything else (JPEG/GIF/WebP, exotic PNG profiles) needs a codec
+    library and runs through the PIL gate. Without PIL those rows
+    yield nulls — the plumbing (schema, batching, null discipline) is
+    identical either way, so flipping the gate changes values, not
+    the plan.
 
     Raises nothing on malformed payloads (nulls, like image_features):
     a poison row must not fail a 100 TB decode job."""
@@ -402,14 +404,17 @@ def compressed_raster_features(binaries: DataFrame) -> DataFrame:
             for b in pdf["payload"]:
                 b = bytes(b)
                 try:
-                    if not REAL_DECODE_AVAILABLE:
-                        raise ValueError("no codec library in environment")
-                    import io as _io
+                    try:
+                        px = png_pixels(b).astype(np.float64)
+                    except Exception:
+                        if not REAL_DECODE_AVAILABLE:
+                            raise ValueError("no codec library in environment")
+                        import io as _io
 
-                    import PIL.Image
+                        import PIL.Image
 
-                    img = PIL.Image.open(_io.BytesIO(b)).convert("RGB")
-                    px = np.asarray(img, dtype=np.float64)
+                        img = PIL.Image.open(_io.BytesIO(b)).convert("RGB")
+                        px = np.asarray(img, dtype=np.float64)
                     lum = (
                         0.299 * px[:, :, 0]
                         + 0.587 * px[:, :, 1]
@@ -676,9 +681,8 @@ def ahash_codes(binaries: DataFrame, hash_side: int = 8) -> DataFrame:
 
         def code_of(b: bytes):
             try:
-                if b[:2] != b"BM":
-                    raise ValueError("not a BMP")
-                px = bmp_pixels(b).astype(np.float64)
+                # BMP or (REAL-decoded) PNG — see raster_pixels
+                px = raster_pixels(b).astype(np.float64)
                 lum = (
                     0.299 * px[:, :, 0]
                     + 0.587 * px[:, :, 1]
@@ -835,3 +839,179 @@ def audio_near_pairs(
         rotations=1,
         bits=64,
     )
+
+
+# ------------------------------------------------------ REAL PNG decode
+# PNG's only mandatory compression is zlib (RFC 1950 inside the IDAT
+# chunks) and zlib ships in the standard library — so 8-bit
+# gray/truecolor PNG is decodable with pure byte arithmetic + numpy,
+# no media library. This moves PNG from the "needs PIL" tier into the
+# REAL tier (JPEG stays PIL-gated: its entropy coding has no stdlib
+# implementation).
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_pixels(payload: bytes):
+    """REAL PNG raster decode → numpy (h, w, 3) RGB uint8.
+
+    Supports the baseline still-image profile: bit depth 8, color
+    type 0 (grayscale, broadcast to RGB) or 2 (truecolor), no
+    interlace. Walks the chunk stream (length/type/data/CRC), inflates
+    the concatenated IDAT payload with zlib, then undoes the per-
+    scanline filter (None/Sub/Up/Average/Paeth — the full §9 set).
+    Anything else (16-bit, palette, alpha, Adam7) raises ValueError
+    and the callers' malformed-payload discipline nulls the row."""
+    import zlib as _zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, interlace = data[8], data[9], data[12]
+            if depth != 8 or color not in (0, 2) or interlace != 0:
+                raise ValueError("unsupported PNG profile")
+            bpp = 3 if color == 2 else 1
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + CRC
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = _zlib.decompress(idat)
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError("short IDAT")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    at = 0
+    for r in range(h):
+        ftype = raw[at]
+        line = np.frombuffer(raw[at + 1 : at + 1 + stride], dtype=np.uint8)
+        at += 1 + stride
+        cur = line.astype(np.int32)
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — vectorized
+            cur = (cur + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the reconstructed left byte
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = int(prev[i])
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                if ftype == 1:
+                    rec[i] = (cur[i] + left) & 0xFF
+                elif ftype == 3:
+                    rec[i] = (cur[i] + (left + up) // 2) & 0xFF
+                elif ftype == 4:
+                    rec[i] = (cur[i] + _png_paeth(left, up, ul)) & 0xFF
+                else:
+                    raise ValueError(f"bad filter {ftype}")
+            cur = rec
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, bpp)
+    if bpp == 1:
+        px = np.repeat(px, 3, axis=2)
+    return px
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib as _zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (_zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def make_png(rows, filter_type: int = 0) -> bytes:
+    """Valid 8-bit truecolor PNG from an (h, w, 3) uint8 array, every
+    scanline written with `filter_type` (0-4) — exercising each
+    decoder unfilter path from one deterministic writer (fixed zlib
+    level, no wall-clock anywhere, so payloads are bit-reproducible
+    for oracles)."""
+    import zlib as _zlib
+
+    import numpy as np
+
+    px = np.asarray(rows, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = w * 3
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        cur = flat[r]
+        raw.append(filter_type)
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 2:
+            filt = (cur - prev) & 0xFF
+        else:
+            filt = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = int(cur[i - 3]) if i >= 3 else 0
+                up = int(prev[i])
+                ul = int(prev[i - 3]) if i >= 3 else 0
+                if filter_type == 1:
+                    filt[i] = (cur[i] - left) & 0xFF
+                elif filter_type == 3:
+                    filt[i] = (cur[i] - (left + up) // 2) & 0xFF
+                elif filter_type == 4:
+                    filt[i] = (cur[i] - _png_paeth(left, up, ul)) & 0xFF
+        raw += filt.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, no interlace
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_two_tone_png(width: int, height: int, cut_x: int) -> bytes:
+    """PNG twin of make_two_tone_bmp: black for x < cut_x, white
+    otherwise — same closed-form aHash as the BMP form, so the two
+    containers are cross-checkable payload for payload."""
+    import numpy as np
+
+    px = np.full((height, width, 3), 255, dtype=np.uint8)
+    px[:, :cut_x] = 0
+    return make_png(px)
+
+
+def raster_pixels(payload: bytes):
+    """Dispatch REAL raster decode by magic: BMP (bmp_pixels) or PNG
+    (png_pixels) → (h, w, 3) RGB. The shared entry every pixel
+    consumer (aHash, image_features) uses, so adding a decodable
+    container upgrades all of them at once."""
+    b = bytes(payload)
+    if b[:2] == b"BM":
+        return bmp_pixels(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_pixels(b)
+    raise ValueError("no REAL raster decoder for this payload")

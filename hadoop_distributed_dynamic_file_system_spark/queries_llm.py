@@ -4475,3 +4475,48 @@ def mixing_token_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(words)).cast("long").alias("tokens")
     )
     return curation.mixing_plan(tc, "source", "tokens", alpha=0.5)
+
+
+@query(
+    "png_ahash_roundtrip",
+    """
+    SELECT doc_id,
+      CAST(CASE doc_id % 9
+        WHEN 0 THEN 0
+        WHEN 8 THEN 0
+        WHEN 1 THEN 127 * 72340172838076673
+        WHEN 2 THEN  63 * 72340172838076673
+        WHEN 3 THEN  31 * 72340172838076673
+        WHEN 4 THEN  15 * 72340172838076673
+        WHEN 5 THEN   7 * 72340172838076673
+        WHEN 6 THEN   3 * 72340172838076673
+        WHEN 7 THEN   1 * 72340172838076673
+      END AS BIGINT) AS ahash
+    FROM documents
+    """,
+)
+def png_ahash_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode + perceptual hash, end to end through the REAL
+    stdlib-zlib raster decoder (operators/multimodal.png_pixels —
+    chunk walk, IDAT inflate, scanline unfilter): synthesize the SAME
+    two-tone 32x32 scene as `image_ahash_roundtrip` but as a
+    compressed PNG, run the shared aHash stage, and match the
+    identical closed-form oracle. Green here means the decode tier the
+    r5 review called blocked-on-PIL is real for PNG: a compression
+    roundtrip sits between the fixture and the hash, and any chunk-
+    walk, inflate, unfilter, stride, or packing bug hash-mismatches
+    against pure doc_id arithmetic."""
+    import pandas as pd  # noqa: F401
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            payloads = [
+                multimodal.make_two_tone_png(32, 32, (int(i) % 9) * 4)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    bins = d.mapInPandas(build, "doc_id bigint, payload binary")
+    return multimodal.ahash_codes(bins)

@@ -856,3 +856,83 @@ def streaming_normalize_chunk(
         max_tokens=max_tokens,
         overlap=overlap,
     )
+
+
+def streaming_scd2(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+) -> DataFrame:
+    """Continuous SCD type-2 maintenance — the streaming twin of
+    temporal.scd2_intervals: per key, collapse the arriving state
+    observations into validity intervals, emitting a CLOSED interval
+    whenever a change ends one and re-emitting the OPEN interval
+    (valid_to null, is_current true) each batch in update mode, so the
+    sink's latest row per (key, valid_from) is always the batch
+    answer. State is ONE row per key (current attr + interval start) —
+    the minimal dimension-maintenance state, evicted never (dimension
+    keys are the working set by definition).
+
+    `ts_col` must be NUMERIC (cast timestamps to epoch micros first —
+    the same engine-portable convention as temporal.interval_join).
+    Arrival-order contract: observations are processed in ts order
+    WITHIN a batch; an observation older than the open interval's
+    start arriving in a LATER batch is dropped (documented staleness
+    rule — front the stream with a watermark+sort stage if the source
+    genuinely reorders across batches). Same-attr re-observations
+    extend the open interval, exactly like the batch operator.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_t = changes.schema[key_col].dataType
+    attr_t = changes.schema[attr_col].dataType
+    ts_t = changes.schema[ts_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_t),
+            T.StructField(attr_col, attr_t),
+            T.StructField("valid_from", ts_t),
+            T.StructField("valid_to", ts_t),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("attr", attr_t), T.StructField("vfrom", ts_t)]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cur, vfrom = state.get if state.exists else (None, None)
+        have = state.exists
+        out_rows = []
+        obs = []
+        for pdf in pdfs:
+            obs.extend(zip(pdf[ts_col], pdf[attr_col]))
+        obs.sort(key=lambda p: p[0])
+        for ts, attr in obs:
+            ts = None if pd.isna(ts) else ts
+            if not have:
+                cur, vfrom, have = attr, ts, True
+            elif ts is not None and vfrom is not None and ts < vfrom:
+                continue  # stale cross-batch straggler: documented drop
+            elif (attr != cur) and not (pd.isna(attr) and pd.isna(cur)):
+                out_rows.append((key[0], cur, vfrom, ts, False))
+                cur, vfrom = attr, ts
+        if have:
+            state.update((cur, vfrom))
+            out_rows.append((key[0], cur, vfrom, None, True))
+        yield pd.DataFrame(
+            out_rows,
+            columns=[key_col, attr_col, "valid_from", "valid_to", "is_current"],
+        )
+
+    return changes.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -877,3 +877,71 @@ class TestStreamingNormalizeChunk:
         # NFC actually ran in the stream: composed é in doc 1's chunk 0
         c0 = next(t for t in got if t[0] == 1 and t[1] == 0)
         assert "caf\u00e9" in c0[4]
+
+
+class TestStreamingScd2:
+    def test_stream_matches_batch_twin_across_batches(self, spark, tmp_path):
+        """Two micro-batches of per-user state observations; the final
+        emitted interval set (last emit per (key, valid_from)) must
+        equal temporal.scd2_intervals over the union — including an
+        interval OPENED in batch 1 and CLOSED in batch 2 (state must
+        carry)."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import temporal
+
+        src = tmp_path / "scd2_src"
+        src.mkdir()
+        b0 = [(1, 10, "a"), (1, 20, "a"), (2, 15, "x")]
+        b1 = [(1, 30, "b"), (2, 25, "x"), (2, 35, "y"), (3, 40, "z")]
+        schema = "user_id long, ts long, event_type string"
+        for i, rows in enumerate((b0, b1)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src / f"b{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        out = ev.run_to_memory(
+            ev.streaming_scd2(stream), "scd2_stream", output_mode="update"
+        )
+        rows = out.collect()
+        # memory sink appends in batch order: keep the LAST emit per
+        # (key, valid_from) — update-mode re-emits the open interval
+        last = {}
+        for r in rows:
+            last[(r.user_id, r.valid_from)] = (
+                r.event_type, r.valid_to, r.is_current
+            )
+        batch = spark.createDataFrame(b0 + b1, schema)
+        want = {
+            (r.user_id, r.valid_from): (r.event_type, r.valid_to, r.is_current)
+            for r in temporal.scd2_intervals(
+                batch, "user_id", "ts", ["event_type"]
+            ).collect()
+        }
+        assert last == want
+
+    def test_stale_straggler_dropped(self, spark, tmp_path):
+        src = tmp_path / "scd2_stale"
+        src.mkdir()
+        schema = "user_id long, ts long, event_type string"
+        spark.createDataFrame([(1, 100, "a")], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / "b0"))
+        # straggler older than the open interval start: must not fork history
+        spark.createDataFrame([(1, 50, "b")], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / "b1"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        out = ev.run_to_memory(
+            ev.streaming_scd2(stream), "scd2_stale", output_mode="update"
+        )
+        last = {}
+        for r in out.collect():
+            last[(r.user_id, r.valid_from)] = (r.event_type, r.is_current)
+        assert last == {(1, 100): ("a", True)}
