@@ -133,6 +133,8 @@ HEADLINE = [
     "kmv_source_overlap",
     "mixing_token_plan",
     "png_ahash_roundtrip",
+    "gif_ahash_roundtrip",
+    "kmv_incremental_distinct",
 ]
 
 

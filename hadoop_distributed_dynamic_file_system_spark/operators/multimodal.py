@@ -8,9 +8,10 @@ REAL (no media library needed — pure byte/numpy arithmetic):
 - `sniff_media` / `decode_media_metadata`: container sniffing by magic
   bytes + header parse for BMP/PNG/GIF/JPEG/PPM/WAV (what `identify`
   does) — true formats and dimensions;
-- `bmp_pixels` / `png_pixels` / `image_features`: full raster decode
-  (24-bpp BMP; 8-bit gray/truecolor PNG via stdlib zlib — chunk walk,
-  IDAT inflate, all five scanline unfilters) and luminance statistics;
+- `bmp_pixels` / `png_pixels` / `gif_pixels` / `image_features`: full
+  raster decode (24-bpp BMP; 8-bit gray/truecolor PNG via stdlib zlib
+  — chunk walk, IDAT inflate, all five scanline unfilters;
+  non-interlaced GIF via pure-integer LZW) and luminance statistics;
 - `wav_chunks`: RIFF/PCM16 parse with true windowed RMS.
 
 STUBBED (needs a codec, gated on REAL_DECODE_AVAILABLE / absent libs):
@@ -50,9 +51,9 @@ except Exception:
 # Uncompressed/self-describing containers are pure byte arithmetic — no
 # media library needed. These are REAL decoders (not stubs): header
 # sniffing for BMP/PNG/GIF/JPEG/PPM/WAV, full pixel decode for
-# BMP/PPM and (since round 6) 8-bit gray/truecolor PNG — PNG's only
-# mandatory codec is zlib, which the standard library ships, so its
-# raster is REAL-decodable (png_pixels below). Only JPEG-class entropy
+# BMP/PPM and (since round 6) 8-bit gray/truecolor PNG (zlib is in
+# the standard library) and non-interlaced GIF (LZW is ~60 lines of
+# integer arithmetic — _lzw_decode below). Only JPEG-class entropy
 # coding still needs PIL and stays behind REAL_DECODE_AVAILABLE.
 
 
@@ -1014,4 +1015,219 @@ def raster_pixels(payload: bytes):
         return bmp_pixels(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return png_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_pixels(b)
     raise ValueError("no REAL raster decoder for this payload")
+
+
+# ------------------------------------------------------ REAL GIF decode
+# GIF's codec is LZW with variable-width codes — ~60 lines of integer
+# arithmetic, no library needed. Like PNG this moves GIF's raster from
+# the sniff-only tier into the REAL tier (first frame, non-interlaced,
+# global or local color table).
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    dictionary reset on CLEAR, codes grow to 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        next_code = end + 1
+
+    width = next_code = 0
+    reset()
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < next_code and table[code]:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + [prev[0]]
+            elif code < clear:
+                entry = [code]
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + [entry[0]])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def gif_pixels(payload: bytes):
+    """REAL GIF raster decode → numpy (h, w, 3) RGB uint8: header +
+    color tables + first image descriptor + LZW-decoded index stream.
+    Non-interlaced stills only (interlace raises; animation beyond the
+    first frame is ignored — curation wants the poster frame)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            iflags = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if ct is None:
+                raise ValueError("no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(min_code, bytes(data))
+            if len(idx) < w * h:
+                raise ValueError("short LZW index stream")
+            grid = np.array(idx[: w * h], dtype=np.int32).reshape(h, w)
+            return ct[grid]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("no image data in GIF")
+
+
+def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """Deterministic GIF LZW encoder (the writer twin of _lzw_decode):
+    emits CLEAR, greedy longest-match dictionary codes, END."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run: tuple = ()
+    for v in indices:
+        cand = run + (v,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        run = (v,)
+    if run:
+        emit(table[run])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(rows) -> bytes:
+    """Valid GIF89a from an (h, w, 3) uint8 array with ≤256 distinct
+    colors — deterministic writer (palette in first-appearance order,
+    LZW re-encoded by _lzw_encode) for tests/oracles."""
+    import numpy as np
+
+    px = np.asarray(rows, dtype=np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    palette: list[tuple] = []
+    lut: dict = {}
+    idx = []
+    for p in map(tuple, flat):
+        if p not in lut:
+            lut[p] = len(palette)
+            palette.append(p)
+        idx.append(lut[p])
+    if len(palette) > 256:
+        raise ValueError("make_gif: >256 colors")
+    bits = max(2, (len(palette) - 1).bit_length())  # GIF min code size >= 2
+    n = 1 << bits
+    gct = b"".join(bytes(p) for p in palette) + b"\x00\x00\x00" * (n - len(palette))
+    lzw = _lzw_encode(bits, idx)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (bits - 1), 0, 0])
+        + gct
+        + b"\x2c" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([bits])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def make_two_tone_gif(width: int, height: int, cut_x: int) -> bytes:
+    """GIF twin of make_two_tone_bmp/png — same closed-form aHash."""
+    import numpy as np
+
+    px = np.full((height, width, 3), 255, dtype=np.uint8)
+    px[:, :cut_x] = 0
+    return make_gif(px)

@@ -281,3 +281,38 @@ def kmv_pairwise_overlap(
             F.sum(F.col("in_a") * F.col("in_b")) / F.count("*"), 6
         ).alias("est_jaccard"),
     )
+
+
+KMV_DOMAIN = 16 ** 15  # md5-prefix hash space: 15 hex digits = 2^60
+
+
+def kmv_merge(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Union-merge per-group KMV sketches into ONE global sketch: the
+    k smallest distinct hashes across all groups — the mergeability
+    that makes KMV an incremental-maintenance sketch (per-day /
+    per-shard sketches roll up without revisiting raw data; at 100 TB
+    the merge input is |groups|·k longs). TakeOrdered(k), never a
+    global sort."""
+    return sketch.select("h").distinct().orderBy(F.asc("h")).limit(k)
+
+
+def kmv_distinct_estimate(
+    merged: DataFrame, k: int, domain: int = KMV_DOMAIN
+) -> DataFrame:
+    """Distinct-count estimate from a merged KMV sketch (Bar-Yossef
+    et al.): with fewer than k hashes the sketch IS the distinct set
+    (exact count); at capacity, n̂ = (k-1)·D/h_(k) where h_(k) is the
+    k-th minimum of a hash space of size D. Deterministic for fixed
+    data — one multiply + one divide in doubles, identical in any
+    IEEE engine — so the estimate itself is oracle-checkable, and its
+    documented error (sd ≈ n/√(k-2)) is assertable as a predicate."""
+    agg = merged.agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.max("h").alias("_hk"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(float(domain)) / F.col("_hk"), 3)
+    )
+    return agg.select("n_sketch", est.alias("est_distinct"))

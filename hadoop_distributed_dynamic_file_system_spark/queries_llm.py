@@ -4520,3 +4520,107 @@ def png_ahash_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bins = d.mapInPandas(build, "doc_id bigint, payload binary")
     return multimodal.ahash_codes(bins)
+
+
+@query(
+    "gif_ahash_roundtrip",
+    """
+    SELECT doc_id,
+      CAST(CASE doc_id % 9
+        WHEN 0 THEN 0
+        WHEN 8 THEN 0
+        WHEN 1 THEN 127 * 72340172838076673
+        WHEN 2 THEN  63 * 72340172838076673
+        WHEN 3 THEN  31 * 72340172838076673
+        WHEN 4 THEN  15 * 72340172838076673
+        WHEN 5 THEN   7 * 72340172838076673
+        WHEN 6 THEN   3 * 72340172838076673
+        WHEN 7 THEN   1 * 72340172838076673
+      END AS BIGINT) AS ahash
+    FROM documents
+    """,
+)
+def gif_ahash_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode + perceptual hash through the REAL pure-integer LZW
+    decoder (operators/multimodal.gif_pixels): the same two-tone scene
+    as image_ahash_roundtrip/png_ahash_roundtrip, shipped as an
+    LZW-compressed GIF, hashed by the shared aHash stage against the
+    identical closed-form oracle. With BMP (uncompressed), PNG (zlib)
+    and GIF (LZW) all green on one oracle, the perceptual signature is
+    pinned container-independent across three REAL codecs."""
+    import pandas as pd  # noqa: F401
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            payloads = [
+                multimodal.make_two_tone_gif(32, 32, (int(i) % 9) * 4)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    bins = d.mapInPandas(build, "doc_id bigint, payload binary")
+    return multimodal.ahash_codes(bins)
+
+
+@query(
+    "kmv_incremental_distinct",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT source AS g, {_sql_hexval("md5(text)", 1, 15)} AS h
+      FROM (SELECT DISTINCT source, text FROM documents)
+    ),
+    sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+        FROM hashed
+      ) WHERE rk <= 64
+    ),
+    merged AS (
+      SELECT h FROM (SELECT DISTINCT h FROM sk) ORDER BY h LIMIT 64
+    ),
+    est AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sketch,
+             CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE round(63.0 * 1152921504606846976.0 / max(h), 3)
+             END AS est_distinct
+      FROM merged
+    ),
+    exact AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct
+              FROM documents)
+    SELECT n_sketch, est_distinct, exact_distinct,
+           round(abs(est_distinct - exact_distinct) / exact_distinct, 3)
+             AS rel_err
+    FROM est CROSS JOIN exact
+    """,
+)
+def kmv_incremental_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count maintenance from per-source KMV
+    sketches (operators/sketches.kmv_sketch → kmv_merge →
+    kmv_distinct_estimate): each source keeps its 64 minimum hashes —
+    the per-shard state a 100 TB pipeline persists — and the GLOBAL
+    distinct-content estimate is computed from the union-merged
+    sketch without revisiting documents. The exact distinct count
+    rides along so the row itself records the achieved relative error
+    (sd ≈ 1/√62 ≈ 13%); both the estimate and the error are
+    deterministic data, replayed exactly by the oracle."""
+    from .operators import sketches
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    sk = sketches.kmv_sketch(d, "text", "source", k=64)
+    merged = sketches.kmv_merge(sk, k=64)
+    est = sketches.kmv_distinct_estimate(merged, k=64)
+    exact = d.agg(
+        F.countDistinct("text").cast("long").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact)).select(
+        "n_sketch",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            3,
+        ).alias("rel_err"),
+    )

@@ -1763,3 +1763,92 @@ class TestPngDecode:
         p[ihdr_at + 4 + 12] = 1
         with _pytest.raises(ValueError):
             mm.png_pixels(bytes(p))
+
+
+class TestGifDecode:
+    """REAL pure-integer GIF LZW decode (round 6)."""
+
+    def test_roundtrip_multi_color(self, spark):
+        import numpy as np
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 17, (40, 37))
+        rgb = np.stack(
+            [img * 13 % 256, img * 7 % 256, img * 3 % 256], axis=2
+        ).astype(np.uint8)
+        assert (mm.gif_pixels(mm.make_gif(rgb)) == rgb).all()
+
+    def test_roundtrip_crosses_lzw_width_boundaries(self, spark):
+        import numpy as np
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, (50, 41))
+        rgb = np.stack([img, img, img], axis=2).astype(np.uint8)
+        assert (mm.gif_pixels(mm.make_gif(rgb)) == rgb).all()
+        big = np.zeros((80, 80, 3), dtype=np.uint8)  # long-run dictionary
+        assert (mm.gif_pixels(mm.make_gif(big)) == big).all()
+
+    def test_ahash_container_independent_bmp_png_gif(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        rows = [
+            (1, mm.make_two_tone_bmp(32, 32, 12)),
+            (2, mm.make_two_tone_png(32, 32, 12)),
+            (3, mm.make_two_tone_gif(32, 32, 12)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r.ahash for r in mm.ahash_codes(df).collect()}
+        assert got[1] == got[2] == got[3] is not None
+
+    def test_interlaced_raises_and_truncated_nulls(self, spark):
+        import pytest as _pytest
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        p = bytearray(mm.make_two_tone_gif(8, 8, 4))
+        desc = p.index(b"\x2c")
+        p[desc + 9] |= 0x40  # interlace flag
+        with _pytest.raises(ValueError):
+            mm.gif_pixels(bytes(p))
+        df = spark.createDataFrame(
+            [(1, b"GIF89a_truncated")], "doc_id long, payload binary"
+        )
+        assert mm.ahash_codes(df).collect()[0].ahash is None
+
+
+class TestKmvMergeEstimate:
+    def test_merge_is_k_smallest_of_union_and_estimate_near_truth(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import sketches
+
+        rows = [(f"g{i % 5}", f"key{i}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "g string, k string")
+        sk = sketches.kmv_sketch(df, "k", "g", k=64)
+        merged = sketches.kmv_merge(sk, k=64)
+        hs = [r.h for r in merged.collect()]
+        assert len(hs) == 64 and len(set(hs)) == 64
+        est = sketches.kmv_distinct_estimate(merged, k=64).collect()[0]
+        assert est.n_sketch == 64
+        # 2000 distinct keys, sd ~ n/sqrt(62) ~ 254
+        assert abs(est.est_distinct - 2000) < 800
+
+    def test_below_capacity_estimate_is_exact(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import sketches
+
+        rows = [("a", f"k{i}") for i in range(10)] + [("b", f"k{i}") for i in range(5, 12)]
+        df = spark.createDataFrame(rows, "g string, k string")
+        sk = sketches.kmv_sketch(df, "k", "g", k=64)
+        merged = sketches.kmv_merge(sk, k=64)
+        est = sketches.kmv_distinct_estimate(merged, k=64).collect()[0]
+        assert est.n_sketch == 12 and est.est_distinct == 12.0

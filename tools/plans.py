@@ -76,6 +76,26 @@ localCheckpoint-every-8 keeps analysis flat. Linear, not super-linear
 — no batched-fold variant needed; a thousand-merge tokenizer would pay
 ~20 s of one-time plan construction, amortized across the corpus pass
 it feeds.
+
+## Bench context (round 6)
+
+The round-6 bench carries 98 entries (r5: 68) and the common-67 set
+reads 1.13x of r5. Before calling that a regression, the prescribed
+isolated probe (fresh session, min-of-3, idle machine) was run on the
+eight most-inflated entries: every one is UNTOUCHED code this round
+and shows the same uniform 1.3-1.5x inflation the io suite
+independently measures (dfsio read 69.9 -> 61.7 MB/s, write 30.1 ->
+28.3 MB/s on zero code change) — the ambient-machine-tax pattern
+rounds 4 and 5 documented, compounded by the known session-position
+effect as HEADLINE grows. No per-plan regression was identified.
+
+Two entries DID change by design: `jl_projection` 2.98 -> 0.99 s (the
+F.expr construction rewrite) and `int8_quantized_embeddings`
+0.18 -> ~1.0 s — the driver-hash contract now requires scalar rows,
+so the query posexplodes 100k byte-vectors into 6.4M (vec, idx, code)
+rows; the extra second is the materialization of 64x more output
+rows, not quantization cost (the operator itself is unchanged and
+scan-local).
 """
 
 
