@@ -936,3 +936,269 @@ def streaming_scd2(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ann_topk(
+    query_stream: DataFrame,
+    corpus_codes: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Continuous vector retrieval: an arriving query stream searched
+    against a FROZEN int8-IVF index — the serving half of the ANN
+    stack run as a stream (the index is built batch-side by
+    assign_to_centroids + int8_quantize, exactly ivf_int8_topk's
+    corpus relation).
+
+    Stages, all streaming-legal:
+    - probe selection is a PER-ROW expression: the centroid table is a
+      bounded model relation (the same "broadcast the model" bound as
+      streaming_web_curation's classifier), so each query row ranks
+      the centroids inside one codegen expression (struct array →
+      sort_array → slice nprobe → explode) — no stream aggregation;
+    - candidate generation is a stream-static equi-join on
+      centroid_id (bucket pruning, the IVF win);
+    - scoring is a scan-local cosine against the int8 codes;
+    - per-query top-k runs in applyInPandasWithState keyed by
+      query_id (a query's candidates all arrive in its own
+      micro-batch, so state stays empty and the group just sorts its
+      candidates — rank windows are not available on streams).
+
+    Emits the SAME (query_id, vec_id, score, rk) contract as
+    ivf_int8_topk; TestStreamingAnnTopk pins stream ≡ batch."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.similarity import cosine
+
+    cen = centroids.collect()  # bounded model relation (n_centroids rows)
+    qv = F.col(vec_col).cast("array<double>")
+    ranked = []
+    for r in cen:
+        zlit = F.array(*[F.lit(float(x)) for x in r[vec_col]])
+        cs = F.round(cosine(qv, zlit), 6)
+        # struct sorts field-by-field: (cscore, -centroid_id) DESC ==
+        # score desc, centroid_id asc — _probe_assigned's tie-break
+        ranked.append(
+            F.struct(
+                cs.alias("cscore"),
+                F.lit(-int(r["centroid_id"])).alias("neg_cid"),
+            )
+        )
+    probes = F.slice(
+        F.sort_array(F.array(*ranked), asc=False), 1, nprobe
+    )
+    q = query_stream.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        F.explode(probes).alias("p"),
+    ).select(
+        "query_id", "qv", (-F.col("p.neg_cid")).cast("long").alias("centroid_id")
+    )
+    cand = q.join(corpus_codes, "centroid_id").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rk", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("unused", T.IntegerType())])
+
+    def topk(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(
+            ["score", id_col], ascending=[False, True]
+        ).head(k)
+        rows = rows.reset_index(drop=True)
+        yield pd.DataFrame(
+            {
+                "query_id": rows["query_id"],
+                id_col: rows[id_col],
+                "score": rows["score"],
+                "rk": (rows.index + 1).astype("int32"),
+            }
+        )
+
+    return scored.groupBy("query_id").applyInPandasWithState(
+        topk,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_hybrid_rrf(
+    query_stream: DataFrame,
+    postings: DataFrame,
+    corpus_stats: tuple[int, float],
+    corpus_codes: DataFrame,
+    centroids: DataFrame,
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    n_query_terms: int = 4,
+    k: int = 10,
+    k_in: int = 10,
+    nprobe: int = 2,
+    rrf_c: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Continuous HYBRID retrieval: each arriving query (text +
+    embedding) is scored lexically (BM25 against a frozen postings
+    index) AND densely (cosine against the frozen int8-IVF index),
+    and the two rankings are fused by reciprocal rank — the
+    production RAG serving loop as one streaming query.
+
+    Streaming legality, stage by stage:
+    - query terms: array_distinct(slice(words)) per row — stateless
+      (a streaming `distinct` would need state; the per-row array
+      form doesn't);
+    - lexical candidates: stream-static equi-join on term against the
+      postings relation (term, doc, tf, dl, df); the per-(query, doc,
+      term) BM25 contribution is scan-local arithmetic (corpus N and
+      avgdl ride as literals — they are two scalars of the frozen
+      index, same model-relation bound as everywhere else);
+    - dense candidates: the streaming_ann_topk probe expression +
+      stream-static join on centroid_id + scan-local cosine;
+    - both candidate streams UNION (stateless) into tagged rows, and
+      the single stateful stage — applyInPandasWithState keyed by
+      query_id — sums lexical contributions per doc, ranks both lists
+      (6dp-rounded scores, doc-id tie-break: the exact batch
+      contract), fuses with Σ 1/(c+rank), and emits the top-k.
+
+    One stateful operator total (Structured Streaming allows only
+    one); everything upstream is projection or stream-static join, so
+    restarts resume from source offsets plus the frozen index.
+    TestStreamingHybridRrf pins stream ≡ batch (bm25_multi_query +
+    ivf_int8_topk + rrf_fuse)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.similarity import cosine
+
+    n_docs, avgdl = corpus_stats
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    terms = F.array_distinct(F.slice(words, 1, n_query_terms))
+    lex = (
+        query_stream.select(
+            F.col("query_id"), F.explode(terms).alias("term")
+        )
+        .join(postings, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    lex_rows = lex.select(
+        "query_id",
+        "doc_id",
+        F.lit("lex").alias("kind"),
+        (idf * tf_part).alias("val"),
+    )
+
+    cen = centroids.collect()
+    qv = F.col(vec_col).cast("array<double>")
+    ranked = []
+    for r in cen:
+        zlit = F.array(*[F.lit(float(x)) for x in r[vec_col]])
+        ranked.append(
+            F.struct(
+                F.round(cosine(qv, zlit), 6).alias("cscore"),
+                F.lit(-int(r["centroid_id"])).alias("neg_cid"),
+            )
+        )
+    probes = F.slice(F.sort_array(F.array(*ranked), asc=False), 1, nprobe)
+    dense = (
+        query_stream.select(
+            F.col("query_id"),
+            qv.alias("qv"),
+            F.explode(probes).alias("p"),
+        )
+        .select(
+            "query_id", "qv",
+            (-F.col("p.neg_cid")).cast("long").alias("centroid_id"),
+        )
+        .join(corpus_codes, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.lit("dense").alias("kind"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("val"),
+        )
+    )
+    tagged = lex_rows.unionByName(dense)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rrf", T.DoubleType()),
+            T.StructField("rk", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("unused", T.IntegerType())])
+
+    def fuse(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        contribs: dict = {}
+        lexp = rows[rows["kind"] == "lex"]
+        if len(lexp):
+            bm = (
+                lexp.groupby("doc_id")["val"].sum().round(6)
+                .reset_index()
+                .sort_values(["val", "doc_id"], ascending=[False, True])
+                .head(k_in)
+            )
+            for rk, doc in enumerate(bm["doc_id"], start=1):
+                contribs[doc] = contribs.get(doc, 0.0) + 1.0 / (rrf_c + rk)
+        dns = rows[rows["kind"] == "dense"]
+        if len(dns):
+            dd = dns.sort_values(
+                ["val", "doc_id"], ascending=[False, True]
+            ).head(k_in)
+            for rk, doc in enumerate(dd["doc_id"], start=1):
+                contribs[doc] = contribs.get(doc, 0.0) + 1.0 / (rrf_c + rk)
+        fused = sorted(
+            ((round(v, 6), d) for d, v in contribs.items()),
+            key=lambda p: (-p[0], p[1]),
+        )[:k]
+        yield pd.DataFrame(
+            {
+                "query_id": [key[0]] * len(fused),
+                "doc_id": [d for _, d in fused],
+                "rrf": [v for v, _ in fused],
+                "rk": pd.array(range(1, len(fused) + 1), dtype="int32"),
+            }
+        )
+
+    return tagged.groupBy("query_id").applyInPandasWithState(
+        fuse,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

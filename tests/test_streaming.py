@@ -945,3 +945,170 @@ class TestStreamingScd2:
         for r in out.collect():
             last[(r.user_id, r.valid_from)] = (r.event_type, r.is_current)
         assert last == {(1, 100): ("a", True)}
+
+
+class TestStreamingAnnTopk:
+    def test_stream_matches_ivf_int8_batch(self, spark, tmp_path):
+        """Queries arriving over two micro-batches against a frozen
+        int8-IVF index must return exactly ivf_int8_topk's rows."""
+        from pyspark.sql import functions as F
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            similarity as sim,
+        )
+
+        rows = [
+            (i, [float(((i * 7 + j * 13) % 21) - 10) / 3.0 for j in range(16)])
+            for i in range(40)
+        ]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = corpus.filter("vec_id < 4").select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        # the frozen index: assign + quantize, codes as double arrays
+        assigned = sim.assign_to_centroids(corpus, cents)
+        codes = sim.int8_quantize(assigned, "cv").select(
+            "vec_id",
+            "centroid_id",
+            F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("cv"),
+        )
+        codes.write.mode("overwrite").parquet(str(tmp_path / "index"))
+        static_codes = spark.read.parquet(str(tmp_path / "index"))
+
+        src = tmp_path / "queries"
+        src.mkdir()
+        for b, ids in enumerate(([0, 1], [2])):
+            spark.createDataFrame(
+                [r for r in rows if r[0] in ids],
+                "vec_id long, embedding array<double>",
+            ).coalesce(1).write.mode("append").parquet(str(src / f"b{b}"))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        out = ev.run_to_memory(
+            ev.streaming_ann_topk(stream, static_codes, cents, k=5, nprobe=2),
+            "ann_stream",
+            output_mode="update",
+        )
+        got = {
+            (r.query_id, r.rk): (r.vec_id, r.score) for r in out.collect()
+        }
+        want = {
+            (r.query_id, r.rk): (r.vec_id, r.score)
+            for r in sim.ivf_int8_topk(
+                corpus, corpus.filter("vec_id < 3"), cents, k=5, nprobe=2
+            ).collect()
+        }
+        assert got == want and len(want) > 0
+
+
+class TestStreamingHybridRrf:
+    def test_stream_matches_batch_fusion(self, spark, tmp_path):
+        """Hybrid queries over two micro-batches vs the batch
+        composition bm25_multi_query + ivf_int8_topk + rrf_fuse."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            similarity as sim,
+            textanalysis as ta,
+        )
+
+        words = ["cat", "dog", "fish", "bird", "ant", "bee", "cow", "owl"]
+        docs = [
+            (i, " ".join(words[(i + j) % 8] for j in range(6)))
+            for i in range(30)
+        ]
+        vecs = [
+            (i, [float(((i * 7 + j * 13) % 21) - 10) / 3.0 for j in range(16)])
+            for i in range(30)
+        ]
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+        vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        cents = vdf.filter("vec_id < 4").select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+
+        # frozen index artifacts (batch-built)
+        bound = ddf.select(
+            "doc_id",
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("w"),
+        )
+        post = (
+            bound.select("doc_id", F.size("w").alias("dl"), F.explode("w").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        )
+        dfc = post.groupBy("term").agg(F.count("*").alias("df"))
+        postings = post.join(dfc, "term")
+        stats = bound.agg(F.count("*"), F.avg(F.size("w"))).collect()[0]
+        n_docs, avgdl = int(stats[0]), float(stats[1])
+        assigned = sim.assign_to_centroids(vdf, cents)
+        codes = sim.int8_quantize(assigned, "cv").select(
+            "vec_id", "centroid_id",
+            F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("cv"),
+        )
+        pdir = tmp_path / "idx"
+        postings.write.parquet(str(pdir / "postings"))
+        codes.write.parquet(str(pdir / "codes"))
+        postings_s = spark.read.parquet(str(pdir / "postings"))
+        codes_s = spark.read.parquet(str(pdir / "codes"))
+
+        # query stream: (query_id, text, embedding) over two batches
+        qrows = [
+            (i, docs[i][1], vecs[i][1]) for i in range(3)
+        ]
+        src = tmp_path / "qstream"
+        src.mkdir()
+        for bnum, ids in enumerate(([0, 1], [2])):
+            spark.createDataFrame(
+                [qrows[i] for i in ids],
+                "query_id long, text string, embedding array<double>",
+            ).coalesce(1).write.mode("append").parquet(str(src / f"b{bnum}"))
+        stream = (
+            spark.readStream.schema(
+                "query_id long, text string, embedding array<double>"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        out = ev.run_to_memory(
+            ev.streaming_hybrid_rrf(
+                stream, postings_s, (n_docs, avgdl), codes_s, cents,
+                k=10, k_in=10, nprobe=2,
+            ),
+            "hybrid_stream",
+            output_mode="update",
+        )
+        got = {(r.query_id, r.rk): (r.doc_id, r.rrf) for r in out.collect()}
+
+        # batch twin
+        qterms = (
+            spark.createDataFrame(qrows, "query_id long, text string, embedding array<double>")
+            .select(
+                "query_id",
+                F.explode(
+                    F.array_distinct(
+                        F.slice(
+                            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""),
+                            1, 4,
+                        )
+                    )
+                ).alias("term"),
+            )
+        )
+        lex = ta.bm25_multi_query(ddf, qterms, "doc_id", "text").filter(
+            F.col("doc_id") != F.col("query_id")
+        )
+        wl = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+        lexr = lex.withColumn("rk", F.row_number().over(wl)).filter(F.col("rk") <= 10)
+        dense = sim.ivf_int8_topk(
+            vdf, vdf.filter("vec_id < 3"), cents, k=10, nprobe=2
+        ).withColumnRenamed("vec_id", "doc_id")
+        want = {
+            (r.query_id, r.rk): (r.doc_id, r.rrf)
+            for r in sim.rrf_fuse([lexr, dense], "doc_id", k=10, c=60).collect()
+        }
+        assert got == want and len(want) > 0

@@ -245,6 +245,36 @@ def main() -> None:
             lambda c=corpus: noop(web_curation(c, sf_docs)),
         )
 
+    # multi-query BM25 at 3 and 200 queries (ROADMAP r6: the bench
+    # row carries 3 queries; this pins that the postings-semi-join
+    # shape scales in the QUERY dimension — per-query cost should
+    # fall as the fixed corpus passes amortize over more queries)
+    from hadoop_distributed_dynamic_file_system_spark.operators import (
+        textanalysis as ta2,
+    )
+
+    for nq in (3, 200):
+        qterms = sf_docs.filter(F.col("doc_id") < nq).select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(
+                    F.slice(
+                        F.filter(
+                            F.split(F.lower("text"), r"\s+"), lambda w: w != ""
+                        ),
+                        1,
+                        4,
+                    )
+                )
+            ).alias("term"),
+        )
+        bench(
+            f"bm25_multi_query_q{nq}", nq,
+            lambda q=qterms: noop(
+                ta2.bm25_multi_query(sf_docs, q, "doc_id", "text")
+            ),
+        )
+
     # PageRank on synthetic graphs at 1M and 10M edges (3 iterations,
     # avg out-degree 10, no dangling by construction): falling us/edge
     # on the 10x step pins the loop as edge-bound — the per-iteration
@@ -300,6 +330,11 @@ def main() -> None:
         "growing corpus — the production shape). Flat-or-falling",
         "us/doc at 100x (>= sf1-equivalent) is the measured basis for",
         "the next 10x claim.",
+        "",
+        "`bm25_multi_query_q{3,200}` rows = QUERIES against the full",
+        "sf0.1 corpus; falling us/query at 66x queries pins the",
+        "postings-semi-join shape as amortizing its fixed corpus",
+        "passes across the query relation.",
         "",
         "`pagerank_edges_{1,10}m` rows = EDGES (synthetic, avg",
         "out-degree 10, 3 power iterations); falling us/edge on the",
