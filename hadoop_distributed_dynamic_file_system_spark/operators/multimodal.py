@@ -8,10 +8,11 @@ REAL (no media library needed — pure byte/numpy arithmetic):
 - `sniff_media` / `decode_media_metadata`: container sniffing by magic
   bytes + header parse for BMP/PNG/GIF/JPEG/PPM/WAV (what `identify`
   does) — true formats and dimensions;
-- `bmp_pixels` / `png_pixels` / `gif_pixels` / `image_features`: full
-  raster decode (24-bpp BMP; 8-bit gray/truecolor PNG via stdlib zlib
-  — chunk walk, IDAT inflate, all five scanline unfilters;
-  non-interlaced GIF via pure-integer LZW) and luminance statistics;
+- `bmp_pixels` / `png_pixels` / `gif_pixels` / `ppm_pixels` /
+  `image_features`: full raster decode (24-bpp BMP; 8-bit
+  gray/truecolor PNG via stdlib zlib — chunk walk, IDAT inflate, all
+  five scanline unfilters; non-interlaced GIF via pure-integer LZW;
+  binary PPM) and luminance statistics;
 - `wav_chunks`: RIFF/PCM16 parse with true windowed RMS.
 
 STUBBED (needs a codec, gated on REAL_DECODE_AVAILABLE / absent libs):
@@ -1017,6 +1018,8 @@ def raster_pixels(payload: bytes):
         return png_pixels(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return gif_pixels(b)
+    if b[:2] == b"P6":
+        return ppm_pixels(b)
     raise ValueError("no REAL raster decoder for this payload")
 
 
@@ -1231,3 +1234,45 @@ def make_two_tone_gif(width: int, height: int, cut_x: int) -> bytes:
     px = np.full((height, width, 3), 255, dtype=np.uint8)
     px[:, :cut_x] = 0
     return make_gif(px)
+
+
+def ppm_pixels(payload: bytes):
+    """REAL binary-PPM (P6) raster decode → numpy (h, w, 3) RGB uint8:
+    ASCII header (magic, width, height, maxval ≤ 255, comments
+    allowed) followed by raw RGB triplets — the simplest interchange
+    raster, one header walk + one frombuffer."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    i += 1  # single whitespace after maxval
+    px = np.frombuffer(payload[i : i + w * h * 3], dtype=np.uint8)
+    if px.size < w * h * 3:
+        raise ValueError("short PPM raster")
+    return px.reshape(h, w, 3).copy()
+
+
+def make_ppm(rows) -> bytes:
+    """P6 writer twin of ppm_pixels (deterministic, maxval 255)."""
+    import numpy as np
+
+    px = np.asarray(rows, dtype=np.uint8)
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()

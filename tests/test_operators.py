@@ -1852,3 +1852,30 @@ class TestKmvMergeEstimate:
         merged = sketches.kmv_merge(sk, k=64)
         est = sketches.kmv_distinct_estimate(merged, k=64).collect()[0]
         assert est.n_sketch == 12 and est.est_distinct == 12.0
+
+
+class TestPpmDecode:
+    def test_roundtrip_and_dispatch(self, spark):
+        import numpy as np
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+        assert (mm.ppm_pixels(mm.make_ppm(img)) == img).all()
+        # comment lines in the header are legal PPM
+        p = mm.make_ppm(img)
+        commented = b"P6\n# a comment\n" + p[3:]
+        assert (mm.ppm_pixels(commented) == img).all()
+        # four-container aHash equality on the two-tone scene
+        px = np.full((32, 32, 3), 255, dtype=np.uint8)
+        px[:, :12] = 0
+        rows = [
+            (1, mm.make_two_tone_bmp(32, 32, 12)),
+            (2, mm.make_ppm(px)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r.ahash for r in mm.ahash_codes(df).collect()}
+        assert got[1] == got[2] is not None

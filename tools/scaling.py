@@ -57,6 +57,17 @@ QUERIES = [
     "int8_quantized_embeddings",
     "ann_int8_topk",
     "training_order_shuffle",
+    # round-6 additions
+    "zipf_slope",
+    "hybrid_rrf_retrieval",
+    "ann_two_stage_rerank",
+    "host_quality_rollup",
+    "scd2_user_state",
+    "kmv_source_overlap",
+    "mixing_token_plan",
+    "kmv_incremental_distinct",
+    "png_ahash_roundtrip",
+    "gif_ahash_roundtrip",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
