@@ -746,6 +746,18 @@ def ahash_near_pairs(
     )
 
 
+def _memo_payload(fn):
+    """Memoize the deterministic two-tone fixture writers: a query
+    over N docs materializes only 9 distinct payloads (cut_x cycles
+    mod 9), so encoding each once per executor removes fixture cost
+    from what the roundtrip queries actually measure — the DECODE
+    path, which still runs per row."""
+    import functools
+
+    return functools.lru_cache(maxsize=64)(fn)
+
+
+@_memo_payload
 def make_two_tone_bmp(width: int, height: int, cut_x: int) -> bytes:
     """Valid 24-bpp BMP, black for x < cut_x and white for x >= cut_x —
     the synthetic raster whose aHash is a closed-form function of the
@@ -995,6 +1007,7 @@ def make_png(rows, filter_type: int = 0) -> bytes:
     )
 
 
+@_memo_payload
 def make_two_tone_png(width: int, height: int, cut_x: int) -> bytes:
     """PNG twin of make_two_tone_bmp: black for x < cut_x, white
     otherwise — same closed-form aHash as the BMP form, so the two
@@ -1227,6 +1240,7 @@ def make_gif(rows) -> bytes:
     )
 
 
+@_memo_payload
 def make_two_tone_gif(width: int, height: int, cut_x: int) -> bytes:
     """GIF twin of make_two_tone_bmp/png — same closed-form aHash."""
     import numpy as np

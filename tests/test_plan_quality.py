@@ -84,6 +84,10 @@ class TestPlanQuality:
             "normalized_dedup",             # same NFC stage before dedup
             "crawl_to_chunks_pipeline",     # gzip inflate + NFC stages of
                                             # the flagship ingest pipeline
+            "png_ahash_roundtrip",          # mapInPandas zlib deflate +
+                                            # IDAT inflate/unfilter decode
+            "gif_ahash_roundtrip",          # mapInPandas LZW encode +
+                                            # decode (codec — non-Catalyst)
         }
         for name, fn in q.QUERIES.items():
             plan = plan_of(fn(spark, sf_dir))
