@@ -135,6 +135,13 @@ HEADLINE = [
     "png_ahash_roundtrip",
     "gif_ahash_roundtrip",
     "kmv_incremental_distinct",
+    # round-6 web-text family: HTML extraction, URL canonical dedup,
+    # eTLD+1 rollup, benchmark decontamination removal
+    "html_text_extract",
+    "html_host_links",
+    "url_normalized_dedup",
+    "registrable_domains",
+    "decontaminated_corpus",
 ]
 
 

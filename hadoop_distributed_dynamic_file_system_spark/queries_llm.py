@@ -4624,3 +4624,463 @@ def kmv_incremental_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("rel_err"),
     )
+
+
+# ===================================================== web-text family
+# URL canonicalization, registrable domains, HTML extraction — the
+# crawl-record transforms between WARC ingestion and the quality
+# funnel (operators/webtext.py). Inputs are synthesized identically
+# in both engines from `documents`, so the extraction logic is the
+# thing under test, exactly as in the warc_* family.
+
+from .operators import webtext as _wt
+
+
+def _sql_html(t: str = "text") -> str:
+    """DuckDB expression for the synthetic HTML blob of one document —
+    must stay byte-identical to _html_col below."""
+    i = "CAST(doc_id AS VARCHAR)"
+    return (
+        "('<html><head><title>' || source || '</title>"
+        "<script type=\"text/javascript\">var p=' || " + i + " || '; "
+        "if (p &lt; 3) {}</script><style>.c{color:red}</style></head>"
+        "<body><!-- crawl ' || " + i + " || ' -->"
+        "<h1>Doc &amp; ' || " + i + " || '</h1><p>' || " + t + " || '</p>"
+        "<a href=\"http://h' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'.example.com/p/' || " + i + " || '\">n</a> "
+        "<a href=\"HTTPS://CDN.Example.com:443/lib.js\">c</a> "
+        "<a href=\"/rel/' || " + i + " || '\">r</a>"
+        "<div>&quot;footer&quot;&nbsp;&#39;end&#39;</div></body></html>')"
+    )
+
+
+def _html_col() -> F.Column:
+    """Spark twin of _sql_html: the synthetic crawl page for one doc —
+    a script block, a style block, a comment, three links (two
+    absolute, one relative), and entity-escaped visible text."""
+    i = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>"), F.col("source"), F.lit("</title>"),
+        F.lit('<script type="text/javascript">var p='), i,
+        F.lit("; if (p &lt; 3) {}</script><style>.c{color:red}</style>"
+              "</head><body><!-- crawl "), i,
+        F.lit(" --><h1>Doc &amp; "), i,
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<a href="http://h'), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), i, F.lit('">n</a> '),
+        F.lit('<a href="HTTPS://CDN.Example.com:443/lib.js">c</a> '),
+        F.lit('<a href="/rel/'), i, F.lit('">r</a>'),
+        F.lit("<div>&quot;footer&quot;&nbsp;&#39;end&#39;</div>"
+              "</body></html>"),
+    )
+
+
+@query(
+    "html_text_extract",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_sql_html()} AS html FROM documents
+    ),
+    extracted AS (
+      SELECT doc_id, {_wt.strip_html_sql("html")} AS t FROM pages
+    )
+    SELECT doc_id, md5(t) AS text_md5,
+           CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+           CAST(length(t) AS BIGINT) AS n_chars
+    FROM extracted
+    """,
+)
+def html_text_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible text (operators/webtext.strip_html): script/
+    style/comment blocks removed, tags stripped, entities decoded,
+    whitespace collapsed — the C4-style text-extraction step after
+    WARC parsing. The md5 of the extracted string is the correctness
+    pin (one wrong byte anywhere in the chain flips it). Reference
+    parity: per-record Mapper regex transforms
+    (src/examples/.../Grep.java idiom); here one fused codegen
+    projection, zero shuffles, scan-bound at 100 TB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    t = _wt.strip_html(_html_col())
+    return d.select(
+        "doc_id",
+        F.md5(t).alias("text_md5"),
+        F.size(F.split(t, " ")).cast("long").alias("n_words"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "html_host_links",
+    f"""
+    WITH pages AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+               AS src_host,
+             {_sql_html()} AS html
+      FROM documents
+    ),
+    links AS (
+      SELECT src_host,
+             {_wt.host_of_sql("u")} AS dst_host
+      FROM (SELECT src_host,
+                   unnest({_wt.extract_links_sql("html")}) AS u
+            FROM pages)
+    )
+    SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+    FROM links WHERE dst_host <> ''
+    GROUP BY src_host, dst_host
+    """,
+)
+def html_host_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph from raw HTML: href extraction
+    (regexp_extract_all — one codegen projection), relative links
+    dropped (no host), hosts lowercased, edges counted per
+    (src_host, dst_host). This is the edge-list producer for the
+    PageRank family (operators/graph.py) — at 100 TB the explode is
+    bounded by links-per-page and the only shuffle is the final
+    16-byte-key groupBy."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pages = d.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("src_host"),
+        _wt.extract_links(_html_col()).alias("links"),
+    )
+    return (
+        pages.select(
+            "src_host", F.explode("links").alias("u")
+        )
+        .select("src_host", _wt.host_of("u").alias("dst_host"))
+        .filter(F.col("dst_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+@query(
+    "url_normalized_dedup",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, unnest([
+        'HTTP://Site' || CAST(doc_id % 50 AS VARCHAR)
+          || '.Example.COM:80/a/' || CAST(doc_id AS VARCHAR) || '?q=1#frag',
+        'http://site' || CAST(doc_id % 50 AS VARCHAR)
+          || '.example.com/a/' || CAST(doc_id AS VARCHAR) || '?q=1',
+        'https://site' || CAST(doc_id % 50 AS VARCHAR)
+          || '.example.com:443/a/' || CAST(doc_id AS VARCHAR)
+      ]) AS url
+      FROM documents
+    )
+    SELECT {_wt.normalize_url_sql("url")} AS url_norm,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct
+    FROM raw
+    GROUP BY 1
+    """,
+)
+def url_normalized_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup on canonical form (webtext.normalize_url):
+    scheme/host case, default ports, and fragments are unified, so the
+    HTTP-with-:80 and bare variants of each page collapse to one key
+    while the https variant stays distinct. The group key is the
+    normalized URL — at crawl scale this is the standard
+    first-touch dedup before any content is fetched twice."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 50).cast("string")
+    i = F.col("doc_id").cast("string")
+    raw = d.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("HTTP://Site"), m, F.lit(".Example.COM:80/a/"),
+                         i, F.lit("?q=1#frag")),
+                F.concat(F.lit("http://site"), m, F.lit(".example.com/a/"),
+                         i, F.lit("?q=1")),
+                F.concat(F.lit("https://site"), m,
+                         F.lit(".example.com:443/a/"), i),
+            )
+        ).alias("url")
+    )
+    return raw.groupBy(
+        _wt.normalize_url("url").alias("url_norm")
+    ).agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.countDistinct("url").cast("long").alias("n_raw_distinct"),
+    )
+
+
+@query(
+    "registrable_domains",
+    f"""
+    WITH hosts AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
+          WHEN 1 THEN 'News.Example.CO.UK'
+          WHEN 2 THEN 'a.b.example.com.au'
+          ELSE 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+        END AS host
+      FROM documents
+    )
+    SELECT {_wt.registrable_domain_sql("host")} AS domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lower(host)) AS BIGINT) AS n_hosts
+    FROM hosts GROUP BY 1
+    """,
+)
+def registrable_domains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 rollup (webtext.registrable_domain): per-site quotas and
+    host-level gates key on the registrable domain, not the raw host —
+    subdomain farms (h0..h12.example.com) must collapse to one site.
+    Join-free two-rule suffix heuristic, fully codegen'd; the full-PSL
+    variant is a broadcast longest-suffix join (see
+    MULTI_LABEL_SUFFIXES note)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when((F.col("doc_id") % 4) == 0,
+               F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string"),
+                        F.lit(".example.com")))
+        .when((F.col("doc_id") % 4) == 1, F.lit("News.Example.CO.UK"))
+        .when((F.col("doc_id") % 4) == 2, F.lit("a.b.example.com.au"))
+        .otherwise(F.concat(F.lit("cdn"), (F.col("doc_id") % 5).cast("string"),
+                            F.lit(".example.org")))
+    )
+    return d.select(host.alias("host")).groupBy(
+        _wt.registrable_domain("host").alias("domain")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.lower(F.col("host"))).cast("long").alias("n_hosts"),
+    )
+
+
+@query(
+    "decontaminated_corpus",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT sh FROM (
+        SELECT unnest({_SQL_SHINGLES.format(t="text")}) AS sh
+        FROM documents WHERE doc_id % 20 = 0)
+    ),
+    train_sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest({_SQL_SHINGLES.format(t="text")}) AS sh
+        FROM documents WHERE doc_id % 20 <> 0)
+    ),
+    contaminated AS (
+      SELECT doc_id FROM train_sh JOIN bench USING (sh)
+      GROUP BY doc_id HAVING count(*) >= 5
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN c.doc_id IS NULL THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_kept
+    FROM documents d LEFT JOIN contaminated c USING (doc_id)
+    WHERE d.doc_id % 20 <> 0
+    GROUP BY source
+    """,
+)
+def decontaminated_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination as a REMOVAL pass (GPT-3 appendix C /
+    PaLM style): training docs sharing >= 5 distinct trigrams with the
+    benchmark split are dropped wholesale, and the per-source report
+    records what survived. Same broadcast-shingle plan as
+    contamination_q (curation.contamination_check) — the corpus never
+    shuffles, only its matching shingles; the removal itself is a
+    left join against the (small) contaminated-id set."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    contaminated = curation.contamination_check(
+        train, bench, "doc_id", "text", n=3, min_overlap=5
+    ).select("doc_id", F.lit(1).alias("_hit"))
+    return (
+        train.join(F.broadcast(contaminated), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long").alias("n_dropped"),
+            F.sum(
+                F.when(F.col("_hit").isNull(), F.col("n_chars")).otherwise(0)
+            ).cast("long").alias("chars_kept"),
+        )
+    )
+
+
+@query(
+    "jsonl_roundtrip",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL wire-format roundtrip: each document is serialized to a
+    JSON line (to_json over a struct — the interchange format every
+    crawl pipeline emits between stages) and parsed back with an
+    explicit schema (from_json), and the per-lang stats are computed
+    from the PARSED columns. The oracle computes the same stats from
+    the source table directly, so any serialization loss (encoding,
+    nulls, numeric width) breaks the hash. Reference parity: Record
+    I/O's CSV/XML wire forms (src/core/org/apache/hadoop/record/) —
+    JSON is the PySpark-native equivalent; both directions are JVM
+    codegen, no Python."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    jl = d.select(
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("j")
+    )
+    parsed = jl.select(
+        F.from_json(
+            "j", "doc_id BIGINT, lang STRING, n_chars BIGINT"
+        ).alias("r")
+    ).select("r.lang", "r.n_chars")
+    return parsed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "host_boilerplate_cleaned",
+    f"""
+    WITH lined AS (
+      SELECT doc_id, regexp_replace(text, '((?:\\S+\\s+){{7}}\\S+)\\s+',
+                                    '\\1' || chr(10), 'g') AS body
+      FROM documents
+    ),
+    pages AS (
+      SELECT doc_id,
+        'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+        'nav home about site' || CAST(doc_id % 50 AS VARCHAR) || chr(10)
+          || body || chr(10)
+          || 'copyright site' || CAST(doc_id % 50 AS VARCHAR) AS text
+      FROM lined
+    ),
+    occ AS (
+      SELECT doc_id, host,
+             unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line
+      FROM (SELECT doc_id, host, string_split(text, chr(10)) AS ls
+            FROM pages)
+    ),
+    hdocs AS (
+      SELECT host, count(DISTINCT doc_id) AS nh FROM pages GROUP BY host
+    ),
+    boiler AS (
+      SELECT s.host, s.line, TRUE AS b
+      FROM (SELECT host, line, count(DISTINCT doc_id) AS sup
+            FROM occ GROUP BY host, line) s
+      JOIN hdocs USING (host)
+      WHERE nh >= 5 AND sup > CAST(0.3 AS DOUBLE) * nh
+    ),
+    kept AS (
+      SELECT o.doc_id, o.pos, o.line
+      FROM occ o LEFT JOIN boiler bl
+        ON o.host = bl.host AND o.line = bl.line
+      WHERE bl.b IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.host,
+      CAST(len(string_split(p.text, chr(10))) AS BIGINT) AS n_lines,
+      CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+      CAST(len(string_split(p.text, chr(10))) - coalesce(a.n_kept, 0)
+           AS BIGINT) AS n_boiler,
+      coalesce(a.cleaned, '') AS cleaned
+    FROM pages p LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def host_boilerplate_cleaned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level boilerplate strip (webquality.
+    host_boilerplate_removal): every doc gets its host's nav/footer
+    template lines injected (the synthetic chrome recurs in 100% of a
+    host's ~10 docs, far over the 30% support threshold), and the
+    operator must remove exactly the template and keep the organic
+    body in order. Per-host line support groups on (host, xxhash64
+    (line)) — text never shuffles; host doc-counts broadcast."""
+    from .operators import webquality
+
+    d = _lined_docs(spark, sf_dir)
+    m = (F.col("doc_id") % 50).cast("string")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("site"), m, F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("nav home about site"), m, F.lit("\n"),
+            F.col("text"),
+            F.lit("\ncopyright site"), m,
+        ).alias("text"),
+    )
+    return webquality.host_boilerplate_removal(
+        pages, "doc_id", "text", "host", frac=0.3, min_docs=5
+    )
+
+
+@query(
+    "bm25_incremental_stats",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_GOPHER_WORDS} AS words FROM documents),
+    tdf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM (SELECT doc_id, unnest(list_distinct(words)) AS term FROM w)
+      GROUP BY term
+    ),
+    totals AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(words)) AS BIGINT) AS sum_dl
+      FROM w
+    )
+    SELECT term, df AS df_merged, df AS df_full, n_docs,
+           round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf,
+           round(sum_dl * 1.0 / n_docs, 6) AS avgdl
+    FROM tdf, totals
+    ORDER BY df DESC, term LIMIT 20
+    """,
+)
+def bm25_incremental_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index-statistics maintenance (textanalysis.
+    bm25_corpus_stats / merge_bm25_stats): the corpus arrives as two
+    disjoint shards (doc_id % 4), each shard computes its own (term,
+    df) + (n_docs, sum_dl) stats, and the global stats are the
+    summation-merge — the oracle computes them from the full corpus
+    in one pass, so the row hashes pin the merge algebra exactly
+    (df_merged carries the merged value, df_full the full-scan value).
+    At 100 TB this is how the BM25/idf relation absorbs an ingestion
+    batch without rescanning history; same maintenance shape as
+    kmv_incremental_distinct but exact."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 4 != 0)
+    new = d.filter(F.col("doc_id") % 4 == 0)
+    s_old = textanalysis.bm25_corpus_stats(old, "doc_id", "text")
+    s_new = textanalysis.bm25_corpus_stats(new, "doc_id", "text")
+    m_terms, m_totals = textanalysis.merge_bm25_stats([s_old, s_new])
+    f_terms, _ = textanalysis.bm25_corpus_stats(d, "doc_id", "text")
+    joined = m_terms.join(
+        f_terms.withColumnRenamed("df", "df_full"), "term"
+    ).join(F.broadcast(m_totals))
+    return (
+        joined.select(
+            "term",
+            F.col("df").alias("df_merged"),
+            "df_full",
+            "n_docs",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("idf"),
+            F.round(F.col("sum_dl") / F.col("n_docs"), 6).alias("avgdl"),
+        )
+        .orderBy(F.desc("df_merged"), "term")
+        .limit(20)
+    )

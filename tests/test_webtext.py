@@ -1,0 +1,129 @@
+"""URL/HTML crawl-record transforms (operators/webtext.py): edge cases
+the oracle-checked queries don't exercise, plus plan-shape pins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_distributed_dynamic_file_system_spark.operators import webtext as W
+from hadoop_distributed_dynamic_file_system_spark import queries_llm as qllm
+
+
+def _one(spark, col, **cols):
+    df = spark.createDataFrame([tuple(cols.values())], list(cols.keys()))
+    return df.select(col.alias("v")).first().v
+
+
+class TestNormalizeUrl:
+    @pytest.mark.parametrize(
+        "raw,want",
+        [
+            # case + default port + fragment
+            ("HTTP://Ex.COM:80/A/b?Q=1#f", "http://ex.com/A/b?Q=1"),
+            ("https://ex.com:443/x", "https://ex.com/x"),
+            # NON-default port survives
+            ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+            # :443 on http is NOT the default — survives
+            ("http://ex.com:443/x", "http://ex.com:443/x"),
+            # empty path -> '/', lone '?' dropped
+            ("HTTPS://EX.com", "https://ex.com/"),
+            ("http://ex.com?", "http://ex.com/"),
+            # path bytes (case, escapes) preserved
+            ("http://ex.com/%2Fa%41?x=Y", "http://ex.com/%2Fa%41?x=Y"),
+        ],
+    )
+    def test_cases(self, spark, raw, want):
+        assert _one(spark, W.normalize_url("u"), u=raw) == want
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+
+        urls = [
+            "HTTP://Ex.COM:80/A/b?Q=1#f", "https://ex.com:443/x",
+            "http://ex.com:8080/x", "HTTPS://EX.com", "http://ex.com?",
+        ]
+        got_spark = [
+            _one(spark, W.normalize_url("u"), u=u) for u in urls
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(
+                f"SELECT {W.normalize_url_sql('u')} FROM (SELECT ? AS u)",
+                [u],
+            ).fetchone()[0]
+            for u in urls
+        ]
+        assert got_spark == got_duck
+
+
+class TestRegistrableDomain:
+    @pytest.mark.parametrize(
+        "host,want",
+        [
+            ("a.b.Example.COM", "example.com"),
+            ("news.example.co.uk", "example.co.uk"),
+            ("example.co.uk", "example.co.uk"),  # hmm: no leading label
+            ("deep.sub.example.co.jp", "example.co.jp"),
+            ("example.net", "example.net"),
+            ("localhost", "localhost"),  # dot-less fallback
+        ],
+    )
+    def test_cases(self, spark, host, want):
+        assert _one(spark, W.registrable_domain("h"), h=host) == want
+
+    def test_bare_multilabel_suffix_keeps_two(self, spark):
+        # 'example.co.uk' itself: endswith('.co.uk') is True only with
+        # the leading dot, so the bare registrable domain is already
+        # eTLD+1 and must NOT truncate to 'co.uk'
+        assert (
+            _one(spark, W.registrable_domain("h"), h="example.co.uk")
+            == "example.co.uk"
+        )
+
+
+class TestStripHtml:
+    def test_script_content_never_leaks(self, spark):
+        h = '<p>a</p><script>SECRET="x < y > z"</script><p>b</p>'
+        assert _one(spark, W.strip_html("h"), h=h) == "a b"
+
+    def test_multiline_blocks_and_comments(self, spark):
+        h = "<style>\n.c{}\n</style><!-- line1\nline2 -->ok"
+        assert _one(spark, W.strip_html("h"), h=h) == "ok"
+
+    def test_entities_decode_after_tags(self, spark):
+        # a literal &lt;b&gt; must NOT resurrect a tag and get stripped
+        h = "<p>&lt;b&gt; &amp;amp; &quot;q&#39;</p>"
+        assert _one(spark, W.strip_html("h"), h=h) == "<b> &amp; \"q'"
+
+    def test_case_insensitive_script(self, spark):
+        h = "<SCRIPT a=b>x</ScRiPt>keep"
+        assert _one(spark, W.strip_html("h"), h=h) == "keep"
+
+
+class TestLinks:
+    def test_relative_links_have_empty_host(self, spark):
+        hosts = _one(
+            spark,
+            F.transform(W.extract_links("h"), lambda u: W.host_of(u)),
+            h='<a href="/rel">r</a><a HREF="FTP://X.com/f">f</a>',
+        )
+        assert hosts == ["", "x.com"]
+
+    def test_port_excluded_from_host(self, spark):
+        assert _one(spark, W.host_of("u"), u="http://Ex.com:8080/p") == "ex.com"
+
+
+class TestPlans:
+    def test_webtext_queries_are_pure_codegen(self, spark, sf_dir):
+        # the whole family must stay JVM-side: no Python eval nodes,
+        # no shuffle in the per-record extraction query
+        for name in ("html_text_extract", "url_normalized_dedup",
+                     "registrable_domains", "html_host_links",
+                     "jsonl_roundtrip"):
+            plan = qllm.QUERIES[name](
+                spark, sf_dir
+            )._jdf.queryExecution().executedPlan().toString()
+            for node in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
+                assert node not in plan, f"{name} has {node}"
+        scan_only = qllm.QUERIES["html_text_extract"](spark, sf_dir)
+        plan = scan_only._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # per-record transform: no shuffle

@@ -68,6 +68,12 @@ QUERIES = [
     "kmv_incremental_distinct",
     "png_ahash_roundtrip",
     "gif_ahash_roundtrip",
+    # round-6 web-text family
+    "html_text_extract",
+    "html_host_links",
+    "url_normalized_dedup",
+    "registrable_domains",
+    "decontaminated_corpus",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
