@@ -142,6 +142,8 @@ HEADLINE = [
     "url_normalized_dedup",
     "registrable_domains",
     "decontaminated_corpus",
+    "host_boilerplate_cleaned",
+    "bm25_incremental_stats",
 ]
 
 

@@ -1283,3 +1283,52 @@ def bm25_multi_query(
             F.count("*").cast("long").alias("n_terms_hit"),
         )
     )
+
+
+def bm25_corpus_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Mergeable BM25 corpus statistics: the (term, df) relation plus
+    the (n_docs, sum_dl) scalar — everything idf/avgdl need, and both
+    PURELY ADDITIVE across disjoint corpus shards. A 100 TB index
+    maintains these per ingestion batch and merges by summation; no
+    historical rescan, ever (same maintenance algebra as the KMV and
+    count-min sketch families, but exact — df/N/sum_dl are linear
+    functionals of the corpus).
+
+    Reference parity: contrib/index's IndexUpdater merges Lucene
+    shard indexes (src/contrib/index/.../lucene/ShardWriter.java);
+    this is the relational form of the same update."""
+    bound = _with_words(df, text_col)
+    term_df = (
+        bound.select(
+            F.col(id_col), F.explode(F.array_distinct("_words")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    totals = bound.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("_words")).cast("long").alias("sum_dl"),
+    )
+    return term_df, totals
+
+
+def merge_bm25_stats(
+    parts: list[tuple[DataFrame, DataFrame]]
+) -> tuple[DataFrame, DataFrame]:
+    """Merge per-shard BM25 stats by summation (df is additive across
+    DISJOINT shards — the same document must not appear in two)."""
+    term_df = parts[0][0]
+    totals = parts[0][1]
+    for t, s in parts[1:]:
+        term_df = term_df.unionByName(t)
+        totals = totals.unionByName(s)
+    merged_terms = term_df.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df")
+    )
+    merged_totals = totals.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    return merged_terms, merged_totals

@@ -447,3 +447,83 @@ def dsir_importance(
         F.count("*").cast("long").alias("n_tokens"),
         F.round(F.avg("_llr"), 6).alias("avg_llr"),
     )
+
+
+def host_boilerplate_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    host_col: str,
+    *,
+    frac: float = 0.3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Host-level boilerplate strip (CCNet §3 / trafilatura idea at
+    corpus scale): a line is template chrome — nav bars, cookie
+    banners, footers — when it recurs across MORE than `frac` of a
+    host's documents (hosts with fewer than `min_docs` docs are left
+    untouched: no denominator, no signal). Boilerplate lines are
+    removed from every document of that host; organic lines keep
+    their order. Returns (id, host, n_lines, n_kept, n_boiler,
+    cleaned).
+
+    Plan: lines posexplode once; the per-host line-support relation
+    groups on (host, xxhash64(line)) — 8-byte keys plus the host
+    string, never line text; host doc counts broadcast (one row per
+    host); the boilerplate verdict joins back on the same hashed key.
+    Linear in total lines at any corpus size — the relation that
+    could blow up (distinct lines per host) is bounded by the data
+    itself and only its KEYS shuffle. Reference parity: per-record
+    Mapper cleanup (src/examples Grep idiom) has no corpus-global
+    analog — this is genuinely new capability the reference lacks.
+    """
+    occ = df.select(
+        F.col(id_col),
+        F.col(host_col).alias("_host"),
+        F.posexplode(_lines_of(F.col(text_col))).alias("_pos", "_line"),
+    ).withColumn("_k", F.xxhash64("_line"))
+    host_docs = df.groupBy(F.col(host_col).alias("_host")).agg(
+        F.countDistinct(id_col).alias("_hdocs")
+    )
+    support = occ.groupBy("_host", "_k").agg(
+        F.countDistinct(id_col).alias("_support")
+    )
+    boiler = (
+        support.join(F.broadcast(host_docs), "_host")
+        .filter(
+            (F.col("_hdocs") >= min_docs)
+            & (F.col("_support") > F.lit(frac) * F.col("_hdocs"))
+        )
+        .select("_host", "_k", F.lit(True).alias("_boiler"))
+    )
+    kept = occ.join(boiler, ["_host", "_k"], "left").filter(
+        F.col("_boiler").isNull()
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.first("_host").alias("_h2"),
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                ),
+                lambda s: s.getField("_line"),
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.col(host_col).alias("host"),
+        F.size(_lines_of(F.col(text_col))).cast("long").alias("n_lines"),
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "host",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_boiler"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )

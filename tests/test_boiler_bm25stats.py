@@ -1,0 +1,98 @@
+"""host_boilerplate_removal + mergeable BM25 stats unit behavior."""
+
+from pyspark.sql import functions as F
+
+from hadoop_distributed_dynamic_file_system_spark.operators import (
+    textanalysis,
+    webquality,
+)
+
+
+class TestHostBoilerplate:
+    def _corpus(self, spark):
+        rows = []
+        # host A: 6 docs sharing a nav line (support 6/6 > 0.3)
+        for i in range(6):
+            rows.append((i, "a.com", f"nav bar\nbody {i} unique\nend {i}"))
+        # host B: 2 docs sharing a line — below min_docs, untouched
+        for i in range(2):
+            rows.append((10 + i, "b.com", f"nav bar\nbody b{i}"))
+        return spark.createDataFrame(rows, ["doc_id", "host", "text"])
+
+    def test_template_removed_only_on_big_hosts(self, spark):
+        out = webquality.host_boilerplate_removal(
+            self._corpus(spark), "doc_id", "text", "host",
+            frac=0.3, min_docs=5,
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        for i in range(6):  # host A: nav stripped, body kept in order
+            r = by_id[i]
+            assert r.n_boiler == 1 and r.n_lines == 3
+            assert r.cleaned == f"body {i} unique\nend {i}"
+        for i in (10, 11):  # host B: below min_docs -> untouched
+            r = by_id[i]
+            assert r.n_boiler == 0
+            assert r.cleaned == f"nav bar\nbody b{i - 10}"
+
+    def test_within_doc_repeat_counts_support_once(self, spark):
+        # the repeated line appears TWICE in one doc of 6; per-doc
+        # support is distinct docs (1/6 = 0.17 < 0.3) so it survives
+        rows = [(0, "a.com", "dup\ndup\nx0")] + [
+            (i, "a.com", f"x{i}\ny{i}") for i in range(1, 6)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+        out = webquality.host_boilerplate_removal(
+            df, "doc_id", "text", "host", frac=0.3, min_docs=5
+        ).collect()
+        r = {x.doc_id: x for x in out}[0]
+        assert r.n_boiler == 0 and r.cleaned == "dup\ndup\nx0"
+
+    def test_all_boiler_doc_comes_back_empty(self, spark):
+        rows = [(i, "a.com", "same line") for i in range(6)]
+        df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+        out = webquality.host_boilerplate_removal(
+            df, "doc_id", "text", "host", frac=0.3, min_docs=5
+        ).collect()
+        assert all(r.n_kept == 0 and r.cleaned == "" for r in out)
+
+    def test_no_python_in_plan(self, spark):
+        plan = (
+            webquality.host_boilerplate_removal(
+                self._corpus(spark), "doc_id", "text", "host"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for node in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
+            assert node not in plan
+
+
+class TestMergeableBm25Stats:
+    def test_merge_of_disjoint_shards_equals_full_scan(self, spark):
+        rows = [(i, f"w{i % 3} common tok{i}") for i in range(20)]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        parts = [
+            textanalysis.bm25_corpus_stats(
+                d.filter(F.col("doc_id") % 3 == r), "doc_id", "text"
+            )
+            for r in range(3)
+        ]
+        m_terms, m_totals = textanalysis.merge_bm25_stats(parts)
+        f_terms, f_totals = textanalysis.bm25_corpus_stats(
+            d, "doc_id", "text"
+        )
+        got = {r.term: r.df for r in m_terms.collect()}
+        want = {r.term: r.df for r in f_terms.collect()}
+        assert got == want
+        assert m_totals.first().asDict() == f_totals.first().asDict()
+
+    def test_df_counts_distinct_docs_not_occurrences(self, spark):
+        d = spark.createDataFrame(
+            [(0, "a a a"), (1, "a b")], ["doc_id", "text"]
+        )
+        terms, totals = textanalysis.bm25_corpus_stats(d, "doc_id", "text")
+        got = {r.term: r.df for r in terms.collect()}
+        assert got == {"a": 2, "b": 1}
+        t = totals.first()
+        assert t.n_docs == 2 and t.sum_dl == 5

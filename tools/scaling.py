@@ -74,6 +74,8 @@ QUERIES = [
     "url_normalized_dedup",
     "registrable_domains",
     "decontaminated_corpus",
+    "host_boilerplate_cleaned",
+    "bm25_incremental_stats",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
