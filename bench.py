@@ -144,6 +144,8 @@ HEADLINE = [
     "decontaminated_corpus",
     "host_boilerplate_cleaned",
     "bm25_incremental_stats",
+    "domain_capped_sample",
+    "anchor_text_terms",
 ]
 
 

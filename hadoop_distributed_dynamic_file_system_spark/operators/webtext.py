@@ -197,3 +197,44 @@ def host_of_sql(expr: str) -> str:
         f"lower(regexp_extract({expr}, "
         f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1))"
     )
+
+
+_ANCHOR_RX = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def extract_anchor_tags(html: Column | str) -> Column:
+    """array<string> of whole <a href="...">...</a> tags; callers pull
+    href (group 1) / anchor text (group 2) with anchor_href /
+    anchor_text per element — keeping the exploded row a plain string
+    so downstream stays scalar-friendly."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.regexp_extract_all(c, F.lit(_ANCHOR_RX), 0)
+
+
+def anchor_href(tag: Column) -> Column:
+    return F.regexp_extract(tag, _ANCHOR_RX, 1)
+
+
+def anchor_text(tag: Column) -> Column:
+    return F.regexp_extract(tag, _ANCHOR_RX, 2)
+
+
+def extract_anchor_tags_sql(expr: str) -> str:
+    return (
+        f"regexp_extract_all({expr}, "
+        f"'(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>', 0)"
+    )
+
+
+def anchor_href_sql(expr: str) -> str:
+    return (
+        f"regexp_extract({expr}, "
+        f"'(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>', 1)"
+    )
+
+
+def anchor_text_sql(expr: str) -> str:
+    return (
+        f"regexp_extract({expr}, "
+        f"'(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>', 2)"
+    )

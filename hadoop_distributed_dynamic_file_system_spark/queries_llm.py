@@ -5084,3 +5084,131 @@ def bm25_incremental_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df_merged"), "term")
         .limit(20)
     )
+
+
+@query(
+    "domain_capped_sample",
+    f"""
+    WITH hosts AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
+          WHEN 1 THEN 'News.Example.CO.UK'
+          WHEN 2 THEN 'a.b.example.com.au'
+          ELSE 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+        END AS host
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, {_wt.registrable_domain_sql("host")} AS domain,
+             row_number() OVER (
+               PARTITION BY {_wt.registrable_domain_sql("host")}
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM hosts
+    )
+    SELECT doc_id, domain, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 25
+    """,
+)
+def domain_capped_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota (the FineWeb/CCNet anti-SEO rule):
+    keep at most 25 docs per REGISTRABLE domain — subdomain farms
+    (h0..h12.example.com) share one quota because the cap keys on
+    eTLD+1, not the raw host. Selection order is the deterministic
+    md5(doc_id) shuffle (training_order_shuffle's key), so the kept
+    set is reproducible. The window partitions by domain — at 100 TB
+    that is a hash-partitioned per-key rank, no global window; heavy
+    hitters are exactly the domains the cap exists to bound, and the
+    rank can early-stop via the same per-partition top-k trick as
+    top_k_per_group."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when((F.col("doc_id") % 4) == 0,
+               F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string"),
+                        F.lit(".example.com")))
+        .when((F.col("doc_id") % 4) == 1, F.lit("News.Example.CO.UK"))
+        .when((F.col("doc_id") % 4) == 2, F.lit("a.b.example.com.au"))
+        .otherwise(F.concat(F.lit("cdn"), (F.col("doc_id") % 5).cast("string"),
+                            F.lit(".example.org")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", _wt.registrable_domain(host).alias("domain"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 25)
+    )
+
+
+@query(
+    "anchor_text_terms",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, source, lang,
+        ('<a href="http://h' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '">'
+         || source || ' page ' || CAST(doc_id % 5 AS VARCHAR) || '</a> '
+         || '<A HREF="https://CDN.example.com/lib">asset ' || lang
+         || '</A> <a href="/rel/x">skip me</a>') AS html
+      FROM documents
+    ),
+    tags AS (
+      SELECT doc_id, unnest({_wt.extract_anchor_tags_sql("html")}) AS tag
+      FROM pages
+    ),
+    pairs AS (
+      SELECT {_wt.host_of_sql(_wt.anchor_href_sql("tag"))} AS dst_host,
+             unnest(string_split({_wt.anchor_text_sql("tag")}, ' ')) AS term
+      FROM tags
+    ),
+    counts AS (
+      SELECT dst_host, term, CAST(count(*) AS BIGINT) AS cnt
+      FROM pairs WHERE dst_host <> '' GROUP BY dst_host, term
+    )
+    SELECT dst_host, term, cnt, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT dst_host, term, cnt,
+             row_number() OVER (PARTITION BY dst_host
+                                ORDER BY cnt DESC, term) AS rnk
+      FROM counts) WHERE rnk <= 3
+    """,
+)
+def anchor_text_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation — the classic off-page retrieval signal
+    (what OTHER pages call a target): <a> tags are extracted whole
+    (webtext.extract_anchor_tags), href resolves to the destination
+    host (relative links dropped), anchor words are counted per
+    dst_host, and each host keeps its top-3 terms. The per-host rank
+    is a partitioned window over the (host, term) count relation —
+    tiny compared to the corpus — and the heavy extract stage is pure
+    codegen; at 100 TB anchor terms shuffle as (host, term) pairs,
+    never pages."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<a href="http://h'), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), i, F.lit('">'),
+        F.col("source"), F.lit(" page "), (F.col("doc_id") % 5).cast("string"),
+        F.lit('</a> <A HREF="https://CDN.example.com/lib">asset '),
+        F.col("lang"),
+        F.lit('</A> <a href="/rel/x">skip me</a>'),
+    )
+    tags = d.select(
+        F.explode(_wt.extract_anchor_tags(html)).alias("tag")
+    )
+    pairs = tags.select(
+        _wt.host_of(_wt.anchor_href(F.col("tag"))).alias("dst_host"),
+        F.explode(F.split(_wt.anchor_text(F.col("tag")), " ")).alias("term"),
+    ).filter(F.col("dst_host") != "")
+    counts = pairs.groupBy("dst_host", "term").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("dst_host").orderBy(F.desc("cnt"), "term")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )

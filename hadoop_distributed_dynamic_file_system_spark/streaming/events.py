@@ -1202,3 +1202,36 @@ def streaming_hybrid_rrf(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_crawl_extract(
+    page_stream: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """Ingest-time HTML processing over an arriving crawl — the
+    extraction stage of the fetch pipeline running continuously:
+    visible text (webtext.strip_html), outbound link hosts
+    (extract_links → host_of, relative links dropped), and text stats,
+    one row per page. Every stage is a stateless JVM projection
+    (regexp chains + one explode-free array transform), so there is no
+    watermark, no state store, and no shuffle — restart resumes from
+    source offsets, and parallelism is the source partition count.
+    Batch twin: the same webtext composition (pinned by
+    TestStreamingCrawlExtract)."""
+    from ..operators import webtext
+
+    t = webtext.strip_html(F.col(html_col))
+    hosts = F.filter(
+        F.transform(
+            webtext.extract_links(F.col(html_col)),
+            lambda u: webtext.host_of(u),
+        ),
+        lambda h: h != "",
+    )
+    return page_stream.select(
+        F.col(id_col),
+        t.alias("text"),
+        F.size(F.split(t, " ")).cast("long").alias("n_words"),
+        hosts.alias("link_hosts"),
+    )

@@ -61,7 +61,7 @@ class TestRegistrableDomain:
         [
             ("a.b.Example.COM", "example.com"),
             ("news.example.co.uk", "example.co.uk"),
-            ("example.co.uk", "example.co.uk"),  # hmm: no leading label
+            ("example.co.uk", "example.co.uk"),  # bare eTLD+1
             ("deep.sub.example.co.jp", "example.co.jp"),
             ("example.net", "example.net"),
             ("localhost", "localhost"),  # dot-less fallback
@@ -127,3 +127,42 @@ class TestPlans:
         scan_only = qllm.QUERIES["html_text_extract"](spark, sf_dir)
         plan = scan_only._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # per-record transform: no shuffle
+
+
+class TestStreamingCrawlExtract:
+    def test_stream_matches_batch_composition(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.streaming import (
+            events as ev,
+        )
+
+        batch = spark.createDataFrame(
+            [
+                (1, '<p>a b</p><script>x</script>'
+                    '<a href="http://H1.ex.com/p">l</a>'),
+                (2, '<h1>T&amp;c</h1><a href="/rel">r</a>'
+                    '<a href="https://b.ex.com:443/q">m</a>'),
+                (3, ""),
+            ],
+            "doc_id long, html string",
+        )
+        src = tmp_path / "crawl_pages_in"
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src), "doc_id long, html string"
+        )
+        out = ev.run_to_memory(
+            ev.streaming_crawl_extract(stream), "crawl_extract_out"
+        )
+        got = {
+            (r.doc_id, r.text, r.n_words, tuple(r.link_hosts))
+            for r in out.collect()
+        }
+        twin = ev.streaming_crawl_extract(batch)  # same code path on batch
+        want = {
+            (r.doc_id, r.text, r.n_words, tuple(r.link_hosts))
+            for r in twin.collect()
+        }
+        assert got == want and len(got) == 3
+        by_id = {t[0]: t for t in got}
+        assert by_id[1][1] == "a b l" and by_id[1][3] == ("h1.ex.com",)
+        assert by_id[2][3] == ("b.ex.com",)  # relative link dropped

@@ -76,6 +76,8 @@ QUERIES = [
     "decontaminated_corpus",
     "host_boilerplate_cleaned",
     "bm25_incremental_stats",
+    "domain_capped_sample",
+    "anchor_text_terms",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
