@@ -146,6 +146,7 @@ HEADLINE = [
     "bm25_incremental_stats",
     "domain_capped_sample",
     "anchor_text_terms",
+    "anchor_link_rank",
 ]
 
 

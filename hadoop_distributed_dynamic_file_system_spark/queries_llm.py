@@ -3086,20 +3086,41 @@ def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
 
 
-def _pagerank_sql(iters: int, weighted: bool = False) -> str:
+def _pagerank_sql(
+    iters: int,
+    weighted: bool = False,
+    edges_sql: str | None = None,
+    dangling: bool = False,
+) -> str:
     """Generate the fixed-iteration PageRank oracle: one CTE per power
-    iteration over the symmetrized part↔supplier bipartite graph (no
-    dangling nodes by construction, so the dangling term is zero and
-    drops out; the Spark operator computes it and adds exact 0.0).
-    `weighted` uses the lineitem multiplicity per (part, supplier)
-    pair as the edge weight — contributions become rank·w/Σ_out w."""
+    iteration. Default graph: the symmetrized part↔supplier bipartite
+    graph (no dangling nodes by construction, so the dangling term is
+    zero and drops out; the Spark operator computes it and adds exact
+    0.0). `weighted` uses the lineitem multiplicity per (part,
+    supplier) pair as the edge weight — contributions become
+    rank·w/Σ_out w. `edges_sql` substitutes a caller-supplied CTE
+    block that must define `edges` (src, dst[, w]) and
+    `deg` (src, outdeg); with `dangling=True` the node set is
+    src ∪ dst and nodes without out-edges redistribute their mass
+    uniformly each round (the Spark operator's stochastic
+    completion)."""
     contrib = "r.rank * e.w / d.outdeg" if weighted else "r.rank / d.outdeg"
     layers = ["r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n)"]
     for i in range(1, iters + 1):
+        dterm = ""
+        if dangling:
+            # dm{i} must precede r{i} (CTEs only see earlier CTEs);
+            # it reads r{i-1}, which is already defined
+            layers.append(f"""dm{i} AS (
+      SELECT coalesce(sum(rank), 0.0) AS dmass FROM r{i - 1}
+      WHERE node NOT IN (SELECT src FROM deg)
+    )""")
+            dterm = " + dm.dmass / n.n"
         layers.append(f"""r{i} AS (
       SELECT nd.node,
-             (1 - 0.85) / n.n + 0.85 * coalesce(m.in_mass, 0.0) AS rank
-      FROM nodes nd CROSS JOIN n
+             (1 - 0.85) / n.n
+               + 0.85 * (coalesce(m.in_mass, 0.0){dterm}) AS rank
+      FROM nodes nd CROSS JOIN n{' CROSS JOIN dm' + str(i) + ' dm' if dangling else ''}
       LEFT JOIN (
         SELECT e.dst AS node, sum({contrib}) AS in_mass
         FROM edges e
@@ -3107,7 +3128,9 @@ def _pagerank_sql(iters: int, weighted: bool = False) -> str:
         JOIN deg d ON e.src = d.src
         GROUP BY e.dst
       ) m ON nd.node = m.node)""")
-    if weighted:
+    if edges_sql is not None:
+        e0 = edges_sql
+    elif weighted:
         e0 = """e0 AS (
       SELECT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst,
              CAST(count(*) AS DOUBLE) AS w
@@ -3127,9 +3150,15 @@ def _pagerank_sql(iters: int, weighted: bool = False) -> str:
       SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
     ),
     deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)"""
+    nodes = (
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst AS node FROM edges)"
+        if dangling
+        else "nodes AS (SELECT DISTINCT src AS node FROM edges)"
+    )
     return f"""
     WITH {e0},
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    {nodes},
     n AS (SELECT count(*) AS n FROM nodes),
     {','.join(layers)}
     SELECT node, round(rank, 6) AS rank FROM r{iters}
@@ -5212,3 +5241,56 @@ def anchor_text_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+_ANCHOR_EDGES_SQL = """e0 AS (
+      SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS src,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS src,
+             'cdn.example.com' AS dst
+      FROM documents
+    ),
+    edges AS (
+      SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+      FROM e0 GROUP BY src, dst
+    ),
+    deg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src)"""
+
+
+@query(
+    "anchor_link_rank",
+    _pagerank_sql(3, weighted=True, edges_sql=_ANCHOR_EDGES_SQL,
+                  dangling=True),
+)
+def anchor_link_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-authority composition: raw HTML → href extraction →
+    host-level weighted edge list (the html_host_links producer) →
+    weighted PageRank. The synthetic link graph is genuinely DANGLING
+    (h*/cdn destination hosts have no out-links), so this is the first
+    oracle-checked exercise of the operator's stochastic completion —
+    dangling mass redistributes uniformly each round and the oracle
+    unrolls the same recurrence (dm CTE per iteration). Link counts
+    are the edge weights; at 100 TB the extraction stays codegen, the
+    edge groupBy shuffles (host, host) pairs, and each rank round is
+    one equi-join + grouped sum (operators/graph.pagerank)."""
+    from .operators import graph
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pages = d.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("src"),
+        _wt.extract_links(_html_col()).alias("links"),
+    )
+    edges = (
+        pages.select("src", F.explode("links").alias("u"))
+        .select("src", _wt.host_of("u").alias("dst"))
+        .filter(F.col("dst") != "")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = graph.pagerank(edges, iterations=3, damping=0.85, weight="w")
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

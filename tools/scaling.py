@@ -78,6 +78,7 @@ QUERIES = [
     "bm25_incremental_stats",
     "domain_capped_sample",
     "anchor_text_terms",
+    "anchor_link_rank",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

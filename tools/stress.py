@@ -294,6 +294,57 @@ def main() -> None:
             lambda e=edges: noop(graph.pagerank(e, iterations=3)),
         )
 
+    # host-level boilerplate removal at 1x/16x: per-host line support
+    # on (host, xxhash64(line)) keys — us/doc must stay flat as hosts
+    # grow 16x deeper (the support relation grows with distinct lines,
+    # the verdict join stays keyed)
+    from hadoop_distributed_dynamic_file_system_spark.operators import (
+        webquality as wq2,
+    )
+
+    def hosted_lined(copies):
+        m = (F.col("doc_id") % 50).cast("string")
+        return amplified_big(copies).select(
+            "doc_id",
+            F.concat(F.lit("site"), m, F.lit(".example.com")).alias("host"),
+            F.concat(
+                F.lit("nav home about site"), m, F.lit("\n"),
+                F.regexp_replace(
+                    "text", r"((?:\S+\s+){7}\S+)\s+", "$1\n"
+                ),
+                F.lit("\ncopyright site"), m,
+            ).alias("text"),
+        )
+
+    for copies in (1, 16):
+        corpus = hosted_lined(copies)
+        bench(
+            f"host_boilerplate_x{copies}", base * copies,
+            lambda c=corpus: noop(wq2.host_boilerplate_removal(
+                c, "doc_id", "text", "host", frac=0.3, min_docs=5)),
+        )
+
+    # HTML text extraction at 1x/100x: a pure regexp-chain projection
+    # must scale linearly with zero shuffle — this is the scan-bound
+    # floor every crawl-ingest stage sits on
+    from hadoop_distributed_dynamic_file_system_spark.operators import (
+        webtext as wt2,
+    )
+
+    for copies in (1, 100):
+        corpus = amplified_big(copies)
+        html = F.concat(
+            F.lit("<html><head><script>var x=1;</script></head><body><p>"),
+            F.col("text"),
+            F.lit('</p><a href="http://h1.example.com/p">n</a></body></html>'),
+        )
+        bench(
+            f"html_text_extract_x{copies}", base * copies,
+            lambda c=corpus, h=html: noop(
+                c.select("doc_id", wt2.strip_html(h).alias("t"))
+            ),
+        )
+
     out = [
         "# STRESS — plan shapes at 10-20x the benchmark scale (local[32])",
         "",
