@@ -146,7 +146,11 @@ HEADLINE = [
     "bm25_incremental_stats",
     "domain_capped_sample",
     "anchor_text_terms",
-    "anchor_link_rank",
+    "registrable_domains_psl",
+    # anchor_link_rank is oracle-checked + in SCALING but NOT benched:
+    # it is a third power-iteration entry whose wall-time is
+    # iteration-count x fixed local overhead (VERDICT-r5 ask #4 keeps
+    # link_graph_rank_weighted as the single rank headline)
 ]
 
 

@@ -238,3 +238,88 @@ def anchor_text_sql(expr: str) -> str:
         f"regexp_extract({expr}, "
         f"'(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>', 2)"
     )
+
+
+def registrable_domain_psl(
+    df,
+    id_col: str,
+    host_col: str,
+    suffixes,
+    max_labels: int = 4,
+):
+    """Full-Public-Suffix-List registrable-domain extraction — the
+    broadcast-join scale path the two-rule heuristic documents: each
+    host contributes its last 1..max_labels label-suffixes as
+    candidates (<= max_labels rows/host), the PSL relation (~10k rows
+    in production; any relation with a `suffix` column here)
+    broadcasts, and the LONGEST matching suffix wins per host
+    (candidates of one host nest, so string length is the label-count
+    order). registrable = winning suffix + one label:
+
+    - pages.h1.github.io with PSL entry github.io -> h1.github.io
+      (the private-registry fidelity the two-rule heuristic cannot
+      express);
+    - a host EQUAL to a public suffix has no registrable domain
+      (NULL);
+    - a host matching NO entry falls back to the PSL default '*' rule:
+      its last label is the suffix, so registrable = last two labels.
+
+    Returns df's (id_col, host_col) plus `domain` (nullable). Scale:
+    one explode bounded by max_labels, one broadcast join, one
+    groupBy(id) max — no shuffle wider than the host list itself.
+    """
+    h = F.lower(F.col(host_col))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    cands = F.filter(
+        F.array(*[
+            F.when(
+                n >= k,
+                F.array_join(F.slice(labels, n - F.lit(k) + 1, k), "."),
+            )
+            for k in range(1, max_labels + 1)
+        ]),
+        lambda c: c.isNotNull(),
+    )
+    base = df.select(F.col(id_col), h.alias("_h"), cands.alias("_cands"))
+    exploded = base.select(
+        id_col, "_h", F.explode("_cands").alias("_cand")
+    )
+    matched = (
+        exploded.join(
+            F.broadcast(suffixes.select(F.col("suffix").alias("_cand"))),
+            "_cand",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("_cand").alias("l"), F.col("_cand").alias("s")
+                )
+            ).alias("_w")
+        )
+    )
+    out = base.join(matched, id_col, "left").select(
+        F.col(id_col),
+        F.col("_h").alias(host_col),
+        F.split("_h", r"\.").alias("_labels"),
+        F.size(F.split("_h", r"\.")).alias("_n"),
+        # matched suffix label count; default '*' rule -> 1 label
+        F.when(
+            F.col("_w").isNotNull(),
+            F.size(F.split(F.col("_w.s"), r"\.")),
+        ).otherwise(F.lit(1)).alias("_k"),
+    )
+    return out.select(
+        id_col,
+        host_col,
+        F.when(
+            F.col("_n") > F.col("_k"),
+            F.array_join(
+                F.slice(
+                    "_labels", F.col("_n") - F.col("_k"), F.col("_k") + 1
+                ),
+                ".",
+            ),
+        ).alias("domain"),
+    )

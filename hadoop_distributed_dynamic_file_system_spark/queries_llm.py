@@ -5294,3 +5294,99 @@ def anchor_link_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = graph.pagerank(edges, iterations=3, damping=0.85, weight="w")
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+_PSL_FIXTURE = [
+    "com", "org", "net", "uk", "co.uk", "ac.uk",
+    "au", "com.au", "jp", "co.jp", "io", "github.io",
+]
+
+
+@query(
+    "registrable_domains_psl",
+    f"""
+    WITH psl(suffix) AS (
+      VALUES {", ".join(f"('{s}')" for s in _PSL_FIXTURE)}
+    ),
+    hosts AS (
+      SELECT doc_id,
+        lower(CASE CAST(doc_id % 6 AS INT)
+          WHEN 0 THEN 'pages.h' || CAST(doc_id % 9 AS VARCHAR)
+                      || '.github.io'
+          WHEN 1 THEN 'News.Example.CO.UK'
+          WHEN 2 THEN 'a.b.example.com'
+          WHEN 3 THEN 'example.com.au'
+          WHEN 4 THEN 'github.io'
+          ELSE 'x.y.internal'
+        END) AS host
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, host, string_split(host, '.') AS ls,
+             len(string_split(host, '.')) AS n
+      FROM hosts
+    ),
+    cand AS (
+      SELECT doc_id, n, ls,
+             unnest(range(1, least(n, 4) + 1)) AS k
+      FROM lab
+    ),
+    m AS (
+      SELECT doc_id, k FROM (
+        SELECT c.doc_id, c.k,
+               row_number() OVER (PARTITION BY c.doc_id
+                                  ORDER BY c.k DESC) AS rn
+        FROM (SELECT doc_id, k,
+                     array_to_string(list_slice(ls, n - k + 1, n), '.') AS c
+              FROM cand) c
+        JOIN psl ON c.c = psl.suffix
+      ) WHERE rn = 1
+    ),
+    dom AS (
+      SELECT l.doc_id, l.host,
+        CASE WHEN l.n > coalesce(m.k, 1)
+             THEN array_to_string(
+                    list_slice(l.ls, l.n - coalesce(m.k, 1), l.n), '.')
+        END AS domain
+      FROM lab l LEFT JOIN m USING (doc_id)
+    )
+    SELECT coalesce(domain, '') AS domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM dom GROUP BY 1
+    """,
+)
+def registrable_domains_psl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-PSL registrable domains via the broadcast longest-suffix
+    join (webtext.registrable_domain_psl) — the scale path the
+    two-rule heuristic documents, exercised against the cases the
+    heuristic cannot express: a PRIVATE-registry suffix
+    (pages.hN.github.io -> hN.github.io, not github.io), a host equal
+    to a public suffix (github.io -> no registrable domain, ''), and
+    an unknown TLD falling back to the PSL default '*' rule
+    (x.y.internal -> y.internal). <= 4 candidate rows per host, the
+    suffix relation broadcasts, one groupBy(id) max — at 100 TB the
+    explode is the only amplification and it is constant-bounded."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.lower(
+        F.when((F.col("doc_id") % 6) == 0,
+               F.concat(F.lit("pages.h"), (F.col("doc_id") % 9).cast("string"),
+                        F.lit(".github.io")))
+        .when((F.col("doc_id") % 6) == 1, F.lit("News.Example.CO.UK"))
+        .when((F.col("doc_id") % 6) == 2, F.lit("a.b.example.com"))
+        .when((F.col("doc_id") % 6) == 3, F.lit("example.com.au"))
+        .when((F.col("doc_id") % 6) == 4, F.lit("github.io"))
+        .otherwise(F.lit("x.y.internal"))
+    )
+    psl = spark.createDataFrame(
+        [(s,) for s in _PSL_FIXTURE], ["suffix"]
+    )
+    doms = _wt.registrable_domain_psl(
+        d.select("doc_id", host.alias("host")), "doc_id", "host", psl
+    )
+    return doms.groupBy(
+        F.coalesce("domain", F.lit("")).alias("domain")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )

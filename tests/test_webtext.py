@@ -166,3 +166,48 @@ class TestStreamingCrawlExtract:
         by_id = {t[0]: t for t in got}
         assert by_id[1][1] == "a b l" and by_id[1][3] == ("h1.ex.com",)
         assert by_id[2][3] == ("b.ex.com",)  # relative link dropped
+
+
+class TestRegistrableDomainPsl:
+    def _psl(self, spark):
+        rows = [("com",), ("uk",), ("co.uk",), ("io",), ("github.io",)]
+        return spark.createDataFrame(rows, ["suffix"])
+
+    def test_cases(self, spark):
+        hosts = [
+            (0, "pages.h1.GitHub.IO", "h1.github.io"),   # private suffix
+            (1, "news.example.co.uk", "example.co.uk"),  # multi-label
+            (2, "a.b.example.com", "example.com"),
+            (3, "github.io", None),            # host IS a public suffix
+            (4, "x.y.internal", "y.internal"),  # default '*' rule
+            (5, "internal", None),              # single unknown label
+        ]
+        df = spark.createDataFrame(
+            [(i, h) for i, h, _ in hosts], ["doc_id", "host"]
+        )
+        out = {
+            r.doc_id: r.domain
+            for r in W.registrable_domain_psl(
+                df, "doc_id", "host", self._psl(spark)
+            ).collect()
+        }
+        for i, _, want in hosts:
+            assert out[i] == want, (i, out[i], want)
+
+    def test_longest_suffix_wins(self, spark):
+        # github.io must beat io even though both match
+        df = spark.createDataFrame([(0, "a.b.github.io")], ["doc_id", "host"])
+        out = W.registrable_domain_psl(
+            df, "doc_id", "host", self._psl(spark)
+        ).first()
+        assert out.domain == "b.github.io"
+
+    def test_psl_side_broadcasts(self, spark):
+        df = spark.createDataFrame([(0, "a.example.com")], ["doc_id", "host"])
+        plan = (
+            W.registrable_domain_psl(df, "doc_id", "host", self._psl(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan

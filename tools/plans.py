@@ -46,6 +46,17 @@ SHOWCASE = [
     ("scd2_user_state", "one key exchange + two window passes, no self-join"),
     ("zipf_slope", "frequency pass + TakeOrdered(100) + constant-size "
      "integer-micro-unit regression"),
+    # round-6 web-text wave
+    ("html_text_extract", "fused regexp-chain projection: zero shuffle, "
+     "scan-bound text extraction"),
+    ("host_boilerplate_cleaned", "per-host line support on (host, "
+     "xxhash64(line)); host counts broadcast; ordered reassembly"),
+    ("decontaminated_corpus", "benchmark shingles broadcast; corpus "
+     "never shuffles; removal via broadcast left join"),
+    ("bm25_incremental_stats", "per-shard df/N/sum_dl summation-merge; "
+     "full-scan twin joined for the pin"),
+    ("anchor_link_rank", "href extract -> host edge groupBy -> 3 weighted "
+     "rank rounds with dangling completion"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the

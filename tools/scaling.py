@@ -79,6 +79,7 @@ QUERIES = [
     "domain_capped_sample",
     "anchor_text_terms",
     "anchor_link_rank",
+    "registrable_domains_psl",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
