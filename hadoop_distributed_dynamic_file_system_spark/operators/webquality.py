@@ -482,20 +482,9 @@ def host_boilerplate_removal(
         F.col(host_col).alias("_host"),
         F.posexplode(_lines_of(F.col(text_col))).alias("_pos", "_line"),
     ).withColumn("_k", F.xxhash64("_line"))
-    host_docs = df.groupBy(F.col(host_col).alias("_host")).agg(
-        F.countDistinct(id_col).alias("_hdocs")
-    )
-    support = occ.groupBy("_host", "_k").agg(
-        F.countDistinct(id_col).alias("_support")
-    )
-    boiler = (
-        support.join(F.broadcast(host_docs), "_host")
-        .filter(
-            (F.col("_hdocs") >= min_docs)
-            & (F.col("_support") > F.lit(frac) * F.col("_hdocs"))
-        )
-        .select("_host", "_k", F.lit(True).alias("_boiler"))
-    )
+    boiler = host_boilerplate_index(
+        df, id_col, text_col, host_col, frac=frac, min_docs=min_docs
+    ).select("_host", "_k", F.lit(True).alias("_boiler"))
     kept = occ.join(boiler, ["_host", "_k"], "left").filter(
         F.col("_boiler").isNull()
     )
@@ -526,4 +515,40 @@ def host_boilerplate_removal(
         .cast("long")
         .alias("n_boiler"),
         F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
+
+
+def host_boilerplate_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    host_col: str,
+    *,
+    frac: float = 0.3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """The frozen boilerplate-line index: (_host, _k) rows for every
+    line whose per-host document support exceeds `frac` on hosts with
+    >= min_docs docs — the relation host_boilerplate_removal elects
+    and the streaming gate (streaming/events.streaming_boilerplate_
+    gate) consumes as a STATIC side. Persist this at index-build time;
+    it is |template lines|-sized, tiny next to the corpus."""
+    occ = df.select(
+        F.col(id_col),
+        F.col(host_col).alias("_host"),
+        F.explode(_lines_of(F.col(text_col))).alias("_line"),
+    ).withColumn("_k", F.xxhash64("_line"))
+    host_docs = df.groupBy(F.col(host_col).alias("_host")).agg(
+        F.countDistinct(id_col).alias("_hdocs")
+    )
+    support = occ.groupBy("_host", "_k").agg(
+        F.countDistinct(id_col).alias("_support")
+    )
+    return (
+        support.join(F.broadcast(host_docs), "_host")
+        .filter(
+            (F.col("_hdocs") >= min_docs)
+            & (F.col("_support") > F.lit(frac) * F.col("_hdocs"))
+        )
+        .select("_host", "_k")
     )

@@ -1235,3 +1235,46 @@ def streaming_crawl_extract(
         F.size(F.split(t, " ")).cast("long").alias("n_words"),
         hosts.alias("link_hosts"),
     )
+
+
+def streaming_boilerplate_gate(
+    page_stream: DataFrame,
+    boiler_index: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time boilerplate strip against a FROZEN per-host
+    template-line index (webquality.host_boilerplate_index): the index
+    aggregates to one (host, array<line keys>) row per host — a
+    |template|-sized static relation — and joins the stream on host
+    (stream-static, stateless); line removal is then a pure array
+    filter against the keys, so re-assembly never needs a per-doc
+    groupBy (which an append stream would disallow). Same output
+    contract as the batch host_boilerplate_removal (id, host, n_lines,
+    n_kept, n_boiler, cleaned); streaming a corpus against the index
+    its own batch elected reproduces the batch result exactly (pinned
+    by TestStreamingBoilerplateGate). Same frozen-index shape as
+    streaming_near_dedup: rebuild the index offline on a cadence, the
+    stream never mutates it."""
+    from ..operators.webquality import _lines_of
+
+    keys_by_host = boiler_index.groupBy(
+        F.col("_host").alias(host_col)
+    ).agg(F.collect_list("_k").alias("_bkeys"))
+    joined = page_stream.join(keys_by_host, host_col, "left")
+    lines = _lines_of(F.col(text_col))
+    kept = F.when(F.col("_bkeys").isNull(), lines).otherwise(
+        F.filter(
+            lines,
+            lambda ln: ~F.array_contains(F.col("_bkeys"), F.xxhash64(ln)),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(host_col).alias("host"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_boiler"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )

@@ -96,3 +96,68 @@ class TestMergeableBm25Stats:
         assert got == {"a": 2, "b": 1}
         t = totals.first()
         assert t.n_docs == 2 and t.sum_dl == 5
+
+
+class TestStreamingBoilerplateGate:
+    def test_stream_equals_batch_removal(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.streaming import (
+            events as ev,
+        )
+
+        rows = [
+            (i, "a.com", f"nav bar\nbody {i}\nend {i}") for i in range(6)
+        ] + [(10 + i, "b.com", f"nav bar\nbody b{i}") for i in range(2)]
+        corpus = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+        index = webquality.host_boilerplate_index(
+            corpus, "doc_id", "text", "host", frac=0.3, min_docs=5
+        )
+        batch_out = webquality.host_boilerplate_removal(
+            corpus, "doc_id", "text", "host", frac=0.3, min_docs=5
+        )
+
+        src = tmp_path / "boiler_pages_in"
+        corpus.coalesce(1).write.mode("append").parquet(str(src))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src), "doc_id long, host string, text string"
+        )
+        got = {
+            (r.doc_id, r.host, r.n_lines, r.n_kept, r.n_boiler, r.cleaned)
+            for r in ev.run_to_memory(
+                ev.streaming_boilerplate_gate(stream, index),
+                "boiler_gate_out",
+            ).collect()
+        }
+        want = {
+            (r.doc_id, r.host, r.n_lines, r.n_kept, r.n_boiler, r.cleaned)
+            for r in batch_out.collect()
+        }
+        assert got == want and len(got) == 8
+        # the big host's nav line is gone, the small host's is kept
+        by_id = {t[0]: t for t in got}
+        assert by_id[0][5] == "body 0\nend 0"
+        assert by_id[10][5] == "nav bar\nbody b0"
+
+    def test_unknown_host_passes_through(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.streaming import (
+            events as ev,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, "a.com", "nav\nx") for i in range(6)],
+            ["doc_id", "host", "text"],
+        )
+        index = webquality.host_boilerplate_index(
+            corpus, "doc_id", "text", "host", frac=0.3, min_docs=5
+        )
+        fresh = spark.createDataFrame(
+            [(99, "never-seen.com", "nav\nx")], ["doc_id", "host", "text"]
+        )
+        src = tmp_path / "boiler_fresh_in"
+        fresh.coalesce(1).write.mode("append").parquet(str(src))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src), "doc_id long, host string, text string"
+        )
+        out = ev.run_to_memory(
+            ev.streaming_boilerplate_gate(stream, index), "boiler_fresh_out"
+        ).first()
+        assert out.n_boiler == 0 and out.cleaned == "nav\nx"
