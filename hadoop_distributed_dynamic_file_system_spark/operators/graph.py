@@ -345,3 +345,86 @@ def pagerank(
             if delta is not None and delta < tol:
                 break
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over an edge list —
+    the companion link signal to PageRank: authority(v) grows with
+    in-links FROM good hubs, hub(u) with out-links TO good
+    authorities. One full iteration is
+
+        auth'(v) = Σ_{u→v} hub(u),    then L1-normalize,
+        hub'(u)  = Σ_{u→v} auth'(v),  then L1-normalize
+
+    (L1 rather than L2 so the fixpoint is a distribution like the
+    PageRank vector and the oracle arithmetic stays a plain
+    sum-divide).
+
+    Scale shape — same discipline as pagerank above: the edge relation
+    is persisted once; each half-step is one equi-join with the
+    current score vector plus one grouped sum; normalization rides a
+    broadcast 1-row aggregate; lineage is truncated per round with
+    localCheckpoint. Nothing graph-sized is collected or broadcast.
+    Parallel edges count multiply (multigraph semantics), matching
+    pagerank.
+
+    Reference parity: no analog — the reference's graph processing is
+    one-shot MapReduce joins; iterative link analysis is new
+    capability, same family as pagerank (reference's closest shape:
+    chained jobs via JobControl, src/mapred/org/apache/hadoop/mapred/
+    jobcontrol/JobControl.java).
+    """
+    e = cache.tracked_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    nodes = cache.tracked_persist(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("authority"), F.lit(0.0).alias("hub")
+        )
+    hub = nodes.select("node", F.lit(1.0 / n).alias("hub"))
+
+    def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("_t"))
+        return df.join(F.broadcast(total)).select(
+            "node", (F.col(col) / F.col("_t")).alias(col)
+        )
+
+    auth = None
+    for _ in range(iterations):
+        raw_auth = (
+            e.join(hub, F.col("src") == F.col("node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = _l1_normalize(
+            nodes.join(raw_auth, "node", "left").select(
+                "node",
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            ),
+            "authority",
+        ).localCheckpoint(eager=False)
+        raw_hub = (
+            e.join(auth, F.col("dst") == F.col("node"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hub = _l1_normalize(
+            nodes.join(raw_hub, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        ).localCheckpoint(eager=False)
+    return nodes.join(auth, "node").join(hub, "node").select(
+        "node", "authority", "hub"
+    )

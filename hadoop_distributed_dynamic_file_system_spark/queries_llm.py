@@ -5390,3 +5390,88 @@ def registrable_domains_psl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.countDistinct("host").cast("long").alias("n_hosts"),
     )
+
+
+def _hits_sql(iters: int, edges_sql: str) -> str:
+    """Unrolled fixed-iteration HITS oracle (two CTE half-steps +
+    two L1 normalizations per iteration) over a caller-supplied CTE
+    block defining `edges` (src, dst) — multigraph semantics, matching
+    operators/graph.hits."""
+    layers = [
+        "h0 AS (SELECT node, 1.0 / n.n AS s FROM nodes CROSS JOIN n)"
+    ]
+    for i in range(1, iters + 1):
+        layers.append(f"""a{i}r AS (
+      SELECT nd.node, coalesce(m.v, 0.0) AS v
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(h.s) AS v
+        FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+      ) m ON nd.node = m.node)""")
+        layers.append(f"a{i}t AS (SELECT sum(v) AS t FROM a{i}r)")
+        layers.append(
+            f"a{i} AS (SELECT node, v / t AS s FROM a{i}r CROSS JOIN a{i}t)"
+        )
+        layers.append(f"""h{i}r AS (
+      SELECT nd.node, coalesce(m.v, 0.0) AS v
+      FROM nodes nd LEFT JOIN (
+        SELECT e.src AS node, sum(a.s) AS v
+        FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+      ) m ON nd.node = m.node)""")
+        layers.append(f"h{i}t AS (SELECT sum(v) AS t FROM h{i}r)")
+        layers.append(
+            f"h{i} AS (SELECT node, v / t AS s FROM h{i}r CROSS JOIN h{i}t)"
+        )
+    return f"""
+    WITH {edges_sql},
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst AS node FROM edges),
+    n AS (SELECT count(*) AS n FROM nodes),
+    {','.join(layers)}
+    SELECT a.node, round(a.s, 6) AS authority, round(h.s, 6) AS hub
+    FROM a{iters} a JOIN h{iters} h USING (node)
+    """
+
+
+_ANCHOR_MULTI_EDGES_SQL = """edges AS (
+      SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS src,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS src,
+             'cdn.example.com' AS dst
+      FROM documents
+    )"""
+
+
+@query("anchor_hits", _hits_sql(3, _ANCHOR_MULTI_EDGES_SQL))
+def anchor_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.hits) over the extracted
+    host link graph — the bipartite-ish crawl graph where source
+    sites are pure hubs (no in-links) and destination hosts are pure
+    authorities (no out-links), so the score split is structurally
+    visible: after any full iteration, sites carry hub mass and h*/cdn
+    hosts carry authority mass. Multigraph semantics: every extracted
+    link instance contributes, so heavily-linked hosts rank higher.
+    The oracle unrolls three (auth, normalize, hub, normalize)
+    rounds."""
+    from .operators import graph
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pages = d.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("src"),
+        _wt.extract_links(_html_col()).alias("links"),
+    )
+    edges = (
+        pages.select("src", F.explode("links").alias("u"))
+        .select("src", _wt.host_of("u").alias("dst"))
+        .filter(F.col("dst") != "")
+    )
+    out = graph.hits(edges, iterations=3)
+    return out.select(
+        "node",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )

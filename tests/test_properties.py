@@ -636,3 +636,69 @@ class TestWeightedPageRank:
                 for r in graph.pagerank(df, iterations=60, tol=1e-10).collect()}
         for v in deep:
             assert abs(deep[v] - conv[v]) < 1e-7
+
+
+class TestHitsProperties:
+    """Random multigraphs vs a dense numpy HITS with L1 normalization
+    — pins the half-step order (auth from hub, then hub from the NEW
+    auth), the normalization, and multigraph multiplicity."""
+
+    def _numpy_hits(self, edges, iters):
+        import numpy as np
+
+        nodes = sorted({v for e in edges for v in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        a = np.zeros((n, n))  # a[dst, src] = multiplicity
+        for s, t in edges:
+            a[idx[t], idx[s]] += 1.0
+        hub = np.full(n, 1.0 / n)
+        auth = None
+        for _ in range(iters):
+            auth = a @ hub
+            auth = auth / auth.sum()
+            hub = a.T @ auth
+            hub = hub / hub.sum()
+        return {v: (auth[idx[v]], hub[idx[v]]) for v in nodes}
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def test_matches_dense_hits(self, spark, edges):
+        from hadoop_distributed_dynamic_file_system_spark.operators import graph
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {
+            r.node: (r.authority, r.hub)
+            for r in graph.hits(df, iterations=3).collect()
+        }
+        want = self._numpy_hits(edges, 3)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v][0] - want[v][0]) < 1e-9
+            assert abs(got[v][1] - want[v][1]) < 1e-9
+        # both score vectors are distributions
+        assert abs(sum(g[0] for g in got.values()) - 1.0) < 1e-9
+        assert abs(sum(g[1] for g in got.values()) - 1.0) < 1e-9
+
+    def test_pure_hub_and_authority_split(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import graph
+
+        # star: 0 -> {1,2,3}; node 0 is a pure hub, 1-3 pure authorities
+        df = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], "src int, dst int"
+        )
+        got = {r.node: r for r in graph.hits(df, iterations=2).collect()}
+        assert got[0].hub == pytest.approx(1.0)
+        assert got[0].authority == 0.0
+        for v in (1, 2, 3):
+            assert got[v].authority == pytest.approx(1 / 3)
+            assert got[v].hub == 0.0
