@@ -3104,6 +3104,44 @@ def _pagerank_sql(
     src ∪ dst and nodes without out-edges redistribute their mass
     uniformly each round (the Spark operator's stochastic
     completion)."""
+    if edges_sql is not None:
+        e0 = edges_sql
+    elif weighted:
+        e0 = """e0 AS (
+      SELECT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, w FROM e0
+      UNION ALL SELECT dst AS src, src AS dst, w FROM e0
+    ),
+    deg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src)"""
+    else:
+        e0 = """e0 AS (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)"""
+    return f"""
+    WITH {e0},
+    {_pagerank_cte_block(iters, weighted, dangling)}
+    SELECT node, round(rank, 6) AS rank FROM r{iters}
+    """
+
+
+def _pagerank_cte_block(
+    iters: int, weighted: bool = False, dangling: bool = False
+) -> str:
+    """The nodes/n/iteration CTEs of the unrolled PageRank oracle,
+    WITHOUT the WITH keyword or a final SELECT — composable into
+    larger pipeline oracles (web_graph_pipeline). Expects `edges`
+    (src, dst[, w]) and `deg` (src, outdeg) CTEs already defined; the
+    final rank relation is r{iters}. Ends with a trailing comma-ready
+    block (caller joins with ',')."""
     contrib = "r.rank * e.w / d.outdeg" if weighted else "r.rank / d.outdeg"
     layers = ["r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n)"]
     for i in range(1, iters + 1):
@@ -3128,41 +3166,15 @@ def _pagerank_sql(
         JOIN deg d ON e.src = d.src
         GROUP BY e.dst
       ) m ON nd.node = m.node)""")
-    if edges_sql is not None:
-        e0 = edges_sql
-    elif weighted:
-        e0 = """e0 AS (
-      SELECT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst,
-             CAST(count(*) AS DOUBLE) AS w
-      FROM lineitem GROUP BY 1, 2
-    ),
-    edges AS (
-      SELECT src, dst, w FROM e0
-      UNION ALL SELECT dst AS src, src AS dst, w FROM e0
-    ),
-    deg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src)"""
-    else:
-        e0 = """e0 AS (
-      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
-      FROM lineitem
-    ),
-    edges AS (
-      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
-    ),
-    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)"""
     nodes = (
         "nodes AS (SELECT src AS node FROM edges"
         " UNION SELECT dst AS node FROM edges)"
         if dangling
         else "nodes AS (SELECT DISTINCT src AS node FROM edges)"
     )
-    return f"""
-    WITH {e0},
-    {nodes},
+    return f"""{nodes},
     n AS (SELECT count(*) AS n FROM nodes),
-    {','.join(layers)}
-    SELECT node, round(rank, 6) AS rank FROM r{iters}
-    """
+    {','.join(layers)}"""
 
 
 @query("link_graph_rank", _pagerank_sql(3))
@@ -5474,4 +5486,124 @@ def anchor_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.round("authority", 6).alias("authority"),
         F.round("hub", 6).alias("hub"),
+    )
+
+
+@query(
+    "web_graph_pipeline",
+    f"""
+    WITH pages AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+               AS host,
+             {_sql_html()} || '<a href="http://site'
+               || CAST((doc_id * 2) % 50 AS VARCHAR)
+               || '.example.com/x">peer</a>' AS html
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, host,
+             CAST(len(string_split({_wt.strip_html_sql("html")}, ' '))
+                  AS BIGINT) AS n_words
+      FROM pages
+    ),
+    links AS (
+      SELECT host AS src, {_wt.host_of_sql("u")} AS dst
+      FROM (SELECT host, unnest({_wt.extract_links_sql("html")}) AS u
+            FROM pages)
+    ),
+    edges AS (
+      SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+      FROM links WHERE dst <> '' GROUP BY src, dst
+    ),
+    deg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src),
+    {_pagerank_cte_block(3, weighted=True, dangling=True)},
+    rep AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pass,
+             CAST(sum(n_words) AS BIGINT) AS total_words
+      FROM gated GROUP BY host
+    ),
+    ranked AS (
+      SELECT rep.host, rep.n_docs, rep.n_pass, rep.total_words,
+             round(r3.rank, 6) AS rank
+      FROM rep JOIN r3 ON rep.host = r3.node
+    ),
+    avg_r AS (SELECT avg(rank) AS ar FROM ranked)
+    SELECT host, n_docs, n_pass, total_words, rank,
+           (2 * n_pass >= n_docs AND rank > ar) AS keep
+    FROM ranked CROSS JOIN avg_r
+    """,
+)
+def web_graph_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 flagship composite — the crawl GRAPH side of curation,
+    sibling to web_curation_pipeline's content side: raw HTML pages →
+    visible-text extraction + word-count gate (webtext.strip_html) →
+    href → host edge list with link-count weights → 3-round weighted
+    PageRank with dangling completion (graph.pagerank) → per-host
+    report joining content stats with link authority → keep verdict
+    (majority of docs pass the gate AND above-average rank). The
+    synthetic site→site peer links (m → 2m mod 50) give even-numbered
+    hosts real in-degree so the authority split is structural, not
+    noise. Scale: extraction is codegen; the only corpus-sized
+    shuffles are the edge groupBy and the per-host report (both
+    (host)-keyed); rank rounds are |hosts|-sized. The oracle replays
+    every stage including the unrolled rank recurrence
+    (_pagerank_cte_block)."""
+    from .operators import graph
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    html = F.concat(
+        _html_col(),
+        F.lit('<a href="http://site'),
+        ((F.col("doc_id") * 2) % 50).cast("string"),
+        F.lit('.example.com/x">peer</a>'),
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        html.alias("html"),
+    )
+    pages = tracked_persist(pages)
+    gated = pages.select(
+        "host",
+        F.size(F.split(_wt.strip_html(F.col("html")), " "))
+        .cast("long")
+        .alias("n_words"),
+    )
+    edges = (
+        pages.select(
+            F.col("host").alias("src"),
+            F.explode(_wt.extract_links(F.col("html"))).alias("u"),
+        )
+        .select("src", _wt.host_of("u").alias("dst"))
+        .filter(F.col("dst") != "")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = graph.pagerank(edges, iterations=3, damping=0.85, weight="w")
+    rep = gated.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_words") >= 20, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
+    ranked = tracked_persist(
+        rep.join(ranks, rep["host"] == ranks["node"]).select(
+            "host", "n_docs", "n_pass", "total_words",
+            F.round("rank", 6).alias("rank"),
+        )
+    )
+    avg_r = ranked.agg(F.avg("rank").alias("ar"))
+    return ranked.join(F.broadcast(avg_r)).select(
+        "host", "n_docs", "n_pass", "total_words", "rank",
+        (
+            (2 * F.col("n_pass") >= F.col("n_docs"))
+            & (F.col("rank") > F.col("ar"))
+        ).alias("keep"),
     )

@@ -80,6 +80,7 @@ QUERIES = [
     "anchor_text_terms",
     "anchor_link_rank",
     "registrable_domains_psl",
+    "web_graph_pipeline",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
