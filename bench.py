@@ -148,6 +148,7 @@ HEADLINE = [
     "anchor_text_terms",
     "registrable_domains_psl",
     "web_graph_pipeline",
+    "robots_url_gate",
     # anchor_link_rank is oracle-checked + in SCALING but NOT benched:
     # it is a third power-iteration entry whose wall-time is
     # iteration-count x fixed local overhead (VERDICT-r5 ask #4 keeps

@@ -323,3 +323,44 @@ def registrable_domain_psl(
             ),
         ).alias("domain"),
     )
+
+
+# --------------------------------------------------------------- robots.txt
+
+_ROBOTS_STAR_SECTION_RX = r"(?s)User-agent: \*\n(.*?)(\n\nUser-agent:|$)"
+_ROBOTS_DISALLOW_RX = r"Disallow: ([^\n]*)"
+
+
+def robots_disallow_prefixes(robots: Column | str) -> Column:
+    """array<string> of Disallow path prefixes from the `User-agent: *`
+    group of a robots.txt blob (the crawl-politeness subset every
+    fetcher implements: group selection + prefix rules; wildcards,
+    Allow-precedence, and crawl-delay are out of scope and documented
+    so). Empty Disallow lines (allow-all) are dropped."""
+    c = F.col(robots) if isinstance(robots, str) else robots
+    section = F.regexp_extract(c, _ROBOTS_STAR_SECTION_RX, 1)
+    return F.filter(
+        F.regexp_extract_all(section, F.lit(_ROBOTS_DISALLOW_RX), 1),
+        lambda p: p != "",
+    )
+
+
+def robots_disallow_prefixes_sql(expr: str) -> str:
+    sec = f"regexp_extract({expr}, '{_ROBOTS_STAR_SECTION_RX}', 1)"
+    return (
+        f"list_filter(regexp_extract_all({sec}, "
+        f"'{_ROBOTS_DISALLOW_RX}', 1), p -> p <> '')"
+    )
+
+
+def url_allowed(path: Column | str, prefixes: Column) -> Column:
+    """False when any Disallow prefix matches the URL path."""
+    p = F.col(path) if isinstance(path, str) else path
+    return ~F.exists(prefixes, lambda pre: p.startswith(pre))
+
+
+def url_allowed_sql(path_expr: str, prefixes_expr: str) -> str:
+    return (
+        f"(NOT len(list_filter({prefixes_expr}, "
+        f"p -> starts_with({path_expr}, p))) > 0)"
+    )

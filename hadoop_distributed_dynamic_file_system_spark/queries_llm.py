@@ -5607,3 +5607,70 @@ def web_graph_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("rank") > F.col("ar"))
         ).alias("keep"),
     )
+
+
+def _sql_robots() -> str:
+    m = "CAST((doc_id % 50) % 4 AS VARCHAR)"
+    nl = "chr(10)"
+    return (
+        f"('User-agent: bot' || {nl} || 'Disallow: /all/' || {nl} || {nl}"
+        f" || 'User-agent: *' || {nl} || 'Disallow: /private/' || {nl}"
+        f" || 'Disallow: /tmp' || {m} || '/' || {nl} || {nl}"
+        f" || 'User-agent: other' || {nl} || 'Disallow: /x/')"
+    )
+
+
+@query(
+    "robots_url_gate",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_sql_robots()} AS robots,
+             unnest(['/a/' || CAST(doc_id AS VARCHAR),
+                     '/private/' || CAST(doc_id AS VARCHAR),
+                     '/tmp' || CAST(doc_id % 3 AS VARCHAR) || '/f'])
+               AS url_path
+      FROM documents
+    )
+    SELECT doc_id, url_path,
+           {_wt.url_allowed_sql("url_path",
+                                _wt.robots_disallow_prefixes_sql("robots"))}
+             AS allowed
+    FROM pages
+    """,
+)
+def robots_url_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt URL gating (webtext.robots_disallow_prefixes +
+    url_allowed): parse the `User-agent: *` group out of a multi-group
+    robots blob — the OTHER groups' rules must NOT leak — and gate
+    candidate paths by Disallow prefix. The fixture varies the
+    disallowed /tmpN/ prefix per host and probes it with a path whose
+    N only sometimes matches, so the verdict exercises both the group
+    selection and the prefix logic. Pure codegen; at crawl scale the
+    per-host robots relation is tiny and broadcast-joins to the
+    frontier."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = ((F.col("doc_id") % 50) % 4).cast("string")
+    i = F.col("doc_id").cast("string")
+    robots = F.concat(
+        F.lit("User-agent: bot\nDisallow: /all/\n\n"
+              "User-agent: *\nDisallow: /private/\nDisallow: /tmp"),
+        m,
+        F.lit("/\n\nUser-agent: other\nDisallow: /x/"),
+    )
+    pages = d.select(
+        "doc_id",
+        _wt.robots_disallow_prefixes(robots).alias("prefixes"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("/a/"), i),
+                F.concat(F.lit("/private/"), i),
+                F.concat(F.lit("/tmp"), (F.col("doc_id") % 3).cast("string"),
+                         F.lit("/f")),
+            )
+        ).alias("url_path"),
+    )
+    return pages.select(
+        "doc_id",
+        "url_path",
+        _wt.url_allowed("url_path", F.col("prefixes")).alias("allowed"),
+    )

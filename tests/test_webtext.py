@@ -211,3 +211,34 @@ class TestRegistrableDomainPsl:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestRobots:
+    def test_star_group_only(self, spark):
+        robots = ("User-agent: bot\nDisallow: /all/\n\n"
+                  "User-agent: *\nDisallow: /p/\nAllow: /pub/\n\n"
+                  "User-agent: other\nDisallow: /x/")
+        got = _one(spark, W.robots_disallow_prefixes("r"), r=robots)
+        assert got == ["/p/"]  # not /all/ or /x/; Allow lines ignored
+
+    def test_empty_disallow_means_allow_all(self, spark):
+        robots = "User-agent: *\nDisallow:\n"
+        assert _one(spark, W.robots_disallow_prefixes("r"), r=robots) == []
+
+    def test_no_star_group(self, spark):
+        robots = "User-agent: bot\nDisallow: /all/"
+        assert _one(spark, W.robots_disallow_prefixes("r"), r=robots) == []
+
+    def test_url_allowed(self, spark):
+        df = spark.createDataFrame(
+            [("/private/x", ["/private/", "/tmp/"]),
+             ("/public/x", ["/private/"]),
+             ("/x", [])],
+            "p string, pre array<string>",
+        )
+        got = [
+            r.v for r in df.select(
+                W.url_allowed("p", F.col("pre")).alias("v")
+            ).collect()
+        ]
+        assert got == [False, True, True]

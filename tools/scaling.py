@@ -81,6 +81,7 @@ QUERIES = [
     "anchor_link_rank",
     "registrable_domains_psl",
     "web_graph_pipeline",
+    "robots_url_gate",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
