@@ -5674,3 +5674,65 @@ def robots_url_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_path",
         _wt.url_allowed("url_path", F.col("prefixes")).alias("allowed"),
     )
+
+
+@query(
+    "curriculum_order",
+    rf"""
+    WITH q AS (
+      SELECT doc_id,
+             round(CASE WHEN len({_SQL_WORDS.format(t="lower(text)")}) >= 5
+                        THEN 0.25 ELSE 0 END
+                 + CASE WHEN round(list_sum(list_transform(
+                           {_SQL_WORDS.format(t="lower(text)")},
+                           w -> length(w)))
+                         / greatest(len({_SQL_WORDS.format(t="lower(text)")}),
+                                    1), 6)
+                        BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END
+                 + CASE WHEN round((length(text) - length(regexp_replace(
+                           text, '[^\w\s]', '', 'g')))
+                         / greatest(length(text), 1), 6) <= 0.2
+                        THEN 0.25 ELSE 0 END
+                 + CASE WHEN round(len(list_filter(
+                           {_SQL_WORDS.format(t="lower(text)")},
+                           w -> list_contains(
+                             ['the','a','of','and','to','in','is','it'], w)))
+                         / greatest(len({_SQL_WORDS.format(t="lower(text)")}),
+                                    1), 6) >= 0.05 THEN 0.25 ELSE 0 END,
+                 2)::DOUBLE AS quality
+      FROM documents
+    )
+    SELECT doc_id, quality,
+           CAST(row_number() OVER (
+             ORDER BY CAST(100 - quality * 100 AS INT),
+                      md5(CAST(doc_id AS VARCHAR) || ':17'), doc_id)
+           AS BIGINT) AS pos
+    FROM q
+    """,
+)
+def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: highest-quality documents first,
+    deterministically shuffled WITHIN each quality tier (md5(id:seed)
+    — the training_order_shuffle key), so a resumed run replays the
+    identical curriculum. The composite quality score's 0.25 steps
+    make the tiers; position comes from sort.global_rank on
+    (inverted-quality, hash) — ONE range shuffle + broadcast offsets,
+    never a single-task window (the oracle may use a global window;
+    the engine must not)."""
+    from .operators.sort import global_rank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = textanalysis.quality_score(d, "text").select("doc_id", "quality")
+    keyed = q.select(
+        "doc_id",
+        "quality",
+        (100 - (F.col("quality") * 100)).cast("int").alias("_negq"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":17")))
+        .alias("_ck"),
+    )
+    out = global_rank(
+        keyed,
+        [F.col("_negq"), F.col("_ck"), F.col("doc_id")],
+        rank_col="pos",
+    )
+    return out.select("doc_id", "quality", F.col("pos").cast("long").alias("pos"))

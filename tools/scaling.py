@@ -82,6 +82,7 @@ QUERIES = [
     "registrable_domains_psl",
     "web_graph_pipeline",
     "robots_url_gate",
+    "curriculum_order",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
