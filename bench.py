@@ -150,6 +150,7 @@ HEADLINE = [
     "web_graph_pipeline",
     "robots_url_gate",
     "curriculum_order",
+    "fuzzy_decontaminated",
     # anchor_link_rank is oracle-checked + in SCALING but NOT benched:
     # it is a third power-iteration entry whose wall-time is
     # iteration-count x fixed local overhead (VERDICT-r5 ask #4 keeps

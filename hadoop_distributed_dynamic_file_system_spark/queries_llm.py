@@ -5736,3 +5736,78 @@ def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="pos",
     )
     return out.select("doc_id", "quality", F.col("pos").cast("long").alias("pos"))
+
+
+@query(
+    "fuzzy_decontaminated",
+    f"""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    train AS (
+      SELECT doc_id, text, source FROM documents WHERE doc_id % 20 <> 0
+      UNION ALL
+      SELECT b.doc_id + 200000 AS doc_id,
+             regexp_replace(b.text, '^\\S+\\s*', '') AS text,
+             'leaked' AS source
+      FROM bench b
+    ),
+    bsigs AS ({_minhash_sql(8, "bench")}),
+    tsigs AS ({_minhash_sql(8, "train")}),
+    bbands AS (
+      SELECT DISTINCT band, bkey FROM ({_band_keys_sql("bsigs")})
+      WHERE bkey IS NOT NULL
+    ),
+    tbands AS ({_band_keys_sql("tsigs")}),
+    hits AS (
+      SELECT DISTINCT doc_id FROM tbands JOIN bbands USING (band, bkey)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM train t LEFT JOIN hits h USING (doc_id)
+    GROUP BY source
+    """,
+)
+def fuzzy_decontaminated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the paraphrase-leakage sibling
+    of decontaminated_corpus's exact n-gram overlap (PaLM/GPT-4-card
+    style: near-match, not substring): the benchmark split freezes
+    into an LSH band index (dedup.lsh_band_index — band-cardinality
+    sized, broadcastable), training docs probe it with the stateless
+    band-key projection, and any shared band marks the doc
+    contaminated. The fixture plants first-word-dropped copies of
+    benchmark docs under source='leaked' — exact overlap at the gram
+    level but NOT byte-equal — and the report pins that the leaked
+    source drops while organic sources survive. Same plan family as
+    incremental_near_dedup (anti-join per band, no pairwise stage)."""
+    from .streaming import events as ev
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = (
+        d.filter(F.col("doc_id") % 20 != 0)
+        .unionByName(
+            bench.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+                F.lit("leaked").alias("source"),
+            )
+        )
+    )
+    train = tracked_persist(train)
+    idx = dedup.lsh_band_index(
+        bench.select("doc_id", "text"), "doc_id", "text"
+    )
+    kept = ev.streaming_near_dedup(train, idx).select(
+        "doc_id", F.lit(1).alias("_kept")
+    )
+    return (
+        train.join(kept, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_kept").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

@@ -83,6 +83,7 @@ QUERIES = [
     "web_graph_pipeline",
     "robots_url_gate",
     "curriculum_order",
+    "fuzzy_decontaminated",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
