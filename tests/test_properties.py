@@ -702,3 +702,62 @@ class TestHitsProperties:
         for v in (1, 2, 3):
             assert got[v].authority == pytest.approx(1 / 3)
             assert got[v].hub == 0.0
+
+
+class TestWebtextProperties:
+    """normalize_url idempotence and robots gating vs a Python model
+    over randomized inputs — the per-record crawl transforms must be
+    fixpoints/pure functions of their inputs."""
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.builds(
+            lambda scheme, host, port, path, q, frag: (
+                f"{scheme}://{host}{port}{path}{q}{frag}"
+            ),
+            st.sampled_from(["http", "HTTP", "https", "HTTPS", "Ftp"]),
+            st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,20}", fullmatch=True),
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.sampled_from(["", "/", "/A/b", "/x%41"]),
+            st.sampled_from(["", "?", "?q=1", "?Q=a&b=2"]),
+            st.sampled_from(["", "#f", "#A b"]),
+        )
+    )
+    def test_normalize_url_idempotent(self, spark, url):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            webtext as W,
+        )
+
+        df = spark.createDataFrame([(url,)], ["u"])
+        once, twice = df.select(
+            W.normalize_url("u").alias("a"),
+            W.normalize_url(W.normalize_url("u")).alias("b"),
+        ).first()
+        assert once == twice, (url, once, twice)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from(["/a/", "/priv/", "/tmp/", "/x", ""]),
+            min_size=0, max_size=4,
+        ),
+        st.sampled_from(["/a/1", "/priv/2", "/tmp/f", "/x", "/y", "/"]),
+    )
+    def test_url_allowed_matches_python_model(self, spark, prefixes, path):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            webtext as W,
+        )
+
+        from pyspark.sql import functions as sf
+
+        df = spark.createDataFrame(
+            [(path, prefixes)], "p string, pre array<string>"
+        )
+        got = df.select(
+            W.url_allowed("p", sf.col("pre")).alias("v")
+        ).first().v
+        # '' prefix-matches everything in startswith; production feeds
+        # url_allowed the already-''-filtered robots prefix list, and
+        # the operator mirrors plain startswith semantics
+        want = not any(path.startswith(pre) for pre in prefixes)
+        assert got == want, (path, prefixes, got, want)
