@@ -151,7 +151,8 @@ HEADLINE = [
     "robots_url_gate",
     "curriculum_order",
     "fuzzy_decontaminated",
-    # anchor_link_rank is oracle-checked + in SCALING but NOT benched:
+    # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
+    # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is
     # iteration-count x fixed local overhead (VERDICT-r5 ask #4 keeps
     # link_graph_rank_weighted as the single rank headline)

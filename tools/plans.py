@@ -57,6 +57,13 @@ SHOWCASE = [
      "full-scan twin joined for the pin"),
     ("anchor_link_rank", "href extract -> host edge groupBy -> 3 weighted "
      "rank rounds with dangling completion"),
+    ("fuzzy_decontaminated", "benchmark LSH band index probed by stateless "
+     "band keys; anti-join per band, no pairwise stage"),
+    ("robots_url_gate", "star-group parse + prefix gate, pure codegen"),
+    ("curriculum_order", "quality tiers + hash shuffle through range-"
+     "partitioned global_rank, no single-task window"),
+    ("web_graph_pipeline", "extraction gate + weighted host rank fused "
+     "into one per-host report"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the

@@ -345,6 +345,58 @@ def main() -> None:
             ),
         )
 
+    # web-graph flagship at 1x/16x: extraction + edge groupBy scale
+    # with pages; the rank rounds scale with HOSTS (fixed here), so
+    # us/page must fall as the fixed iteration overhead amortizes
+    from hadoop_distributed_dynamic_file_system_spark.operators import (
+        graph as graph2,
+        webtext as wt3,
+    )
+
+    def web_graph_report(pages):
+        gated = pages.select(
+            "host",
+            F.size(F.split(wt3.strip_html(F.col("html")), " "))
+            .cast("long").alias("n_words"),
+        )
+        edges = (
+            pages.select(
+                F.col("host").alias("src"),
+                F.explode(wt3.extract_links(F.col("html"))).alias("u"),
+            )
+            .select("src", wt3.host_of("u").alias("dst"))
+            .filter(F.col("dst") != "")
+            .groupBy("src", "dst")
+            .agg(F.count("*").cast("double").alias("w"))
+        )
+        ranks = graph2.pagerank(edges, iterations=3, weight="w")
+        rep = gated.groupBy("host").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+        return rep.join(ranks, rep["host"] == ranks["node"]).select(
+            "host", "n_docs", "total_words", F.round("rank", 6).alias("rank")
+        )
+
+    for copies in (1, 16):
+        m = (F.col("doc_id") % 50).cast("string")
+        html = F.concat(
+            F.lit('<p>'), F.col("text"),
+            F.lit('</p><a href="http://h'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.example.com/p">n</a><a href="http://site'),
+            ((F.col("doc_id") * 2) % 50).cast("string"),
+            F.lit('.example.com/x">peer</a>'),
+        )
+        corpus = amplified_big(copies).select(
+            F.concat(F.lit("site"), m, F.lit(".example.com")).alias("host"),
+            html.alias("html"),
+        )
+        bench(
+            f"web_graph_x{copies}", base * copies,
+            lambda c=corpus: noop(web_graph_report(c)),
+        )
+
     out = [
         "# STRESS — plan shapes at 10-20x the benchmark scale (local[32])",
         "",
