@@ -151,6 +151,7 @@ HEADLINE = [
     "robots_url_gate",
     "curriculum_order",
     "fuzzy_decontaminated",
+    "contrastive_negatives",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -435,3 +435,74 @@ def mixing_plan(
             (F.col("__w") / F.col("__wsum")) * budget / F.col("tokens"), 6
         ).alias("repeat_factor"),
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    row draws `k` pseudo-random OTHER rows as negatives, reproducible
+    across reruns/engines (md5 is the repo's portable hash — the same
+    property deterministic_shuffle relies on).
+
+    Construction: rows get a dense index 1..N (scale-safe
+    global_rank, one range shuffle); negative j of a row is the row at
+    index md5(id:seed:j) mod N (+1 collision-shift when it lands on
+    the anchor itself, wrapping — never a self-pair). The negatives
+    then resolve by an equi-join on the index.
+
+    Scale shape: one range shuffle for the index, one k-way generator
+    explode (bounded), one equi-join on an 8-byte index key. At 100 TB
+    the join is the only corpus-sized exchange and it is uniform by
+    construction (hash indexes). Output: (id, neg_rank, neg_id).
+    """
+    from .sort import global_rank
+
+    idx = global_rank(
+        df.select(F.col(id_col)), [F.col(id_col)], rank_col="_idx"
+    )
+    n_rows = idx.count()
+    if n_rows < 2:
+        return idx.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("neg_rank"),
+            F.lit(None).alias("neg_id"),
+        ).limit(0)
+    anchors = idx.select(
+        F.col(id_col), F.col("_idx").alias("_own"),
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias(
+            "neg_rank"
+        ),
+    )
+    raw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(f":{seed}:"),
+                        F.col("neg_rank").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_rows
+        + 1
+    )
+    # collision shift: an index equal to the anchor's own moves one
+    # slot forward (wrapping) — identical arithmetic in the oracle
+    tgt = F.when(raw == F.col("_own"), raw % n_rows + 1).otherwise(raw)
+    want = anchors.select(
+        F.col(id_col), "neg_rank", tgt.alias("_tgt")
+    )
+    others = idx.select(
+        F.col("_idx").alias("_tgt"), F.col(id_col).alias("neg_id")
+    )
+    return want.join(others, "_tgt").select(id_col, "neg_rank", "neg_id")

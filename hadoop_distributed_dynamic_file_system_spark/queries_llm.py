@@ -5811,3 +5811,45 @@ def fuzzy_decontaminated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+
+@query(
+    "contrastive_negatives",
+    f"""
+    WITH idx AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS i
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    anchors AS (
+      SELECT doc_id, i, unnest([1, 2, 3, 4]) AS neg_rank FROM idx
+    ),
+    raw AS (
+      SELECT doc_id, i, neg_rank,
+             ({_sql_hexval(
+                 "md5(CAST(doc_id AS VARCHAR) || ':7:'"
+                 " || CAST(neg_rank AS VARCHAR))", 1, 12)})
+               % n.n + 1 AS r
+      FROM anchors CROSS JOIN n
+    ),
+    tgt AS (
+      SELECT doc_id, neg_rank,
+             CASE WHEN r = i THEN r % n.n + 1 ELSE r END AS t
+      FROM raw CROSS JOIN n
+    )
+    SELECT tgt.doc_id, CAST(neg_rank AS INT) AS neg_rank,
+           o.doc_id AS neg_id
+    FROM tgt JOIN idx o ON tgt.t = o.i
+    """,
+)
+def contrastive_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (curation.negative_samples):
+    every document draws 4 reproducible pseudo-random negatives —
+    the contrastive-training input (in-batch negatives are not
+    reproducible across resumes; hash-indexed negatives are). Index
+    via scale-safe global_rank, negative = corpus row at
+    md5(id:seed:j) mod N with a wrap-shift on self-collision; the
+    only corpus-sized exchange is the final equi-join on the 8-byte
+    index."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return curation.negative_samples(d, "doc_id", k=4, seed=7)

@@ -161,3 +161,38 @@ class TestStreamingBoilerplateGate:
             ev.streaming_boilerplate_gate(stream, index), "boiler_fresh_out"
         ).first()
         assert out.n_boiler == 0 and out.cleaned == "nav\nx"
+
+
+class TestNegativeSamples:
+    def test_no_self_pairs_and_reproducible(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            curation,
+        )
+
+        d = spark.createDataFrame([(i,) for i in range(30)], ["doc_id"])
+        out1 = curation.negative_samples(d, "doc_id", k=3).collect()
+        out2 = curation.negative_samples(d, "doc_id", k=3).collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+        assert len(out1) == 90  # 30 docs x 3 negatives, none dropped
+        for r in out1:
+            assert r.neg_id != r.doc_id  # wrap-shift kills self-pairs
+
+    def test_seed_changes_samples(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            curation,
+        )
+
+        d = spark.createDataFrame([(i,) for i in range(30)], ["doc_id"])
+        a = {tuple(r) for r in curation.negative_samples(
+            d, "doc_id", k=3, seed=1).collect()}
+        b = {tuple(r) for r in curation.negative_samples(
+            d, "doc_id", k=3, seed=2).collect()}
+        assert a != b
+
+    def test_single_row_corpus_empty(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            curation,
+        )
+
+        d = spark.createDataFrame([(1,)], ["doc_id"])
+        assert curation.negative_samples(d, "doc_id").count() == 0

@@ -84,6 +84,7 @@ QUERIES = [
     "robots_url_gate",
     "curriculum_order",
     "fuzzy_decontaminated",
+    "contrastive_negatives",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
