@@ -152,6 +152,7 @@ HEADLINE = [
     "curriculum_order",
     "fuzzy_decontaminated",
     "contrastive_negatives",
+    "in_domain_negatives",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -506,3 +506,80 @@ def negative_samples(
         F.col("_idx").alias("_tgt"), F.col(id_col).alias("neg_id")
     )
     return want.join(others, "_tgt").select(id_col, "neg_rank", "neg_id")
+
+
+def grouped_negative_samples(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """HARD negative sampling: negatives drawn from the anchor's OWN
+    group (same registrable domain / topic cluster / source) — the
+    in-domain negatives retrieval training wants, where random
+    negatives are too easy. Same determinism contract as
+    negative_samples (md5-indexed, reproducible across engines and
+    resumes), but the index is per-group: negative j is the group row
+    at offset 1 + (md5(id:seed:j) mod (n_g − 1)) AFTER the anchor,
+    wrapping — an offset in [1, n_g−1] can never land on the anchor,
+    so no collision shift is needed. Rows in singleton groups draw no
+    negatives (no valid candidate).
+
+    Scale shape: the per-group index is a window PARTITIONED by group
+    (hash-partitioned rank, no global window; domain skew is bounded
+    by the group sizes themselves), and negatives resolve by one
+    equi-join on (group, idx). Output: (id, group, neg_rank, neg_id).
+    """
+    from pyspark.sql import Window
+
+    wcnt = Window.partitionBy(group_col)
+    idx = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("_grp"),
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.md5(
+                    F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+                ),
+                id_col,
+            )
+        ).alias("_idx"),
+        F.count("*").over(wcnt).alias("_ng"),
+    )
+    anchors = idx.filter(F.col("_ng") > 1).select(
+        F.col(id_col), "_grp", "_idx", "_ng",
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias(
+            "neg_rank"
+        ),
+    )
+    off = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(f":{seed}:"),
+                        F.col("neg_rank").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (F.col("_ng") - 1)
+        + 1
+    )
+    tgt = (F.col("_idx") - 1 + off) % F.col("_ng") + 1
+    want = anchors.select(
+        F.col(id_col), "_grp", "neg_rank", tgt.alias("_tgt")
+    )
+    others = idx.select(
+        F.col("_grp"), F.col("_idx").alias("_tgt"),
+        F.col(id_col).alias("neg_id"),
+    )
+    return want.join(others, ["_grp", "_tgt"]).select(
+        id_col, F.col("_grp").alias(group_col), "neg_rank", "neg_id"
+    )

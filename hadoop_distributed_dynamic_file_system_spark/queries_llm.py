@@ -5853,3 +5853,71 @@ def contrastive_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     index."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     return curation.negative_samples(d, "doc_id", k=4, seed=7)
+
+
+@query(
+    "in_domain_negatives",
+    f"""
+    WITH hosts AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
+          WHEN 1 THEN 'News.Example.CO.UK'
+          WHEN 2 THEN 'a.b.example.com.au'
+          ELSE 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+        END AS host
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, {_wt.registrable_domain_sql("host")} AS domain
+      FROM hosts
+    ),
+    idx AS (
+      SELECT doc_id, domain,
+             row_number() OVER (
+               PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) AS i,
+             count(*) OVER (PARTITION BY domain) AS ng
+      FROM g
+    ),
+    anchors AS (
+      SELECT doc_id, domain, i, ng, unnest([1, 2, 3, 4]) AS neg_rank
+      FROM idx WHERE ng > 1
+    ),
+    t AS (
+      SELECT doc_id, domain, neg_rank,
+             (i - 1 + (({_sql_hexval(
+                 "md5(CAST(doc_id AS VARCHAR) || ':7:'"
+                 " || CAST(neg_rank AS VARCHAR))", 1, 12)})
+               % (ng - 1) + 1)) % ng + 1 AS tgt
+      FROM anchors
+    )
+    SELECT t.doc_id, t.domain, CAST(t.neg_rank AS INT) AS neg_rank,
+           o.doc_id AS neg_id
+    FROM t JOIN idx o ON t.domain = o.domain AND t.tgt = o.i
+    """,
+)
+def in_domain_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD negatives for retrieval training (curation.
+    grouped_negative_samples): each document's 4 negatives come from
+    its OWN registrable domain — same-site pages are topically close,
+    which is exactly what makes them hard — with the offset-in-group
+    construction guaranteeing no self-pairs and full reproducibility.
+    The per-group index is a domain-partitioned window (no global
+    window); negatives resolve by one (domain, idx) equi-join."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when((F.col("doc_id") % 4) == 0,
+               F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string"),
+                        F.lit(".example.com")))
+        .when((F.col("doc_id") % 4) == 1, F.lit("News.Example.CO.UK"))
+        .when((F.col("doc_id") % 4) == 2, F.lit("a.b.example.com.au"))
+        .otherwise(F.concat(F.lit("cdn"), (F.col("doc_id") % 5).cast("string"),
+                            F.lit(".example.org")))
+    )
+    g = d.select(
+        "doc_id", _wt.registrable_domain(host).alias("domain")
+    )
+    return curation.grouped_negative_samples(
+        g, "doc_id", "domain", k=4, seed=7
+    )

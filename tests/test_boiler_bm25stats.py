@@ -196,3 +196,34 @@ class TestNegativeSamples:
 
         d = spark.createDataFrame([(1,)], ["doc_id"])
         assert curation.negative_samples(d, "doc_id").count() == 0
+
+
+class TestGroupedNegativeSamples:
+    def test_negatives_stay_in_group_no_self(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            curation,
+        )
+
+        rows = [(i, "g" + str(i % 3)) for i in range(30)] + [(99, "solo")]
+        d = spark.createDataFrame(rows, ["doc_id", "grp"])
+        out = curation.grouped_negative_samples(
+            d, "doc_id", "grp", k=3
+        ).collect()
+        grp_of = dict(rows)
+        assert len(out) == 90  # 30 grouped docs x 3; solo draws none
+        for r in out:
+            assert r.neg_id != r.doc_id
+            assert grp_of[r.neg_id] == r.grp  # in-group only
+
+    def test_two_member_group_always_picks_the_other(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            curation,
+        )
+
+        d = spark.createDataFrame([(1, "g"), (2, "g")], ["doc_id", "grp"])
+        out = curation.grouped_negative_samples(
+            d, "doc_id", "grp", k=2
+        ).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r.neg_id == (2 if r.doc_id == 1 else 1)

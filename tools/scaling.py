@@ -85,6 +85,7 @@ QUERIES = [
     "curriculum_order",
     "fuzzy_decontaminated",
     "contrastive_negatives",
+    "in_domain_negatives",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
