@@ -153,6 +153,13 @@ HEADLINE = [
     "fuzzy_decontaminated",
     "contrastive_negatives",
     "in_domain_negatives",
+    # round-6 training-prep family: FIM objective transform,
+    # padding-bounded batch assignment, code/prose routing,
+    # quality-aware dedup keeper
+    "fim_transform",
+    "length_bucketed_batches",
+    "code_prose_flags",
+    "cluster_best_keeper",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

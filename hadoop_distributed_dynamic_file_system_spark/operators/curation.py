@@ -583,3 +583,156 @@ def grouped_negative_samples(
     return want.join(others, ["_grp", "_tgt"]).select(
         id_col, F.col("_grp").alias(group_col), "neg_rank", "neg_id"
     )
+
+
+def fim_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate: float = 0.5,
+    seed: int = 42,
+    pre_tok: str = "<|fim_pre|>",
+    suf_tok: str = "<|fim_suf|>",
+    mid_tok: str = "<|fim_mid|>",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): for a
+    hash-chosen `rate` fraction of documents, pick two deterministic
+    uniform cut points, split the text into prefix/middle/suffix, and
+    re-emit in PSM order — prefix, SUFFIX, middle — with sentinel
+    tokens, so an autoregressive LM learns infilling. The remaining
+    documents pass through unchanged (the paper's joint objective).
+
+    Everything is a pure function of (id, seed): the gate and both cut
+    points come from uniform_unit over salted md5 keys, so a rerun,
+    task retry, or different engine produces byte-identical output —
+    the property a resumable 100 TB preprocessing job needs. Pure
+    scan-local column expressions, zero shuffle.
+
+    Output: (id, fim_applied, cut1, cut2, fim_text).
+    """
+    ln = F.length(F.col(text_col))
+    u_gate = uniform_unit(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":fimg:{seed}"))
+    )
+    u1 = uniform_unit(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":fim1:{seed}"))
+    )
+    u2 = uniform_unit(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":fim2:{seed}"))
+    )
+    p1 = F.floor(F.least(u1, u2) * ln).cast("int")
+    p2 = F.floor(F.greatest(u1, u2) * ln).cast("int")
+    applied = (u_gate < F.lit(float(rate))).cast("int")
+    prefix = F.col(text_col).substr(F.lit(1), p1)
+    middle = F.col(text_col).substr(p1 + 1, p2 - p1)
+    suffix = F.col(text_col).substr(p2 + 1, ln)
+    fim = F.concat(
+        F.lit(pre_tok), prefix, F.lit(suf_tok), suffix, F.lit(mid_tok), middle
+    )
+    return df.select(
+        F.col(id_col),
+        applied.alias("fim_applied"),
+        F.when(applied == 1, p1).otherwise(F.lit(0)).alias("cut1"),
+        F.when(applied == 1, p2).otherwise(F.lit(0)).alias("cut2"),
+        F.when(applied == 1, fim).otherwise(F.col(text_col)).alias("fim_text"),
+    )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_size: int = 8,
+    boundaries: tuple[int, ...] = (32, 64, 128, 256),
+) -> DataFrame:
+    """Length-bucketed batch assignment: group documents of similar
+    token length into training batches so per-batch padding waste is
+    bounded (the dynamic-batching / bucketed-batching idiom every
+    sequence-training loader implements — here computed once, ahead of
+    time, as data).
+
+    bucket(b) = number of boundaries <= n_tokens; within a bucket,
+    documents are ordered by (n_tokens, id) and chopped into
+    consecutive batches of `batch_size`.
+
+    Scale shape: the per-bucket ordering is NOT a per-bucket window
+    (len(boundaries)+1 partitions would funnel the corpus through a
+    handful of tasks). Instead ONE scale-safe global_rank over
+    (bucket, n_tokens, id) — a balanced range shuffle — then the
+    per-bucket offset is recovered by subtracting the bucket's min
+    rank, a broadcast join against a |buckets|-row aggregate.
+
+    Output: (id, n_tokens, bucket, batch_id, pos_in_batch).
+    """
+    from .sort import global_rank
+
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    n_tokens = F.size(words).alias("n_tokens")
+    bucket = sum(
+        (F.col("n_tokens") >= F.lit(b)).cast("int") for b in boundaries
+    ).alias("bucket")
+    t = df.select(F.col(id_col), n_tokens).select(
+        id_col, "n_tokens", bucket
+    )
+    ranked = global_rank(
+        t, [F.col("bucket"), F.col("n_tokens"), F.col(id_col)],
+        rank_col="_grank",
+    )
+    from ..cache import tracked_persist
+    ranked = tracked_persist(ranked)
+    base = ranked.groupBy("bucket").agg(F.min("_grank").alias("_bmin"))
+    pos0 = F.col("_grank") - F.col("_bmin")
+    return ranked.join(F.broadcast(base), "bucket").select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.floor(pos0 / F.lit(batch_size)).cast("int").alias("batch_id"),
+        (pos0 % F.lit(batch_size)).cast("int").alias("pos_in_batch"),
+    )
+
+
+def best_of_cluster(
+    df: DataFrame,
+    cluster_col: str,
+    quality_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quality-aware cluster representative selection: instead of the
+    keep-first-occurrence rule every dedup stage here defaults to
+    (min id), keep the HIGHEST-QUALITY member of each duplicate
+    cluster — the policy real curation pipelines prefer when a quality
+    signal exists (drop the boilerplate-ridden copy, keep the clean
+    one). Tie-break on min id for determinism.
+
+    Scale shape: one hash shuffle on cluster_col; the per-cluster
+    window is safe because duplicate clusters are small (bounded by
+    copy count, not corpus size) and cluster-key cardinality is high.
+
+    Output: (cluster, keeper, keeper_quality, n_members).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(cluster_col),
+            F.col(quality_col),
+            F.col(id_col),
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(Window.partitionBy(cluster_col)).alias(
+                "n_members"
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(cluster_col).alias("cluster"),
+            F.col(id_col).alias("keeper"),
+            F.col(quality_col).alias("keeper_quality"),
+            "n_members",
+        )
+    )

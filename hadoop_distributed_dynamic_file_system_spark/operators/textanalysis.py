@@ -1332,3 +1332,65 @@ def merge_bm25_stats(
         F.sum("sum_dl").cast("long").alias("sum_dl"),
     )
     return merged_terms, merged_totals
+
+
+def code_prose_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    punct_threshold: float = 0.01,
+    indent_threshold: float = 0.3,
+) -> DataFrame:
+    """Code-vs-prose heuristic flags: the routing signal a mixed web +
+    code corpus needs before language-specific pipelines (code goes to
+    the near-dedup-by-alpha-renaming path, prose to the LM-quality
+    path). Three cheap, engine-portable surface signals:
+
+      semi_count   — ';' occurrences
+      brace_count  — '{' + '}' occurrences
+      indent_frac  — fraction of lines starting with a tab or 4 spaces
+
+    is_code = punct_density > punct_threshold OR
+              indent_frac  > indent_threshold
+    with punct_density = (semi+brace)/chars.
+
+    All length/replace arithmetic — scan-local whole-stage-codegen
+    projections, zero shuffle, trivially identical in any SQL engine.
+    Real classifiers (e.g. fastText) would ride the classifier.py
+    hashed-logreg path; this is the deterministic bootstrap tier.
+    """
+    t = F.col(text_col)
+    chars = F.length(t)
+    semi = chars - F.length(F.replace(t, F.lit(";"), F.lit("")))
+    brace = (chars - F.length(F.replace(t, F.lit("{"), F.lit("")))) + (
+        chars - F.length(F.replace(t, F.lit("}"), F.lit("")))
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    indented = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^(\t|    )"))
+    )
+    indent_frac = F.round(
+        indented.cast("double") / F.greatest(n_lines, F.lit(1)).cast("double"),
+        6,
+    )
+    punct_density = F.round(
+        (semi + brace).cast("double")
+        / F.greatest(chars, F.lit(1)).cast("double"),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        chars.alias("chars"),
+        semi.cast("int").alias("semi_count"),
+        brace.cast("int").alias("brace_count"),
+        n_lines.cast("int").alias("n_lines"),
+        indent_frac.alias("indent_frac"),
+        punct_density.alias("punct_density"),
+        (
+            (punct_density > F.lit(punct_threshold))
+            | (indent_frac > F.lit(indent_threshold))
+        )
+        .cast("int")
+        .alias("is_code"),
+    )

@@ -5921,3 +5921,213 @@ def in_domain_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.grouped_negative_samples(
         g, "doc_id", "domain", k=4, seed=7
     )
+
+
+# ====================================================== training-prep family
+
+_SQL_U = (
+    "({h} / 16777216.0)"  # md5 6-hex-digit bucket -> uniform [0,1)
+)
+
+
+def _sql_uniform(key_sql: str) -> str:
+    return _SQL_U.format(h=_sql_hexval(f"md5({key_sql})", 1, 6))
+
+
+@query(
+    "fim_transform",
+    f"""
+    WITH f AS (
+      SELECT doc_id, text, length(text) AS ln,
+             {_sql_uniform("CAST(doc_id AS VARCHAR) || ':fimg:42'")} AS ug,
+             {_sql_uniform("CAST(doc_id AS VARCHAR) || ':fim1:42'")} AS u1,
+             {_sql_uniform("CAST(doc_id AS VARCHAR) || ':fim2:42'")} AS u2
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, ln,
+             CASE WHEN ug < 0.5 THEN 1 ELSE 0 END AS fim_applied,
+             CAST(floor(least(u1, u2) * ln) AS INT) AS p1,
+             CAST(floor(greatest(u1, u2) * ln) AS INT) AS p2
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(fim_applied AS INT) AS fim_applied,
+           CASE WHEN fim_applied = 1 THEN p1 ELSE 0 END AS cut1,
+           CASE WHEN fim_applied = 1 THEN p2 ELSE 0 END AS cut2,
+           CASE WHEN fim_applied = 1
+                THEN '<|fim_pre|>' || substr(text, 1, p1)
+                  || '<|fim_suf|>' || substr(text, p2 + 1, ln)
+                  || '<|fim_mid|>' || substr(text, p1 + 1, p2 - p1)
+                ELSE text END AS fim_text
+    FROM c
+    """,
+)
+def fim_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (curation.fim_split):
+    half the corpus (hash-gated, seed 42) is re-emitted in PSM
+    sentinel order, the rest passes through — the joint AR+FIM
+    objective of Bavarian et al. 2022. Cut points are pure functions
+    of (doc_id, seed): byte-identical on rerun/retry/any engine.
+    Scan-local, zero shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return curation.fim_split(d, "doc_id", "text", rate=0.5, seed=42)
+
+
+@query(
+    "length_bucketed_batches",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  w -> w <> '')) AS INT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CAST((CASE WHEN n_tokens >= 32 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens >= 64 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens >= 128 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens >= 256 THEN 1 ELSE 0 END) AS INT)
+               AS bucket
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, n_tokens, bucket,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY n_tokens, doc_id) - 1 AS pos0
+      FROM b
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(floor(pos0 / 8) AS INT) AS batch_id,
+           CAST(pos0 % 8 AS INT) AS pos_in_batch
+    FROM r
+    """,
+)
+def length_bucketed_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment
+    (curation.length_bucketed_batches): documents bucketed by token
+    count (boundaries 32/64/128/256), each bucket chopped into
+    consecutive batches of 8 ordered by (n_tokens, doc_id) — the
+    padding-waste-bounded loader plan, computed as data. The oracle's
+    per-bucket window is the semantics; the engine computes it with
+    ONE scale-safe global_rank + a |buckets|-row broadcast offset join
+    (a per-bucket window would funnel the corpus through 5 tasks)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return curation.length_bucketed_batches(
+        d, "doc_id", "text", batch_size=8, boundaries=(32, 64, 128, 256)
+    )
+
+
+@query(
+    "code_prose_flags",
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN regexp_replace(text, '(?m)^', '    ', 'g') || ';'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text,
+             length(text) AS chars,
+             length(text) - length(replace(text, ';', '')) AS n_semi,
+             (length(text) - length(replace(text, '{', '')))
+               + (length(text) - length(replace(text, '}', ''))) AS n_brace,
+             string_split(text, chr(10)) AS lines
+      FROM src
+    ),
+    s AS (
+      SELECT doc_id, chars, n_semi, n_brace,
+             len(lines) AS n_lines,
+             round(CAST(len(list_filter(lines,
+                     l -> regexp_matches(l, '^(\t|    )'))) AS DOUBLE)
+                   / greatest(len(lines), 1), 6) AS indent_frac,
+             round(CAST(n_semi + n_brace AS DOUBLE)
+                   / greatest(chars, 1), 6) AS punct_density
+      FROM m
+    )
+    SELECT doc_id, chars,
+           CAST(n_semi AS INT) AS semi_count,
+           CAST(n_brace AS INT) AS brace_count,
+           CAST(n_lines AS INT) AS n_lines,
+           indent_frac, punct_density,
+           CASE WHEN punct_density > 0.01 OR indent_frac > 0.3
+                THEN 1 ELSE 0 END AS is_code
+    FROM s
+    """,
+)
+def code_prose_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing flags (textanalysis.code_prose_flags)
+    over a corpus where every 7th document is deterministically
+    code-ified (each line indented 4 spaces + a trailing ';') — both
+    branches of the router exercised. Surface-signal tier
+    (punctuation density, indent fraction); the trained tier is
+    classifier.py. Zero shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7) == 0,
+            F.concat(
+                F.regexp_replace("text", r"(?m)^", "    "), F.lit(";")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textanalysis.code_prose_flags(planted, "doc_id", "text")
+
+
+@query(
+    "cluster_best_keeper",
+    r"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    ),
+    q AS (
+      SELECT doc_id, md5(text) AS cluster,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  w -> w <> '')) * 10
+                  + (doc_id % 7) AS INT) AS quality
+      FROM docs2
+    ),
+    r AS (
+      SELECT cluster, doc_id, quality,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS n_members
+      FROM q
+    )
+    SELECT cluster, doc_id AS keeper,
+           quality AS keeper_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def cluster_best_keeper_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper (curation.best_of_cluster): over a
+    corpus with planted exact duplicates, keep each content cluster's
+    HIGHEST-quality member (quality = word count x10 + a per-copy
+    hash-free perturbation so copies differ) instead of the
+    first-occurrence rule — the drop-the-boilerplate-copy policy.
+    One hash shuffle on the 16-byte cluster key; per-cluster windows
+    are bounded by copy count, not corpus size."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs2 = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    words = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")
+    )
+    q = docs2.select(
+        "doc_id",
+        F.md5("text").alias("cluster"),
+        (F.size(words) * 10 + (F.col("doc_id") % 7))
+        .cast("int")
+        .alias("quality"),
+    )
+    return curation.best_of_cluster(q, "cluster", "quality", "doc_id")
