@@ -364,3 +364,150 @@ def url_allowed_sql(path_expr: str, prefixes_expr: str) -> str:
         f"(NOT len(list_filter({prefixes_expr}, "
         f"p -> starts_with({path_expr}, p))) > 0)"
     )
+
+
+# Full Robots Exclusion Protocol (RFC 9309) rule tier: Allow lines,
+# '*' wildcards, '$' end anchor, longest-match-wins with Allow
+# breaking ties. The prefix tier above stays as the cheap scan-local
+# path; this tier is the standards-correct one.
+_ROBOTS_ALLOW_RX = r"Allow: ([^\n]*)"
+
+
+def robots_rep_rules(robots: Column | str) -> Column:
+    """array<struct<allow int, pattern string>> — every Allow and
+    Disallow rule of the `User-agent: *` group, empty patterns
+    dropped (an empty Disallow means allow-all, i.e. no rule)."""
+    c = F.col(robots) if isinstance(robots, str) else robots
+    section = F.regexp_extract(c, _ROBOTS_STAR_SECTION_RX, 1)
+    allows = F.filter(
+        F.regexp_extract_all(section, F.lit(_ROBOTS_ALLOW_RX), 1),
+        lambda p: p != "",
+    )
+    dis = F.filter(
+        F.regexp_extract_all(section, F.lit(_ROBOTS_DISALLOW_RX), 1),
+        lambda p: p != "",
+    )
+    return F.concat(
+        F.transform(
+            allows,
+            lambda p: F.struct(F.lit(1).alias("allow"), p.alias("pattern")),
+        ),
+        F.transform(
+            dis,
+            lambda p: F.struct(F.lit(0).alias("allow"), p.alias("pattern")),
+        ),
+    )
+
+
+def _rep_like_pattern(pat: Column) -> Column:
+    """REP pattern -> SQL LIKE pattern (ESCAPE '~'): literal ~ % _
+    escaped, '*' -> '%', trailing '$' anchors (no trailing '%'); a
+    mid-pattern '$' is literal per the RFC's effective grammar."""
+    esc = F.replace(
+        F.replace(
+            F.replace(pat, F.lit("~"), F.lit("~~")),
+            F.lit("%"),
+            F.lit("~%"),
+        ),
+        F.lit("_"),
+        F.lit("~_"),
+    )
+    wild = F.replace(esc, F.lit("*"), F.lit("%"))
+    anchored = pat.endswith("$")
+    return F.when(
+        anchored, wild.substr(F.lit(1), F.length(wild) - 1)
+    ).otherwise(F.concat(wild, F.lit("%")))
+
+
+def robots_rep_allowed(
+    df: DataFrame,
+    id_col: str,
+    path_col: str,
+    robots_col: str,
+) -> DataFrame:
+    """RFC 9309 URL gate: for each row's (path, robots blob), evaluate
+    every star-group rule with wildcard/'$' semantics and apply
+    longest-pattern-wins, Allow-beats-Disallow-on-ties precedence.
+    No matching rule means allowed.
+
+    Scale shape: rules explode multiplies rows by the per-host rule
+    count (robots files are ~10 rules — a bounded constant, not a
+    data-dependent blowup); the winner election is a partial-agg
+    max(struct(pattern_len, allow)) on the row key, and non-matching
+    rows come back via one left join. Wildcard matching itself is the
+    JVM LIKE kernel — no regex compilation per row, no Python.
+
+    Output: df columns + `allowed` (int 0/1).
+    """
+    rules = robots_rep_rules(F.col(robots_col))
+    exploded = df.select(
+        F.col(id_col), F.col(path_col), F.explode(rules).alias("_r")
+    ).select(
+        id_col,
+        path_col,
+        F.col("_r.allow").alias("_allow"),
+        F.col("_r.pattern").alias("_pat"),
+    )
+    matched = exploded.withColumn(
+        "_likepat", _rep_like_pattern(F.col("_pat"))
+    ).where(F.expr(f"{path_col} LIKE _likepat ESCAPE '~'"))
+    winners = matched.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.length("_pat").alias("l"), F.col("_allow").alias("a")
+            )
+        ).alias("_w")
+    )
+    return df.join(winners, id_col, "left").select(
+        *df.columns,
+        F.coalesce(F.col("_w.a"), F.lit(1)).cast("int").alias("allowed"),
+    )
+
+
+def robots_rep_allowed_sql(
+    path_expr: str, robots_expr: str, id_expr: str = "doc_id"
+) -> str:
+    """DuckDB CTE block body replicating robots_rep_allowed for one
+    relation `u` with columns (doc_id, path, robots); yields
+    (doc_id, allowed). Compose as: WITH u AS (...), {this} SELECT ..."""
+    sec = f"regexp_extract({robots_expr}, '{_ROBOTS_STAR_SECTION_RX}', 1)"
+    mk = (
+        "list_concat("
+        f"list_transform(list_filter(regexp_extract_all({sec}, "
+        f"'{_ROBOTS_ALLOW_RX}', 1), p -> p <> ''), "
+        "p -> struct_pack(allow := 1, pattern := p)), "
+        f"list_transform(list_filter(regexp_extract_all({sec}, "
+        f"'{_ROBOTS_DISALLOW_RX}', 1), p -> p <> ''), "
+        "p -> struct_pack(allow := 0, pattern := p)))"
+    )
+    return f"""
+    rules AS (
+      SELECT {id_expr} AS doc_id, {path_expr} AS path,
+             unnest({mk}) AS r
+      FROM u
+    ),
+    likepats AS (
+      SELECT doc_id, path, r.allow AS allow, r.pattern AS pattern,
+             CASE WHEN pattern LIKE '%$'
+                  THEN substr(wild, 1, length(wild) - 1)
+                  ELSE wild || '%' END AS likepat
+      FROM (
+        SELECT *, replace(replace(replace(replace(r.pattern,
+                 '~', '~~'), '%', '~%'), '_', '~_'), '*', '%') AS wild
+        FROM rules
+      )
+    ),
+    winners AS (
+      SELECT doc_id, allow,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY length(pattern) DESC,
+                                         allow DESC) AS rn
+      FROM likepats WHERE path LIKE likepat ESCAPE '~'
+    ),
+    gated AS (
+      SELECT u.doc_id,
+             CAST(coalesce(w.allow, 1) AS INT) AS allowed
+      FROM u LEFT JOIN (SELECT doc_id, allow FROM winners WHERE rn = 1) w
+             ON u.doc_id = w.doc_id
+    )
+    """

@@ -6131,3 +6131,77 @@ def cluster_best_keeper_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quality"),
     )
     return curation.best_of_cluster(q, "cluster", "quality", "doc_id")
+
+
+_REP_ROBOTS = (
+    "User-agent: bot\nDisallow: /\n\n"
+    "User-agent: *\n"
+    "Allow: /pub*.html$\n"
+    "Disallow: /pub\n"
+    "Disallow: /*.cgi$\n"
+    "Allow: /"
+)
+
+_SQL_REP_ROBOTS = (
+    "('User-agent: bot' || chr(10) || 'Disallow: /' || chr(10) || chr(10)"
+    " || 'User-agent: *' || chr(10)"
+    " || 'Allow: /pub*.html$' || chr(10)"
+    " || 'Disallow: /pub' || chr(10)"
+    " || 'Disallow: /*.cgi$' || chr(10)"
+    " || 'Allow: /')"
+)
+
+_SQL_REP_PATH = """
+    CASE doc_id % 6
+      WHEN 0 THEN '/pub' || CAST(doc_id % 50 AS VARCHAR) || '.html'
+      WHEN 1 THEN '/pub/idx' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN '/x' || CAST(doc_id AS VARCHAR) || '.cgi'
+      WHEN 3 THEN '/x' || CAST(doc_id AS VARCHAR) || '.cgi?q=1'
+      WHEN 4 THEN '/home/' || CAST(doc_id AS VARCHAR)
+      ELSE '/pub.html' END
+"""
+
+
+@query(
+    "robots_rep_gate",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_SQL_REP_PATH} AS path, {_SQL_REP_ROBOTS} AS robots
+      FROM documents
+    ),
+    {_wt.robots_rep_allowed_sql("path", "robots")}
+    SELECT u.doc_id, u.path, gated.allowed
+    FROM u JOIN gated ON u.doc_id = gated.doc_id
+    """,
+)
+def robots_rep_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full RFC 9309 robots gate (webtext.robots_rep_allowed): Allow
+    lines, '*' wildcards, '$' end anchors, longest-pattern-wins with
+    Allow breaking ties — the standards-correct tier above
+    robots_url_gate's prefix subset. The fixture's six path shapes hit
+    every precedence branch: wildcard-Allow beating a shorter
+    Disallow ('/pubN.html'), prefix Disallow ('/pub/idx'), anchored
+    wildcard Disallow ('/xN.cgi'), the SAME path escaping the anchor
+    via a query string ('?q=1'), and the catch-all Allow. Rule
+    matching is the JVM LIKE kernel over an exploded bounded rule
+    set; winner election is a partial-agg struct max."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    path = (
+        F.when((F.col("doc_id") % 6) == 0,
+               F.concat(F.lit("/pub"), (F.col("doc_id") % 50).cast("string"),
+                        F.lit(".html")))
+        .when((F.col("doc_id") % 6) == 1, F.concat(F.lit("/pub/idx"), i))
+        .when((F.col("doc_id") % 6) == 2,
+              F.concat(F.lit("/x"), i, F.lit(".cgi")))
+        .when((F.col("doc_id") % 6) == 3,
+              F.concat(F.lit("/x"), i, F.lit(".cgi?q=1")))
+        .when((F.col("doc_id") % 6) == 4, F.concat(F.lit("/home/"), i))
+        .otherwise(F.lit("/pub.html"))
+    )
+    u = d.select(
+        "doc_id", path.alias("path"), F.lit(_REP_ROBOTS).alias("robots")
+    )
+    return _wt.robots_rep_allowed(u, "doc_id", "path", "robots").select(
+        "doc_id", "path", "allowed"
+    )

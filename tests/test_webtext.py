@@ -242,3 +242,61 @@ class TestRobots:
             ).collect()
         ]
         assert got == [False, True, True]
+
+
+class TestRobotsRep:
+    ROBOTS = ("User-agent: bot\nDisallow: /\n\n"
+              "User-agent: *\n"
+              "Allow: /pub*.html$\n"
+              "Disallow: /pub\n"
+              "Disallow: /*.cgi$\n"
+              "Allow: /")
+
+    def _gate(self, spark, cases, robots=None):
+        rows = [(i, p, robots or self.ROBOTS) for i, p in enumerate(cases)]
+        df = spark.createDataFrame(rows, "doc_id INT, path STRING, robots STRING")
+        out = W.robots_rep_allowed(df, "doc_id", "path", "robots").collect()
+        return {r["path"]: r["allowed"] for r in out}
+
+    def test_precedence_matrix(self, spark):
+        got = self._gate(spark, [
+            "/pub12.html",     # Allow /pub*.html$ (11) beats Disallow /pub (4)
+            "/pub.html",       # '*' matches empty -> same Allow wins
+            "/pub/idx",        # Disallow /pub beats Allow / (1)
+            "/x.cgi",          # anchored wildcard Disallow
+            "/x.cgi?q=1",      # query string escapes the '$' anchor -> Allow /
+            "/home",           # catch-all Allow
+        ])
+        assert got == {
+            "/pub12.html": 1, "/pub.html": 1, "/pub/idx": 0,
+            "/x.cgi": 0, "/x.cgi?q=1": 1, "/home": 1,
+        }
+
+    def test_allow_wins_equal_length_tie(self, spark):
+        robots = "User-agent: *\nAllow: /dir/\nDisallow: /dir/"
+        got = self._gate(spark, ["/dir/x"], robots=robots)
+        assert got["/dir/x"] == 1
+
+    def test_no_matching_rule_is_allowed(self, spark):
+        robots = "User-agent: *\nDisallow: /private"
+        got = self._gate(spark, ["/open/x"], robots=robots)
+        assert got["/open/x"] == 1
+
+    def test_other_groups_do_not_leak(self, spark):
+        robots = "User-agent: bot\nDisallow: /\n\nUser-agent: *\nAllow: /"
+        got = self._gate(spark, ["/anything"], robots=robots)
+        assert got["/anything"] == 1
+
+    def test_like_metachars_in_pattern_are_literal(self, spark):
+        # '%' and '_' in a robots pattern are literal characters, not
+        # LIKE wildcards — the escape translation must neutralize them
+        robots = "User-agent: *\nDisallow: /a%b\nDisallow: /c_d"
+        got = self._gate(spark, ["/a%b/x", "/aXb/x", "/c_d", "/cXd"],
+                         robots=robots)
+        assert got == {"/a%b/x": 0, "/aXb/x": 1, "/c_d": 0, "/cXd": 1}
+
+    def test_rules_parse_shape(self, spark):
+        got = _one(spark, W.robots_rep_rules("r"), r=self.ROBOTS)
+        assert [(r["allow"], r["pattern"]) for r in got] == [
+            (1, "/pub*.html$"), (1, "/"), (0, "/pub"), (0, "/*.cgi$"),
+        ]
