@@ -160,6 +160,8 @@ HEADLINE = [
     "length_bucketed_batches",
     "code_prose_flags",
     "cluster_best_keeper",
+    "robots_rep_gate",
+    "orc_roundtrip",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

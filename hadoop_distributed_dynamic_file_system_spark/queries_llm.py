@@ -6205,3 +6205,44 @@ def robots_rep_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wt.robots_rep_allowed(u, "doc_id", "path", "robots").select(
         "doc_id", "path", "allowed"
     )
+
+
+@query(
+    "orc_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar-format roundtrip: orders is rewritten as
+    zlib-compressed ORC (Spark's built-in writer — the Hive-ecosystem
+    columnar twin of SequenceFile in the reference's world,
+    src/core/org/apache/hadoop/io/SequenceFile.java being its
+    row-oriented ancestor), read back through the ORC reader, and
+    aggregated from the READ-BACK columns. The oracle computes the
+    same aggregate from the source parquet, so any loss in the
+    write→read cycle (type width, decimal scale, null handling,
+    predicate pushdown layer) breaks the value hash. Both directions
+    are JVM-native columnar IO with full pushdown support."""
+    import os as _os
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _os.path.join(
+        "/tmp/spark_graft_orc",
+        _os.path.basename(sf_dir.rstrip("/")),
+        "orders",
+    )
+    o.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

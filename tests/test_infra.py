@@ -666,3 +666,34 @@ class TestCompressionCodecs:
                 r.n_name for r in spark.read.parquet(out).collect()
             )
             assert got == want, codec
+
+
+class TestOrcFormat:
+    def test_roundtrip_preserves_rows_and_schema(self, spark, sf_dir, tmp_path):
+        src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        path = str(tmp_path / "orders_orc")
+        src.write.mode("overwrite").option("compression", "zlib").orc(path)
+        back = spark.read.orc(path)
+        assert back.schema == src.schema
+        assert back.count() == src.count()
+        assert (
+            back.agg(F.sum("o_orderkey")).first()[0]
+            == src.agg(F.sum("o_orderkey")).first()[0]
+        )
+
+    def test_orc_scan_pushes_filters(self, spark, sf_dir, tmp_path):
+        src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        path = str(tmp_path / "orders_orc2")
+        src.write.mode("overwrite").orc(path)
+        plan = (
+            spark.read.orc(path)
+            .filter(F.col("o_orderkey") == 42)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters" in plan and "o_orderkey" in plan
