@@ -736,3 +736,35 @@ def best_of_cluster(
             "n_members",
         )
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Corpus snapshot diff — the ops query behind every incremental
+    recrawl/reprocess decision: full-outer join two snapshots on the
+    document key and classify each id as ADDED (new only), REMOVED
+    (old only), CHANGED (both, content hash differs), or SAME. The
+    16-byte md5 content key travels through the shuffle instead of
+    the document bodies, so the diff of a 100 TB corpus moves
+    O(ids + hashes), not O(text).
+
+    Output: (id, status)."""
+    o = old_df.select(
+        F.col(id_col), F.md5(F.col(content_col)).alias("_oh")
+    )
+    n = new_df.select(
+        F.col(id_col), F.md5(F.col(content_col)).alias("_nh")
+    )
+    j = o.join(n, id_col, "full_outer")
+    return j.select(
+        F.col(id_col),
+        F.when(F.col("_oh").isNull(), F.lit("ADDED"))
+        .when(F.col("_nh").isNull(), F.lit("REMOVED"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("CHANGED"))
+        .otherwise(F.lit("SAME"))
+        .alias("status"),
+    )

@@ -1394,3 +1394,49 @@ def code_prose_flags(
         .cast("int")
         .alias("is_code"),
     )
+
+
+def moment_shards(
+    df: DataFrame, group_col: str, shard_col: str, value_col: str
+) -> DataFrame:
+    """Per-(group, shard) sufficient statistics (n, Σx, Σx²) for mean
+    and variance — the mergeable-accumulator form every distributed
+    ingestion keeps per shard so corpus-wide stats never re-scan data
+    (the same summation-merge contract as merge_bm25_stats). Integer
+    inputs keep the sums exact; the merge is pure addition."""
+    x = F.col(value_col).cast("long")
+    return df.groupBy(group_col, shard_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+    )
+
+
+def merge_moments(shards: DataFrame, group_col: str) -> DataFrame:
+    """Merge per-shard moment shards to per-group mean / population
+    variance / stddev. The sums are exact integers, so the final
+    divisions are single deterministic IEEE operations — no
+    summation-order sensitivity (the mixing_plan micro-unit
+    discipline).
+
+    Output: (group, n, mean, variance, stddev) — mean/var/std
+    rounded 6dp."""
+    merged = shards.groupBy(group_col).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("s1"),
+        F.sum("s2").cast("long").alias("s2"),
+    )
+    # var = s2/n - mean^2, all DOUBLE ops: s1*s1 in bigint would
+    # overflow once sum(x) passes ~3e9 (ANSI mode turns that into a
+    # job-killing error at corpus scale); each division/multiply here
+    # is a single deterministic IEEE op on exact integer inputs.
+    nn = F.col("n").cast("double")
+    mean = F.col("s1") / nn
+    var = F.col("s2") / nn - mean * mean
+    return merged.select(
+        group_col,
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(F.sqrt(var), 6).alias("stddev"),
+    )

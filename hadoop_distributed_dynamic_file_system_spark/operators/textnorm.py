@@ -107,3 +107,50 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         6,
     )
     return out.withColumn("other_frac", other)
+
+
+# ------------------------------------------------------------- mojibake
+# UTF-8 bytes misdecoded as Latin-1 leave a distinctive fingerprint:
+# 'Ã'/'Â' followed by a continuation-range character, or the 'â€¦'
+# family (misdecoded punctuation). Detection is a portable regexp
+# count; repair is the inverse transcode (encode back to Latin-1
+# bytes, decode as UTF-8), which is exact whenever the text really
+# was double-decoded.
+MOJIBAKE_RX = "(Ã.|Â.|â€.)"
+
+
+def mojibake_count(col: Column) -> Column:
+    """Number of suspicious double-decoded sequences in the text —
+    the encoding-hygiene signal a crawl pipeline thresholds before
+    deciding to transcode. Scan-local regexp count."""
+    return F.regexp_count(col, F.lit(MOJIBAKE_RX))
+
+
+def repair_mojibake(col: Column) -> Column:
+    """Inverse transcode for UTF-8-misdecoded-as-Latin-1 text:
+    re-encode the characters as Latin-1 bytes and decode those bytes
+    as UTF-8. Exact inverse when the damage really was one Latin-1
+    double-decode of Latin-1-RANGE codepoints; CP1252-specific damage
+    (the 'â€¦' family, whose '€' has no ISO-8859-1 byte) is flagged by
+    the detector but not invertible with the JVM's supported charset
+    set. Applied unconditionally it would corrupt genuine
+    Latin-1-range characters, so callers gate on mojibake_count > 0
+    (see mojibake_stats). JVM charset kernels, zero Python."""
+    return F.decode(F.encode(col, "ISO-8859-1"), "UTF-8")
+
+
+def mojibake_repaired(
+    df: DataFrame, id_col: str, text_col: str, min_hits: int = 1
+) -> DataFrame:
+    """Per-row gated repair: rows whose mojibake_count >= min_hits are
+    transcoded, the rest pass through. Output: id, n_mojibake,
+    repaired (int flag), text."""
+    n = mojibake_count(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_mojibake"),
+        (n >= F.lit(min_hits)).cast("int").alias("repaired"),
+        F.when(n >= F.lit(min_hits), repair_mojibake(F.col(text_col)))
+        .otherwise(F.col(text_col))
+        .alias("text"),
+    )

@@ -6246,3 +6246,190 @@ def orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "mojibake_stats",
+    """
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN replace(text, 'a', 'Ã¡')
+                  ELSE text END AS text,
+             CASE WHEN doc_id % 5 = 0 THEN replace(text, 'a', 'á')
+                  ELSE text END AS repaired_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '(Ã.|Â.|â€.)')) AS INT)
+             AS n_mojibake,
+           CASE WHEN len(regexp_extract_all(text, '(Ã.|Â.|â€.)')) >= 1
+                THEN 1 ELSE 0 END AS repaired,
+           md5(CASE WHEN len(regexp_extract_all(text, '(Ã.|Â.|â€.)')) >= 1
+                    THEN repaired_text ELSE text END) AS text_md5
+    FROM planted
+    """,
+)
+def mojibake_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-hygiene gate (textnorm.mojibake_count /
+    repair_mojibake): every 5th document is deterministically damaged
+    with the classic UTF-8-misdecoded-as-Latin-1 fingerprint
+    ('a' -> 'Ã¡'), the detector counts the suspicious sequences, and
+    damaged rows are repaired by the REAL inverse transcode
+    (encode Latin-1 -> decode UTF-8, JVM charset kernels). The oracle
+    computes the repaired text independently (replace with the true
+    'á'), so the md5 comparison proves the transcode actually
+    inverted the damage — not just that rows were flagged.
+    Scan-local, zero shuffle."""
+    from .operators import textnorm as _tn
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 5) == 0,
+            F.replace(F.col("text"), F.lit("a"), F.lit("Ã¡")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    rep = _tn.mojibake_repaired(planted, "doc_id", "text")
+    return rep.select(
+        "doc_id",
+        "n_mojibake",
+        "repaired",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@query(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.h IS NULL THEN 'ADDED'
+                WHEN new.h IS NULL THEN 'REMOVED'
+                WHEN old.h <> new.h THEN 'CHANGED'
+                ELSE 'SAME' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (curation.snapshot_diff): the new
+    snapshot drops every 17th document, edits every 10th, and adds a
+    +200000-id page for every 13th — the diff must classify each id
+    ADDED/REMOVED/CHANGED/SAME. Only (id, 16-byte md5) pairs travel
+    through the full-outer shuffle — the diff of a 100 TB corpus
+    moves hashes, never bodies."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.filter((F.col("doc_id") % 17) != 0).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10) == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        d.filter((F.col("doc_id") % 13) == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    return curation.snapshot_diff(d, new, "doc_id", "text")
+
+
+@query(
+    "moment_stats_merge",
+    """
+    WITH shards AS (
+      SELECT source, doc_id % 4 AS shard,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source, doc_id % 4
+    ),
+    merged AS (
+      SELECT source,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(s1) AS BIGINT) AS s1,
+             CAST(sum(s2) AS BIGINT) AS s2
+      FROM shards GROUP BY source
+    ),
+    m AS (
+      SELECT source, n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS var
+      FROM merged
+    )
+    SELECT source, n,
+           round(mean, 6) AS mean,
+           round(var, 6) AS variance,
+           round(sqrt(var), 6) AS stddev
+    FROM m
+    """,
+)
+def moment_stats_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moment statistics (textanalysis.moment_shards +
+    merge_moments): per-(source, shard) sufficient stats (n, Σx, Σx²)
+    over n_chars — the accumulator each ingestion shard keeps — merged
+    by pure addition into per-source mean/variance/stddev. Integer
+    sums are exact, so the merged result is byte-equal to a direct
+    single-pass computation regardless of shard count or merge order
+    (the same summation-merge contract as bm25_incremental_stats)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).withColumn("shard", F.col("doc_id") % 4)
+    shards = textanalysis.moment_shards(d, "source", "shard", "n_chars")
+    return textanalysis.merge_moments(shards, "source")
+
+
+@query(
+    "schema_evolution_read",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_with_chars,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+             AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def schema_evolution_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: half the corpus is written as parquet
+    with an OLD two-column schema, the other half appended with the
+    evolved three-column schema, and one mergeSchema read unifies the
+    directory (missing columns come back NULL) — the
+    add-a-column-without-rewriting-history contract a long-lived
+    100 TB table depends on. The aggregate is computed from the
+    READ-BACK frame; the oracle derives the same numbers from the
+    source table, so schema merging must neither drop rows nor
+    invent values."""
+    import os as _os
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = _os.path.join(
+        "/tmp/spark_graft_evolve",
+        _os.path.basename(sf_dir.rstrip("/")),
+        "docs",
+    )
+    old = d.filter((F.col("doc_id") % 2) == 0).select("doc_id", "lang")
+    new = d.filter((F.col("doc_id") % 2) == 1)
+    old.write.mode("overwrite").parquet(path)
+    new.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("n_chars").cast("long").alias("n_with_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

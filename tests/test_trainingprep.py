@@ -164,3 +164,80 @@ class TestBestOfCluster:
         assert out["c1"]["keeper"] == 102 and out["c1"]["keeper_quality"] == 30
         assert out["c1"]["n_members"] == 3
         assert out["c2"]["keeper"] == 201 and out["c2"]["n_members"] == 1
+
+
+class TestMojibake:
+    def test_repair_inverts_double_decode(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textnorm as TN
+
+        # 'café touché' damaged by the classic UTF-8-read-as-Latin-1
+        # (Latin-1-range chars only: CP1252-specific damage like 'â€¦'
+        # is detectable but not invertible with JVM charsets)
+        damaged = "cafÃ© touchÃ©"
+        df = spark.createDataFrame([(1, damaged), (2, "plain ascii")],
+                                   "id INT, text STRING")
+        out = {r["id"]: r for r in TN.mojibake_repaired(df, "id", "text").collect()}
+        assert out[1]["repaired"] == 1 and out[1]["text"] == "café touché"
+        assert out[1]["n_mojibake"] >= 2
+        assert out[2]["repaired"] == 0 and out[2]["text"] == "plain ascii"
+
+    def test_ascii_transcode_is_identity(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textnorm as TN
+
+        df = spark.createDataFrame([(1, "pure ascii 123 {};")], "id INT, t STRING")
+        got = df.select(TN.repair_mojibake(F.col("t")).alias("v")).first()["v"]
+        assert got == "pure ascii 123 {};"
+
+
+class TestSnapshotDiff:
+    def test_status_matrix(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import curation as C
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id INT, t STRING"
+        )
+        new = spark.createDataFrame(
+            [(1, "a"), (2, "B2"), (6, "z")], "id INT, t STRING"
+        )
+        got = {r["id"]: r["status"]
+               for r in C.snapshot_diff(old, new, "id", "t").collect()}
+        assert got == {1: "SAME", 2: "CHANGED", 3: "REMOVED", 6: "ADDED"}
+
+
+class TestMoments:
+    def test_matches_numpy_and_shard_invariance(self, docs):
+        import numpy as np
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as TA
+
+        base = docs.select(
+            F.lit("s").alias("g"),
+            F.col("doc_id"),
+            F.length("text").alias("x"),
+        )
+        merged4 = TA.merge_moments(
+            TA.moment_shards(base.withColumn("sh", F.col("doc_id") % 4),
+                             "g", "sh", "x"), "g").first()
+        merged7 = TA.merge_moments(
+            TA.moment_shards(base.withColumn("sh", F.col("doc_id") % 7),
+                             "g", "sh", "x"), "g").first()
+        xs = np.array([r["x"] for r in base.select("x").collect()], dtype=np.float64)
+        assert merged4["n"] == len(xs)
+        assert abs(merged4["mean"] - xs.mean()) < 1e-4
+        assert abs(merged4["variance"] - xs.var()) < 1e-2
+        assert abs(merged4["stddev"] - xs.std()) < 1e-4
+        # merge order/shape cannot matter: integer sums are exact
+        assert (merged4["mean"], merged4["variance"], merged4["stddev"]) == (
+            merged7["mean"], merged7["variance"], merged7["stddev"])
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_read_unifies_parts(self, spark, tmp_path):
+        path = str(tmp_path / "evolve")
+        spark.createDataFrame([(1, "en")], "id INT, lang STRING") \
+            .write.mode("overwrite").parquet(path)
+        spark.createDataFrame([(2, "de", 5)], "id INT, lang STRING, n INT") \
+            .write.mode("append").parquet(path)
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        rows = {r["id"]: r for r in back.collect()}
+        assert set(back.columns) == {"id", "lang", "n"}
+        assert rows[1]["n"] is None and rows[2]["n"] == 5

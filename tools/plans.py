@@ -64,6 +64,17 @@ SHOWCASE = [
      "partitioned global_rank, no single-task window"),
     ("web_graph_pipeline", "extraction gate + weighted host rank fused "
      "into one per-host report"),
+    # round-6 training-prep / hygiene shapes
+    ("fim_transform", "hash-seeded cut points + substring reassembly, "
+     "zero-shuffle codegen"),
+    ("length_bucketed_batches", "one range shuffle (global_rank) + "
+     "broadcast per-bucket offsets; no per-bucket window"),
+    ("robots_rep_gate", "bounded rule explode through the LIKE kernel; "
+     "winner election as partial-agg struct max"),
+    ("snapshot_diff", "full-outer on id with 16-byte content keys; "
+     "bodies never shuffle"),
+    ("moment_stats_merge", "two-level partial aggregation of exact "
+     "integer sufficient stats"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the

@@ -86,6 +86,15 @@ QUERIES = [
     "fuzzy_decontaminated",
     "contrastive_negatives",
     "in_domain_negatives",
+    # round-6 training-prep / hygiene additions
+    "fim_transform",
+    "length_bucketed_batches",
+    "code_prose_flags",
+    "cluster_best_keeper",
+    "robots_rep_gate",
+    "mojibake_stats",
+    "snapshot_diff",
+    "moment_stats_merge",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
