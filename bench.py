@@ -162,6 +162,14 @@ HEADLINE = [
     "cluster_best_keeper",
     "robots_rep_gate",
     "orc_roundtrip",
+    # round-6 formats/ops/skew wave
+    "mojibake_stats",
+    "snapshot_diff",
+    "moment_stats_merge",
+    "schema_evolution_read",
+    "csv_roundtrip",
+    "skew_salted_join",
+    "skew_salted_agg",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -6433,3 +6433,157 @@ def schema_evolution_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").cast("long").alias("n_with_chars"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "csv_roundtrip",
+    """
+    SELECT doc_id, lang,
+           md5(CASE WHEN doc_id % 3 = 0
+                    THEN text || ', "q"' || chr(10) || 'line2'
+                    ELSE text END) AS text_md5
+    FROM documents
+    """,
+)
+def csv_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV wire-format roundtrip under RFC 4180 stress: every 3rd
+    document gets a planted delimiter + quote + embedded NEWLINE, the
+    corpus is written as quoted CSV (escape = '"', i.e. RFC 4180
+    doubled quotes) and read back with multiLine + an explicit schema,
+    and each document's md5 is computed from the READ-BACK text. The
+    oracle computes the md5 from the (identically planted) source
+    directly, so any quoting/escaping/line-splitting loss breaks the
+    per-row hash — the lossless-roundtrip contract TSV/CSV interchange
+    between pipeline stages depends on. Reference parity: Record I/O's
+    CSV wire form (src/core/org/apache/hadoop/record/
+    CsvRecordOutput.java:30 — typed records serialized as CSV lines);
+    here both directions are Spark's JVM CSV reader/writer, and the
+    multiLine read keeps record-boundary detection correct even with
+    embedded newlines."""
+    import os as _os
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    planted = d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("doc_id") % 3) == 0,
+            F.concat(F.col("text"), F.lit(', "q"\nline2')),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    path = _os.path.join(
+        "/tmp/spark_graft_csv",
+        _os.path.basename(sf_dir.rstrip("/")),
+        "docs",
+    )
+    (
+        planted.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    return back.select("doc_id", "lang", F.md5("text").alias("text_md5"))
+
+
+@query(
+    "skew_salted_join",
+    """
+    WITH dim AS (
+      SELECT DISTINCT o_orderpriority,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_rank
+      FROM orders
+    )
+    SELECT o.o_orderpriority, d.prio_rank,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
+    GROUP BY o.o_orderpriority, d.prio_rank
+    """,
+)
+def skew_salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (skew.salted_join): orders carries only 5
+    distinct o_orderpriority values — the worst-case hot-key layout,
+    where a plain shuffle join lands ~20% of a 100 TB table on single
+    reducers. salted_join scatters each hot key across 8 salted
+    shuffle partitions and replicates the 5-row dim 8x via explode, so
+    the join parallelism is 40-wide instead of 5-wide; the oracle is
+    the PLAIN join, proving salting changes the schedule, never the
+    result. Reference parity: the reference's only skew lever was a
+    custom Partitioner (src/mapred/org/apache/hadoop/mapred/
+    Partitioner.java); salting is that idea applied to the key itself.
+    Decimal partial sums keep the re-aggregation order-insensitive."""
+    from .operators import skew as _sk
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = o.select("o_orderpriority").distinct().select(
+        "o_orderpriority",
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_rank"),
+    )
+    j = _sk.salted_join(o, dim, ["o_orderpriority"], salt=8)
+    return j.groupBy("o_orderpriority", "prio_rank").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@query(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_qty,
+           max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-mitigated aggregation (skew.salted_aggregate):
+    lineitem grouped by l_returnflag — 3 distinct keys, so a plain
+    hash aggregation funnels a 100 TB scan into 3 final reducers.
+    salted_aggregate takes partials on (key, salt=16) — 48-wide — and
+    re-aggregates the 48 partial rows on the key; only decomposable
+    aggregates (sum/count/min/max, the reference Combiner's own
+    restriction, src/mapred/org/apache/hadoop/mapred/JobConf.java
+    setCombinerClass) are admitted. The oracle is the plain GROUP BY:
+    same result, different schedule. Exact decimal partials make the
+    two-phase sum byte-equal to the one-phase sum."""
+    from .operators import skew as _sk
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = _sk.salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": ("sum", F.count("*")),
+            "sum_qty": (
+                "sum",
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")),
+            ),
+            "max_price": ("max", F.max("l_extendedprice")),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round("sum_qty", 2).cast("double").alias("sum_qty"),
+        "max_price",
+    )

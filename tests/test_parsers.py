@@ -265,3 +265,22 @@ class TestWarcSource:
             ).collect()
         }
         assert kept == {1}
+
+
+class TestCsvWireFormat:
+    def test_rfc4180_roundtrip_with_embedded_specials(self, spark, tmp_path):
+        # delimiter, doubled quote, and an embedded newline in one cell
+        rows = [
+            (1, 'plain'),
+            (2, 'a,b "quoted"\nsecond line'),
+            (3, 'trailing quote "'),
+        ]
+        df = spark.createDataFrame(rows, "id INT, t STRING")
+        path = str(tmp_path / "csv")
+        (df.write.mode("overwrite").option("header", "true")
+           .option("quoteAll", "true").option("escape", '"').csv(path))
+        back = (spark.read.schema("id INT, t STRING")
+                .option("header", "true").option("multiLine", "true")
+                .option("escape", '"').csv(path))
+        got = {r["id"]: r["t"] for r in back.collect()}
+        assert got == dict(rows)  # lossless, record boundaries intact

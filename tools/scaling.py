@@ -95,6 +95,9 @@ QUERIES = [
     "mojibake_stats",
     "snapshot_diff",
     "moment_stats_merge",
+    "csv_roundtrip",
+    "skew_salted_join",
+    "skew_salted_agg",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
