@@ -75,6 +75,10 @@ SHOWCASE = [
      "bodies never shuffle"),
     ("moment_stats_merge", "two-level partial aggregation of exact "
      "integer sufficient stats"),
+    ("skew_salted_join", "hot keys scattered across 8 salted shuffle "
+     "partitions; dim replicated by explode"),
+    ("skew_salted_agg", "partials on (key, salt=16), final re-agg on "
+     "key; decimal partials keep it exact"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the

@@ -30,14 +30,19 @@ def main() -> None:
 
     rows = []
 
-    def bench(name, n_rows, fn, warm_fn=None):
+    def bench(name, n_rows, fn, warm_fn=None, reps=2):
+        # min-of-reps, same discipline as bench.py/tools/scaling.py:
+        # single shots swing 2-3x (GC, scheduling, cold JIT) and a
+        # round-6 single-shot table showed +-80% on unchanged shapes
         if warm_fn is not None:
             warm_fn()
             cache.release_all()
-        t0 = time.time()
-        fn()
-        dt = time.time() - t0
-        cache.release_all()
+        dt = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            dt = min(dt, time.time() - t0)
+            cache.release_all()
         rows.append((name, n_rows, dt, 1e6 * dt / n_rows))
         print(f"{name}: {n_rows:,} rows in {dt:.1f}s "
               f"({1e6 * dt / n_rows:.2f} us/row)")
@@ -429,6 +434,11 @@ def main() -> None:
         "near-identical docs — a deliberately degenerate dense graph);",
         "the row pins CC's edge-set persist (without it the candidate",
         "funnel re-executes 3x) and contract-then-solve on high degree.",
+        "In-suite it also carries a ~1.6x session-position tax (it runs",
+        "6th, after four min-of-2 heavy shapes fill executor storage):",
+        "a 3-rep ISOLATED probe measures 54.8-64.1 s = 0.47-0.55",
+        "us/edge (round-6 probe, fresh session) — read trend, not the",
+        "absolute, for this row.",
         "",
         "`asof_join_events_x{1,10}` amplifies users with offset ids so",
         "per-key cardinality is constant; falling us/row on 10x events",
