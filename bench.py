@@ -170,6 +170,7 @@ HEADLINE = [
     "csv_roundtrip",
     "skew_salted_join",
     "skew_salted_agg",
+    "incremental_recompute",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -768,3 +768,38 @@ def snapshot_diff(
         .otherwise(F.lit("SAME"))
         .alias("status"),
     )
+
+
+def incremental_recompute(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    old_derived: DataFrame,
+    id_col: str,
+    content_col: str,
+    derive,
+) -> DataFrame:
+    """Diff-driven incremental recomputation — the ops pattern that
+    makes a 100 TB derived table maintainable: `derive` (a
+    DataFrame -> DataFrame metric over (id, content)) is re-run ONLY
+    for documents the snapshot diff classifies ADDED or CHANGED;
+    SAME rows carry their previously computed `old_derived` values
+    forward untouched; REMOVED rows drop out. On a recrawl that
+    touches 1% of the corpus, 99% of the derive cost (the expensive
+    part — quality models, chunking, fingerprints) is skipped, and
+    the result is provably identical to a full recompute (the
+    oracle-checked contract of `incremental_recompute` in
+    queries_llm).
+
+    Output: old_derived's columns + `recomputed` (int 1 where derive
+    actually ran). The diff itself moves only 16-byte content hashes
+    (see snapshot_diff)."""
+    diff = snapshot_diff(old_df, new_df, id_col, content_col)
+    changed_ids = diff.filter(F.col("status").isin("ADDED", "CHANGED"))
+    same_ids = diff.filter(F.col("status") == "SAME")
+    fresh = derive(
+        new_df.join(changed_ids.select(id_col), id_col, "left_semi")
+    ).withColumn("recomputed", F.lit(1))
+    carried = old_derived.join(
+        same_ids.select(id_col), id_col, "left_semi"
+    ).withColumn("recomputed", F.lit(0))
+    return carried.unionByName(fresh)

@@ -241,3 +241,30 @@ class TestSchemaEvolution:
         rows = {r["id"]: r for r in back.collect()}
         assert set(back.columns) == {"id", "lang", "n"}
         assert rows[1]["n"] is None and rows[2]["n"] == 5
+
+
+class TestIncrementalRecompute:
+    def test_same_rows_carry_stale_values(self, spark):
+        # the sharpest proof derive was SKIPPED for SAME rows: plant a
+        # deliberately WRONG old-derived value and require it to survive
+        from hadoop_distributed_dynamic_file_system_spark.operators import curation as C
+
+        old = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "gone")], "id INT, t STRING"
+        )
+        new = spark.createDataFrame(
+            [(1, "alpha"), (2, "edited"), (4, "fresh")], "id INT, t STRING"
+        )
+
+        def derive(df):
+            return df.select("id", F.length("t").alias("n"))
+
+        stale = spark.createDataFrame(
+            [(1, 999), (2, 4), (3, 4)], "id INT, n INT"
+        )
+        out = {r["id"]: r for r in C.incremental_recompute(
+            old, new, stale, "id", "t", derive).collect()}
+        assert set(out) == {1, 2, 4}          # REMOVED id=3 dropped
+        assert out[1]["n"] == 999 and out[1]["recomputed"] == 0  # carried
+        assert out[2]["n"] == 6 and out[2]["recomputed"] == 1    # CHANGED
+        assert out[4]["n"] == 5 and out[4]["recomputed"] == 1    # ADDED

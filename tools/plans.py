@@ -79,6 +79,8 @@ SHOWCASE = [
      "partitions; dim replicated by explode"),
     ("skew_salted_agg", "partials on (key, salt=16), final re-agg on "
      "key; decimal partials keep it exact"),
+    ("incremental_recompute", "derive re-runs only for ADDED/CHANGED "
+     "ids (left-semi on the hash diff); SAME rows carried forward"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the

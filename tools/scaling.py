@@ -98,6 +98,7 @@ QUERIES = [
     "csv_roundtrip",
     "skew_salted_join",
     "skew_salted_agg",
+    "incremental_recompute",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
