@@ -171,6 +171,8 @@ HEADLINE = [
     "skew_salted_join",
     "skew_salted_agg",
     "incremental_recompute",
+    "quantile_histogram_merge",
+    "classifier_auc",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

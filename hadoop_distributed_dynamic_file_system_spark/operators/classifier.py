@@ -168,3 +168,55 @@ def quality_classifier_scores(
     return predict(
         hashed_tf(df, id_col, text_col, buckets=buckets), id_col, weights, bias
     )
+
+
+def grouped_auc(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Distributed AUC (Mann-Whitney with exact tie handling) per
+    group — the classifier-evaluation metric, computed WITHOUT
+    per-row ranks: one data-sized groupBy collapses rows to
+    (group, score, pos, neg), and the rank-sum identity
+    AUC = Σ_s pos_s·(2·cum_neg_below_s + neg_s) / (2·P·N) runs on the
+    distinct-score relation (ties contribute neg_s/2 via the ·2
+    scaling — all-integer arithmetic until the final division). The
+    cumulative window scans only distinct scores per group, so scores
+    must be discrete/bucketed (int scores here; bucket continuous
+    scores first — same contract as histogram_quantiles). Integer
+    products stay exact up to ~3e9 positives x negatives per group
+    (bigint bound); beyond that pre-scale to double.
+
+    Output: (group, n_pos, n_neg, auc) — auc rounded 6dp."""
+    from pyspark.sql import Window
+
+    lbl = F.col(label_col).cast("int")
+    s = df.groupBy(group_col, F.col(score_col).alias("score")).agg(
+        F.sum(lbl).cast("long").alias("pos"),
+        F.sum(1 - lbl).cast("long").alias("neg"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = s.withColumn("cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    a = c.groupBy(group_col).agg(
+        F.sum(F.col("pos") * (2 * F.col("cumneg") + F.col("neg")))
+        .cast("long")
+        .alias("num"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+    )
+    return a.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("num").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

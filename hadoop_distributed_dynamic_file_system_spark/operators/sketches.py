@@ -316,3 +316,81 @@ def kmv_distinct_estimate(
         F.round(F.lit(float(k - 1)) * F.lit(float(domain)) / F.col("_hk"), 3)
     )
     return agg.select("n_sketch", est.alias("est_distinct"))
+
+
+# ------------------------------------------------- mergeable histogram
+def histogram_shards(
+    df: DataFrame,
+    group_col: str,
+    shard_col: str,
+    value_col: str,
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Per-(group, shard) equi-width histogram — the mergeable
+    quantile accumulator each ingestion shard keeps alongside its
+    moment shards (see textanalysis.moment_shards): bucket =
+    floor(value / width), one count per occupied bucket. Counts are
+    additive, so shards merge by pure summation in any order/shape —
+    unlike GK/t-digest summaries, the merged state is EXACTLY the
+    histogram of the union, and the only approximation is the fixed
+    bucketing itself (error <= one bucket width, stated up front).
+
+    Output: (group, shard, bucket, c)."""
+    b = F.floor(F.col(value_col).cast("double") / F.lit(bucket_width)).cast(
+        "long"
+    )
+    return df.groupBy(group_col, shard_col, b.alias("bucket")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+
+
+def histogram_quantiles(
+    shards: DataFrame,
+    group_col: str,
+    quantiles: tuple[int, ...] = (50, 90, 99),
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Merge histogram shards (summation on (group, bucket)) and read
+    off upper-bound quantile estimates: q-th percentile = the upper
+    edge of the first bucket whose cumulative count reaches q% of n
+    (integer cross-multiplication — no float rank arithmetic to
+    disagree across engines). Estimate error is bounded by one
+    bucket_width, deterministically.
+
+    The post-merge relation is model-sized (groups x occupied
+    buckets), so the cumulative window scans a bounded relation — the
+    data-sized pass is only the additive groupBy.
+
+    Output: (group, n, p<q>_est ...)."""
+    from pyspark.sql import Window
+
+    merged = shards.groupBy(group_col, "bucket").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy(group_col))
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in quantiles:
+        aggs.append(
+            (
+                (
+                    F.min(
+                        F.when(
+                            F.col("cum") * 100 >= F.lit(q) * F.col("n"),
+                            F.col("bucket"),
+                        )
+                    )
+                    + 1
+                )
+                * bucket_width
+            )
+            .cast("long")
+            .alias(f"p{q}_est")
+        )
+    return cum.groupBy(group_col).agg(*aggs)

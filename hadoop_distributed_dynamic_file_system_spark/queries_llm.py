@@ -6656,3 +6656,101 @@ def incremental_recompute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.incremental_recompute(
         d, new, old_derived, "doc_id", "text", _metric
     )
+
+
+@query(
+    "quantile_histogram_merge",
+    """
+    WITH h AS (
+      SELECT source, CAST(floor(CAST(n_chars AS DOUBLE) / 16) AS BIGINT)
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, floor(CAST(n_chars AS DOUBLE) / 16)
+    ),
+    cum AS (
+      SELECT source, bucket, c,
+             sum(c) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM h
+    )
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST((min(CASE WHEN cum * 100 >= 50 * n THEN bucket END) + 1)
+                * 16 AS BIGINT) AS p50_est,
+           CAST((min(CASE WHEN cum * 100 >= 90 * n THEN bucket END) + 1)
+                * 16 AS BIGINT) AS p90_est,
+           CAST((min(CASE WHEN cum * 100 >= 99 * n THEN bucket END) + 1)
+                * 16 AS BIGINT) AS p99_est
+    FROM cum GROUP BY source
+    """,
+)
+def quantile_histogram_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles (sketches.histogram_shards +
+    histogram_quantiles): per-(source, shard) equi-width histograms of
+    n_chars merged by pure addition, then p50/p90/p99 read off as the
+    upper edge of the first bucket reaching q% (integer
+    cross-multiplication — no float rank arithmetic). Completes the
+    mergeable-accumulator family (moments = mean/var, KMV = distinct,
+    histogram = quantiles): unlike GK/t-digest the merged state is
+    EXACTLY the union histogram, shard-shape invariant (pytest pins
+    %4 ≡ %7), with error bounded by one bucket width by construction.
+    The oracle builds the histogram directly — additivity makes
+    sharded and direct construction identical."""
+    from .operators import sketches as _sk
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).withColumn("shard", F.col("doc_id") % 4)
+    shards = _sk.histogram_shards(d, "source", "shard", "n_chars")
+    return _sk.histogram_quantiles(shards, "source")
+
+
+@query(
+    "classifier_auc",
+    """
+    WITH s AS (
+      SELECT lang, n_chars AS score,
+             CAST(count(CASE WHEN source = 'src0' THEN 1 END) AS BIGINT)
+               AS pos,
+             CAST(count(CASE WHEN source <> 'src0' THEN 1 END) AS BIGINT)
+               AS neg
+      FROM documents GROUP BY lang, n_chars
+    ),
+    c AS (
+      SELECT lang, score, pos, neg,
+             coalesce(sum(neg) OVER (PARTITION BY lang ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cumneg
+      FROM s
+    ),
+    a AS (
+      SELECT lang,
+             sum(pos * (2 * cumneg + neg)) AS num,
+             sum(pos) AS p, sum(neg) AS n
+      FROM c GROUP BY lang
+    )
+    SELECT lang, CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+           round(CAST(num AS DOUBLE) / (2.0 * p * n), 6) AS auc
+    FROM a
+    """,
+)
+def classifier_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed AUC (classifier.grouped_auc): per-lang
+    Mann-Whitney AUC of "does n_chars separate src0 documents from
+    the rest" — the evaluation half of the classifier family
+    (classifier_source_recovery trains; this measures ranking
+    quality). The rank-sum identity runs on the collapsed
+    (lang, score, pos, neg) relation with exact integer tie handling
+    (ties add neg/2 via the x2 scaling), so no per-row rank, no
+    global sort, and the window scans only distinct scores. Values
+    near 0.5 are expected (n_chars is source-agnostic in the
+    testdata) — what the oracle pins is the exact tie-corrected
+    arithmetic, where a naive concordant-pair count would drift."""
+    from .operators import classifier as _cl
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("source") == "src0").alias("is_pos"),
+        F.col("n_chars").alias("score"),
+    )
+    return _cl.grouped_auc(d, "lang", "is_pos", "score")

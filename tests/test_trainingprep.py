@@ -268,3 +268,51 @@ class TestIncrementalRecompute:
         assert out[1]["n"] == 999 and out[1]["recomputed"] == 0  # carried
         assert out[2]["n"] == 6 and out[2]["recomputed"] == 1    # CHANGED
         assert out[4]["n"] == 5 and out[4]["recomputed"] == 1    # ADDED
+
+
+class TestHistogramQuantiles:
+    def test_shard_shape_invariance_and_bound(self, docs):
+        from hadoop_distributed_dynamic_file_system_spark.operators import sketches as SK
+
+        base = docs.select(
+            F.lit("g").alias("g"), "doc_id", F.length("text").alias("x")
+        )
+        q4 = SK.histogram_quantiles(
+            SK.histogram_shards(base.withColumn("sh", F.col("doc_id") % 4),
+                                "g", "sh", "x"), "g").first()
+        q7 = SK.histogram_quantiles(
+            SK.histogram_shards(base.withColumn("sh", F.col("doc_id") % 7),
+                                "g", "sh", "x"), "g").first()
+        # additive merge: shard shape cannot matter
+        assert (q4["p50_est"], q4["p90_est"], q4["p99_est"]) == (
+            q7["p50_est"], q7["p90_est"], q7["p99_est"])
+        # upper-edge estimate brackets the exact quantile within one bucket
+        xs = sorted(r["x"] for r in base.select("x").collect())
+        for q, est in ((50, q4["p50_est"]), (90, q4["p90_est"])):
+            exact = xs[min(len(xs) - 1, (len(xs) * q) // 100)]
+            assert exact <= est <= exact + 16 + 16  # <= one bucket + edge
+
+
+class TestGroupedAuc:
+    def test_matches_rank_sum_with_ties(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import classifier as CL
+
+        # hand case with ties: pos scores [3,2,2], neg scores [1,2]
+        rows = [("g", 1, 3), ("g", 1, 2), ("g", 1, 2), ("g", 0, 1), ("g", 0, 2)]
+        df = spark.createDataFrame(rows, "g STRING, y INT, s INT")
+        got = CL.grouped_auc(df, "g", "y", "s").first()
+        # pairs: (3>1),(3>2) + (2>1),(2=2: .5) x2 -> (2 + 1.5*2)/6 = 5/6
+        assert got["n_pos"] == 3 and got["n_neg"] == 2
+        assert abs(got["auc"] - 5.0 / 6.0) < 1e-6
+
+    def test_perfect_and_inverted(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import classifier as CL
+
+        perfect = spark.createDataFrame(
+            [("g", 1, 10), ("g", 1, 9), ("g", 0, 1), ("g", 0, 2)],
+            "g STRING, y INT, s INT")
+        inverted = spark.createDataFrame(
+            [("g", 0, 10), ("g", 0, 9), ("g", 1, 1), ("g", 1, 2)],
+            "g STRING, y INT, s INT")
+        assert CL.grouped_auc(perfect, "g", "y", "s").first()["auc"] == 1.0
+        assert CL.grouped_auc(inverted, "g", "y", "s").first()["auc"] == 0.0

@@ -81,6 +81,10 @@ SHOWCASE = [
      "key; decimal partials keep it exact"),
     ("incremental_recompute", "derive re-runs only for ADDED/CHANGED "
      "ids (left-semi on the hash diff); SAME rows carried forward"),
+    ("quantile_histogram_merge", "additive histogram merge; cumulative "
+     "window only on the distinct-bucket relation"),
+    ("classifier_auc", "rank-sum AUC on the collapsed (group, score) "
+     "relation; no per-row rank, exact integer tie handling"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the

@@ -99,6 +99,8 @@ QUERIES = [
     "skew_salted_join",
     "skew_salted_agg",
     "incremental_recompute",
+    "quantile_histogram_merge",
+    "classifier_auc",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
