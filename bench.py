@@ -173,6 +173,7 @@ HEADLINE = [
     "incremental_recompute",
     "quantile_histogram_merge",
     "classifier_auc",
+    "snapshot_psi_drift",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -394,3 +394,60 @@ def histogram_quantiles(
             .alias(f"p{q}_est")
         )
     return cum.groupBy(group_col).agg(*aggs)
+
+
+def psi_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a value
+    distribution, per group — the standard drift gate an ingestion
+    pipeline runs on a recrawl BEFORE retraining on it: bucket both
+    sides with the same equi-width rule (the mergeable histogram's
+    bucketing), then PSI = Σ_b (p_new - p_old)·ln(p_new / p_old) over
+    buckets populated on BOTH sides, with the excluded one-sided
+    probability mass reported alongside (the honest alternative to
+    epsilon-smoothing, which would make the score depend on an
+    arbitrary constant). Rule of thumb: <0.1 stable, >0.25 shifted.
+
+    Everything after the two data-sized histogram groupBys runs on
+    the bounded (group, bucket) relation. Output: (group, n_old,
+    n_new, n_common_buckets, psi, mass_old_only, mass_new_only) —
+    floats rounded 6dp."""
+    def hist(df):
+        b = F.floor(
+            F.col(value_col).cast("double") / F.lit(bucket_width)
+        ).cast("long")
+        return df.groupBy(group_col, b.alias("bucket")).agg(
+            F.count("*").cast("long").alias("c")
+        )
+
+    ho = hist(old_df).withColumnRenamed("c", "c_old")
+    hn = hist(new_df).withColumnRenamed("c", "c_new")
+    j = ho.join(hn, [group_col, "bucket"], "full_outer").fillna(
+        0, subset=["c_old", "c_new"]
+    )
+    w = j.groupBy(group_col).agg(
+        F.sum("c_old").cast("long").alias("n_old"),
+        F.sum("c_new").cast("long").alias("n_new"),
+    )
+    j = j.join(w, group_col)
+    po = F.col("c_old").cast("double") / F.col("n_old")
+    pn = F.col("c_new").cast("double") / F.col("n_new")
+    both = (F.col("c_old") > 0) & (F.col("c_new") > 0)
+    term = F.when(both, (pn - po) * F.log(pn / po)).otherwise(F.lit(0.0))
+    return j.groupBy(group_col).agg(
+        F.max("n_old").alias("n_old"),
+        F.max("n_new").alias("n_new"),
+        F.sum(both.cast("int")).cast("long").alias("n_common_buckets"),
+        F.round(F.sum(term), 6).alias("psi"),
+        F.round(
+            F.sum(F.when(F.col("c_new") == 0, po).otherwise(0.0)), 6
+        ).alias("mass_old_only"),
+        F.round(
+            F.sum(F.when(F.col("c_old") == 0, pn).otherwise(0.0)), 6
+        ).alias("mass_new_only"),
+    )

@@ -6754,3 +6754,70 @@ def classifier_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("score"),
     )
     return _cl.grouped_auc(d, "lang", "is_pos", "score")
+
+
+@query(
+    "snapshot_psi_drift",
+    """
+    WITH old AS (SELECT source, length(text) AS v FROM documents),
+    new AS (
+      SELECT source,
+             length(CASE WHEN doc_id % 3 = 0 THEN text || repeat('x', 80)
+                         ELSE text END) AS v
+      FROM documents WHERE doc_id % 17 <> 0
+    ),
+    ho AS (SELECT source, CAST(floor(CAST(v AS DOUBLE) / 16) AS BIGINT) AS b,
+                  CAST(count(*) AS BIGINT) AS c_old
+           FROM old GROUP BY 1, 2),
+    hn AS (SELECT source, CAST(floor(CAST(v AS DOUBLE) / 16) AS BIGINT) AS b,
+                  CAST(count(*) AS BIGINT) AS c_new
+           FROM new GROUP BY 1, 2),
+    j AS (SELECT coalesce(ho.source, hn.source) AS source,
+                 coalesce(ho.b, hn.b) AS b,
+                 coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+          FROM ho FULL OUTER JOIN hn ON ho.source = hn.source AND ho.b = hn.b),
+    w AS (SELECT source, sum(c_old) AS n_old, sum(c_new) AS n_new
+          FROM j GROUP BY 1),
+    t AS (SELECT j.source, c_old, c_new, n_old, n_new,
+                 CAST(c_old AS DOUBLE) / n_old AS po,
+                 CAST(c_new AS DOUBLE) / n_new AS pn
+          FROM j JOIN w USING (source))
+    SELECT source,
+           CAST(max(n_old) AS BIGINT) AS n_old,
+           CAST(max(n_new) AS BIGINT) AS n_new,
+           CAST(count(CASE WHEN c_old > 0 AND c_new > 0 THEN 1 END)
+                AS BIGINT) AS n_common_buckets,
+           round(sum(CASE WHEN c_old > 0 AND c_new > 0
+                          THEN (pn - po) * ln(pn / po) ELSE 0 END), 6) AS psi,
+           round(sum(CASE WHEN c_new = 0 THEN po ELSE 0 END), 6)
+             AS mass_old_only,
+           round(sum(CASE WHEN c_old = 0 THEN pn ELSE 0 END), 6)
+             AS mass_new_only
+    FROM t GROUP BY source
+    """,
+)
+def snapshot_psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl drift gate (sketches.psi_drift): the new snapshot drops
+    every 17th document and pads every 3rd with 80 chars — a REAL
+    length-distribution shift — and the per-source PSI over equi-width
+    length buckets must flag it (rule of thumb: <0.1 stable, >0.25
+    shifted; the planted shift lands well above). One-sided bucket
+    mass is reported separately instead of epsilon-smoothed into the
+    score, so the metric has no arbitrary constant. Two data-sized
+    histogram groupBys; everything else runs on the bounded
+    (source, bucket) relation — the drift check on a 100 TB recrawl
+    costs two scans and shuffles only bucket counts."""
+    from .operators import sketches as _sk
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    old = d.select("source", F.length("text").alias("v"))
+    new = d.filter((F.col("doc_id") % 17) != 0).select(
+        "source",
+        F.length(
+            F.when(
+                (F.col("doc_id") % 3) == 0,
+                F.concat(F.col("text"), F.repeat(F.lit("x"), 80)),
+            ).otherwise(F.col("text"))
+        ).alias("v"),
+    )
+    return _sk.psi_drift(old, new, "source", "v")

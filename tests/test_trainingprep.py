@@ -316,3 +316,26 @@ class TestGroupedAuc:
             "g STRING, y INT, s INT")
         assert CL.grouped_auc(perfect, "g", "y", "s").first()["auc"] == 1.0
         assert CL.grouped_auc(inverted, "g", "y", "s").first()["auc"] == 0.0
+
+
+class TestPsiDrift:
+    def test_identical_snapshots_score_zero(self, docs):
+        from hadoop_distributed_dynamic_file_system_spark.operators import sketches as SK
+
+        d = docs.select(F.lit("g").alias("g"), F.length("text").alias("v"))
+        r = SK.psi_drift(d, d, "g", "v").first()
+        assert r["psi"] == 0.0
+        assert r["mass_old_only"] == 0.0 and r["mass_new_only"] == 0.0
+        assert r["n_old"] == r["n_new"]
+
+    def test_planted_shift_is_flagged(self, docs):
+        from hadoop_distributed_dynamic_file_system_spark.operators import sketches as SK
+
+        old = docs.select(F.lit("g").alias("g"), F.length("text").alias("v"))
+        new = docs.select(
+            F.lit("g").alias("g"), (F.length("text") + 200).alias("v")
+        )
+        r = SK.psi_drift(old, new, "g", "v").first()
+        # a 200-char shift moves most mass to disjoint buckets: the
+        # one-sided masses carry the signal the PSI sum excludes
+        assert r["mass_old_only"] + r["mass_new_only"] > 1.0 or r["psi"] > 0.25

@@ -85,6 +85,8 @@ SHOWCASE = [
      "window only on the distinct-bucket relation"),
     ("classifier_auc", "rank-sum AUC on the collapsed (group, score) "
      "relation; no per-row rank, exact integer tie handling"),
+    ("snapshot_psi_drift", "two histogram groupBys; PSI on the bounded "
+     "(group, bucket) relation, one-sided mass reported not smoothed"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the

@@ -101,6 +101,7 @@ QUERIES = [
     "incremental_recompute",
     "quantile_histogram_merge",
     "classifier_auc",
+    "snapshot_psi_drift",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
