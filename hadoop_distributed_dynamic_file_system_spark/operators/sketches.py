@@ -417,16 +417,39 @@ def psi_drift(
     the bounded (group, bucket) relation. Output: (group, n_old,
     n_new, n_common_buckets, psi, mass_old_only, mass_new_only) —
     floats rounded 6dp."""
-    def hist(df):
-        b = F.floor(
-            F.col(value_col).cast("double") / F.lit(bucket_width)
-        ).cast("long")
-        return df.groupBy(group_col, b.alias("bucket")).agg(
-            F.count("*").cast("long").alias("c")
-        )
+    ho = value_histogram(
+        old_df, group_col, value_col, bucket_width
+    ).withColumnRenamed("c", "c_old")
+    hn = value_histogram(
+        new_df, group_col, value_col, bucket_width
+    ).withColumnRenamed("c", "c_new")
+    return psi_from_histograms(ho, hn, group_col)
 
-    ho = hist(old_df).withColumnRenamed("c", "c_old")
-    hn = hist(new_df).withColumnRenamed("c", "c_new")
+
+def value_histogram(
+    df: DataFrame, group_col: str, value_col: str, bucket_width: int = 16
+) -> DataFrame:
+    """The shared equi-width bucketing both PSI sides (and the
+    streaming drift monitor) must use: (group, bucket, c). Scoring a
+    live histogram against a baseline built with a different width
+    silently measures the wrong thing — same shared-expression rule
+    as classifier.word_bucket."""
+    b = F.floor(F.col(value_col).cast("double") / F.lit(bucket_width)).cast(
+        "long"
+    )
+    return df.groupBy(group_col, b.alias("bucket")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+
+
+def psi_from_histograms(
+    ho: DataFrame, hn: DataFrame, group_col: str
+) -> DataFrame:
+    """PSI scoring on two pre-built histograms (columns (group,
+    bucket, c_old) / (group, bucket, c_new)) — the bounded-relation
+    half of psi_drift, shared by the batch gate and the streaming
+    monitor (streaming.events.streaming_value_histogram feeds its
+    complete-mode output here each cadence)."""
     j = ho.join(hn, [group_col, "bucket"], "full_outer").fillna(
         0, subset=["c_old", "c_new"]
     )

@@ -1278,3 +1278,26 @@ def streaming_boilerplate_gate(
         (F.size(lines) - F.size(kept)).cast("long").alias("n_boiler"),
         F.array_join(kept, "\n").alias("cleaned"),
     )
+
+
+def streaming_value_histogram(
+    doc_stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Live equi-width histogram of a value column per group — the
+    streaming half of the recrawl drift monitor. A complete-mode
+    streaming aggregation maintains (group, bucket, c) as documents
+    arrive (state = occupied buckets per group, a bounded relation —
+    NOT per-document state); each cadence the monitor scores the
+    current histogram against the frozen baseline with
+    sketches.psi_from_histograms (the c column renamed c_new), and the
+    bucketing expression is SHARED with the batch side
+    (sketches.value_histogram) so live and baseline buckets can never
+    diverge. Stream ≡ batch pinned by TestStreamingPsiDrift: after the
+    last micro-batch the scored output equals batch psi_drift over the
+    same corpus exactly."""
+    from ..operators.sketches import value_histogram
+
+    return value_histogram(doc_stream, group_col, value_col, bucket_width)

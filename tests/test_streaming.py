@@ -1112,3 +1112,44 @@ class TestStreamingHybridRrf:
             for r in sim.rrf_fuse([lexr, dense], "doc_id", k=10, c=60).collect()
         }
         assert got == want and len(want) > 0
+
+
+class TestStreamingPsiDrift:
+    def test_stream_histogram_scores_like_batch(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            sketches as SK,
+        )
+        from hadoop_distributed_dynamic_file_system_spark.streaming import (
+            events as ev,
+        )
+
+        old_rows = [("g", 10 + i) for i in range(40)]
+        new_rows = [("g", 10 + i) for i in range(30)] + [
+            ("g", 200 + i) for i in range(10)
+        ]
+        old = spark.createDataFrame(old_rows, ["g", "v"])
+        new = spark.createDataFrame(new_rows, ["g", "v"])
+        baseline = SK.value_histogram(old, "g", "v").withColumnRenamed(
+            "c", "c_old"
+        )
+
+        src = tmp_path / "psi_stream_in"
+        # two micro-batches: the monitor's state must accumulate
+        spark.createDataFrame(new_rows[:20], ["g", "v"]).coalesce(1).write.mode(
+            "append").parquet(str(src))
+        spark.createDataFrame(new_rows[20:], ["g", "v"]).coalesce(1).write.mode(
+            "append").parquet(str(src))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src), "g string, v long", max_files_per_trigger=1
+        )
+        live = ev.run_to_memory(
+            ev.streaming_value_histogram(stream, "g", "v"),
+            "psi_live_hist",
+            output_mode="complete",
+        )
+        got = SK.psi_from_histograms(
+            baseline, live.withColumnRenamed("c", "c_new"), "g"
+        ).first()
+        want = SK.psi_drift(old, new, "g", "v").first()
+        assert got.asDict() == want.asDict()
+        assert got["mass_new_only"] > 0.2  # the planted 200+ outliers
