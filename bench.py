@@ -174,6 +174,7 @@ HEADLINE = [
     "quantile_histogram_merge",
     "classifier_auc",
     "snapshot_psi_drift",
+    "bpe_fertility_by_lang",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

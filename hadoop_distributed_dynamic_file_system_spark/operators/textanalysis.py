@@ -1070,16 +1070,7 @@ def bpe_encode_joined(
     occ = bound.select(
         F.col(id_col), F.posexplode("_words").alias("_pos", "_w")
     )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("_w")),
-        lambda i: F.col("_w").substr(i, F.lit(1)),
-    )
-    enc = occ.select("_w").distinct().select("_w", chars.alias("_toks"))
-    for i, (a, b) in enumerate(merges):
-        enc = enc.select("_w", _merge_fold(F.col("_toks"), a, b).alias("_toks"))
-        if (i + 1) % checkpoint_every == 0:
-            enc = enc.localCheckpoint()
-    enc = tracked_persist(enc)
+    enc = bpe_encoded_vocab(occ, merges, checkpoint_every)
     return (
         occ.join(F.broadcast(enc), "_w")
         .groupBy(id_col)
@@ -1439,4 +1430,67 @@ def merge_moments(shards: DataFrame, group_col: str) -> DataFrame:
         F.round(mean, 6).alias("mean"),
         F.round(var, 6).alias("variance"),
         F.round(F.sqrt(var), 6).alias("stddev"),
+    )
+
+
+def bpe_encoded_vocab(
+    occ: DataFrame, merges: list[tuple[str, str]], checkpoint_every: int = 8
+) -> DataFrame:
+    """Encode the DISTINCT words of `occ` (any frame with a `_w`
+    column) through the merge chain — the vocabulary-sized relation
+    both the relational encode and the fertility report broadcast.
+    Factored out of bpe_encode_joined so every consumer applies the
+    identical fold (same left-to-right non-overlapping rule, same
+    localCheckpoint cadence). tracked_persist'ed: callers broadcast it
+    into one or more joins; release via cache.release_all()."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("_w")),
+        lambda i: F.col("_w").substr(i, F.lit(1)),
+    )
+    enc = occ.select("_w").distinct().select("_w", chars.alias("_toks"))
+    for i, (a, b) in enumerate(merges):
+        enc = enc.select("_w", _merge_fold(F.col("_toks"), a, b).alias("_toks"))
+        if (i + 1) % checkpoint_every == 0:
+            enc = enc.localCheckpoint()
+    return tracked_persist(enc)
+
+
+def bpe_fertility(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Tokenizer fertility report per group (typically language):
+    tokens-per-word and chars-per-token under a learned merge table —
+    the number a multilingual data plan needs before token budgets
+    mean anything (a language at 3x fertility burns 3x budget per
+    word; cf. the mixing_plan token-budget contract). Same cost shape
+    as the relational encode: the fold runs once per DISTINCT word,
+    the corpus pass is explode + broadcast join + one groupBy.
+
+    Output: (group, n_words, n_tokens, n_chars, tokens_per_word,
+    chars_per_token) — ratios rounded 6dp."""
+    bound = _with_words(df, text_col)
+    occ = bound.select(F.col(group_col), F.explode("_words").alias("_w"))
+    enc = bpe_encoded_vocab(occ, merges, checkpoint_every)
+    agg = (
+        occ.join(F.broadcast(enc), "_w")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.size("_toks")).cast("long").alias("n_tokens"),
+            F.sum(F.length("_w")).cast("long").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 6)
+        .alias("tokens_per_word"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6)
+        .alias("chars_per_token"),
     )

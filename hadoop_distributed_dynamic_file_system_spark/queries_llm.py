@@ -3962,11 +3962,12 @@ _BPE_FIXED_MERGES = [
 ]
 
 
-def _bpe_join_oracle(merges: list[tuple[str, str]]) -> str:
-    """Generate the relational-encode oracle: chars, then one
-    list_reduce fold per merge (DuckDB's reduce collapses a list of
-    single-token lists through the same left-to-right non-overlapping
-    merge rule as the Spark fold), then occurrence-join + top-30."""
+def _bpe_encode_layers(merges: list[tuple[str, str]]) -> tuple[str, str]:
+    """Shared CTE chain for every relational-BPE oracle: chars, then
+    one list_reduce fold per merge (DuckDB's reduce collapses a list
+    of single-token lists through the same left-to-right
+    non-overlapping merge rule as the Spark fold). Returns
+    (joined CTE sql, last layer name); expects a `vocab(w)` CTE."""
     layers = [
         "e0 AS (SELECT w, list_transform(range(1, len(w)+1),"
         " i -> substr(w, i, 1)) AS toks FROM vocab)"
@@ -3981,13 +3982,19 @@ def _bpe_join_oracle(merges: list[tuple[str, str]]) -> str:
           ELSE array_concat(acc, x) END) AS toks
       FROM e{n - 1})"""
         )
-    last = f"e{len(merges)}"
+    return ",".join(layers), f"e{len(merges)}"
+
+
+def _bpe_join_oracle(merges: list[tuple[str, str]]) -> str:
+    """Relational-encode oracle: shared fold layers, then
+    occurrence-join + top-30."""
+    layer_sql, last = _bpe_encode_layers(merges)
     return f"""
     WITH occ AS (
       SELECT doc_id, unnest({_SQL_GOPHER_WORDS}) AS w FROM documents
     ),
     vocab AS (SELECT DISTINCT w FROM occ),
-    {','.join(layers)},
+    {layer_sql},
     tokens AS (
       SELECT occ.doc_id, unnest(e.toks) AS token
       FROM occ JOIN {last} e USING (w)
@@ -6821,3 +6828,41 @@ def snapshot_psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     return _sk.psi_drift(old, new, "source", "v")
+
+
+def _bpe_fertility_oracle(merges: list[tuple[str, str]]) -> str:
+    layer_sql, last = _bpe_encode_layers(merges)
+    return f"""
+    WITH occ AS (
+      SELECT lang, unnest({_SQL_GOPHER_WORDS}) AS w FROM documents
+    ),
+    vocab AS (SELECT DISTINCT w FROM occ),
+    {layer_sql},
+    a AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(e.toks)) AS BIGINT) AS n_tokens,
+             CAST(sum(length(occ.w)) AS BIGINT) AS n_chars
+      FROM occ JOIN {last} e USING (w)
+      GROUP BY lang
+    )
+    SELECT lang, n_words, n_tokens, n_chars,
+           round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS tokens_per_word,
+           round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+    FROM a
+    """
+
+
+@query("bpe_fertility_by_lang", _bpe_fertility_oracle(_BPE_FIXED_MERGES))
+def bpe_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language
+    (textanalysis.bpe_fertility): tokens-per-word and chars-per-token
+    under the fixed merge table — the correction factor that converts
+    a token budget into per-language document counts (mixing_token_plan's
+    budget arithmetic assumes it; a 3x-fertility language burns its
+    budget 3x faster per word). Same plan shape as the relational
+    encode: the fold runs once per DISTINCT word, the encoded vocab
+    broadcasts, the corpus pass is one explode + join + groupBy. The
+    DuckDB oracle replays the fold with the shared list_reduce layers."""
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+    return textanalysis.bpe_fertility(d, "lang", "text", _BPE_FIXED_MERGES)

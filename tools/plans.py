@@ -87,6 +87,8 @@ SHOWCASE = [
      "relation; no per-row rank, exact integer tie handling"),
     ("snapshot_psi_drift", "two histogram groupBys; PSI on the bounded "
      "(group, bucket) relation, one-sided mass reported not smoothed"),
+    ("bpe_fertility_by_lang", "fold once per DISTINCT word; encoded "
+     "vocab broadcasts; corpus pass = explode + join + one groupBy"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the

@@ -102,6 +102,7 @@ QUERIES = [
     "quantile_histogram_merge",
     "classifier_auc",
     "snapshot_psi_drift",
+    "bpe_fertility_by_lang",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
