@@ -175,6 +175,7 @@ HEADLINE = [
     "classifier_auc",
     "snapshot_psi_drift",
     "bpe_fertility_by_lang",
+    "snapshot_mean_drift",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

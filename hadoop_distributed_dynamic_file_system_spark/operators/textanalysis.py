@@ -1494,3 +1494,51 @@ def bpe_fertility(
         F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6)
         .alias("chars_per_token"),
     )
+
+
+def welch_t_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mean-shift drift test between two snapshots, per group: Welch's
+    t statistic from the exact integer sufficient stats (n, Σx, Σx²)
+    each side's moment shards already maintain — the parametric
+    companion to the distributional PSI gate (sketches.psi_drift):
+    PSI sees shape changes at fixed mean, the t statistic sees small
+    mean shifts PSI's bucketing absorbs. Sample variance (n-1); both
+    divisions/sqrt are single IEEE ops on exact integer sums, so the
+    statistic is partitioning- and merge-order-independent.
+
+    Output: (group, n_old, n_new, mean_old, mean_new, t_stat) —
+    floats rounded 6dp; groups need n >= 2 on both sides (NULL t
+    otherwise)."""
+    def stats(df, suffix):
+        x = F.col(value_col).cast("long")
+        return df.groupBy(group_col).agg(
+            F.count("*").cast("long").alias(f"n{suffix}"),
+            F.sum(x).cast("long").alias(f"s1{suffix}"),
+            F.sum(x * x).cast("long").alias(f"s2{suffix}"),
+        )
+
+    j = stats(old_df, "_o").join(stats(new_df, "_n"), group_col)
+
+    def mean_var(n, s1, s2):
+        nn = F.col(n).cast("double")
+        m = F.col(s1) / nn
+        # sample variance: (Σx² - n·mean²) / (n-1)
+        v = (F.col(s2) - nn * m * m) / (nn - 1)
+        return m, v
+
+    mo, vo = mean_var("n_o", "s1_o", "s2_o")
+    mn, vn = mean_var("n_n", "s1_n", "s2_n")
+    se = F.sqrt(vo / F.col("n_o") + vn / F.col("n_n"))
+    return j.select(
+        group_col,
+        F.col("n_o").alias("n_old"),
+        F.col("n_n").alias("n_new"),
+        F.round(mo, 6).alias("mean_old"),
+        F.round(mn, 6).alias("mean_new"),
+        F.round((mn - mo) / se, 6).alias("t_stat"),
+    )

@@ -6866,3 +6866,65 @@ def bpe_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays the fold with the shared list_reduce layers."""
     d = _t(spark, sf_dir, "documents").select("lang", "text")
     return textanalysis.bpe_fertility(d, "lang", "text", _BPE_FIXED_MERGES)
+
+
+@query(
+    "snapshot_mean_drift",
+    """
+    WITH old AS (SELECT source, length(text) AS v FROM documents),
+    new AS (
+      SELECT source,
+             length(CASE WHEN doc_id % 3 = 0 THEN text || repeat('x', 80)
+                         ELSE text END) AS v
+      FROM documents WHERE doc_id % 17 <> 0
+    ),
+    so AS (SELECT source, CAST(count(*) AS BIGINT) AS n_o,
+                  CAST(sum(v) AS BIGINT) AS s1_o,
+                  CAST(sum(v * v) AS BIGINT) AS s2_o
+           FROM old GROUP BY source),
+    sn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_n,
+                  CAST(sum(v) AS BIGINT) AS s1_n,
+                  CAST(sum(v * v) AS BIGINT) AS s2_n
+           FROM new GROUP BY source),
+    j AS (SELECT * FROM so JOIN sn USING (source)),
+    m AS (
+      SELECT source, n_o, n_n,
+             CAST(s1_o AS DOUBLE) / n_o AS mo,
+             CAST(s1_n AS DOUBLE) / n_n AS mn,
+             (s2_o - n_o * (CAST(s1_o AS DOUBLE) / n_o)
+                         * (CAST(s1_o AS DOUBLE) / n_o)) / (n_o - 1) AS vo,
+             (s2_n - n_n * (CAST(s1_n AS DOUBLE) / n_n)
+                         * (CAST(s1_n AS DOUBLE) / n_n)) / (n_n - 1) AS vn
+      FROM j
+    )
+    SELECT source, n_o AS n_old, n_n AS n_new,
+           round(mo, 6) AS mean_old, round(mn, 6) AS mean_new,
+           round((mn - mo) / sqrt(vo / n_o + vn / n_n), 6) AS t_stat
+    FROM m
+    """,
+)
+def snapshot_mean_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift drift test (textanalysis.welch_t_drift): Welch's t
+    per source between the corpus and the same planted recrawl as
+    snapshot_psi_drift (every 3rd doc +80 chars — mean shift ≈ +27
+    chars, so |t| lands far in the reject region). Computed entirely
+    from the exact integer sufficient stats the moment shards already
+    keep — at 100 TB the drift test is a join of two tiny per-source
+    relations, zero additional corpus scans if the moments are
+    maintained incrementally (moment_stats_merge). Parametric
+    companion to the PSI gate: t sees small mean shifts PSI's
+    bucketing absorbs, PSI sees shape changes at constant mean."""
+    from .operators import textanalysis as _ta
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    old = d.select("source", F.length("text").alias("v"))
+    new = d.filter((F.col("doc_id") % 17) != 0).select(
+        "source",
+        F.length(
+            F.when(
+                (F.col("doc_id") % 3) == 0,
+                F.concat(F.col("text"), F.repeat(F.lit("x"), 80)),
+            ).otherwise(F.col("text"))
+        ).alias("v"),
+    )
+    return _ta.welch_t_drift(old, new, "source", "v")

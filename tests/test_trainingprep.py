@@ -339,3 +339,34 @@ class TestPsiDrift:
         # a 200-char shift moves most mass to disjoint buckets: the
         # one-sided masses carry the signal the PSI sum excludes
         assert r["mass_old_only"] + r["mass_new_only"] > 1.0 or r["psi"] > 0.25
+
+
+class TestWelchTDrift:
+    def test_matches_scipy_free_reference(self, spark):
+        import math
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            textanalysis as TA,
+        )
+
+        a = [10, 12, 14, 16, 18, 20]
+        b = [13, 15, 17, 19, 21, 23, 25]
+        old = spark.createDataFrame([("g", v) for v in a], ["g", "v"])
+        new = spark.createDataFrame([("g", v) for v in b], ["g", "v"])
+        got = TA.welch_t_drift(old, new, "g", "v").first()
+
+        def mv(xs):
+            n = len(xs); m = sum(xs) / n
+            return n, m, sum((x - m) ** 2 for x in xs) / (n - 1)
+
+        na, ma, va = mv(a); nb, mb, vb = mv(b)
+        want = (mb - ma) / math.sqrt(va / na + vb / nb)
+        assert got["n_old"] == na and got["n_new"] == nb
+        assert abs(got["t_stat"] - want) < 1e-6
+
+    def test_no_shift_is_zero(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            textanalysis as TA,
+        )
+
+        d = spark.createDataFrame([("g", v) for v in (5, 7, 9, 11)], ["g", "v"])
+        assert TA.welch_t_drift(d, d, "g", "v").first()["t_stat"] == 0.0

@@ -103,6 +103,7 @@ QUERIES = [
     "classifier_auc",
     "snapshot_psi_drift",
     "bpe_fertility_by_lang",
+    "snapshot_mean_drift",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
