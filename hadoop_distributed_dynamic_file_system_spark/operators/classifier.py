@@ -189,7 +189,8 @@ def grouped_auc(
     products stay exact up to ~3e9 positives x negatives per group
     (bigint bound); beyond that pre-scale to double.
 
-    Output: (group, n_pos, n_neg, auc) — auc rounded 6dp."""
+    Output: (group, n_pos, n_neg, auc) — auc rounded 6dp; NULL auc
+    for one-class groups (no pairs to rank)."""
     from pyspark.sql import Window
 
     lbl = F.col(label_col).cast("int")
@@ -215,8 +216,14 @@ def grouped_auc(
         "n_pos",
         "n_neg",
         F.round(
-            F.col("num").cast("double")
-            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            # try_divide: a one-class group (zero positives or zero
+            # negatives) has no defined AUC — emit NULL instead of an
+            # ANSI DIVIDE_BY_ZERO that would abort the whole
+            # evaluation job (review-r6 finding, reproduced live)
+            F.try_divide(
+                F.col("num").cast("double"),
+                F.lit(2.0) * F.col("n_pos") * F.col("n_neg"),
+            ),
             6,
         ).alias("auc"),
     )

@@ -753,11 +753,17 @@ def snapshot_diff(
     O(ids + hashes), not O(text).
 
     Output: (id, status)."""
+    # coalesce before hashing: md5(NULL) is NULL, which would
+    # misclassify a both-sides row as ADDED/REMOVED and make
+    # incremental_recompute silently drop it (review-r6 finding).
+    # NULL and '' content therefore compare equal — documented.
     o = old_df.select(
-        F.col(id_col), F.md5(F.col(content_col)).alias("_oh")
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("_oh"),
     )
     n = new_df.select(
-        F.col(id_col), F.md5(F.col(content_col)).alias("_nh")
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("_nh"),
     )
     j = o.join(n, id_col, "full_outer")
     return j.select(
@@ -793,7 +799,16 @@ def incremental_recompute(
     Output: old_derived's columns + `recomputed` (int 1 where derive
     actually ran). The diff itself moves only 16-byte content hashes
     (see snapshot_diff)."""
-    diff = snapshot_diff(old_df, new_df, id_col, content_col)
+    from ..cache import tracked_persist
+
+    # persist the (id, status) diff: it feeds BOTH branches below, and
+    # without the persist each branch re-executes the full-outer md5
+    # join — two extra full scans of both corpora, the exact cost this
+    # function exists to avoid (review-r6 finding). Released by the
+    # caller via cache.release_all().
+    diff = tracked_persist(
+        snapshot_diff(old_df, new_df, id_col, content_col)
+    )
     changed_ids = diff.filter(F.col("status").isin("ADDED", "CHANGED"))
     same_ids = diff.filter(F.col("status") == "SAME")
     fresh = derive(

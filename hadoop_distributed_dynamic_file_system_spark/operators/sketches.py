@@ -335,12 +335,28 @@ def histogram_shards(
     histogram of the union, and the only approximation is the fixed
     bucketing itself (error <= one bucket width, stated up front).
 
-    Output: (group, shard, bucket, c)."""
-    b = F.floor(F.col(value_col).cast("double") / F.lit(bucket_width)).cast(
-        "long"
+    The width TRAVELS WITH the shards as a column (review-r6 finding:
+    a reader re-supplying a different width would silently rescale
+    every quantile estimate 4x with no error); histogram_quantiles
+    reads it from the data instead of trusting a second parameter.
+    The bucketing expression is the shared _bucket_expr.
+
+    Output: (group, shard, bucket, c, bucket_width)."""
+    return df.groupBy(
+        group_col, shard_col, _bucket_expr(value_col, bucket_width)
+    ).agg(F.count("*").cast("long").alias("c")).withColumn(
+        "bucket_width", F.lit(bucket_width).cast("long")
     )
-    return df.groupBy(group_col, shard_col, b.alias("bucket")).agg(
-        F.count("*").cast("long").alias("c")
+
+
+def _bucket_expr(value_col: str, bucket_width: int):
+    """THE equi-width bucket expression every histogram producer
+    shares (histogram_shards, value_histogram) — same
+    shared-expression rule as classifier.word_bucket."""
+    return (
+        F.floor(F.col(value_col).cast("double") / F.lit(bucket_width))
+        .cast("long")
+        .alias("bucket")
     )
 
 
@@ -348,14 +364,14 @@ def histogram_quantiles(
     shards: DataFrame,
     group_col: str,
     quantiles: tuple[int, ...] = (50, 90, 99),
-    bucket_width: int = 16,
 ) -> DataFrame:
     """Merge histogram shards (summation on (group, bucket)) and read
     off upper-bound quantile estimates: q-th percentile = the upper
     edge of the first bucket whose cumulative count reaches q% of n
     (integer cross-multiplication — no float rank arithmetic to
-    disagree across engines). Estimate error is bounded by one
-    bucket_width, deterministically.
+    disagree across engines). Estimate error is bounded by one bucket
+    width, deterministically — the width is read from the shards' own
+    bucket_width column, never re-supplied.
 
     The post-merge relation is model-sized (groups x occupied
     buckets), so the cumulative window scans a bounded relation — the
@@ -365,7 +381,8 @@ def histogram_quantiles(
     from pyspark.sql import Window
 
     merged = shards.groupBy(group_col, "bucket").agg(
-        F.sum("c").cast("long").alias("c")
+        F.sum("c").cast("long").alias("c"),
+        F.max("bucket_width").alias("_bw"),
     )
     w = (
         Window.partitionBy(group_col)
@@ -388,7 +405,7 @@ def histogram_quantiles(
                     )
                     + 1
                 )
-                * bucket_width
+                * F.max("_bw")
             )
             .cast("long")
             .alias(f"p{q}_est")
@@ -434,12 +451,9 @@ def value_histogram(
     live histogram against a baseline built with a different width
     silently measures the wrong thing — same shared-expression rule
     as classifier.word_bucket."""
-    b = F.floor(F.col(value_col).cast("double") / F.lit(bucket_width)).cast(
-        "long"
-    )
-    return df.groupBy(group_col, b.alias("bucket")).agg(
-        F.count("*").cast("long").alias("c")
-    )
+    return df.groupBy(
+        group_col, _bucket_expr(value_col, bucket_width)
+    ).agg(F.count("*").cast("long").alias("c"))
 
 
 def psi_from_histograms(
@@ -458,8 +472,14 @@ def psi_from_histograms(
         F.sum("c_new").cast("long").alias("n_new"),
     )
     j = j.join(w, group_col)
-    po = F.col("c_old").cast("double") / F.col("n_old")
-    pn = F.col("c_new").cast("double") / F.col("n_new")
+    # try_divide: a group present in only one histogram has n=0 on the
+    # other side; its share must read NULL->excluded, not raise an
+    # ANSI DIVIDE_BY_ZERO that kills the drift gate exactly when the
+    # change is largest (review-r6 finding). The 0-count rows of such
+    # a group only feed the one-sided-mass branches, and codegen CSE
+    # may evaluate a shared division eagerly outside its CaseWhen.
+    po = F.try_divide(F.col("c_old").cast("double"), F.col("n_old"))
+    pn = F.try_divide(F.col("c_new").cast("double"), F.col("n_new"))
     both = (F.col("c_old") > 0) & (F.col("c_new") > 0)
     term = F.when(both, (pn - po) * F.log(pn / po)).otherwise(F.lit(0.0))
     return j.groupBy(group_col).agg(

@@ -1394,12 +1394,16 @@ def moment_shards(
     and variance — the mergeable-accumulator form every distributed
     ingestion keeps per shard so corpus-wide stats never re-scan data
     (the same summation-merge contract as merge_bm25_stats). Integer
-    inputs keep the sums exact; the merge is pure addition."""
+    inputs keep the sums exact; the merge is pure addition. The sums
+    accumulate in DECIMAL(38,0) (exact to 1e38): Σx² in bigint
+    overflows at ~1e9 rows per group for x~1e5 — inside the 100 TB
+    design point — and ANSI mode turns that into a job-killing
+    ARITHMETIC_OVERFLOW (review-r6 finding)."""
     x = F.col(value_col).cast("long")
     return df.groupBy(group_col, shard_col).agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(x).cast("long").alias("s1"),
-        F.sum(x * x).cast("long").alias("s2"),
+        F.sum(x.cast("decimal(38,0)")).alias("s1"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("s2"),
     )
 
 
@@ -1414,16 +1418,18 @@ def merge_moments(shards: DataFrame, group_col: str) -> DataFrame:
     rounded 6dp."""
     merged = shards.groupBy(group_col).agg(
         F.sum("n").cast("long").alias("n"),
-        F.sum("s1").cast("long").alias("s1"),
-        F.sum("s2").cast("long").alias("s2"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
     )
-    # var = s2/n - mean^2, all DOUBLE ops: s1*s1 in bigint would
-    # overflow once sum(x) passes ~3e9 (ANSI mode turns that into a
-    # job-killing error at corpus scale); each division/multiply here
-    # is a single deterministic IEEE op on exact integer inputs.
+    # var = s2/n - mean^2, all DOUBLE ops on the exact decimal sums:
+    # s1*s1 in integer space would overflow (ANSI: job-killing error
+    # at corpus scale); each division/multiply here is a single
+    # deterministic IEEE op on exact inputs. try_divide: an empty
+    # group cannot arise from groupBy, but shard relations built
+    # elsewhere may carry n=0 rows — degrade to NULL, never raise.
     nn = F.col("n").cast("double")
-    mean = F.col("s1") / nn
-    var = F.col("s2") / nn - mean * mean
+    mean = F.try_divide(F.col("s1").cast("double"), nn)
+    var = F.try_divide(F.col("s2").cast("double"), nn) - mean * mean
     return merged.select(
         group_col,
         "n",
@@ -1512,33 +1518,48 @@ def welch_t_drift(
     statistic is partitioning- and merge-order-independent.
 
     Output: (group, n_old, n_new, mean_old, mean_new, t_stat) —
-    floats rounded 6dp; groups need n >= 2 on both sides (NULL t
-    otherwise)."""
+    floats rounded 6dp. Degenerate groups degrade to NULL instead of
+    raising under ANSI mode (review-r6 finding): n < 2 on either side
+    (the n-1 division), zero variance on both sides (se = 0), and
+    groups present in only one snapshot (full-outer join; n = 0 on
+    the missing side, means NULL) all yield t_stat NULL — a drift
+    REPORT must degrade per group, never abort the job."""
     def stats(df, suffix):
         x = F.col(value_col).cast("long")
+        # s2 in DECIMAL(38,0): Σx² in bigint overflows at ~1e9 docs
+        # per group for x~1e5 — inside the design point — and ANSI
+        # turns that into a job-killing ARITHMETIC_OVERFLOW
         return df.groupBy(group_col).agg(
             F.count("*").cast("long").alias(f"n{suffix}"),
-            F.sum(x).cast("long").alias(f"s1{suffix}"),
-            F.sum(x * x).cast("long").alias(f"s2{suffix}"),
+            F.sum(x.cast("decimal(38,0)")).alias(f"s1{suffix}"),
+            F.sum((x * x).cast("decimal(38,0)")).alias(f"s2{suffix}"),
         )
 
-    j = stats(old_df, "_o").join(stats(new_df, "_n"), group_col)
+    j = stats(old_df, "_o").join(
+        stats(new_df, "_n"), group_col, "full_outer"
+    ).fillna(0, subset=["n_o", "n_n"])
 
     def mean_var(n, s1, s2):
         nn = F.col(n).cast("double")
-        m = F.col(s1) / nn
+        m = F.try_divide(F.col(s1).cast("double"), nn)
         # sample variance: (Σx² - n·mean²) / (n-1)
-        v = (F.col(s2) - nn * m * m) / (nn - 1)
+        v = F.try_divide(
+            F.col(s2).cast("double") - nn * m * m, nn - 1
+        )
         return m, v
 
     mo, vo = mean_var("n_o", "s1_o", "s2_o")
     mn, vn = mean_var("n_n", "s1_n", "s2_n")
-    se = F.sqrt(vo / F.col("n_o") + vn / F.col("n_n"))
+    se = F.sqrt(
+        F.try_divide(vo, F.col("n_o")) + F.try_divide(vn, F.col("n_n"))
+    )
     return j.select(
         group_col,
         F.col("n_o").alias("n_old"),
         F.col("n_n").alias("n_new"),
         F.round(mo, 6).alias("mean_old"),
         F.round(mn, 6).alias("mean_new"),
-        F.round((mn - mo) / se, 6).alias("t_stat"),
+        F.round(
+            F.when(se > 0, F.try_divide(mn - mo, se)), 6
+        ).alias("t_stat"),
     )

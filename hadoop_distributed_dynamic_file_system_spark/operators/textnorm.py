@@ -142,15 +142,38 @@ def repair_mojibake(col: Column) -> Column:
 def mojibake_repaired(
     df: DataFrame, id_col: str, text_col: str, min_hits: int = 1
 ) -> DataFrame:
-    """Per-row gated repair: rows whose mojibake_count >= min_hits are
-    transcoded, the rest pass through. Output: id, n_mojibake,
-    repaired (int flag), text."""
+    """Per-row gated repair: rows whose mojibake_count >= min_hits AND
+    whose transcode is provably safe are repaired; everything else
+    passes through unchanged (repaired = 0). Two crash modes the
+    detector alone would admit are excluded per row (review-r6
+    finding — one bad document must never kill a corpus-wide hygiene
+    pass):
+
+    - text containing codepoints above U+00FF ('â€¦'-family CP1252
+      damage, or genuine non-Latin text): ISO-8859-1 ENCODE raises
+      MALFORMED_CHARACTER_CODING under ANSI mode — gated by a
+      Latin-1-range rlike, and the encode itself only evaluates
+      inside that CaseWhen branch (branch evaluation is lazy;
+      a bare AND could be CSE'd eagerly);
+    - Latin-1 text that merely LOOKS damaged ('NÃO'): its re-encoded
+      bytes are not valid UTF-8, so DECODE would raise — gated by
+      is_valid_utf8 on the branch-guarded bytes (NULL bytes → NULL
+      condition → fall through to the unrepaired branch).
+
+    Output: id, n_mojibake, repaired (int flag — 1 only when the
+    transcode actually ran), text."""
     n = mojibake_count(F.col(text_col))
+    latin1_only = F.col(text_col).rlike(r"^[\x00-\xff]*$")
+    safe_bytes = F.when(
+        (n >= F.lit(min_hits)) & latin1_only,
+        F.encode(F.col(text_col), "ISO-8859-1"),
+    )
+    can_repair = F.coalesce(F.is_valid_utf8(safe_bytes), F.lit(False))
     return df.select(
         F.col(id_col),
         n.alias("n_mojibake"),
-        (n >= F.lit(min_hits)).cast("int").alias("repaired"),
-        F.when(n >= F.lit(min_hits), repair_mojibake(F.col(text_col)))
+        can_repair.cast("int").alias("repaired"),
+        F.when(can_repair, F.decode(safe_bytes, "UTF-8"))
         .otherwise(F.col(text_col))
         .alias("text"),
     )

@@ -6240,8 +6240,11 @@ def orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+    # pid-scoped path: two concurrent runs at the same SF would
+    # otherwise race one another's overwrite/read cycle (review-r6
+    # finding — flaky FileNotFound / doubled rows)
     path = _os.path.join(
-        "/tmp/spark_graft_orc",
+        f"/tmp/spark_graft_orc_{_os.getpid()}",
         _os.path.basename(sf_dir.rstrip("/")),
         "orders",
     )
@@ -6425,8 +6428,11 @@ def schema_evolution_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # pid-scoped path: two concurrent runs at the same SF would
+    # otherwise race one another's overwrite/read cycle (review-r6
+    # finding — flaky FileNotFound / doubled rows)
     path = _os.path.join(
-        "/tmp/spark_graft_evolve",
+        f"/tmp/spark_graft_evolve_{_os.getpid()}",
         _os.path.basename(sf_dir.rstrip("/")),
         "docs",
     )
@@ -6480,8 +6486,11 @@ def csv_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    # pid-scoped path: two concurrent runs at the same SF would
+    # otherwise race one another's overwrite/read cycle (review-r6
+    # finding — flaky FileNotFound / doubled rows)
     path = _os.path.join(
-        "/tmp/spark_graft_csv",
+        f"/tmp/spark_graft_csv_{_os.getpid()}",
         _os.path.basename(sf_dir.rstrip("/")),
         "docs",
     )

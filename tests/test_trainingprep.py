@@ -370,3 +370,69 @@ class TestWelchTDrift:
 
         d = spark.createDataFrame([("g", v) for v in (5, 7, 9, 11)], ["g", "v"])
         assert TA.welch_t_drift(d, d, "g", "v").first()["t_stat"] == 0.0
+
+
+class TestReviewR6Hardening:
+    """Edge cases the r6 review found latent-crashing under ANSI mode:
+    every one must degrade per row/group, never abort the job."""
+
+    def test_auc_one_class_group_is_null(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import classifier as CL
+
+        d = spark.createDataFrame([("g", 1, 5), ("g", 1, 7)], ["g", "y", "s"])
+        assert CL.grouped_auc(d, "g", "y", "s").first()["auc"] is None
+
+    def test_psi_one_sided_group_does_not_crash(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import sketches as SK
+
+        old = spark.createDataFrame([("a", 10)], ["g", "v"])
+        new = spark.createDataFrame([("a", 10), ("b", 99)], ["g", "v"])
+        rows = {r["g"]: r for r in SK.psi_drift(old, new, "g", "v").collect()}
+        assert rows["b"]["n_old"] == 0 and rows["b"]["mass_new_only"] == 1.0
+
+    def test_welch_degenerate_groups_are_null(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as TA
+
+        o = spark.createDataFrame(
+            [("n1", 5), ("const", 5), ("const", 5), ("oldonly", 1),
+             ("oldonly", 3)], ["g", "v"])
+        n = spark.createDataFrame(
+            [("n1", 9), ("const", 5), ("const", 5), ("newonly", 7),
+             ("newonly", 8)], ["g", "v"])
+        out = {r["g"]: r for r in TA.welch_t_drift(o, n, "g", "v").collect()}
+        # n=1, zero-variance, and one-sided groups all present, all NULL t
+        assert set(out) == {"n1", "const", "oldonly", "newonly"}
+        assert all(out[g]["t_stat"] is None for g in out)
+        assert out["newonly"]["n_old"] == 0
+
+    def test_snapshot_diff_null_content(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import curation as C
+
+        o = spark.createDataFrame([(1, "x"), (2, None)], "id INT, t STRING")
+        n = spark.createDataFrame([(1, None), (2, None)], "id INT, t STRING")
+        got = {r["id"]: r["status"]
+               for r in C.snapshot_diff(o, n, "id", "t").collect()}
+        assert got == {1: "CHANGED", 2: "SAME"}  # never ADDED/REMOVED
+
+    def test_histogram_width_travels_with_shards(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import sketches as SK
+
+        base = spark.createDataFrame(
+            [("g", i) for i in range(200)], ["g", "v"]
+        ).withColumn("sh", F.col("v") % 3)
+        sh = SK.histogram_shards(base, "g", "sh", "v", bucket_width=64)
+        # no width re-supplied: read from the shards themselves
+        assert SK.histogram_quantiles(sh, "g").first()["p50_est"] == 128
+
+    def test_mojibake_cp1252_and_lookalikes_pass_through(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import textnorm as TN
+
+        df = spark.createDataFrame(
+            [(1, "broken â€¦ ellipsis"), (2, "NÃO genuine portuguese"),
+             (3, "euro € text"), (4, "cafÃ© touchÃ©")],
+            "id INT, text STRING")
+        out = {r["id"]: r for r in TN.mojibake_repaired(df, "id", "text").collect()}
+        assert out[1]["repaired"] == 0 and "â€¦" in out[1]["text"]  # no crash
+        assert out[2]["repaired"] == 0 and out[2]["text"].startswith("NÃO")
+        assert out[3]["repaired"] == 0
+        assert out[4]["repaired"] == 1 and out[4]["text"] == "café touché"
