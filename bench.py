@@ -414,13 +414,67 @@ def main() -> None:
     io_stats["mrbench_avg_ms"] = round(1000 * sum(mr_times) / n_runs, 1)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    record = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "io": io_stats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # The driver captures only a ~2.2 KB tail of stdout, so a full
+    # 135-entry line overflows it and BENCH_r{N}.json records
+    # "parsed": null (VERDICT r5/r6 "what's wrong #1"). Contract kept
+    # two ways: the FULL per-query record is written to
+    # BENCH_LOCAL_r{N}.json in-repo (N = current round, inferred from
+    # the latest driver CORRECTNESS_r*.json + 1) and appended to
+    # tools/bench_history.csv for round-over-round diffs; stdout gets a
+    # compact (<1.5 KB) summary line — total, io block, 12 slowest — as
+    # the LAST line so the driver's tail-capture parses.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"r(\d+)\.json$", p))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 0
+    full_path = os.path.join(repo, f"BENCH_LOCAL_r{rnd:02d}.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(record, f, indent=1)
+        hist = os.path.join(repo, "tools", "bench_history.csv")
+        lines = ["round,query,seconds\n"]
+        if os.path.exists(hist):
+            with open(hist) as f:
+                # re-runs within a round replace that round's rows
+                lines = [
+                    ln for ln in f
+                    if not ln.startswith(f"{rnd},")
+                ]
+        lines += [
+            f"{rnd},{name},{sec}\n" for name, sec in sorted(timings.items())
+        ]
+        with open(hist, "w") as f:
+            f.writelines(lines)
+    except OSError:
+        pass  # bench numbers still printed below
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:12]
+    )
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "io": io_stats,
+        "sf": record["sf"],
+        "full_record": os.path.basename(full_path),
     }))
     spark.stop()
 

@@ -225,7 +225,12 @@ def kmv_sketch(
         "long"
     )
     hashed = (
-        df.select(F.col(group_col).alias("g"), F.col(key_col))
+        # NULL keys are not set members: md5(NULL) is NULL, and NULLs
+        # sort first under the ascending rank — an unfiltered NULL
+        # would burn sketch slot 1 on a NULL hash that max(h) ignores
+        # but n_sketch counts, skewing the estimate (ADVICE r6).
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("g"), F.col(key_col))
         .distinct()
         .select("g", h.alias("h"))
         .distinct()  # two keys may hash equal; KMV is over hash VALUES
@@ -377,12 +382,21 @@ def histogram_quantiles(
     buckets), so the cumulative window scans a bounded relation — the
     data-sized pass is only the additive groupBy.
 
+    Width consistency is ASSERTED, not assumed: shards accidentally
+    built with different bucket_widths describe incompatible grids,
+    and silently merging them under max(width) would rescale every
+    estimate (ADVICE r6 — the exact failure the width-travels-with-
+    shards design exists to prevent). A group whose shards disagree
+    on width gets NULL quantile columns (n stays real — the counts
+    merge fine; only the value axis is meaningless).
+
     Output: (group, n, p<q>_est ...)."""
     from pyspark.sql import Window
 
     merged = shards.groupBy(group_col, "bucket").agg(
         F.sum("c").cast("long").alias("c"),
         F.max("bucket_width").alias("_bw"),
+        F.countDistinct("bucket_width").alias("_nbw"),
     )
     w = (
         Window.partitionBy(group_col)
@@ -392,22 +406,26 @@ def histogram_quantiles(
     cum = merged.withColumn("cum", F.sum("c").over(w)).withColumn(
         "n", F.sum("c").over(Window.partitionBy(group_col))
     )
+    # width disagreement within a bucket (_nbw > 1) or across buckets
+    # (distinct _bw values > 1) → the group's grid is inconsistent
+    bad_width = (F.max("_nbw") > 1) | (F.countDistinct("_bw") > 1)
     aggs = [F.max("n").cast("long").alias("n")]
     for q in quantiles:
-        aggs.append(
+        est = (
             (
-                (
-                    F.min(
-                        F.when(
-                            F.col("cum") * 100 >= F.lit(q) * F.col("n"),
-                            F.col("bucket"),
-                        )
+                F.min(
+                    F.when(
+                        F.col("cum") * 100 >= F.lit(q) * F.col("n"),
+                        F.col("bucket"),
                     )
-                    + 1
                 )
-                * F.max("_bw")
+                + 1
             )
-            .cast("long")
+            * F.max("_bw")
+        ).cast("long")
+        aggs.append(
+            F.when(bad_width, F.lit(None).cast("long"))
+            .otherwise(est)
             .alias(f"p{q}_est")
         )
     return cum.groupBy(group_col).agg(*aggs)

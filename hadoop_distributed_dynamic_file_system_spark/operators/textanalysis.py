@@ -1398,12 +1398,16 @@ def moment_shards(
     accumulate in DECIMAL(38,0) (exact to 1e38): Σx² in bigint
     overflows at ~1e9 rows per group for x~1e5 — inside the 100 TB
     design point — and ANSI mode turns that into a job-killing
-    ARITHMETIC_OVERFLOW (review-r6 finding)."""
+    ARITHMETIC_OVERFLOW (review-r6 finding). The per-row square is
+    computed in decimal too (decimal(19,0) × decimal(19,0), max
+    ~8.5e37 < decimal(38,0)): a bigint x*x overflows at |x| > ~3.04e9
+    before the cast ever runs (ADVICE r6)."""
     x = F.col(value_col).cast("long")
+    xd = x.cast("decimal(19,0)")
     return df.groupBy(group_col, shard_col).agg(
         F.count("*").cast("long").alias("n"),
         F.sum(x.cast("decimal(38,0)")).alias("s1"),
-        F.sum((x * x).cast("decimal(38,0)")).alias("s2"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("s2"),
     )
 
 
@@ -1528,11 +1532,14 @@ def welch_t_drift(
         x = F.col(value_col).cast("long")
         # s2 in DECIMAL(38,0): Σx² in bigint overflows at ~1e9 docs
         # per group for x~1e5 — inside the design point — and ANSI
-        # turns that into a job-killing ARITHMETIC_OVERFLOW
+        # turns that into a job-killing ARITHMETIC_OVERFLOW. The
+        # per-row square is decimal(19,0)² so |x| > ~3.04e9 cannot
+        # overflow the multiply itself either (ADVICE r6).
+        xd = x.cast("decimal(19,0)")
         return df.groupBy(group_col).agg(
             F.count("*").cast("long").alias(f"n{suffix}"),
             F.sum(x.cast("decimal(38,0)")).alias(f"s1{suffix}"),
-            F.sum((x * x).cast("decimal(38,0)")).alias(f"s2{suffix}"),
+            F.sum((xd * xd).cast("decimal(38,0)")).alias(f"s2{suffix}"),
         )
 
     j = stats(old_df, "_o").join(

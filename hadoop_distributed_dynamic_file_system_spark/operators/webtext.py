@@ -327,8 +327,34 @@ def registrable_domain_psl(
 
 # --------------------------------------------------------------- robots.txt
 
-_ROBOTS_STAR_SECTION_RX = r"(?s)User-agent: \*\n(.*?)(\n\nUser-agent:|$)"
-_ROBOTS_DISALLOW_RX = r"Disallow: ([^\n]*)"
+# RFC 9309 §2.1-2.2: field names are case-insensitive and whitespace
+# around the ':' is insignificant; servers commonly emit CRLF line
+# endings. Blobs are normalized to LF first (_robots_normalized) and
+# the field-name matches use (?i) + optional [ \t] so a CRLF-served or
+# 'user-agent:*' robots.txt parses instead of failing OPEN with zero
+# rules (ADVICE r6). Inline (?i)/(?s) flags work identically in Java
+# regex (Spark) and RE2 (DuckDB), so the same constants feed both.
+# Rule fields are line-start-anchored via (?m)^ — without it the
+# case-insensitive 'Allow:' would also match the 'allow:' substring
+# of every 'Disallow:' line. The section regex stays non-(?m) so its
+# '$' alternative means end-of-blob, not end-of-line.
+_ROBOTS_STAR_SECTION_RX = (
+    r"(?si)(?:^|\n)User-agent[ \t]*:[ \t]*\*[ \t]*\n"
+    r"(.*?)(\n\nUser-agent[ \t]*:|$)"
+)
+_ROBOTS_DISALLOW_RX = r"(?im)^[ \t]*Disallow[ \t]*:[ \t]*([^\n]*)"
+
+
+def _robots_normalized(c: Column) -> Column:
+    """CRLF/CR -> LF, so the LF-anchored section grammar applies."""
+    return F.regexp_replace(c, r"\r\n?", "\n")
+
+
+def _robots_normalized_sql(expr: str) -> str:
+    # DuckDB plain string literals keep backslashes, so RE2 sees the
+    # \r / \n escapes; the replacement uses an E'' literal for a real
+    # LF byte.
+    return f"regexp_replace({expr}, '\\r\\n?', E'\\n', 'g')"
 
 
 def robots_disallow_prefixes(robots: Column | str) -> Column:
@@ -336,9 +362,12 @@ def robots_disallow_prefixes(robots: Column | str) -> Column:
     group of a robots.txt blob (the crawl-politeness subset every
     fetcher implements: group selection + prefix rules; wildcards,
     Allow-precedence, and crawl-delay are out of scope and documented
-    so). Empty Disallow lines (allow-all) are dropped."""
+    so). Empty Disallow lines (allow-all) are dropped. Line endings
+    and field-name case are normalized per RFC 9309."""
     c = F.col(robots) if isinstance(robots, str) else robots
-    section = F.regexp_extract(c, _ROBOTS_STAR_SECTION_RX, 1)
+    section = F.regexp_extract(
+        _robots_normalized(c), _ROBOTS_STAR_SECTION_RX, 1
+    )
     return F.filter(
         F.regexp_extract_all(section, F.lit(_ROBOTS_DISALLOW_RX), 1),
         lambda p: p != "",
@@ -346,7 +375,10 @@ def robots_disallow_prefixes(robots: Column | str) -> Column:
 
 
 def robots_disallow_prefixes_sql(expr: str) -> str:
-    sec = f"regexp_extract({expr}, '{_ROBOTS_STAR_SECTION_RX}', 1)"
+    sec = (
+        f"regexp_extract({_robots_normalized_sql(expr)}, "
+        f"'{_ROBOTS_STAR_SECTION_RX}', 1)"
+    )
     return (
         f"list_filter(regexp_extract_all({sec}, "
         f"'{_ROBOTS_DISALLOW_RX}', 1), p -> p <> '')"
@@ -370,15 +402,18 @@ def url_allowed_sql(path_expr: str, prefixes_expr: str) -> str:
 # '*' wildcards, '$' end anchor, longest-match-wins with Allow
 # breaking ties. The prefix tier above stays as the cheap scan-local
 # path; this tier is the standards-correct one.
-_ROBOTS_ALLOW_RX = r"Allow: ([^\n]*)"
+_ROBOTS_ALLOW_RX = r"(?im)^[ \t]*Allow[ \t]*:[ \t]*([^\n]*)"
 
 
 def robots_rep_rules(robots: Column | str) -> Column:
     """array<struct<allow int, pattern string>> — every Allow and
     Disallow rule of the `User-agent: *` group, empty patterns
-    dropped (an empty Disallow means allow-all, i.e. no rule)."""
+    dropped (an empty Disallow means allow-all, i.e. no rule). Line
+    endings and field-name case are normalized per RFC 9309."""
     c = F.col(robots) if isinstance(robots, str) else robots
-    section = F.regexp_extract(c, _ROBOTS_STAR_SECTION_RX, 1)
+    section = F.regexp_extract(
+        _robots_normalized(c), _ROBOTS_STAR_SECTION_RX, 1
+    )
     allows = F.filter(
         F.regexp_extract_all(section, F.lit(_ROBOTS_ALLOW_RX), 1),
         lambda p: p != "",
@@ -470,7 +505,10 @@ def robots_rep_allowed_sql(
     """DuckDB CTE block body replicating robots_rep_allowed for one
     relation `u` with columns (doc_id, path, robots); yields
     (doc_id, allowed). Compose as: WITH u AS (...), {this} SELECT ..."""
-    sec = f"regexp_extract({robots_expr}, '{_ROBOTS_STAR_SECTION_RX}', 1)"
+    sec = (
+        f"regexp_extract({_robots_normalized_sql(robots_expr)}, "
+        f"'{_ROBOTS_STAR_SECTION_RX}', 1)"
+    )
     mk = (
         "list_concat("
         f"list_transform(list_filter(regexp_extract_all({sec}, "

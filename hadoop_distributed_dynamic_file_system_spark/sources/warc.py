@@ -82,9 +82,15 @@ def parse_warc_record(record: Column) -> Column:
     (documented truncation)."""
     hdr_end = F.instr(record, "\r\n\r\n")
     clen = F.regexp_extract(record, _LEN_RE, 1).try_cast("long")
+    # try_cast the int narrowing too: a record declaring
+    # Content-Length > 2^31-1 is legal WARC, and a hard cast raises
+    # CAST_OVERFLOW under ANSI mode — killing the whole ingest job for
+    # one record (ADVICE r6). Oversized records degrade to the
+    # blank-line slice like length-less ones.
+    clen_i = clen.try_cast("int")
     body = F.when(
-        (hdr_end > 0) & clen.isNotNull(),
-        record.substr(hdr_end + F.lit(4), clen.cast("int")),
+        (hdr_end > 0) & clen_i.isNotNull(),
+        record.substr(hdr_end + F.lit(4), clen_i),
     ).otherwise(F.regexp_extract(record, _BODY_RE, 1))
     return F.struct(
         F.regexp_extract(record, _TYPE_RE, 1).alias("warc_type"),

@@ -184,6 +184,30 @@ class TestWarcSource:
         )
         assert r.content_length is None and r.body == "hello"
 
+    def test_oversized_content_length_degrades_not_raises(self, spark):
+        """Content-Length > 2^31-1 is legal WARC; a hard int cast
+        raises CAST_OVERFLOW under ANSI and kills the ingest job
+        (ADVICE r6). The record must degrade to the blank-line slice
+        like a length-less one."""
+        from pyspark.sql import functions as F
+
+        from hadoop_distributed_dynamic_file_system_spark.sources import warc
+
+        rec = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://a.example.com/big\r\n"
+            "Content-Length: 3000000000\r\n\r\nbody-bytes\r\n\r\n"
+        )
+        df = spark.createDataFrame([(1, rec)], "doc_id long, blob string")
+        r = (
+            warc.explode_warc_records(df, "doc_id", "blob")
+            .select(warc.parse_warc_record(F.col("record")).alias("r"))
+            .select("r.*")
+            .collect()[0]
+        )
+        assert r.content_length == 3_000_000_000  # long survives
+        assert r.body == "body-bytes"  # blank-line fallback, no raise
+
     def test_url_helpers(self, spark):
         from hadoop_distributed_dynamic_file_system_spark.sources import warc
         from pyspark.sql import functions as F

@@ -229,6 +229,24 @@ class TestMoments:
         assert (merged4["mean"], merged4["variance"], merged4["stddev"]) == (
             merged7["mean"], merged7["variance"], merged7["stddev"])
 
+    def test_huge_values_do_not_overflow_the_square(self, spark):
+        """|x| > ~3.04e9 overflows a BIGINT x*x before any cast runs
+        (ADVICE r6) — the square must be computed in decimal. 5e18 is
+        near the long limit; its square ~2.5e37 fits decimal(38,0)."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import textanalysis as TA
+
+        big = 5_000_000_000_000_000_000  # 5e18
+        df = spark.createDataFrame(
+            [("g", 0, big), ("g", 1, big)], ["g", "sh", "x"]
+        )
+        out = TA.merge_moments(
+            TA.moment_shards(df, "g", "sh", "x"), "g").first()
+        assert out["n"] == 2 and out["variance"] == 0.0
+        assert abs(out["mean"] - float(big)) / big < 1e-9
+        # welch path shares the decimal-square fix
+        drift = TA.welch_t_drift(df, df, "g", "x").first()
+        assert drift["n_old"] == 2 and drift["mean_old"] is not None
+
 
 class TestSchemaEvolution:
     def test_merge_schema_read_unifies_parts(self, spark, tmp_path):
@@ -423,6 +441,32 @@ class TestReviewR6Hardening:
         sh = SK.histogram_shards(base, "g", "sh", "v", bucket_width=64)
         # no width re-supplied: read from the shards themselves
         assert SK.histogram_quantiles(sh, "g").first()["p50_est"] == 128
+
+    def test_histogram_width_mismatch_nulls_quantiles(self, spark):
+        """Shards built with different bucket_widths describe
+        incompatible grids: merging them must NULL the quantile
+        columns instead of silently rescaling under max(width)
+        (ADVICE r6). Counts still merge — n stays real."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import sketches as SK
+
+        base = spark.createDataFrame(
+            [("g", i) for i in range(200)] + [("ok", i) for i in range(200)],
+            ["g", "v"],
+        ).withColumn("sh", F.col("v") % 2)
+        sh64 = SK.histogram_shards(
+            base.filter("sh = 0"), "g", "sh", "v", bucket_width=64)
+        sh32 = SK.histogram_shards(
+            base.filter("sh = 1"), "g", "sh", "v", bucket_width=32)
+        mixed = sh64.unionByName(sh32)
+        got = {r["g"]: r for r in SK.histogram_quantiles(mixed, "g").collect()}
+        for g in ("g", "ok"):
+            assert got[g]["n"] == 200
+            assert got[g]["p50_est"] is None and got[g]["p99_est"] is None
+        # consistent widths keep working through the same merge path
+        clean = SK.histogram_quantiles(
+            SK.histogram_shards(base, "g", "sh", "v", bucket_width=64), "g"
+        ).first()
+        assert clean["p50_est"] == 128
 
     def test_mojibake_cp1252_and_lookalikes_pass_through(self, spark):
         from hadoop_distributed_dynamic_file_system_spark.operators import textnorm as TN

@@ -300,3 +300,41 @@ class TestRobotsRep:
         assert [(r["allow"], r["pattern"]) for r in got] == [
             (1, "/pub*.html$"), (1, "/"), (0, "/pub"), (0, "/*.cgi$"),
         ]
+
+    def test_crlf_and_case_insensitive_fields(self, spark):
+        # RFC 9309: field names are case-insensitive, whitespace
+        # around ':' is insignificant, and CRLF line endings are the
+        # common server form. A CRLF-served, case-varied robots.txt
+        # must yield the SAME rules as the canonical LF form — the
+        # old LF-only exact-case grammar parsed zero rules and failed
+        # OPEN (ADVICE r6).
+        crlf = self.ROBOTS.replace("\n", "\r\n").replace(
+            "User-agent: *", "USER-AGENT :\t*"
+        ).replace("Disallow: /pub\r", "disallow:/pub\r")
+        got = _one(spark, W.robots_rep_rules("r"), r=crlf)
+        assert [(r["allow"], r["pattern"]) for r in got] == [
+            (1, "/pub*.html$"), (1, "/"), (0, "/pub"), (0, "/*.cgi$"),
+        ]
+        # prefix tier: same normalization
+        prefixes = _one(
+            spark,
+            W.robots_disallow_prefixes("r"),
+            r="User-Agent:*\r\nDISALLOW: /private\r\nDisallow:\t/tmp/\r\n",
+        )
+        assert prefixes == ["/private", "/tmp/"]
+        # gate parity through the full evaluator
+        got = self._gate(spark, ["/pub12.html", "/pub/idx"], robots=crlf)
+        assert got == {"/pub12.html": 1, "/pub/idx": 0}
+
+    def test_crlf_duckdb_twin_parity(self, spark):
+        import duckdb
+
+        crlf = ("user-agent : *\r\nDisallow: /private\r\n"
+                "ALLOW: /private/ok\r\n\r\nUser-agent: bot\r\nDisallow: /\r\n")
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT ? AS r", [crlf])
+        duck = con.execute(
+            f"SELECT {W.robots_disallow_prefixes_sql('r')} AS p FROM t"
+        ).fetchone()[0]
+        spark_side = _one(spark, W.robots_disallow_prefixes("r"), r=crlf)
+        assert duck == spark_side == ["/private"]

@@ -421,6 +421,81 @@ def main() -> None:
             ),
         )
 
+    # Degenerate LSH bucket (VERDICT r6 ask #2): n byte-identical
+    # boilerplate docs collapse into ONE band bucket per band, so the
+    # unguarded candidate join emits ~n²/2 pairs — ~1.25B at 50k
+    # copies, the classic crawl-data LSH failure. max_bucket_size
+    # drops the hot bucket (logged) and the run completes with
+    # bounded output. The unguarded contrast runs at 5k copies
+    # (~12.5M pairs — already 3 orders of magnitude past any honest
+    # candidate set) so the suite's wall stays sane; the guarded row
+    # runs the full 50k.
+    boiler = ("click here to accept our cookie policy and subscribe "
+              "to the newsletter for daily updates and offers today")
+
+    def degenerate(n_copies):
+        uniq = sf_docs.select("doc_id", "text").limit(1000)
+        dup = spark.range(n_copies).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.lit(boiler).alias("text"),
+        )
+        return dup.unionByName(uniq)
+
+    def lsh_pairs(corpus, guard):
+        sigs = dedup.minhash_signatures(
+            corpus, "doc_id", "text", num_hashes=8)
+        return dedup.lsh_candidate_pairs(
+            sigs, "doc_id", num_hashes=8, bands=4,
+            max_bucket_size=guard)
+
+    bench("lsh_degenerate_unguarded_5k", 5_000,
+          lambda: noop(lsh_pairs(degenerate(5_000), None)), reps=1)
+    bench("lsh_degenerate_guarded_50k", 50_000,
+          lambda: noop(lsh_pairs(degenerate(50_000), 1_000)), reps=1)
+
+    # Skew join at a NASTIER ratio than sf0.1's mild skew (VERDICT r6
+    # ask #8): 99% of 10M fact rows collapse onto one key, dim is
+    # non-broadcastable (threshold -1). Same three strategies as
+    # bench.py's skew study; at cluster scale AQE's default 256 MB
+    # threshold handles this without tuning, salting remains for
+    # skew-under-aggregation where AQE can't re-plan. Reference
+    # analog: the hand-partitioner idiom,
+    # mapred/lib/KeyFieldBasedPartitioner.java:33.
+    from hadoop_distributed_dynamic_file_system_spark.operators import skew
+
+    n_skew = 10_000_000
+    fact = spark.range(n_skew).select(
+        F.when(F.pmod("id", F.lit(100)) < 99, F.lit(0))
+        .otherwise(F.pmod("id", F.lit(1000)))
+        .cast("long").alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+    }
+    saved = {k: spark.conf.get(k) for k in skew_confs}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        bench("skew99_join_plain_10m", n_skew,
+              lambda: noop(fact.join(dim, on="k")))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        bench("skew99_join_aqe_10m", n_skew,
+              lambda: noop(fact.join(dim, on="k")))
+        bench("skew99_join_salted_10m", n_skew,
+              lambda: noop(skew.salted_join(fact, dim, ["k"], salt=64)))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
     out = [
         "# STRESS — plan shapes at 10-20x the benchmark scale (local[32])",
         "",
