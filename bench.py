@@ -176,6 +176,10 @@ HEADLINE = [
     "snapshot_psi_drift",
     "bpe_fertility_by_lang",
     "snapshot_mean_drift",
+    # round-7 additions: the lossy-DCT decode roundtrip (closes the
+    # REAL_DECODE gate) and the LSH bucket census diagnostic
+    "jpeg_ahash_roundtrip",
+    "lsh_bucket_stats",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -8,17 +8,20 @@ REAL (no media library needed — pure byte/numpy arithmetic):
 - `sniff_media` / `decode_media_metadata`: container sniffing by magic
   bytes + header parse for BMP/PNG/GIF/JPEG/PPM/WAV (what `identify`
   does) — true formats and dimensions;
-- `bmp_pixels` / `png_pixels` / `gif_pixels` / `ppm_pixels` /
-  `image_features`: full raster decode (24-bpp BMP; 8-bit
-  gray/truecolor PNG via stdlib zlib — chunk walk, IDAT inflate, all
-  five scanline unfilters; non-interlaced GIF via pure-integer LZW;
-  binary PPM) and luminance statistics;
+- `bmp_pixels` / `png_pixels` / `gif_pixels` / `jpeg_pixels` /
+  `ppm_pixels` / `image_features`: full raster decode (24-bpp BMP;
+  8-bit gray/truecolor PNG via stdlib zlib — chunk walk, IDAT
+  inflate, all five scanline unfilters; non-interlaced GIF via
+  pure-integer LZW; baseline sequential JPEG via pure-numpy
+  canonical-Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0 and DRI
+  restarts; binary PPM) and luminance statistics;
 - `wav_chunks`: RIFF/PCM16 parse with true windowed RMS.
 
 STUBBED (needs a codec, gated on REAL_DECODE_AVAILABLE / absent libs):
-pixel-level work on entropy-coded rasters (JPEG decode, resize
-re-encode, video frame extraction) — those keep the deterministic
-md5-derived fakes so the plumbing stays testable in this container.
+pixel-level work on the remaining exotic profiles (progressive/
+arithmetic JPEG, WebP, resize re-encode, video frame extraction) —
+those keep the deterministic md5-derived fakes so the plumbing stays
+testable in this container.
 
 Scale notes: mapInPandas streams Arrow batches; memory is bounded by
 `spark.sql.execution.arrow.maxRecordsPerBatch`, decode parallelism by
@@ -54,8 +57,11 @@ except Exception:
 # sniffing for BMP/PNG/GIF/JPEG/PPM/WAV, full pixel decode for
 # BMP/PPM and (since round 6) 8-bit gray/truecolor PNG (zlib is in
 # the standard library) and non-interlaced GIF (LZW is ~60 lines of
-# integer arithmetic — _lzw_decode below). Only JPEG-class entropy
-# coding still needs PIL and stays behind REAL_DECODE_AVAILABLE.
+# integer arithmetic — _lzw_decode below). Since round 7 baseline
+# sequential JPEG decodes REAL too (jpeg_pixels — pure-numpy
+# canonical Huffman + dequantize + IDCT); only progressive/
+# arithmetic/hierarchical JPEG profiles and WebP still need PIL and
+# stay behind REAL_DECODE_AVAILABLE.
 
 
 def make_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
@@ -387,13 +393,15 @@ def image_features(binaries: DataFrame) -> DataFrame:
 
 def compressed_raster_features(binaries: DataFrame) -> DataFrame:
     """Pixel features (mean/std ITU-R 601 luminance) for COMPRESSED
-    rasters. Two real paths: 8-bit gray/truecolor PNG decodes with the
-    stdlib-zlib decoder (png_pixels — REAL in every container);
-    everything else (JPEG/GIF/WebP, exotic PNG profiles) needs a codec
-    library and runs through the PIL gate. Without PIL those rows
-    yield nulls — the plumbing (schema, batching, null discipline) is
-    identical either way, so flipping the gate changes values, not
-    the plan.
+    rasters. The REAL path covers every raster_pixels container —
+    8-bit gray/truecolor PNG (stdlib zlib), non-interlaced GIF (pure
+    LZW), baseline sequential JPEG (pure-numpy Huffman+IDCT,
+    jpeg_pixels), BMP, PPM — in every container; only the exotic
+    residue (progressive JPEG, WebP, 16-bit/palette PNG) still needs
+    a codec library and runs through the PIL gate. Without PIL those
+    rows yield nulls — the plumbing (schema, batching, null
+    discipline) is identical either way, so flipping the gate changes
+    values, not the plan.
 
     Raises nothing on malformed payloads (nulls, like image_features):
     a poison row must not fail a 100 TB decode job."""
@@ -407,7 +415,7 @@ def compressed_raster_features(binaries: DataFrame) -> DataFrame:
                 b = bytes(b)
                 try:
                     try:
-                        px = png_pixels(b).astype(np.float64)
+                        px = raster_pixels(b).astype(np.float64)
                     except Exception:
                         if not REAL_DECODE_AVAILABLE:
                             raise ValueError("no codec library in environment")
@@ -1033,6 +1041,8 @@ def raster_pixels(payload: bytes):
         return gif_pixels(b)
     if b[:2] == b"P6":
         return ppm_pixels(b)
+    if b[:2] == b"\xff\xd8":
+        return jpeg_pixels(b)
     raise ValueError("no REAL raster decoder for this payload")
 
 
@@ -1290,3 +1300,636 @@ def make_ppm(rows) -> bytes:
     px = np.asarray(rows, dtype=np.uint8)
     h, w, _ = px.shape
     return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+# ----------------------------------------------------- REAL JPEG decode
+# Baseline sequential JFIF (ITU T.81 Annex F) in pure numpy + integer
+# arithmetic: marker walk, canonical Huffman decode of the entropy
+# stream (with 0xFF00 byte-stuffing and DRI restart markers),
+# dequantize, inverse zigzag, float IDCT, chroma upsample, YCbCr→RGB.
+# This closes the last REAL_DECODE gate from the r5/r6 reviews
+# (VERDICT r6 "what's missing #3"): only progressive/arithmetic/
+# hierarchical profiles still raise (reference analog for the gated
+# binary pipeline: contrib/index IndexUpdateMapper.java). The writer
+# twin `make_jpeg` emits baseline 4:4:4 with the standard Annex K
+# tables so fixtures/oracles are deterministic — no media library in
+# either direction.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU T.81 Annex K quantization tables (quality 50 base)
+_JPEG_QTAB_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QTAB_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# ITU T.81 Annex K canonical Huffman specs: (BITS counts for code
+# lengths 1..16, HUFFVAL symbol list)
+_JPEG_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_canonical_codes(bits, values):
+    """(symbol -> (code, length)) canonical assignment per T.81 C.2."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_table(bits, values):
+    """((length, code) -> symbol) inverse of the canonical assignment."""
+    enc = _jpeg_canonical_codes(bits, values)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+def _dct_matrix():
+    """Orthonormal 8-point DCT-II matrix A: forward block transform is
+    A @ b @ A.T, inverse is A.T @ coef @ A (A is orthogonal)."""
+    import numpy as np
+
+    n = 8
+    i = np.arange(n)
+    a = np.cos((2 * i[None, :] + 1) * i[:, None] * np.pi / (2 * n))
+    a *= np.sqrt(2.0 / n)
+    a[0] *= np.sqrt(0.5)
+    return a
+
+
+
+class _JpegBitWriter:
+    """MSB-first bit stream with T.81 byte stuffing (0xFF -> 0xFF00)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s per F.1.2.3
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) for a DC diff / AC coefficient (F.1.2)."""
+    if v == 0:
+        return 0, 0
+    size = int(v if v > 0 else -v).bit_length()
+    if v < 0:
+        v = v + (1 << size) - 1
+    return size, v & ((1 << size) - 1)
+
+
+def _jpeg_scaled_qtab(base: list[int], quality: int):
+    """libjpeg quality scaling of an Annex K base table."""
+    import numpy as np
+
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    tab = (np.array(base, dtype=np.int64) * scale + 50) // 100
+    return np.clip(tab, 1, 255).astype(np.int32)
+
+
+def make_jpeg(
+    rows,
+    quality: int = 95,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Deterministic baseline sequential JFIF encoder from an
+    (h, w, 3) uint8 RGB array: 4:4:4 (default) or 4:2:0 chroma
+    (`subsample` — box-averaged, MCU-interleaved per T.81 A.2.3),
+    Annex K quantization tables scaled by `quality`, Annex K Huffman
+    tables, optional DRI restart intervals (`restart_interval` MCUs
+    between RSTn markers). Pure numpy + integer arithmetic — the
+    writer twin of `jpeg_pixels`, so JPEG fixtures are
+    bit-reproducible without any media library (same discipline as
+    make_png/make_gif), and the decoder's chroma-upsample and
+    restart paths have a real fixture source."""
+    import numpy as np
+
+    px = np.asarray(rows, dtype=np.uint8).astype(np.float64)
+    h, w, _ = px.shape
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsample:
+        # box-average 2x2 (pad odd edges by replication first)
+        def half(p):
+            hh = (p.shape[0] + 1) // 2 * 2
+            ww = (p.shape[1] + 1) // 2 * 2
+            q = np.empty((hh, ww))
+            q[: p.shape[0], : p.shape[1]] = p
+            if ww > p.shape[1]:
+                q[: p.shape[0], -1] = p[:, -1]
+            if hh > p.shape[0]:
+                q[-1, :] = q[p.shape[0] - 1, :]
+            return q.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+
+        cb, cr = half(cb), half(cr)
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    planes = [y, cb, cr]
+    qlum = _jpeg_scaled_qtab(_JPEG_QTAB_LUM, quality)
+    qchr = _jpeg_scaled_qtab(_JPEG_QTAB_CHR, quality)
+    qmats = [
+        qlum.reshape(8, 8).astype(np.float64),
+        qchr.reshape(8, 8).astype(np.float64),
+        qchr.reshape(8, 8).astype(np.float64),
+    ]
+    a = _dct_matrix()
+    enc_dc = [
+        _jpeg_canonical_codes(*_JPEG_HUFF_DC_LUM),
+        _jpeg_canonical_codes(*_JPEG_HUFF_DC_CHR),
+        _jpeg_canonical_codes(*_JPEG_HUFF_DC_CHR),
+    ]
+    enc_ac = [
+        _jpeg_canonical_codes(*_JPEG_HUFF_AC_LUM),
+        _jpeg_canonical_codes(*_JPEG_HUFF_AC_CHR),
+        _jpeg_canonical_codes(*_JPEG_HUFF_AC_CHR),
+    ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    wr = _JpegBitWriter()
+    pred = [0, 0, 0]
+    zz = _JPEG_ZIGZAG
+
+    def block_at(plane, y0, x0):
+        block = np.zeros((8, 8))
+        ph_, pw_ = plane.shape
+        ys = max(0, min(8, ph_ - y0))
+        xs = max(0, min(8, pw_ - x0))
+        if ys > 0 and xs > 0:
+            block[:ys, :xs] = plane[y0 : y0 + ys, x0 : x0 + xs]
+            if xs < 8:
+                block[:ys, xs:] = block[:ys, xs - 1 : xs]
+            if ys < 8:
+                block[ys:, :] = block[ys - 1 : ys, :]
+        return block
+
+    def encode_block(ci, block):
+        coef = a @ (block - 128.0) @ a.T
+        qc = np.round(coef / qmats[ci]).astype(np.int64)
+        flat = qc.reshape(64)[zz]
+        diff = int(flat[0]) - pred[ci]
+        pred[ci] = int(flat[0])
+        size, amp = _jpeg_magnitude(diff)
+        code, ln = enc_dc[ci][size]
+        wr.put(code, ln)
+        if size:
+            wr.put(amp, size)
+        run = 0
+        nz = np.nonzero(flat[1:])[0]
+        last_nz = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last_nz + 1):
+            v = int(flat[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[ci][0xF0]  # ZRL
+                wr.put(code, ln)
+                run -= 16
+            size, amp = _jpeg_magnitude(v)
+            code, ln = enc_ac[ci][(run << 4) | size]
+            wr.put(code, ln)
+            wr.put(amp, size)
+            run = 0
+        if last_nz < 63:
+            code, ln = enc_ac[ci][0x00]  # EOB
+            wr.put(code, ln)
+
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                wr.buf = bytearray(wr.flush())
+                wr.acc = 0
+                wr.nbits = 0
+                wr.buf += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                pred[0] = pred[1] = pred[2] = 0
+            for ci in range(3):
+                ch, cv = samp[ci]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        encode_block(
+                            ci,
+                            block_at(
+                                planes[ci],
+                                (my * cv + vy) * 8,
+                                (mx * ch + vx) * 8,
+                            ),
+                        )
+            mcu_count += 1
+    scan = wr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dqt(tid: int, tab) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(tab[i]) for i in zz))
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([3])
+        + bytes([1, (samp[0][0] << 4) | samp[0][1], 0])
+        + bytes([2, (samp[1][0] << 4) | samp[1][1], 1])
+        + bytes([3, (samp[2][0] << 4) | samp[2][1], 1]),
+    )
+    dri = (
+        bytes([0xFF, 0xDD, 0, 4])
+        + restart_interval.to_bytes(2, "big")
+        if restart_interval else b""
+    )
+    sos = seg(
+        0xDA,
+        bytes([3])
+        + bytes([1, 0x00])      # comp 1: DC table 0, AC table 0
+        + bytes([2, 0x11])
+        + bytes([3, 0x11])
+        + bytes([0, 63, 0]),    # Ss, Se, Ah/Al (baseline full scan)
+    )
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00")
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qlum)
+        + dqt(1, qchr)
+        + dht(0, 0, _JPEG_HUFF_DC_LUM)
+        + dht(1, 0, _JPEG_HUFF_AC_LUM)
+        + dht(0, 1, _JPEG_HUFF_DC_CHR)
+        + dht(1, 1, _JPEG_HUFF_AC_CHR)
+        + dri
+        + sof
+        + sos
+        + scan
+        + b"\xff\xd9"
+    )
+
+class _JpegBitReader:
+    """MSB-first reader over the entropy-coded segment: un-stuffs
+    0xFF00, stops at any other marker (caller handles RST/EOI)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated entropy stream")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _JpegMarker(nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Discard pad bits, expect a marker next; return its code."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and d[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError("missing marker")
+        m = d[self.pos + 1]
+        self.pos += 2
+        return m
+
+
+class _JpegMarker(Exception):
+    """Raised by the bit reader when a non-stuffing marker interrupts
+    the entropy stream (RSTn / EOI)."""
+
+    def __init__(self, code: int):
+        self.code = code
+
+
+def _jpeg_huff_decode(rd: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rd.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` amplitude bits to signed."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_pixels(payload: bytes):
+    """REAL baseline JPEG raster decode → numpy (h, w, 3) RGB uint8.
+
+    Supports the baseline sequential DCT profile (SOF0): 8-bit
+    samples, 1 or 3 components, sampling factors 1 or 2 (4:4:4,
+    4:2:2, 4:2:0), DRI restart intervals. Progressive (SOF2),
+    arithmetic coding, hierarchical and 12-bit profiles raise
+    ValueError — the callers' malformed-payload discipline nulls the
+    row. Pure numpy: marker walk → canonical Huffman decode →
+    dequantize → inverse zigzag → IDCT (orthonormal matrix form) →
+    nearest-neighbor chroma upsample → YCbCr→RGB."""
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    frame = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        body = b[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            at = 0
+            while at < len(body):
+                prec, tid = body[at] >> 4, body[at] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tab = np.zeros(64, dtype=np.int32)
+                for i, z in enumerate(_JPEG_ZIGZAG):
+                    tab[z] = body[at + 1 + i]
+                qtabs[tid] = tab.reshape(8, 8)
+                at += 65
+        elif marker == 0xC4:
+            at = 0
+            while at < len(body):
+                cls, tid = body[at] >> 4, body[at] & 0xF
+                bits = list(body[at + 1 : at + 17])
+                n = sum(bits)
+                vals = list(body[at + 17 : at + 17 + n])
+                htabs[(cls, tid)] = _jpeg_decode_table(bits, vals)
+                at += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError("1 or 3 components only")
+            comps = []
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                     "q": body[8 + 3 * c]}
+                )
+            for c in comps:
+                if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+                    raise ValueError("sampling factors 1/2 only")
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG profile unsupported")
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            fh, fw, comps = frame
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 0xF)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["bw"] = mcux * c["h"]
+                c["bh"] = mcuy * c["v"]
+                c["coef"] = np.zeros((c["bh"], c["bw"], 8, 8))
+                c["dct"], c["act"] = sel[c["id"]]
+                c["pred"] = 0
+            rd = _JpegBitReader(b, pos)
+            zz = _JPEG_ZIGZAG
+            mcu_count = 0
+            done = False
+            for my in range(mcuy):
+                if done:
+                    break
+                for mx in range(mcux):
+                    if restart_interval and mcu_count and \
+                            mcu_count % restart_interval == 0:
+                        m = rd.align_to_marker()
+                        if not (0xD0 <= m <= 0xD7):
+                            raise ValueError("expected RST marker")
+                        for c in comps:
+                            c["pred"] = 0
+                    try:
+                        for c in comps:
+                            dctab = htabs[(0, c["dct"])]
+                            actab = htabs[(1, c["act"])]
+                            for vy in range(c["v"]):
+                                for vx in range(c["h"]):
+                                    blk = np.zeros(64)
+                                    size = _jpeg_huff_decode(rd, dctab)
+                                    diff = _jpeg_extend(rd.bits(size), size)
+                                    c["pred"] += diff
+                                    blk[0] = c["pred"]
+                                    k = 1
+                                    while k < 64:
+                                        rs = _jpeg_huff_decode(rd, actab)
+                                        if rs == 0x00:
+                                            break
+                                        if rs == 0xF0:
+                                            k += 16
+                                            continue
+                                        k += rs >> 4
+                                        size = rs & 0xF
+                                        if k > 63:
+                                            raise ValueError("AC overrun")
+                                        blk[zz[k]] = _jpeg_extend(
+                                            rd.bits(size), size)
+                                        k += 1
+                                    c["coef"][
+                                        my * c["v"] + vy, mx * c["h"] + vx
+                                    ] = blk.reshape(8, 8)
+                    except _JpegMarker as m:
+                        if m.code == 0xD9:  # EOI inside scan: stop
+                            done = True
+                            break
+                        raise ValueError("unexpected marker in scan")
+                    mcu_count += 1
+            # dequantize + IDCT each component, vectorized per plane
+            a = _dct_matrix()
+            planes = []
+            for c in comps:
+                q = qtabs[c["q"]].astype(np.float64)
+                coef = c["coef"] * q  # (bh, bw, 8, 8)
+                px = np.einsum("ij,bcjk,kl->bcil", a.T, coef, a) + 128.0
+                # tile blocks back into a (bh*8, bw*8) plane
+                plane = px.transpose(0, 2, 1, 3).reshape(
+                    c["bh"] * 8, c["bw"] * 8
+                )
+                # nearest-neighbor upsample to full resolution
+                plane = np.repeat(plane, hmax // c["h"], axis=1)
+                plane = np.repeat(plane, vmax // c["v"], axis=0)
+                planes.append(plane[:fh, :fw])
+            if len(planes) == 1:
+                y = np.clip(planes[0], 0, 255)
+                return np.repeat(
+                    y[:, :, None].astype(np.uint8), 3, axis=2
+                )
+            y, cb, cr = planes
+            cb = cb - 128.0
+            cr = cr - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            bch = y + 1.772 * cb
+            rgb = np.stack([r, g, bch], axis=2)
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        # other markers (APPn, COM): skipped via the length walk
+    raise ValueError("no scan data")
+
+@_memo_payload
+def make_two_tone_jpeg(width: int, height: int, cut_x: int) -> bytes:
+    """JPEG twin of make_two_tone_bmp/png/gif: black for x < cut_x,
+    white otherwise, baseline 4:4:4 at quality 95. The scene's block
+    means sit far from the aHash threshold (>= 31 luminance levels at
+    every cut), so the LOSSY roundtrip still reproduces the same
+    closed-form hash as the lossless containers — which is exactly
+    what makes the four-container cross-check meaningful."""
+    import numpy as np
+
+    px = np.full((height, width, 3), 255, dtype=np.uint8)
+    px[:, :cut_x] = 0
+    return make_jpeg(px, quality=95)

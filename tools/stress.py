@@ -559,6 +559,29 @@ def main() -> None:
         "+ broadcast per-bucket offsets); falling us/doc at 100x pins",
         "the batcher as range-shuffle-bound, not window-bound.",
         "",
+        "`lsh_degenerate_{unguarded_5k,guarded_50k}` rows = DOCUMENTS,",
+        "all byte-identical boilerplate collapsing into ONE band bucket",
+        "per band (VERDICT r6 ask #2's adversarial shape; reference",
+        "test analog: the skew fixtures of mapred/join/",
+        "TestDatamerge.java:77-160). Unguarded at just 5k copies the",
+        "candidate join already emits ~12.5M pairs x 4 bands; at 50k it",
+        "would be ~1.25B and is not runnable in this suite. With",
+        "max_bucket_size=1000 the 50k-copy corpus COMPLETES in ~2.4s",
+        "with bounded output and a logged drop — the guard converts a",
+        "quadratic blow-up into a census + anti-join.",
+        "",
+        "`skew99_join_{plain,aqe,salted}_10m` rows = FACT rows, 99% on",
+        "one key, dim non-broadcastable (threshold -1). Salted wins",
+        "(~3.5x vs plain); AQE skew-split comes out slightly BEHIND",
+        "plain at this local scale — its extra split/coalesce",
+        "scheduling costs more than one 9.9M-row partition saves on 32",
+        "local threads. Honest ordering here: salted <= plain <= AQE.",
+        "On a real cluster the fat partition is hundreds of GB and",
+        "AQE's default 256 MB threshold splits it profitably without",
+        "tuning; salting remains the tool for skew-under-aggregation",
+        "where AQE cannot re-plan (reference analog: the hand-",
+        "partitioner idiom, mapred/lib/KeyFieldBasedPartitioner.java:33).",
+        "",
         "| shape | rows | wall s | us/row |",
         "|---|---|---|---|",
     ]
