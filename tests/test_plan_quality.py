@@ -88,6 +88,8 @@ class TestPlanQuality:
                                             # IDAT inflate/unfilter decode
             "gif_ahash_roundtrip",          # mapInPandas LZW encode +
                                             # decode (codec — non-Catalyst)
+            "jpeg_ahash_roundtrip",         # mapInPandas Huffman+IDCT
+                                            # encode/decode (codec)
         }
         for name, fn in q.QUERIES.items():
             plan = plan_of(fn(spark, sf_dir))
