@@ -104,6 +104,9 @@ QUERIES = [
     "snapshot_psi_drift",
     "bpe_fertility_by_lang",
     "snapshot_mean_drift",
+    # round-7 additions
+    "jpeg_ahash_roundtrip",
+    "lsh_bucket_stats",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
