@@ -1406,10 +1406,6 @@ def _jpeg_canonical_codes(bits, values):
     return out
 
 
-def _jpeg_decode_table(bits, values):
-    """((length, code) -> symbol) inverse of the canonical assignment."""
-    enc = _jpeg_canonical_codes(bits, values)
-    return {(ln, code): sym for sym, (code, ln) in enc.items()}
 
 
 def _dct_matrix():
@@ -1664,46 +1660,77 @@ def make_jpeg(
 
 class _JpegBitReader:
     """MSB-first reader over the entropy-coded segment: un-stuffs
-    0xFF00, stops at any other marker (caller handles RST/EOI)."""
+    0xFF00, stops at any other marker (caller handles RST/EOI).
+
+    Decode speed comes from two classic moves: a 16-bit `peek16` +
+    `drop(n)` pair feeding the lookup-table Huffman decoder (one dict
+    of per-prefix symbols replaced by one list index — libjpeg's
+    approach), and multi-bit `receive(n)` for amplitude bits instead
+    of a per-bit loop."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self._marker: int | None = None
 
-    def _fill(self) -> None:
+    def _fill_try(self) -> bool:
+        """Shift one more entropy byte into the accumulator; False at
+        a marker or end of data (nothing consumed)."""
+        if self._marker is not None:
+            return False
         d = self.data
         if self.pos >= len(d):
-            raise ValueError("truncated entropy stream")
+            self._marker = 0xD9  # implicit EOI on truncation
+            return False
         byte = d[self.pos]
         if byte == 0xFF:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
             if nxt == 0x00:
                 self.pos += 2
             else:
-                raise _JpegMarker(nxt)
+                self._marker = nxt
+                return False
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | byte
         self.nbits += 8
+        return True
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        """Next 16 bits (zero-padded past a marker), not consumed."""
+        while self.nbits < 16 and self._fill_try():
+            pass
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        return (self.acc << (16 - self.nbits)) & 0xFFFF
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+    def drop(self, n: int) -> None:
+        if n > self.nbits:
+            # a code claimed bits past the marker: stream ended here
+            raise _JpegMarker(self._marker or 0xD9)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def receive(self, n: int) -> int:
+        """n amplitude bits, consumed."""
+        if n == 0:
+            return 0
+        while self.nbits < n and self._fill_try():
+            pass
+        if self.nbits < n:
+            raise _JpegMarker(self._marker or 0xD9)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def align_to_marker(self) -> int:
         """Discard pad bits, expect a marker next; return its code."""
         self.acc = 0
         self.nbits = 0
+        self._marker = None
         d = self.data
         while self.pos + 1 < len(d) and not (
             d[self.pos] == 0xFF and d[self.pos + 1] != 0x00
@@ -1724,14 +1751,40 @@ class _JpegMarker(Exception):
         self.code = code
 
 
-def _jpeg_huff_decode(rd: _JpegBitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | rd.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("bad Huffman code")
+_JPEG_LUT_CACHE: dict = {}
+
+
+def _jpeg_fast_table(bits: list[int], values: list[int]):
+    """16-bit-peek Huffman lookup table (libjpeg's decode idiom): two
+    65536-entry lists mapping every 16-bit window to (symbol, code
+    length); length 0 marks an invalid prefix. Memoized on the table
+    spec — real corpora reuse the four Annex K tables everywhere."""
+    key = (bytes(bits), bytes(values))
+    hit = _JPEG_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
+
+    sym = np.zeros(1 << 16, dtype=np.uint8)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    for s, (code, length) in _jpeg_canonical_codes(bits, values).items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    out = (sym.tolist(), ln.tolist())
+    _JPEG_LUT_CACHE[key] = out
+    return out
+
+
+def _jpeg_huff_decode(rd: _JpegBitReader, table) -> int:
+    syms, lens = table
+    idx = rd.peek16()
+    length = lens[idx]
+    if length == 0:
+        raise ValueError("bad Huffman code")
+    rd.drop(length)
+    return syms[idx]
 
 
 def _jpeg_extend(v: int, size: int) -> int:
@@ -1792,7 +1845,7 @@ def jpeg_pixels(payload: bytes):
                 bits = list(body[at + 1 : at + 17])
                 n = sum(bits)
                 vals = list(body[at + 17 : at + 17 + n])
-                htabs[(cls, tid)] = _jpeg_decode_table(bits, vals)
+                htabs[(cls, tid)] = _jpeg_fast_table(bits, vals)
                 at += 17 + n
         elif marker == 0xC0 or marker == 0xC1:
             if body[0] != 8:
@@ -1862,7 +1915,7 @@ def jpeg_pixels(payload: bytes):
                                 for vx in range(c["h"]):
                                     blk = np.zeros(64)
                                     size = _jpeg_huff_decode(rd, dctab)
-                                    diff = _jpeg_extend(rd.bits(size), size)
+                                    diff = _jpeg_extend(rd.receive(size), size)
                                     c["pred"] += diff
                                     blk[0] = c["pred"]
                                     k = 1
@@ -1878,7 +1931,7 @@ def jpeg_pixels(payload: bytes):
                                         if k > 63:
                                             raise ValueError("AC overrun")
                                         blk[zz[k]] = _jpeg_extend(
-                                            rd.bits(size), size)
+                                            rd.receive(size), size)
                                         k += 1
                                     c["coef"][
                                         my * c["v"] + vy, mx * c["h"] + vx
