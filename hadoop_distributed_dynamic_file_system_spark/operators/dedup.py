@@ -345,6 +345,7 @@ def near_dedup(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The user-facing dedup funnel: signatures → LSH candidates →
     estimated Jaccard → drop every doc similar to a lower-id doc.
@@ -353,10 +354,16 @@ def near_dedup(
     LOWER id): same contract as common corpus-dedup pipelines; not full
     connected components — a chain a~b~c with a≁c keeps a and c. One
     anti-join against the (small) drop list; the corpus is never
-    re-shuffled."""
+    re-shuffled.
+
+    `max_bucket_size` passes through to lsh_candidate_pairs: on
+    boilerplate-heavy corpora run exact_dedup first, then set this to
+    bound any residual degenerate band bucket (logged drop)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     sigs = tracked_persist(sigs)
-    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, num_hashes, bands, max_bucket_size=max_bucket_size
+    )
     est = minhash_estimate(sigs, pairs, id_col, num_hashes)
     drop = (
         est.filter(F.col("est_jaccard") >= threshold)

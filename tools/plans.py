@@ -89,6 +89,11 @@ SHOWCASE = [
      "(group, bucket) relation, one-sided mass reported not smoothed"),
     ("bpe_fertility_by_lang", "fold once per DISTINCT word; encoded "
      "vocab broadcasts; corpus pass = explode + join + one groupBy"),
+    # round-7 shapes
+    ("jpeg_ahash_roundtrip", "id repartition -> one Arrow encode+decode "
+     "stage (pure-numpy baseline JPEG) -> perceptual hash"),
+    ("lsh_bucket_stats", "band explode + two-level groupBy; census is "
+     "model-sized, only the bucket groupBy touches data"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the
@@ -139,6 +144,45 @@ so the query posexplodes 100k byte-vectors into 6.4M (vec, idx, code)
 rows; the extra second is the materialization of 64x more output
 rows, not quantization cost (the operator itself is unchanged and
 scan-local).
+
+## Bench context (round 7)
+
+The bench-record pipeline changed this round (VERDICT-r6 ask #1): the
+driver-visible stdout line is now a ~0.6 KB summary (total, io block,
+12 slowest) printed LAST, and the full per-query record is committed
+as `BENCH_LOCAL_r{N}.json` plus appended to `tools/bench_history.csv`
+(round, query, seconds — re-runs within a round replace that round's
+rows). The history file carries the 66 r6 entries recoverable from
+the driver's truncated tail plus all 137 r7 entries, so this and
+every future comparison reads off one file instead of tail
+archaeology.
+
+Round-over-round on the 66-entry common set: **median r7/r6 = 0.998 —
+flat**. Tail of the ratio distribution, each checked: `mrbench` 1.70x
+(avg job latency 116 -> 197 ms — the framework-overhead metric's
+known session noise; absolute cost trivial), `robots_url_gate` 1.47x
+(0.18 -> 0.26 s — REAL, and by design: the RFC 9309 CRLF/case fix
+adds a regexp_replace normalization pass over every robots blob; 80
+ms at sf0.1 buys correct parsing of CRLF-served robots.txt, which the
+old grammar silently failed OPEN on), then nothing above 1.24x.
+Best: `domain_capped_sample` 0.74x, `normalized_dedup` 0.80x —
+ambient, not code.
+
+New entries: `jpeg_ahash_roundtrip` first landed as the slowest
+bench row (7.1 s for 5k images). Two fixes followed the measurement:
+the Huffman decoder now uses the 16-bit-peek lookup-table idiom
+(libjpeg's approach — one list index per symbol instead of per-bit
+dict probes, receive(n) for amplitude bits), and — the real win —
+the query repartitions the doc_id scan before the decode stage:
+documents.parquet is ONE row group, so mapInPandas was running the
+1 ms/image decode serially on a single partition (the module
+docstring's own "repartition before decode" rule). 7.1 -> 1.2 s
+min-of-2 at sf0.1; the shuffle moves only 8-byte ids. A production
+deployment swaps libjpeg-turbo into the same Arrow stage.
+`lsh_bucket_stats` costs 1.9 s steady-state (its 47 s first-run in
+the sweep session was cold-JIT of the 8-salt md5 signature pipeline,
+paid once per session — the bench's min-of-2 with sf0.001 warm-up
+shows the real number).
 """
 
 
