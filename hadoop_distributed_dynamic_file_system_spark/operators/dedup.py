@@ -229,11 +229,15 @@ def lsh_bucket_stats(
 
     Output: (band, n_buckets, max_bucket, n_over_cap, pairs_bound).
     Model-sized result (`bands` rows); the only data-sized shuffle is
-    the bucket groupBy."""
+    the bucket groupBy — on xxhash64-folded keys (8 bytes instead of
+    the ~32·rows_per_band-char concat; bucket SIZES are identical up
+    to 64-bit collisions, so the census is key-encoding-agnostic and
+    the string-keyed DuckDB twin matches)."""
     banded = _lsh_banded(sigs, id_col, num_hashes, bands)
-    sizes = banded.groupBy(F.col("bk.band").alias("band"), "bk.bkey").agg(
-        F.count("*").alias("cnt")
-    )
+    sizes = banded.groupBy(
+        F.col("bk.band").alias("band"),
+        F.xxhash64("bk.bkey").alias("_k"),
+    ).agg(F.count("*").alias("cnt"))
     return sizes.groupBy("band").agg(
         F.count("*").cast("long").alias("n_buckets"),
         F.max("cnt").cast("long").alias("max_bucket"),
