@@ -733,13 +733,19 @@ def ahash_codes(binaries: DataFrame, hash_side: int = 8) -> DataFrame:
 
 
 def ahash_near_pairs(
-    binaries: DataFrame, max_hamming: int = 4, band_shift: int = 32
+    binaries: DataFrame,
+    max_hamming: int = 4,
+    band_shift: int = 32,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs: aHash codes → banded hamming join
     (prefix band over the top 64-band_shift bits; rotations stay at 1
     because a 64-bit rotation mask does not fit a signed long — raise
     band_shift for recall instead). NULL codes (undecodable payloads)
-    never join."""
+    never join. `max_bucket_size` passes through to the banded join —
+    crawls are full of byte-identical images (logos, spacers, tracking
+    pixels) whose shared code makes one band bucket quadratic; run
+    exact dedup on md5(payload) first, then cap the residue."""
     from . import dedup
 
     codes = ahash_codes(binaries).filter(F.col("ahash").isNotNull())
@@ -751,6 +757,7 @@ def ahash_near_pairs(
         band_shift=band_shift,
         rotations=1,
         bits=64,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -845,10 +852,13 @@ def audio_fingerprint(binaries: DataFrame, n_frames: int = 64) -> DataFrame:
 
 
 def audio_near_pairs(
-    binaries: DataFrame, max_hamming: int = 4, band_shift: int = 32
+    binaries: DataFrame,
+    max_hamming: int = 4,
+    band_shift: int = 32,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Audio near-duplicate pairs: fingerprints → banded hamming join
-    (same machinery and caveats as ahash_near_pairs)."""
+    (same machinery, caveats, and hot-bucket cap as ahash_near_pairs)."""
     from . import dedup
 
     codes = audio_fingerprint(binaries).filter(F.col("afp").isNotNull())
@@ -860,6 +870,7 @@ def audio_near_pairs(
         band_shift=band_shift,
         rotations=1,
         bits=64,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -868,8 +879,8 @@ def audio_near_pairs(
 # chunks) and zlib ships in the standard library — so 8-bit
 # gray/truecolor PNG is decodable with pure byte arithmetic + numpy,
 # no media library. This moves PNG from the "needs PIL" tier into the
-# REAL tier (JPEG stays PIL-gated: its entropy coding has no stdlib
-# implementation).
+# REAL tier (baseline JPEG followed in round 7 — jpeg_pixels below —
+# leaving only progressive/arithmetic profiles PIL-gated).
 
 
 def _png_paeth(a: int, b: int, c: int) -> int:
