@@ -179,6 +179,13 @@ documents.parquet is ONE row group, so mapInPandas was running the
 docstring's own "repartition before decode" rule). 7.1 -> 1.2 s
 min-of-2 at sf0.1; the shuffle moves only 8-byte ids. A production
 deployment swaps libjpeg-turbo into the same Arrow stage.
+
+The committed BENCH_LOCAL_r07.json is the post-fix record: total
+136.4 s / 137 entries, `jpeg_ahash_roundtrip` at 1.349 s (off the
+slowest-12 entirely). Its io/mrbench singles (write 22 MB/s, mrbench
+597 ms) were taken under residual load from the preceding full-suite
+run — the min-of-2 `queries` block is the comparable part; the
+driver's own idle-machine run supersedes the io singles.
 `lsh_bucket_stats` costs 1.9 s steady-state (its 47 s first-run in
 the sweep session was cold-JIT of the 8-salt md5 signature pipeline,
 paid once per session — the bench's min-of-2 with sf0.001 warm-up
