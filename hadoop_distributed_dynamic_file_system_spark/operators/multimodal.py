@@ -1482,7 +1482,7 @@ def _jpeg_scaled_qtab(base: list[int], quality: int):
 def make_jpeg(
     rows,
     quality: int = 95,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
     """Deterministic baseline sequential JFIF encoder from an
@@ -1493,8 +1493,9 @@ def make_jpeg(
     between RSTn markers). Pure numpy + integer arithmetic — the
     writer twin of `jpeg_pixels`, so JPEG fixtures are
     bit-reproducible without any media library (same discipline as
-    make_png/make_gif), and the decoder's chroma-upsample and
-    restart paths have a real fixture source."""
+    make_png/make_gif), and the decoder's chroma-upsample (both the
+    4:2:0 and subsample="422" grids) and restart paths have a real
+    fixture source."""
     import numpy as np
 
     px = np.asarray(rows, dtype=np.uint8).astype(np.float64)
@@ -1504,9 +1505,12 @@ def make_jpeg(
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
     if subsample:
-        # box-average 2x2 (pad odd edges by replication first)
+        # box-average (pad odd edges by replication first); 4:2:0
+        # halves both chroma axes, 4:2:2 (subsample="422") only width
+        vfac = 1 if subsample == "422" else 2
+
         def half(p):
-            hh = (p.shape[0] + 1) // 2 * 2
+            hh = (p.shape[0] + vfac - 1) // vfac * vfac
             ww = (p.shape[1] + 1) // 2 * 2
             q = np.empty((hh, ww))
             q[: p.shape[0], : p.shape[1]] = p
@@ -1514,10 +1518,10 @@ def make_jpeg(
                 q[: p.shape[0], -1] = p[:, -1]
             if hh > p.shape[0]:
                 q[-1, :] = q[p.shape[0] - 1, :]
-            return q.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            return q.reshape(hh // vfac, vfac, ww // 2, 2).mean(axis=(1, 3))
 
         cb, cr = half(cb), half(cr)
-        samp = [(2, 2), (1, 1), (1, 1)]
+        samp = [(2, vfac), (1, 1), (1, 1)]
     else:
         samp = [(1, 1), (1, 1), (1, 1)]
     planes = [y, cb, cr]

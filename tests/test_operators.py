@@ -1954,7 +1954,8 @@ class TestJpegDecode:
              0.5 * (np.tile(gx, (h, 1)) + np.tile(gy[:, None], (1, w)))],
             axis=2,
         ).astype(np.uint8)
-        for sub, dri in ((True, 0), (False, 3), (True, 3), (True, 1)):
+        for sub, dri in ((True, 0), (False, 3), (True, 3), (True, 1),
+                         ("422", 0), ("422", 2)):
             back = mm.jpeg_pixels(
                 mm.make_jpeg(img, quality=95, subsample=sub,
                              restart_interval=dri))
