@@ -453,6 +453,21 @@ def main() -> None:
     bench("lsh_degenerate_guarded_50k", 50_000,
           lambda: noop(lsh_pairs(degenerate(50_000), 1_000)), reps=1)
 
+    # Same adversarial shape through the pairwise-shingle path: every
+    # boilerplate shingle has document frequency = n_copies, so the
+    # intersection equi-join is quadratic in n_copies unguarded. The
+    # max_doc_freq ceiling drops those shingles from the universe
+    # (logged) and the 25k-copy corpus completes.
+    def jaccard(corpus, cap):
+        return dedup.ngram_jaccard_pairs(
+            corpus, corpus, "doc_id", "text",
+            threshold=0.99, max_doc_freq=cap)
+
+    bench("ngram_df_unguarded_2k", 2_000,
+          lambda: noop(jaccard(degenerate(2_000), None)), reps=1)
+    bench("ngram_df_guarded_25k", 25_000,
+          lambda: noop(jaccard(degenerate(25_000), 1_000)), reps=1)
+
     # Skew join at a NASTIER ratio than sf0.1's mild skew (VERDICT r6
     # ask #8): 99% of 10M fact rows collapse onto one key, dim is
     # non-broadcastable (threshold -1). Same three strategies as
@@ -570,12 +585,21 @@ def main() -> None:
         "with bounded output and a logged drop — the guard converts a",
         "quadratic blow-up into a census + anti-join.",
         "",
+        "`ngram_df_{unguarded_2k,guarded_25k}`: the same adversarial",
+        "corpus through the pairwise-shingle Jaccard path, where every",
+        "boilerplate shingle's document frequency equals the copy",
+        "count and the intersection equi-join is quadratic unguarded.",
+        "The max_doc_freq ceiling removes those shingles from the",
+        "shingle universe (numerator AND denominators, logged) and",
+        "the 12.5x-bigger corpus completes in bounded time.",
+        "",
         "`skew99_join_{plain,aqe,salted}_10m` rows = FACT rows, 99% on",
         "one key, dim non-broadcastable (threshold -1). Salted wins",
-        "(~3.5x vs plain); AQE skew-split comes out slightly BEHIND",
-        "plain at this local scale — its extra split/coalesce",
-        "scheduling costs more than one 9.9M-row partition saves on 32",
-        "local threads. Honest ordering here: salted <= plain <= AQE.",
+        "(~3.5x vs plain); AQE skew-split is statistically TIED with",
+        "plain at this local scale (4.5 vs 3.8 s one run, 3.9 vs 4.0",
+        "the next) — its split/coalesce scheduling costs about what",
+        "one 9.9M-row partition saves on 32 local threads. Honest",
+        "ordering here: salted <= {plain ~ AQE}.",
         "On a real cluster the fat partition is hundreds of GB and",
         "AQE's default 256 MB threshold splits it profitably without",
         "tuning; salting remains the tool for skew-under-aggregation",
