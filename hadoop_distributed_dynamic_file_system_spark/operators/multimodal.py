@@ -732,6 +732,50 @@ def ahash_codes(binaries: DataFrame, hash_side: int = 8) -> DataFrame:
     return binaries.mapInPandas(batches, schema="doc_id bigint, ahash bigint")
 
 
+def hamming_band_cols(code, n_bands: int = 4, band_bits: int = 16) -> list:
+    """Disjoint band values of a 64-bit perceptual code — the
+    multi-index hamming decomposition (Norouzi et al., "Fast Search
+    in Hamming Space with Multi-Index Hashing", CVPR'12): split the
+    code into n_bands disjoint band_bits-wide chunks; by pigeonhole,
+    any pair with hamming distance < n_bands is IDENTICAL in at least
+    one band. Unlike the rotation trick this is signed-long-safe for
+    the full 64 bits (shiftright + mask, no overflow), so it is the
+    64-bit analog of simhash rotations. Stateless codegen columns —
+    streaming-legal."""
+    mask = (1 << band_bits) - 1
+    c = F.col(code) if isinstance(code, str) else code
+    return [
+        F.shiftright(c, b * band_bits).bitwiseAND(F.lit(mask))
+        for b in range(n_bands)
+    ]
+
+
+def media_band_index(
+    codes: DataFrame,
+    hash_col: str = "ahash",
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Distinct folded (band, value) keys of a frozen corpus'
+    perceptual codes — the multimodal twin of dedup.lsh_band_index:
+    the only state a streaming image-dedup gate carries, one 8-byte
+    xxhash64 long per occupied band bucket (band-cardinality sized,
+    never corpus sized). Persist once per corpus freeze; probes
+    broadcast it per micro-batch. NULL codes contribute nothing."""
+    from ..cache import tracked_persist
+
+    cols = hamming_band_cols(F.col(hash_col), n_bands, band_bits)
+    out = codes.select(
+        F.explode(
+            F.array(*[
+                F.xxhash64(F.lit(b), c) for b, c in enumerate(cols)
+            ])
+        ).alias("mbk"),
+        F.col(hash_col).alias("_h"),
+    ).filter(F.col("_h").isNotNull()).select("mbk")
+    return tracked_persist(out.distinct())
+
+
 def ahash_near_pairs(
     binaries: DataFrame,
     max_hamming: int = 4,

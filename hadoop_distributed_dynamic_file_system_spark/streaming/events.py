@@ -715,6 +715,60 @@ def streaming_near_dedup(
     return out.drop(*[f"_bk{b}" for b in range(bands)])
 
 
+def streaming_media_dedup(
+    bin_stream: DataFrame,
+    media_index: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Streaming IMAGE near-dedup against a frozen corpus — the
+    multimodal twin of streaming_near_dedup: decode each arriving
+    payload to its perceptual aHash (Arrow-batched mapInPandas, a
+    stateless per-batch stage, streaming-legal), split the 64-bit
+    code into disjoint hamming bands (multimodal.hamming_band_cols —
+    pigeonhole: any frozen image within hamming < n_bands shares at
+    least one band), then one stream-static LEFT ANTI equi-join per
+    band against the corpus' folded band index
+    (multimodal.media_band_index). A new image survives only if
+    EVERY band misses. Same no-state shape as the text gate: no
+    watermark, no state store, the static side is band-cardinality
+    sized and broadcast per micro-batch.
+
+    Undecodable payloads (NULL code) get NULL band keys and survive
+    every anti join — a poison image cannot be judged a duplicate,
+    and the decode-health report is a separate concern.
+
+    Crawl reality check: byte-identical images (logos, spacers) all
+    share the frozen corpus' codes, so this gate drops them in the
+    first band probe — the streaming form of the exact-dedup-first
+    discipline.
+
+    Output: (doc_id, ahash) of the kept documents."""
+    from ..operators import multimodal as mm
+
+    codes = mm.ahash_codes(bin_stream)
+    bands = mm.hamming_band_cols(F.col("ahash"), n_bands, band_bits)
+    keyed = codes.select(
+        "doc_id",
+        "ahash",
+        *[
+            F.when(
+                F.col("ahash").isNotNull(), F.xxhash64(F.lit(b), c)
+            ).alias(f"_mb{b}")
+            for b, c in enumerate(bands)
+        ],
+    )
+    out = keyed
+    for b in range(n_bands):
+        idx = media_index.select(F.col("mbk").alias(f"_mi{b}"))
+        out = out.join(
+            F.broadcast(idx),
+            F.col(f"_mb{b}") == F.col(f"_mi{b}"),
+            "left_anti",
+        )
+    return out.select("doc_id", "ahash")
+
+
 def streaming_curation(
     doc_stream: DataFrame,
     band_index: DataFrame,

@@ -761,3 +761,45 @@ class TestWebtextProperties:
         # the operator mirrors plain startswith semantics
         want = not any(path.startswith(pre) for pre in prefixes)
         assert got == want, (path, prefixes, got, want)
+
+
+class TestJpegCodecProperties:
+    """Property pins for the pure-numpy baseline JPEG codec: any
+    small RGB image must survive an encode/decode roundtrip within
+    quantization tolerance, at every sampling/restart combination.
+    (Model-free: the property IS the tolerance bound — JPEG q95
+    luminance error is bounded by the quant table's DC step.)"""
+
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        sub=st.sampled_from([False, True, "422"]),
+        dri=st.sampled_from([0, 1, 3]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_roundtrip_bounded_error(self, h, w, seed, sub, dri):
+        import numpy as np
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        rng = np.random.default_rng(seed)
+        # piecewise-smooth image: random 4x4 blocks upsampled (JPEG's
+        # tolerance contract is for natural images, not white noise;
+        # noise error is bounded too but with a looser constant)
+        small = rng.integers(0, 256, ((h + 3) // 4, (w + 3) // 4, 3))
+        img = np.repeat(np.repeat(small, 4, axis=0), 4, axis=1)[
+            :h, :w, :
+        ].astype(np.uint8)
+        back = mm.jpeg_pixels(
+            mm.make_jpeg(img, quality=95, subsample=sub,
+                         restart_interval=dri)
+        )
+        assert back.shape == img.shape
+        err = np.abs(back.astype(int) - img.astype(int))
+        # luminance is reconstructed tightly; chroma subsampling may
+        # smear block edges — bound mean tightly, max loosely
+        assert err.mean() <= 6.0, (h, w, sub, dri, err.mean())
+        assert err.max() <= 160, (h, w, sub, dri, err.max())

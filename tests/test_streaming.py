@@ -1153,3 +1153,112 @@ class TestStreamingPsiDrift:
         want = SK.psi_drift(old, new, "g", "v").first()
         assert got.asDict() == want.asDict()
         assert got["mass_new_only"] > 0.2  # the planted 200+ outliers
+
+
+class TestStreamingMediaDedup:
+    """Multimodal twin of the text gate: aHash -> disjoint hamming
+    bands -> per-band stream-static anti-joins vs the frozen index
+    (multi-index hamming, pigeonhole-complete for hamming < n_bands)."""
+
+    def _corpus_and_batch(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, mm.make_two_tone_bmp(32, 32, 12)),
+                (2, mm.make_two_tone_bmp(32, 32, 20)),
+            ],
+            "doc_id long, payload binary",
+        )
+        batch = spark.createDataFrame(
+            [
+                # same scene as corpus doc 1, different container:
+                # identical aHash (hamming 0) -> must be dropped
+                (101, mm.make_two_tone_png(32, 32, 12)),
+                # exact duplicate payload of corpus doc 2 -> dropped
+                (102, mm.make_two_tone_bmp(32, 32, 20)),
+                # different scene: every 16-bit band differs -> kept
+                (103, mm.make_two_tone_bmp(32, 32, 28)),
+                # undecodable payload: NULL code -> survives the gate
+                (104, b"\x89PNG\r\n\x1a\n_truncated_"),
+            ],
+            "doc_id long, payload binary",
+        )
+        return corpus, batch
+
+    def test_batch_semantics(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        corpus, batch = self._corpus_and_batch(spark)
+        idx = mm.media_band_index(mm.ahash_codes(corpus))
+        kept = ev.streaming_media_dedup(batch, idx)  # batch frame: same fn
+        rows = {r.doc_id: r.ahash for r in kept.collect()}
+        assert set(rows) == {103, 104}
+        assert rows[104] is None  # undecodable: NULL code, survived
+        spark.catalog.clearCache()
+
+    def test_stream_matches_batch_twin(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        corpus, batch = self._corpus_and_batch(spark)
+        idx = mm.media_band_index(mm.ahash_codes(corpus))
+        src = tmp_path / "media_in"
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src), "doc_id long, payload binary"
+        )
+        out = ev.run_to_memory(
+            ev.streaming_media_dedup(stream, idx), "media_dedup_out"
+        )
+        got = {r.doc_id for r in out.collect()}
+        want = {
+            r.doc_id
+            for r in ev.streaming_media_dedup(batch, idx).collect()
+        }
+        assert got == want == {103, 104}
+        spark.catalog.clearCache()
+
+    def test_pigeonhole_catches_small_hamming(self, spark):
+        # synthetic codes: flip 3 bits spread across three bands —
+        # the fourth band is untouched, so the gate MUST catch it
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+        from hadoop_distributed_dynamic_file_system_spark.streaming import (
+            events as _ev,
+        )
+
+        base = 0x0123456789ABCDEF
+        near = base ^ (1 << 0) ^ (1 << 17) ^ (1 << 34)  # 3 bands touched
+        far = ~base & 0xFFFFFFFFFFFFFFFF  # every band differs
+        to_signed = lambda v: v - (1 << 64) if v >= 1 << 63 else v
+        frozen = spark.createDataFrame(
+            [(1, to_signed(base))], "doc_id long, ahash long"
+        )
+        probe = spark.createDataFrame(
+            [(201, to_signed(near)), (202, to_signed(far))],
+            "doc_id long, ahash long",
+        )
+        idx = mm.media_band_index(frozen)
+        bands = mm.hamming_band_cols(F.col("ahash"))
+        keyed = probe.select(
+            "doc_id", "ahash",
+            *[F.xxhash64(F.lit(b), c).alias(f"_mb{b}")
+              for b, c in enumerate(bands)],
+        )
+        out = keyed
+        for b in range(4):
+            out = out.join(
+                idx.select(F.col("mbk").alias(f"_mi{b}")),
+                F.col(f"_mb{b}") == F.col(f"_mi{b}"),
+                "left_anti",
+            )
+        ids = {r.doc_id for r in out.collect()}
+        assert ids == {202}  # hamming-3 neighbor caught, far code kept
+        spark.catalog.clearCache()
