@@ -412,6 +412,87 @@ def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def banded_hamming_pairs(
+    codes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 4,
+    n_bands: int | None = None,
+    bits: int = 64,
+    cache: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by hamming distance over DISJOINT code
+    bands — multi-index hashing (Norouzi et al. CVPR'12). The code's
+    `bits` are partitioned into `n_bands` contiguous chunks
+    (default max_hamming + 1); by pigeonhole any pair within
+    max_hamming is IDENTICAL in at least one band, so the candidate
+    equi-join has FULL recall — unlike the prefix band
+    (simhash_near_pairs rotations=1), which misses pairs whose
+    differing bits fall in the prefix, and unlike rotations, which
+    overflow a signed 64-bit long. Signed-safe: shiftright + mask.
+
+    Plan: explode to one row per (id, band, value) — explode factor
+    `n_bands`, not corpus size — equi-join on (band, value), exact
+    bit_count verify on candidates only, distinct pairs.
+    `max_bucket_size` drops degenerate band buckets with a logged
+    count (same guard as the LSH path).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    w = bits // n_bands
+    widths = [w + 1 if b < bits % n_bands else w for b in range(n_bands)]
+    h = F.col(hash_col)
+    bands = []
+    at = 0
+    for b, width in enumerate(widths):
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(h, at)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+        )
+        at += width
+    banded = codes.select(
+        F.col(id_col),
+        h.alias(hash_col),
+        F.explode(F.array(*bands)).alias("_b"),
+    ).select(
+        id_col, hash_col,
+        F.col("_b.band").alias("_band"), F.col("_b.val").alias("_val"),
+    )
+    if cache:
+        banded = tracked_persist(banded)
+    if max_bucket_size is not None:
+        banded = _drop_oversized_buckets(
+            banded, ["_band", "_val"], max_bucket_size,
+            "banded_hamming_pairs",
+        )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._val") == F.col("b._val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming_distance(
+                F.col(f"a.{hash_col}"), F.col(f"b.{hash_col}")
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    # a pair can share several bands; distinct over the functionally-
+    # dependent triple collapses to pair-distinct
+    return pairs.distinct()
+
+
 def simhash_near_pairs(
     fingerprints: DataFrame,
     id_col: str,

@@ -782,24 +782,25 @@ def ahash_near_pairs(
     band_shift: int = 32,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Image near-duplicate pairs: aHash codes → banded hamming join
-    (prefix band over the top 64-band_shift bits; rotations stay at 1
-    because a 64-bit rotation mask does not fit a signed long — raise
-    band_shift for recall instead). NULL codes (undecodable payloads)
-    never join. `max_bucket_size` passes through to the banded join —
-    crawls are full of byte-identical images (logos, spacers, tracking
-    pixels) whose shared code makes one band bucket quadratic; run
-    exact dedup on md5(payload) first, then cap the residue."""
+    """Image near-duplicate pairs: aHash codes → disjoint-band hamming
+    join (dedup.banded_hamming_pairs — multi-index hashing with
+    max_hamming+1 bands, so recall is COMPLETE for the requested
+    radius; the round-6 prefix-band form missed pairs whose differing
+    bits fell in the prefix). NULL codes (undecodable payloads) never
+    join. `max_bucket_size` caps degenerate band buckets — crawls are
+    full of byte-identical images (logos, spacers, tracking pixels)
+    whose shared code makes one bucket quadratic; run exact dedup on
+    md5(payload) first, then cap the residue. `band_shift` is kept
+    for signature compatibility and ignored (the disjoint-band form
+    has no prefix)."""
     from . import dedup
 
     codes = ahash_codes(binaries).filter(F.col("ahash").isNotNull())
-    return dedup.simhash_near_pairs(
+    return dedup.banded_hamming_pairs(
         codes,
         "doc_id",
         hash_col="ahash",
         max_hamming=max_hamming,
-        band_shift=band_shift,
-        rotations=1,
         bits=64,
         max_bucket_size=max_bucket_size,
     )
@@ -901,18 +902,17 @@ def audio_near_pairs(
     band_shift: int = 32,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Audio near-duplicate pairs: fingerprints → banded hamming join
-    (same machinery, caveats, and hot-bucket cap as ahash_near_pairs)."""
+    """Audio near-duplicate pairs: fingerprints → disjoint-band
+    hamming join (same full-recall machinery and hot-bucket cap as
+    ahash_near_pairs)."""
     from . import dedup
 
     codes = audio_fingerprint(binaries).filter(F.col("afp").isNotNull())
-    return dedup.simhash_near_pairs(
+    return dedup.banded_hamming_pairs(
         codes,
         "doc_id",
         hash_col="afp",
         max_hamming=max_hamming,
-        band_shift=band_shift,
-        rotations=1,
         bits=64,
         max_bucket_size=max_bucket_size,
     )

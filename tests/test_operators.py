@@ -1300,6 +1300,32 @@ class TestAHashNearDup:
         assert (1, 2) in pairs
         assert all(3 not in p and 4 not in p for p in pairs)
 
+    def test_full_recall_at_radius(self, spark):
+        """The disjoint-band join (round 7) must find EVERY pair
+        within max_hamming — including one whose differing bits all
+        sit in the top band, the case the old prefix band missed."""
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup,
+        )
+
+        def sgn(v):
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        base = 0x7EDCBA9876543210
+        # flip 3 bits inside the TOP 16-bit band only
+        top_flips = base ^ (1 << 63) ^ (1 << 55) ^ (1 << 50)
+        codes = spark.createDataFrame(
+            [(1, sgn(base)), (2, sgn(top_flips))],
+            "doc_id long, ahash long",
+        )
+        try:
+            got = dedup.banded_hamming_pairs(
+                codes, "doc_id", "ahash", max_hamming=3, cache=False
+            ).collect()
+            assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 3)]
+        finally:
+            spark.catalog.clearCache()
+
 
 class TestAudioFingerprint:
     def _wavs(self, spark):
