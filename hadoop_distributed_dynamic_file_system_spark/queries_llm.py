@@ -1306,7 +1306,14 @@ def media_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     The encode and both decode stages are Arrow-batched mapInPandas."""
     import pandas as pd  # noqa: F401 (batch iterator types)
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group scan -> one partition; spread the Arrow
+    # decode stage across executors (8-byte ids shuffle only —
+    # same fix as jpeg_ahash_roundtrip, 7.1 -> 1.2 s)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def build(it):
         for pdf in it:
@@ -1355,7 +1362,14 @@ def wav_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     RMS all hash-checked without parsing a byte."""
     import pandas as pd  # noqa: F401
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group scan -> one partition; spread the Arrow
+    # decode stage across executors (8-byte ids shuffle only —
+    # same fix as jpeg_ahash_roundtrip, 7.1 -> 1.2 s)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def build(it):
         for pdf in it:
@@ -2769,7 +2783,14 @@ def image_ahash_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     BGR, packing-order, or block-bucketing bug hash-mismatches."""
     import pandas as pd  # noqa: F401
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group scan -> one partition; spread the Arrow
+    # decode stage across executors (8-byte ids shuffle only —
+    # same fix as jpeg_ahash_roundtrip, 7.1 -> 1.2 s)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def build(it):
         for pdf in it:
@@ -2808,7 +2829,14 @@ def audio_fingerprint_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame
     bucketing, or packing-order bug hash-mismatches."""
     import pandas as pd  # noqa: F401
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group scan -> one partition; spread the Arrow
+    # decode stage across executors (8-byte ids shuffle only —
+    # same fix as jpeg_ahash_roundtrip, 7.1 -> 1.2 s)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def build(it):
         for pdf in it:
@@ -2845,7 +2873,14 @@ def video_metadata_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec-gated, exactly like compressed rasters."""
     import pandas as pd  # noqa: F401
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group scan -> one partition; spread the Arrow
+    # decode stage across executors (8-byte ids shuffle only —
+    # same fix as jpeg_ahash_roundtrip, 7.1 -> 1.2 s)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def build_and_decode(it):
         for pdf in it:
@@ -4595,7 +4630,14 @@ def png_ahash_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     against pure doc_id arithmetic."""
     import pandas as pd  # noqa: F401
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group scan -> one partition; spread the Arrow
+    # decode stage across executors (8-byte ids shuffle only —
+    # same fix as jpeg_ahash_roundtrip, 7.1 -> 1.2 s)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def build(it):
         for pdf in it:
@@ -4637,7 +4679,14 @@ def gif_ahash_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned container-independent across three REAL codecs."""
     import pandas as pd  # noqa: F401
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # single-row-group scan -> one partition; spread the Arrow
+    # decode stage across executors (8-byte ids shuffle only —
+    # same fix as jpeg_ahash_roundtrip, 7.1 -> 1.2 s)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def build(it):
         for pdf in it:

@@ -186,6 +186,16 @@ slowest-12 entirely). Its io/mrbench singles (write 22 MB/s, mrbench
 597 ms) were taken under residual load from the preceding full-suite
 run — the min-of-2 `queries` block is the comparable part; the
 driver's own idle-machine run supersedes the io singles.
+
+The repartition-before-decode fix was then applied to the WHOLE Arrow
+roundtrip family (media/wav/image/audio/video/png/gif — all built on
+the same single-row-group doc_id scan): png 2.72 -> 0.83 s, gif
+2.88 -> 0.83, audio_fingerprint 2.39 -> 0.82, image_ahash
+1.80 -> 1.05, wav 1.04 -> 0.76 at sf0.1, all eight oracle-green at
+both SFs after the change. Final committed record: 151.3 s total
+across 137 entries (run-to-run ambient swing on this machine is
+~±15 s on the total; per-entry min-of-2 values are the comparable
+unit).
 `lsh_bucket_stats` costs 1.9 s steady-state (its 47 s first-run in
 the sweep session was cold-JIT of the 8-salt md5 signature pipeline,
 paid once per session — the bench's min-of-2 with sf0.001 warm-up
