@@ -756,12 +756,20 @@ def media_band_index(
     n_bands: int = 4,
     band_bits: int = 16,
 ) -> DataFrame:
-    """Distinct folded (band, value) keys of a frozen corpus'
+    """Distinct folded (band-key, code) pairs of a frozen corpus'
     perceptual codes — the multimodal twin of dedup.lsh_band_index:
-    the only state a streaming image-dedup gate carries, one 8-byte
-    xxhash64 long per occupied band bucket (band-cardinality sized,
-    never corpus sized). Persist once per corpus freeze; probes
-    broadcast it per micro-batch. NULL codes contribute nothing."""
+    the only state a streaming image-dedup gate carries. Each row is
+    one 8-byte xxhash64 band key `mbk` plus the 8-byte source code
+    `mcode` — at most n_bands rows per distinct frozen code, never
+    corpus-pairs sized. Carrying the code (not just the folded key)
+    lets the gate verify EXACT hamming distance on band-collision
+    candidates: perceptual band values are heavily skewed on natural
+    images (uniform dark/light regions all hash to 0x0000/0xFFFF
+    bands), so a key-only index would make one common band value
+    wrongly veto many non-duplicates — unlike the MinHash text twin,
+    where a band match already implies all band minhashes agree.
+    Persist once per corpus freeze; probes broadcast it per
+    micro-batch. NULL codes contribute nothing."""
     from ..cache import tracked_persist
 
     cols = hamming_band_cols(F.col(hash_col), n_bands, band_bits)
@@ -771,8 +779,8 @@ def media_band_index(
                 F.xxhash64(F.lit(b), c) for b, c in enumerate(cols)
             ])
         ).alias("mbk"),
-        F.col(hash_col).alias("_h"),
-    ).filter(F.col("_h").isNotNull()).select("mbk")
+        F.col(hash_col).alias("mcode"),
+    ).filter(F.col("mcode").isNotNull())
     return tracked_persist(out.distinct())
 
 

@@ -715,11 +715,66 @@ def streaming_near_dedup(
     return out.drop(*[f"_bk{b}" for b in range(bands)])
 
 
+def _streaming_code_dedup(
+    codes: DataFrame,
+    code_col: str,
+    media_index: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Shared core of the streaming media gates: per-band stream-static
+    LEFT ANTI joins of 64-bit perceptual codes against a frozen
+    (band-key, code) index — candidate by band-key equality, DROP only
+    after an exact bit_count verify (hamming <= max_hamming). The
+    verify rides as an extra join predicate on the broadcast-hash
+    equi-join, so a skewed band value (0x0000/0xFFFF bands are common
+    on natural images and near-silent audio) can surface candidates
+    but can no longer veto a non-duplicate by itself — matching the
+    batch twin (dedup.banded_hamming_pairs), which verifies candidates
+    the same way. Stateless, streaming-legal: no watermark, no state
+    store; the static side is at most n_bands rows per distinct frozen
+    code, broadcast per micro-batch.
+
+    NULL codes get NULL band keys, never satisfy any join predicate,
+    and survive every anti join — an undecodable payload cannot be
+    judged a duplicate."""
+    from ..operators import multimodal as mm
+
+    bands = mm.hamming_band_cols(F.col(code_col), n_bands, band_bits)
+    out = codes.select(
+        *codes.columns,
+        *[
+            F.when(
+                F.col(code_col).isNotNull(), F.xxhash64(F.lit(b), c)
+            ).alias(f"_mb{b}")
+            for b, c in enumerate(bands)
+        ],
+    )
+    for b in range(n_bands):
+        idx = media_index.select(
+            F.col("mbk").alias(f"_mi{b}"), F.col("mcode").alias(f"_mc{b}")
+        )
+        out = out.join(
+            F.broadcast(idx),
+            (F.col(f"_mb{b}") == F.col(f"_mi{b}"))
+            & (
+                F.bit_count(
+                    F.col(code_col).bitwiseXOR(F.col(f"_mc{b}"))
+                )
+                <= F.lit(max_hamming)
+            ),
+            "left_anti",
+        )
+    return out.select(*codes.columns)
+
+
 def streaming_media_dedup(
     bin_stream: DataFrame,
     media_index: DataFrame,
     n_bands: int = 4,
     band_bits: int = 16,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Streaming IMAGE near-dedup against a frozen corpus — the
     multimodal twin of streaming_near_dedup: decode each arriving
@@ -727,46 +782,63 @@ def streaming_media_dedup(
     stateless per-batch stage, streaming-legal), split the 64-bit
     code into disjoint hamming bands (multimodal.hamming_band_cols —
     pigeonhole: any frozen image within hamming < n_bands shares at
-    least one band), then one stream-static LEFT ANTI equi-join per
-    band against the corpus' folded band index
-    (multimodal.media_band_index). A new image survives only if
-    EVERY band misses. Same no-state shape as the text gate: no
-    watermark, no state store, the static side is band-cardinality
-    sized and broadcast per micro-batch.
+    least one band), then one stream-static LEFT ANTI join per band
+    against the corpus' (band-key, code) index
+    (multimodal.media_band_index), verifying EXACT hamming distance
+    (bit_count <= max_hamming, default n_bands - 1 = the pigeonhole
+    completeness radius) before a candidate drops the image. Band
+    collision alone is NOT a duplicate verdict: aHash band values are
+    heavily skewed (flat regions yield all-zero/all-one bands), so an
+    unverified key match would let one common frozen band wrongly
+    drop many distinct images. A new image survives only if every
+    band probe finds no verified neighbor. No watermark, no state
+    store; static side broadcast per micro-batch.
 
     Undecodable payloads (NULL code) get NULL band keys and survive
     every anti join — a poison image cannot be judged a duplicate,
     and the decode-health report is a separate concern.
 
     Crawl reality check: byte-identical images (logos, spacers) all
-    share the frozen corpus' codes, so this gate drops them in the
-    first band probe — the streaming form of the exact-dedup-first
-    discipline.
+    share the frozen corpus' codes (hamming 0), so this gate drops
+    them in the first band probe — the streaming form of the
+    exact-dedup-first discipline.
 
     Output: (doc_id, ahash) of the kept documents."""
     from ..operators import multimodal as mm
 
-    codes = mm.ahash_codes(bin_stream)
-    bands = mm.hamming_band_cols(F.col("ahash"), n_bands, band_bits)
-    keyed = codes.select(
-        "doc_id",
-        "ahash",
-        *[
-            F.when(
-                F.col("ahash").isNotNull(), F.xxhash64(F.lit(b), c)
-            ).alias(f"_mb{b}")
-            for b, c in enumerate(bands)
-        ],
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    codes = mm.ahash_codes(bin_stream).select("doc_id", "ahash")
+    return _streaming_code_dedup(
+        codes, "ahash", media_index, n_bands, band_bits, max_hamming
     )
-    out = keyed
-    for b in range(n_bands):
-        idx = media_index.select(F.col("mbk").alias(f"_mi{b}"))
-        out = out.join(
-            F.broadcast(idx),
-            F.col(f"_mb{b}") == F.col(f"_mi{b}"),
-            "left_anti",
-        )
-    return out.select("doc_id", "ahash")
+
+
+def streaming_audio_dedup(
+    bin_stream: DataFrame,
+    media_index: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Streaming AUDIO near-dedup against a frozen corpus — the same
+    frozen-index gate as streaming_media_dedup over acoustic
+    fingerprints (multimodal.audio_fingerprint: frame-energy bits
+    packed into one signed 64-bit code; NULL for non-WAV/malformed
+    payloads). Build the index with
+    media_band_index(audio_fingerprint(corpus), hash_col="afp").
+    Same exact-hamming verification, same no-state plan shape, same
+    NULL-survival discipline.
+
+    Output: (doc_id, afp) of the kept documents."""
+    from ..operators import multimodal as mm
+
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    codes = mm.audio_fingerprint(bin_stream).select("doc_id", "afp")
+    return _streaming_code_dedup(
+        codes, "afp", media_index, n_bands, band_bits, max_hamming
+    )
 
 
 def streaming_curation(

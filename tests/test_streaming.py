@@ -1262,3 +1262,107 @@ class TestStreamingMediaDedup:
         ids = {r.doc_id for r in out.collect()}
         assert ids == {202}  # hamming-3 neighbor caught, far code kept
         spark.catalog.clearCache()
+
+    def test_band_collision_alone_does_not_drop(self, spark):
+        # aHash band values are skewed (flat image regions give
+        # 0x0000/0xFFFF bands), so a shared band VALUE must surface a
+        # candidate but not a verdict: the gate verifies exact hamming
+        # before dropping. Probe 301 shares band 0 with the frozen
+        # code but differs in all 48 remaining bits -> must be KEPT
+        # (the key-only gate wrongly dropped it); probe 302 is within
+        # hamming 3 -> dropped.
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        base = 0x0000_5A5A_3C3C_F0F0  # band 0 = 0xF0F0
+        collide = 0xFFFF_A5A5_C3C3_F0F0  # same band 0, other 48 bits flipped
+        near = base ^ (1 << 20) ^ (1 << 40)  # hamming 2
+        to_signed = lambda v: v - (1 << 64) if v >= 1 << 63 else v
+        frozen = spark.createDataFrame(
+            [(1, to_signed(base))], "doc_id long, ahash long"
+        )
+        idx = mm.media_band_index(frozen)
+        probe_codes = spark.createDataFrame(
+            [(301, to_signed(collide)), (302, to_signed(near))],
+            "doc_id long, ahash long",
+        )
+        kept = ev._streaming_code_dedup(
+            probe_codes, "ahash", idx, n_bands=4, band_bits=16, max_hamming=3
+        )
+        assert {r.doc_id for r in kept.collect()} == {301}
+        spark.catalog.clearCache()
+
+
+class TestStreamingAudioDedup:
+    """Audio twin of the image gate: acoustic fingerprint -> disjoint
+    hamming bands -> per-band verified anti-joins vs the frozen
+    (band-key, code) index. Same machinery (_streaming_code_dedup),
+    different decoder."""
+
+    def _corpus_and_batch(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        loud_then_quiet = [900] * 512 + [10] * 512
+        nearly_same = [905] * 512 + [12] * 500 + [300] * 12
+        different = [500 if (i // 16) % 2 == 0 else 20 for i in range(1024)]
+        corpus = spark.createDataFrame(
+            [(1, mm.make_wav(loud_then_quiet))],
+            "doc_id long, payload binary",
+        )
+        batch = spark.createDataFrame(
+            [
+                # exact duplicate payload -> hamming 0 -> dropped
+                (201, mm.make_wav(loud_then_quiet)),
+                # same clip, tiny edit -> few bits -> dropped
+                (202, mm.make_wav(nearly_same)),
+                # different rhythm -> far in hamming -> kept
+                (203, mm.make_wav(different)),
+                # malformed payload -> NULL code -> survives the gate
+                (204, b"RIFFjunk"),
+            ],
+            "doc_id long, payload binary",
+        )
+        return corpus, batch
+
+    def test_batch_semantics(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        corpus, batch = self._corpus_and_batch(spark)
+        idx = mm.media_band_index(
+            mm.audio_fingerprint(corpus), hash_col="afp"
+        )
+        kept = ev.streaming_audio_dedup(batch, idx)
+        rows = {r.doc_id: r.afp for r in kept.collect()}
+        assert set(rows) == {203, 204}
+        assert rows[204] is None
+        spark.catalog.clearCache()
+
+    def test_stream_matches_batch_twin(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        corpus, batch = self._corpus_and_batch(spark)
+        idx = mm.media_band_index(
+            mm.audio_fingerprint(corpus), hash_col="afp"
+        )
+        src = tmp_path / "audio_in"
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src), "doc_id long, payload binary"
+        )
+        out = ev.run_to_memory(
+            ev.streaming_audio_dedup(stream, idx), "audio_dedup_out"
+        )
+        got = {r.doc_id for r in out.collect()}
+        want = {
+            r.doc_id
+            for r in ev.streaming_audio_dedup(batch, idx).collect()
+        }
+        assert got == want == {203, 204}
+        spark.catalog.clearCache()
