@@ -40,6 +40,7 @@ def _drop_oversized_buckets(
     key_cols: list[str],
     max_bucket_size: int,
     what: str,
+    census: str = "eager",
 ) -> DataFrame:
     """Hot-bucket guard for the candidate-pair generators: a bucket
     key shared by m rows yields O(m²) join output, and on real crawl
@@ -49,16 +50,38 @@ def _drop_oversized_buckets(
     exact-dup buckets for the same reason). Buckets with more than
     `max_bucket_size` members are DROPPED from candidate generation —
     members that degenerate are better handled by the exact-dedup
-    stage of the funnel that precedes near-dedup — and the drop is
-    LOGGED (count of buckets + rows + the largest size), never
-    silent.
+    stage of the funnel that precedes near-dedup.
 
-    The size census + count run over the already-persisted banded
-    relation, so the guard costs one cheap aggregation; the anti-join
-    side is at most |rows|/max_bucket_size keys (small — AQE
-    broadcasts it)."""
+    `census="eager"` (the primitive default) runs a driver-side size
+    census FIRST and LOGS any drop (bucket count + rows + largest),
+    never silent — one cheap aggregation, but it is a
+    CONSTRUCTION-TIME ACTION: it assumes `banded` is persisted (with
+    cache=False or a parquet-staged input it recomputes the upstream
+    pipeline), it runs even when nothing exceeds the cap, and it is
+    illegal inside a streaming plan (the streaming gates use the
+    frozen-index path instead — pinned by a negative test).
+
+    `census="lazy"` is ACTION-FREE: the oversized-bucket relation is
+    anti-joined unconditionally, so plan construction triggers no job
+    and the guard composes into any batch plan. The trade: no drop
+    log (one info line notes the armed cap); size the cap beforehand
+    with the `lsh_bucket_stats` pre-flight census, which reports
+    exactly what a given cap would drop. The composite entry points
+    (near_dedup, ahash/audio_near_pairs) use this mode for their
+    default-on caps.
+
+    Either way the anti-join side is at most |rows|/max_bucket_size
+    keys (small — AQE broadcasts it)."""
     sizes = banded.groupBy(*key_cols).agg(F.count("*").alias("_bsz"))
     big = sizes.filter(F.col("_bsz") > max_bucket_size)
+    if census == "lazy":
+        log.info(
+            "%s: hot-bucket guard armed lazily (max_bucket_size=%d); "
+            "oversized buckets are dropped from candidate generation — "
+            "run lsh_bucket_stats for the drop census",
+            what, max_bucket_size,
+        )
+        return banded.join(big.select(*key_cols), key_cols, "left_anti")
     stats = big.agg(
         F.count("*").alias("nb"),
         F.sum("_bsz").alias("nr"),
@@ -258,6 +281,7 @@ def lsh_candidate_pairs(
     cache: bool = True,
     hash_band_keys: bool = True,
     max_bucket_size: int | None = None,
+    bucket_census: str = "eager",
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band key
     are candidates. Returns distinct (id_a, id_b) with id_a < id_b.
@@ -265,8 +289,9 @@ def lsh_candidate_pairs(
     `max_bucket_size` bounds the O(m²) blow-up of a degenerate band
     bucket (boilerplate/empty-template pages at crawl scale): buckets
     over the cap are dropped from candidate generation with a logged
-    count (see _drop_oversized_buckets). None = unguarded exact
-    behavior.
+    count (see _drop_oversized_buckets; `bucket_census="lazy"` makes
+    the guard action-free at the cost of the drop log). None =
+    unguarded exact behavior.
 
     One shuffle on the band key; the self-join is an equi-join so
     Catalyst plans SMJ/broadcast — never a cross product. The banded
@@ -294,7 +319,8 @@ def lsh_candidate_pairs(
         banded = tracked_persist(banded)
     if max_bucket_size is not None:
         banded = _drop_oversized_buckets(
-            banded, ["band", "bkey"], max_bucket_size, "lsh_candidate_pairs"
+            banded, ["band", "bkey"], max_bucket_size,
+            "lsh_candidate_pairs", census=bucket_census,
         )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -349,7 +375,7 @@ def near_dedup(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """The user-facing dedup funnel: signatures → LSH candidates →
     estimated Jaccard → drop every doc similar to a lower-id doc.
@@ -360,13 +386,22 @@ def near_dedup(
     anti-join against the (small) drop list; the corpus is never
     re-shuffled.
 
-    `max_bucket_size` passes through to lsh_candidate_pairs: on
-    boilerplate-heavy corpora run exact_dedup first, then set this to
-    bound any residual degenerate band bucket (logged drop)."""
+    `max_bucket_size` DEFAULTS ON (1000) here — the funnel is where an
+    unsuspecting user meets boilerplate-degenerate crawl data, and a
+    single million-member band bucket makes the candidate join
+    quadratic (the defensive-defaults philosophy of the reference's
+    SkipBadRecords.java:51). The guard is the action-free lazy form
+    (no construction-time job, no drop log — pre-flight with
+    lsh_bucket_stats to see what a cap drops); docs inside an
+    oversized bucket are simply not near-dedup candidates, which is
+    the safe direction (kept, not silently deleted). Pass None for
+    exact unguarded semantics; the primitives (lsh_candidate_pairs
+    et al.) stay exact-by-default."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     sigs = tracked_persist(sigs)
     pairs = lsh_candidate_pairs(
-        sigs, id_col, num_hashes, bands, max_bucket_size=max_bucket_size
+        sigs, id_col, num_hashes, bands,
+        max_bucket_size=max_bucket_size, bucket_census="lazy",
     )
     est = minhash_estimate(sigs, pairs, id_col, num_hashes)
     drop = (
@@ -421,6 +456,7 @@ def banded_hamming_pairs(
     bits: int = 64,
     cache: bool = True,
     max_bucket_size: int | None = None,
+    bucket_census: str = "eager",
 ) -> DataFrame:
     """Near-duplicate pairs by hamming distance over DISJOINT code
     bands — multi-index hashing (Norouzi et al. CVPR'12). The code's
@@ -469,7 +505,7 @@ def banded_hamming_pairs(
     if max_bucket_size is not None:
         banded = _drop_oversized_buckets(
             banded, ["_band", "_val"], max_bucket_size,
-            "banded_hamming_pairs",
+            "banded_hamming_pairs", census=bucket_census,
         )
     a, b_ = banded.alias("a"), banded.alias("b")
     pairs = (

@@ -784,25 +784,47 @@ def media_band_index(
     return tracked_persist(out.distinct())
 
 
+def _warn_ignored_band_shift(band_shift: int, what: str) -> None:
+    """The pre-round-7 prefix-band form tuned recall with band_shift;
+    the disjoint-band hamming join has no prefix, so the parameter is
+    a no-op kept only for signature compatibility. A caller passing a
+    non-default value is tuning a dead knob — say so instead of
+    silently ignoring it."""
+    if band_shift != 32:
+        import warnings
+
+        warnings.warn(
+            f"{what}: band_shift is ignored since the switch to "
+            "disjoint-band multi-index hamming (full recall for the "
+            "requested max_hamming radius); tune max_hamming/n_bands "
+            "instead. The parameter will be removed.",
+            DeprecationWarning,
+            stacklevel=3,
+        )
+
+
 def ahash_near_pairs(
     binaries: DataFrame,
     max_hamming: int = 4,
     band_shift: int = 32,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Image near-duplicate pairs: aHash codes → disjoint-band hamming
     join (dedup.banded_hamming_pairs — multi-index hashing with
     max_hamming+1 bands, so recall is COMPLETE for the requested
     radius; the round-6 prefix-band form missed pairs whose differing
     bits fell in the prefix). NULL codes (undecodable payloads) never
-    join. `max_bucket_size` caps degenerate band buckets — crawls are
-    full of byte-identical images (logos, spacers, tracking pixels)
-    whose shared code makes one bucket quadratic; run exact dedup on
-    md5(payload) first, then cap the residue. `band_shift` is kept
-    for signature compatibility and ignored (the disjoint-band form
-    has no prefix)."""
+    join. `max_bucket_size` DEFAULTS ON (1000): crawls are full of
+    byte-identical images (logos, spacers, tracking pixels) whose
+    shared code makes one band bucket quadratic — run exact dedup on
+    md5(payload) first, then the cap bounds the residue. The guard is
+    the action-free lazy form (no drop log; docs in an oversized
+    bucket are kept, not silently deleted); pass None for exact
+    unguarded behavior. `band_shift` is deprecated and ignored (the
+    disjoint-band form has no prefix)."""
     from . import dedup
 
+    _warn_ignored_band_shift(band_shift, "ahash_near_pairs")
     codes = ahash_codes(binaries).filter(F.col("ahash").isNotNull())
     return dedup.banded_hamming_pairs(
         codes,
@@ -811,6 +833,7 @@ def ahash_near_pairs(
         max_hamming=max_hamming,
         bits=64,
         max_bucket_size=max_bucket_size,
+        bucket_census="lazy",
     )
 
 
@@ -908,13 +931,14 @@ def audio_near_pairs(
     binaries: DataFrame,
     max_hamming: int = 4,
     band_shift: int = 32,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Audio near-duplicate pairs: fingerprints → disjoint-band
-    hamming join (same full-recall machinery and hot-bucket cap as
-    ahash_near_pairs)."""
+    hamming join (same full-recall machinery, default-on lazy
+    hot-bucket cap, and deprecated band_shift as ahash_near_pairs)."""
     from . import dedup
 
+    _warn_ignored_band_shift(band_shift, "audio_near_pairs")
     codes = audio_fingerprint(binaries).filter(F.col("afp").isNotNull())
     return dedup.banded_hamming_pairs(
         codes,
@@ -923,6 +947,7 @@ def audio_near_pairs(
         max_hamming=max_hamming,
         bits=64,
         max_bucket_size=max_bucket_size,
+        bucket_census="lazy",
     )
 
 
