@@ -193,6 +193,24 @@ def materialize(df) -> None:
 
 
 def main() -> None:
+    # --round N / --label STR pin the round this run records under
+    # (ADVICE r7: the max(CORRECTNESS_r*)+1 inference mislabels a
+    # re-run that happens AFTER the current round's CORRECTNESS file
+    # lands — an explicit flag makes the record unambiguous, and the
+    # label is embedded in the JSON so a mismatch is detectable).
+    forced_round: int | None = None
+    run_label: str | None = None
+    argv = sys.argv[1:]
+    while argv:
+        a = argv.pop(0)
+        if a == "--round" and argv:
+            forced_round = int(argv.pop(0))
+        elif a.startswith("--round="):
+            forced_round = int(a.split("=", 1)[1])
+        elif a == "--label" and argv:
+            run_label = argv.pop(0)
+        elif a.startswith("--label="):
+            run_label = a.split("=", 1)[1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
@@ -445,22 +463,43 @@ def main() -> None:
         for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
         if (m := re.search(r"r(\d+)\.json$", p))
     ]
-    rnd = (max(rounds) + 1) if rounds else 0
+    rnd = forced_round if forced_round is not None else (
+        (max(rounds) + 1) if rounds else 0
+    )
+    # round_label makes the N-vs-round ambiguity detectable inside the
+    # artifact itself (VERDICT r7 "what's wrong" #3): "r8" = which
+    # round's rows these are, suffix = when in the round they ran.
+    label = run_label or (
+        f"r{rnd:02d}-inferred" if forced_round is None else f"r{rnd:02d}"
+    )
+    record["round"] = rnd
+    record["round_label"] = label
     full_path = os.path.join(repo, f"BENCH_LOCAL_r{rnd:02d}.json")
     try:
         with open(full_path, "w") as f:
             json.dump(record, f, indent=1)
         hist = os.path.join(repo, "tools", "bench_history.csv")
-        lines = ["round,query,seconds\n"]
+        header = "round,query,seconds,label\n"
+        lines = [header]
         if os.path.exists(hist):
             with open(hist) as f:
-                # re-runs within a round replace that round's rows
+                # re-runs replace only rows with the SAME (round,
+                # label) — a final run never erases the mid-round
+                # record; other rounds/labels pass through unchanged
                 lines = [
                     ln for ln in f
-                    if not ln.startswith(f"{rnd},")
+                    if not (
+                        ln.startswith(f"{rnd},")
+                        and ln.rstrip("\n").endswith(f",{label}")
+                    )
                 ]
+            if lines and not lines[0].startswith("round,"):
+                lines.insert(0, header)
+            elif lines:
+                lines[0] = header
         lines += [
-            f"{rnd},{name},{sec}\n" for name, sec in sorted(timings.items())
+            f"{rnd},{name},{sec},{label}\n"
+            for name, sec in sorted(timings.items())
         ]
         with open(hist, "w") as f:
             f.writelines(lines)
@@ -478,6 +517,7 @@ def main() -> None:
         "n_queries": len(timings),
         "io": io_stats,
         "sf": record["sf"],
+        "round_label": label,
         "full_record": os.path.basename(full_path),
     }))
     spark.stop()
