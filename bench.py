@@ -180,6 +180,9 @@ HEADLINE = [
     # REAL_DECODE gate) and the LSH bucket census diagnostic
     "jpeg_ahash_roundtrip",
     "lsh_bucket_stats",
+    # round-8 addition: driver-oracle pin for the disjoint-band
+    # hamming join (previously pytest-only)
+    "hamming_near_pairs",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -299,6 +299,53 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hamming_near_pairs",
+    """
+    WITH codes AS (
+      SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS code
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             xor(('0x' || substr(md5(text), 1, 15))::BIGINT,
+                 (1::BIGINT << (doc_id % 60))) AS code
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.code, b.code))::INT AS hamming
+    FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.code, b.code)) <= 2
+    """,
+)
+def hamming_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracle pin for the round-7 flagship join: 60-bit
+    md5-derived codes + a planted 1-bit-flip twin per doc (the flipped
+    bit walks with doc_id, so every band position is exercised),
+    through banded_hamming_pairs (disjoint-band multi-index hashing,
+    Norouzi CVPR'12 — 3 disjoint 20-bit bands for radius 2, full
+    recall by pigeonhole). The oracle is the brute-force O(n²)
+    bit_count join — fine at oracle scale; the Spark side keeps the
+    banded equi-join that scales. Previously this family was
+    pytest-pinned only (multimodal aHash/audio roundtrips)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("code"),
+    )
+    twin = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(
+            "code ^ shiftleft(cast(1 as bigint), cast(doc_id % 60 as int))"
+        ).alias("code"),
+    )
+    codes = d.unionByName(twin)
+    out = dedup.banded_hamming_pairs(
+        codes, "doc_id", "code", max_hamming=2, bits=60
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@query(
     "ngram_jaccard",
     f"""
     WITH {_SQL_DOCS_DUP.strip()},

@@ -107,6 +107,8 @@ QUERIES = [
     # round-7 additions
     "jpeg_ahash_roundtrip",
     "lsh_bucket_stats",
+    # round-8 addition
+    "hamming_near_pairs",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
