@@ -180,9 +180,10 @@ HEADLINE = [
     # REAL_DECODE gate) and the LSH bucket census diagnostic
     "jpeg_ahash_roundtrip",
     "lsh_bucket_stats",
-    # round-8 addition: driver-oracle pin for the disjoint-band
-    # hamming join (previously pytest-only)
+    # round-8 additions: driver-oracle pin for the disjoint-band
+    # hamming join (previously pytest-only) and its pre-flight census
     "hamming_near_pairs",
+    "hamming_bucket_stats",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
@@ -447,6 +447,85 @@ def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _hamming_banded(
+    codes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bands: int,
+    bits: int,
+) -> DataFrame:
+    """Explode each code into its disjoint contiguous bands — one row
+    per (id, code, _band, _val). Low bands get the extra bit when
+    `bits` doesn't divide evenly. Signed-64-safe: shiftright + mask
+    never touches the sign bit unless the band includes it, and the
+    mask keeps the value non-negative for widths < 64. Shared by
+    banded_hamming_pairs (candidate join) and hamming_bucket_stats
+    (pre-flight census), so the census sees EXACTLY the buckets the
+    join will use."""
+    w = bits // n_bands
+    widths = [w + 1 if b < bits % n_bands else w for b in range(n_bands)]
+    h = F.col(hash_col)
+    bands = []
+    at = 0
+    for b, width in enumerate(widths):
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(h, at)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+        )
+        at += width
+    return codes.select(
+        F.col(id_col),
+        h.alias(hash_col),
+        F.explode(F.array(*bands)).alias("_b"),
+    ).select(
+        id_col, hash_col,
+        F.col("_b.band").alias("_band"), F.col("_b.val").alias("_val"),
+    )
+
+
+def hamming_bucket_stats(
+    codes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 4,
+    n_bands: int | None = None,
+    bits: int = 64,
+    cap: int = 1000,
+) -> DataFrame:
+    """Bucket-size census of the disjoint hamming bands — the
+    multimodal twin of lsh_bucket_stats, consulted BEFORE committing a
+    banded_hamming_pairs run over a 100 TB image/audio corpus: per
+    band, occupied buckets, the largest bucket, the count over `cap`
+    (what max_bucket_size would drop), and the exact candidate-pair
+    upper bound Σ m(m-1)/2. Perceptual codes are heavily skewed on
+    real crawls (flat images hash to 0x0/0xF bands, byte-identical
+    logos share whole codes), so a pairs_bound orders of magnitude
+    above the corpus size here means exact-dedup first, then cap.
+
+    Bands come from the same _hamming_banded split the join uses, so
+    the census prices the actual buckets, not a proxy. Model-sized
+    output (`n_bands` rows); the only data-sized shuffle is the
+    bucket groupBy."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    banded = _hamming_banded(codes, id_col, hash_col, n_bands, bits)
+    sizes = banded.groupBy("_band", "_val").agg(F.count("*").alias("cnt"))
+    return sizes.groupBy(F.col("_band").alias("band")).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("cnt").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("cnt") > cap, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_cap"),
+        F.sum(F.expr("(cnt * (cnt - 1)) div 2"))
+        .cast("long")
+        .alias("pairs_bound"),
+    )
+
+
 def banded_hamming_pairs(
     codes: DataFrame,
     id_col: str,
@@ -477,29 +556,7 @@ def banded_hamming_pairs(
     Output: (id_a, id_b, hamming) with id_a < id_b."""
     if n_bands is None:
         n_bands = max_hamming + 1
-    w = bits // n_bands
-    widths = [w + 1 if b < bits % n_bands else w for b in range(n_bands)]
-    h = F.col(hash_col)
-    bands = []
-    at = 0
-    for b, width in enumerate(widths):
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(h, at)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("val"),
-            )
-        )
-        at += width
-    banded = codes.select(
-        F.col(id_col),
-        h.alias(hash_col),
-        F.explode(F.array(*bands)).alias("_b"),
-    ).select(
-        id_col, hash_col,
-        F.col("_b.band").alias("_band"), F.col("_b.val").alias("_val"),
-    )
+    banded = _hamming_banded(codes, id_col, hash_col, n_bands, bits)
     if cache:
         banded = tracked_persist(banded)
     if max_bucket_size is not None:
@@ -1060,3 +1117,81 @@ def lsh_band_index(
     return tracked_persist(
         out.filter(F.col("bk").isNotNull()).distinct()
     )
+
+
+def freeze_band_index_bucketed(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_name: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    num_buckets: int = 32,
+) -> None:
+    """Freeze a corpus' band index as a BUCKETED catalog table on
+    `bk` — the 100 TB form of lsh_band_index's parquet staging. The
+    broadcast form (streaming_near_dedup, incremental_near_dedup)
+    assumes the frozen index fits executor memory; a web-scale frozen
+    corpus's band-key set does not. Bucketing pays the index's shuffle
+    ONCE at freeze time: every later incremental batch sort-merge
+    probes it with ZERO Exchange on the frozen side (the skew.
+    write_bucketed discipline — the disk layout IS the shuffle;
+    reference analog: the identically-partitioned, key-sorted
+    precondition of the map-side join, mapred/join/
+    CompositeInputFormat.java:34-58)."""
+    from . import skew
+
+    idx = lsh_band_index(
+        corpus, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    skew.write_bucketed(idx, table_name, ["bk"], num_buckets=num_buckets)
+    idx.unpersist()  # staged to disk; the memory copy is done
+
+
+def incremental_near_dedup_bucketed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table_name: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dedup of an arriving batch against a frozen
+    corpus index written by freeze_band_index_bucketed — same
+    semantics as streaming_near_dedup (a doc survives only if NONE of
+    its band keys appears in the frozen index; shingle-less docs carry
+    NULL keys, match nothing, and survive), different scale point: the
+    frozen side is a bucketed disk table, never broadcast, so it can
+    be arbitrarily large.
+
+    Plan shape (pinned in tests/test_scale_types.py): explode the
+    batch's band keys to (id, bk), ONE Exchange aligns the probe to
+    the index's bucketing, sort-merge LEFT SEMI finds hit ids with NO
+    Exchange on the frozen scan, and the batch anti-joins the
+    (batch-sized) hit list. The frozen index is never re-shuffled —
+    that cost was paid once at freeze time. (A per-bucket Sort remains
+    above the frozen scan: vanilla Spark does not consume bucket
+    sortBy metadata for SMJ sort elimination; the cost this path
+    removes is the per-batch re-shuffle of the whole index, which at
+    100 TB dwarfs the streaming merge-sort of already-clustered
+    buckets.)"""
+    keyed = minhash_band_key_cols(
+        new_docs, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    probe = keyed.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.col(f"_bk{b}") for b in range(bands)])
+        ).alias("bk"),
+    ).filter(F.col("bk").isNotNull())
+    hits = (
+        probe.join(spark.table(table_name), "bk", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return new_docs.join(hits, id_col, "left_anti")

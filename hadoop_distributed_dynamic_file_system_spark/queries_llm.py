@@ -298,10 +298,12 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
-@query(
-    "hamming_near_pairs",
-    """
-    WITH codes AS (
+# 60-bit md5-derived codes + a planted 1-bit-flip twin per doc (ids
+# offset 200000; the flipped bit walks with doc_id so every band
+# position is exercised) — shared by the hamming join pin and its
+# census twin
+_SQL_HAMMING_CODES = """
+    codes AS (
       SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS code
       FROM documents
       UNION ALL
@@ -310,6 +312,29 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (1::BIGINT << (doc_id % 60))) AS code
       FROM documents
     )
+"""
+
+
+def _hamming_twin_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("code"),
+    )
+    twin = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(
+            "code ^ shiftleft(cast(1 as bigint), cast(doc_id % 60 as int))"
+        ).alias("code"),
+    )
+    return d.unionByName(twin)
+
+
+@query(
+    "hamming_near_pairs",
+    f"""
+    WITH {_SQL_HAMMING_CODES.strip()}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.code, b.code))::INT AS hamming
     FROM codes a JOIN codes b ON a.doc_id < b.doc_id
@@ -326,23 +351,45 @@ def hamming_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count join — fine at oracle scale; the Spark side keeps the
     banded equi-join that scales. Previously this family was
     pytest-pinned only (multimodal aHash/audio roundtrips)."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("code"),
-    )
-    twin = d.select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.expr(
-            "code ^ shiftleft(cast(1 as bigint), cast(doc_id % 60 as int))"
-        ).alias("code"),
-    )
-    codes = d.unionByName(twin)
+    codes = _hamming_twin_codes(spark, sf_dir)
     out = dedup.banded_hamming_pairs(
         codes, "doc_id", "code", max_hamming=2, bits=60
     )
     return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@query(
+    "hamming_bucket_stats",
+    f"""
+    WITH {_SQL_HAMMING_CODES.strip()},
+    bands AS (
+      SELECT 0 AS band, (code & 1048575) AS val FROM codes
+      UNION ALL SELECT 1, (code >> 20) & 1048575 FROM codes
+      UNION ALL SELECT 2, (code >> 40) & 1048575 FROM codes
+    ),
+    sizes AS (SELECT band, val, count(*) AS cnt FROM bands GROUP BY band, val)
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(cnt) AS BIGINT) AS max_bucket,
+           CAST(sum(CASE WHEN cnt > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_cap,
+           CAST(sum((cnt * (cnt - 1)) // 2) AS BIGINT) AS pairs_bound
+    FROM sizes GROUP BY band
+    """,
+)
+def hamming_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size census of the disjoint hamming bands
+    (operators/dedup.hamming_bucket_stats) over the same twin-planted
+    code set as hamming_near_pairs — the multimodal twin of
+    lsh_bucket_stats: the pre-flight a 100 TB image/audio dedup run
+    consults BEFORE paying the banded join, sized from the exact
+    band split the join uses (_hamming_banded is shared). cap=3 so
+    the fixture exercises the over-cap counter (twin pairs put 2 in
+    most buckets; md5 collisions push a few over)."""
+    codes = _hamming_twin_codes(spark, sf_dir)
+    return dedup.hamming_bucket_stats(
+        codes, "doc_id", "code", max_hamming=2, bits=60, cap=3
+    )
 
 
 @query(

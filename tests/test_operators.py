@@ -452,6 +452,29 @@ class TestHotBucketGuards:
         assert len(msgs) == 1 and "band_shift" in str(msgs[0].message)
         spark.catalog.clearCache()
 
+    def test_hamming_bucket_stats_exact_counts(self, spark):
+        # hand-checkable census: 5 codes over 3 disjoint 20-bit bands
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        codes = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0), (4, 1 << 21), (5, 3)],
+            "doc_id long, code long",
+        )
+        rows = {
+            r.band: r
+            for r in dedup.hamming_bucket_stats(
+                codes, "doc_id", "code", max_hamming=2, bits=60, cap=3
+            ).collect()
+        }
+        # band 0 (low 20 bits): {0:4, 3:1}; band 1 (bits 20-39):
+        # {0:4, 2:1}; band 2 (bits 40-59): {0:5}
+        assert (rows[0].n_buckets, rows[0].max_bucket,
+                rows[0].n_over_cap, rows[0].pairs_bound) == (2, 4, 1, 6)
+        assert (rows[1].n_buckets, rows[1].max_bucket,
+                rows[1].n_over_cap, rows[1].pairs_bound) == (2, 4, 1, 6)
+        assert (rows[2].n_buckets, rows[2].max_bucket,
+                rows[2].n_over_cap, rows[2].pairs_bound) == (1, 5, 1, 10)
+
     def test_fixture_buckets_far_below_default_cap(self, spark, sf_dir):
         # The judge-vetted premise for defaulting the cap ON: the
         # oracle fixtures sit FAR below 1000-member buckets, so every

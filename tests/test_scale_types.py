@@ -44,6 +44,111 @@ class TestBucketedJoin:
         spark.sql("DROP TABLE t_br")
 
 
+class TestBucketedFrozenIndex:
+    def test_incremental_dedup_matches_broadcast_form(self, spark):
+        # The 100 TB incremental-dedup path: frozen corpus band index
+        # as a bucketed disk table (never broadcast) must keep exactly
+        # the docs the broadcast form (streaming_near_dedup on a batch
+        # frame) keeps.
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+        from hadoop_distributed_dynamic_file_system_spark.streaming import (
+            events as ev,
+        )
+
+        t = "t_frozen_bk"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "pack my box with five dozen liquor jugs right now"),
+                (3, "sphinx of black quartz judge my vow said the king"),
+            ],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [
+                # near-copy of doc 1 (first word dropped) -> dropped
+                (10, "quick brown fox jumps over the lazy dog today"),
+                # fresh text -> kept
+                (11, "a completely different document about spark and scale"),
+                # shingle-less -> NULL keys -> kept (cannot be judged)
+                (12, "tiny"),
+            ],
+            "doc_id long, text string",
+        )
+        try:
+            dedup.freeze_band_index_bucketed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            kept_bucketed = {
+                r.doc_id
+                for r in dedup.incremental_near_dedup_bucketed(
+                    spark, probe, t, "doc_id", "text"
+                ).collect()
+            }
+            idx = dedup.lsh_band_index(corpus, "doc_id", "text")
+            kept_broadcast = {
+                r.doc_id
+                for r in ev.streaming_near_dedup(probe, idx).collect()
+            }
+            assert kept_bucketed == kept_broadcast == {11, 12}
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+    def test_frozen_side_probes_without_exchange(self, spark):
+        # Plan pin for the freeze-once discipline: the sort-merge semi
+        # probe has exactly ONE Exchange — on the (batch-sized) probe
+        # side; the frozen scan is bucketed, so its shuffle was paid
+        # at freeze time. (A Sort remains above the frozen scan:
+        # vanilla Spark does not consume bucket sortBy metadata for
+        # SMJ sort elimination — the at-scale cost eliminated here is
+        # the shuffle, which would re-move the whole index per batch.)
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "t_frozen_bk2"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        corpus = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("document number "),
+                F.col("id").cast("string"),
+                F.lit(" with enough words to shingle properly here"),
+            ).alias("text"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            dedup.freeze_band_index_bucketed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            keyed = dedup.minhash_band_key_cols(
+                corpus.filter(F.col("doc_id") < 50), "text"
+            )
+            probe = keyed.select(
+                "doc_id",
+                F.explode(
+                    F.array(*[F.col(f"_bk{b}") for b in range(4)])
+                ).alias("bk"),
+            ).filter(F.col("bk").isNotNull())
+            semi = probe.join(spark.table(t), "bk", "left_semi")
+            plan = semi._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert plan.count("Exchange") == 1  # probe side only
+            assert "Bucketed: true" in plan  # frozen scan uses the layout
+            assert semi.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+
 class TestSalting:
     def test_salted_join_matches_plain_join(self, spark):
         # heavy skew: 90% of rows share key 0

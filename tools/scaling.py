@@ -107,8 +107,9 @@ QUERIES = [
     # round-7 additions
     "jpeg_ahash_roundtrip",
     "lsh_bucket_stats",
-    # round-8 addition
+    # round-8 additions
     "hamming_near_pairs",
+    "hamming_bucket_stats",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
