@@ -29,12 +29,24 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    align: bool = True,
 ) -> None:
     """Persist as a bucketed+sorted table (saveAsTable — bucketing
     metadata lives in the session catalog). Two tables bucketed the
     same way join with NO shuffle and NO sort: the disk layout IS the
     shuffle, paid once at write time — exactly the reference's
-    'identically partitioned, key-sorted sources' precondition."""
+    'identically partitioned, key-sorted sources' precondition.
+
+    `align=True` (default) repartitions on the bucket columns before
+    writing so each bucket lands in ONE file. Without it every write
+    task emits a file per bucket it touches — files = tasks × buckets,
+    the small-file explosion that kills NameNode/listing performance
+    at 100 TB (the very pathology the reference's HadoopArchives tool
+    exists to clean up, src/tools/HadoopArchives.java). Set False only
+    when one bucket exceeds a comfortable single-task output and you
+    prefer parallel writers over file count."""
+    if align:
+        df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
     writer = (
         df.write.mode(mode)
         .bucketBy(num_buckets, *bucket_cols)

@@ -44,6 +44,28 @@ class TestBucketedJoin:
         spark.sql("DROP TABLE t_br")
 
 
+class TestBucketedWriteAlignment:
+    def test_aligned_write_is_one_file_per_bucket(self, spark):
+        # files = tasks x buckets without alignment — the small-file
+        # explosion write_bucketed(align=True) exists to prevent
+        import glob
+        import shutil
+
+        t = "t_align"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        df = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).repartition(16)
+        try:
+            skew.write_bucketed(df, t, ["k"], num_buckets=8)
+            files = glob.glob(f"spark-warehouse/{t}/*.parquet")
+            assert len(files) == 8
+            assert spark.table(t).count() == 10_000
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 class TestBucketedFrozenIndex:
     def test_incremental_dedup_matches_broadcast_form(self, spark):
         # The 100 TB incremental-dedup path: frozen corpus band index
