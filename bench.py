@@ -462,13 +462,22 @@ def main() -> None:
     import glob
     import re
 
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"r(\d+)\.json$", p))
-    ]
+    def _max_round(pattern):
+        ns = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, pattern))
+            if (m := re.search(r"r(\d+)\.json$", p))
+        ]
+        return max(ns) if ns else 0
+
+    # Lifecycle-aware inference (ADVICE r7): the driver writes
+    # CORRECTNESS_r{N} BEFORE running bench and BENCH_r{N} AFTER it,
+    # so CORRECTNESS ahead of BENCH_r means we are at the CLOSE of
+    # round N (label rows N, not N+1); equal means a mid-round run of
+    # round N+1. --round overrides both.
+    cor, ben = _max_round("CORRECTNESS_r*.json"), _max_round("BENCH_r*.json")
     rnd = forced_round if forced_round is not None else (
-        (max(rounds) + 1) if rounds else 0
+        cor if cor > ben else cor + 1
     )
     # round_label makes the N-vs-round ambiguity detectable inside the
     # artifact itself (VERDICT r7 "what's wrong" #3): "r8" = which
