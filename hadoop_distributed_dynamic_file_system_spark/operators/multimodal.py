@@ -34,7 +34,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DECODE_SCHEMA = (
@@ -782,6 +782,75 @@ def media_band_index(
         F.col(hash_col).alias("mcode"),
     ).filter(F.col("mcode").isNotNull())
     return tracked_persist(out.distinct())
+
+
+def freeze_media_index_bucketed(
+    codes: DataFrame,
+    table_name: str,
+    hash_col: str = "ahash",
+    n_bands: int = 4,
+    band_bits: int = 16,
+    num_buckets: int = 32,
+) -> None:
+    """Freeze a corpus' (band-key, code) media index as a BUCKETED
+    catalog table on `mbk` — the multimodal twin of
+    dedup.freeze_band_index_bucketed, for frozen image/audio corpora
+    whose code index outgrows executor memory (media_band_index's
+    broadcast form assumes it fits). Shuffle paid once at freeze;
+    every later batch sort-merge probes it Exchange-free on the
+    frozen side."""
+    from . import skew
+
+    idx = media_band_index(codes, hash_col, n_bands, band_bits)
+    skew.write_bucketed(idx, table_name, ["mbk"], num_buckets=num_buckets)
+    idx.unpersist()  # staged to disk; the memory copy is done
+
+
+def incremental_media_dedup_bucketed(
+    spark: SparkSession,
+    codes: DataFrame,
+    table_name: str,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Incremental media near-dedup of arriving perceptual codes
+    (run ahash_codes / audio_fingerprint first) against a frozen
+    index written by freeze_media_index_bucketed — same verified
+    semantics as the streaming gates (a doc drops only if some frozen
+    code shares a band AND verifies bit_count hamming <= max_hamming;
+    NULL codes match nothing and survive), but the frozen side is a
+    bucketed disk table, never broadcast.
+
+    Plan: explode the batch's band keys, ONE Exchange aligns the
+    probe to the index bucketing, sort-merge inner join on `mbk`
+    surfaces candidates, the exact-hamming filter prunes them, and
+    the batch anti-joins the (batch-sized) verified-hit ids. The
+    frozen index is never re-shuffled."""
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    bands = hamming_band_cols(F.col(hash_col), n_bands, band_bits)
+    probe = codes.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(*[
+                F.xxhash64(F.lit(b), c) for b, c in enumerate(bands)
+            ])
+        ).alias("mbk"),
+    ).filter(F.col(hash_col).isNotNull())
+    hits = (
+        probe.join(spark.table(table_name), "mbk")
+        .filter(
+            F.bit_count(F.col(hash_col).bitwiseXOR(F.col("mcode")))
+            <= F.lit(max_hamming)
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return codes.join(hits, id_col, "left_anti")
 
 
 def _warn_ignored_band_shift(band_shift: int, what: str) -> None:

@@ -171,6 +171,103 @@ class TestBucketedFrozenIndex:
             spark.catalog.clearCache()
 
 
+class TestBucketedMediaIndex:
+    def test_incremental_media_dedup_matches_streaming_gate(self, spark):
+        # media twin of TestBucketedFrozenIndex: bucketed frozen
+        # (band-key, code) index must keep exactly what the verified
+        # streaming gate keeps — including hamming verification (a
+        # band collision alone must not drop) and NULL survival.
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+        from hadoop_distributed_dynamic_file_system_spark.streaming.events import (
+            _streaming_code_dedup,
+        )
+
+        t = "t_frozen_media"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        frozen = spark.createDataFrame(
+            [(1, 0x1111222233334444), (2, 0x0000FFFF0000FFFF)],
+            "doc_id long, ahash long",
+        )
+        probe = spark.createDataFrame(
+            [
+                # hamming 1 from frozen #1 -> dropped
+                (10, 0x1111222233334445),
+                # shares frozen #2's 0xFFFF band values but hamming is
+                # far over the radius -> band collision alone, kept
+                (11, 0x7777FFFF77770000),
+                # far from everything -> kept
+                (12, 0x5A5A5A5A5A5A5A5A),
+                # undecodable -> NULL code survives
+                (13, None),
+            ],
+            "doc_id long, ahash long",
+        )
+        try:
+            mm.freeze_media_index_bucketed(frozen, t, num_buckets=8)
+            kept_bucketed = {
+                r.doc_id
+                for r in mm.incremental_media_dedup_bucketed(
+                    spark, probe, t, max_hamming=3
+                ).collect()
+            }
+            idx = mm.media_band_index(frozen)
+            kept_stream_form = {
+                r.doc_id
+                for r in _streaming_code_dedup(
+                    probe, "ahash", idx, 4, 16, 3
+                ).collect()
+            }
+            assert kept_bucketed == kept_stream_form == {11, 12, 13}
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+    def test_media_frozen_side_probes_without_exchange(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        t = "t_frozen_media2"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        frozen = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.xxhash64("id").alias("ahash"),
+        )
+        probe = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.xxhash64("id").alias("ahash"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            mm.freeze_media_index_bucketed(frozen, t, num_buckets=8)
+            bands = mm.hamming_band_cols(F.col("ahash"), 4, 16)
+            keys = probe.select(
+                "doc_id", "ahash",
+                F.explode(F.array(*[
+                    F.xxhash64(F.lit(b), c) for b, c in enumerate(bands)
+                ])).alias("mbk"),
+            )
+            joined = keys.join(spark.table(t), "mbk")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert plan.count("Exchange") == 1  # probe side only
+            assert "Bucketed: true" in plan
+            assert joined.count() >= 50  # every probe id is frozen too
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+
 class TestSalting:
     def test_salted_join_matches_plain_join(self, spark):
         # heavy skew: 90% of rows share key 0
