@@ -196,6 +196,29 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def infer_round(repo: str, forced_round: int | None = None) -> int:
+    """Lifecycle-aware round inference (ADVICE r7): the driver writes
+    CORRECTNESS_r{N} BEFORE running bench and BENCH_r{N} AFTER it, so
+    max(CORRECTNESS) ahead of max(BENCH_r) means this run is the CLOSE
+    of round N (label rows N, not N+1); the two equal means a
+    mid-round run of round N+1. An explicit --round overrides both."""
+    if forced_round is not None:
+        return forced_round
+    import glob
+    import re
+
+    def _max_round(pattern):
+        ns = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, pattern))
+            if (m := re.search(r"r(\d+)\.json$", p))
+        ]
+        return max(ns) if ns else 0
+
+    cor, ben = _max_round("CORRECTNESS_r*.json"), _max_round("BENCH_r*.json")
+    return cor if cor > ben else cor + 1
+
+
 def main() -> None:
     # --round N / --label STR pin the round this run records under
     # (ADVICE r7: the max(CORRECTNESS_r*)+1 inference mislabels a
@@ -459,26 +482,7 @@ def main() -> None:
     # compact (<1.5 KB) summary line — total, io block, 12 slowest — as
     # the LAST line so the driver's tail-capture parses.
     repo = os.path.dirname(os.path.abspath(__file__))
-    import glob
-    import re
-
-    def _max_round(pattern):
-        ns = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(repo, pattern))
-            if (m := re.search(r"r(\d+)\.json$", p))
-        ]
-        return max(ns) if ns else 0
-
-    # Lifecycle-aware inference (ADVICE r7): the driver writes
-    # CORRECTNESS_r{N} BEFORE running bench and BENCH_r{N} AFTER it,
-    # so CORRECTNESS ahead of BENCH_r means we are at the CLOSE of
-    # round N (label rows N, not N+1); equal means a mid-round run of
-    # round N+1. --round overrides both.
-    cor, ben = _max_round("CORRECTNESS_r*.json"), _max_round("BENCH_r*.json")
-    rnd = forced_round if forced_round is not None else (
-        cor if cor > ben else cor + 1
-    )
+    rnd = infer_round(repo, forced_round)
     # round_label makes the N-vs-round ambiguity detectable inside the
     # artifact itself (VERDICT r7 "what's wrong" #3): "r8" = which
     # round's rows these are, suffix = when in the round they ran.

@@ -208,6 +208,25 @@ class TestSqlExport:
         assert cli.main(["export-sql", "no_such_query"]) == 2
 
 
+class TestBenchRoundInference:
+    def test_lifecycle_aware_round(self, tmp_path):
+        # driver lifecycle: CORRECTNESS_r{N} lands BEFORE its bench
+        # run, BENCH_r{N} after — so cor>ben means close-of-round N,
+        # cor==ben means a mid-round run of N+1 (ADVICE r7)
+        import bench
+
+        d = str(tmp_path)
+        assert bench.infer_round(d) == 1  # fresh repo: first round
+        (tmp_path / "CORRECTNESS_r07.json").write_text("{}")
+        (tmp_path / "BENCH_r07.json").write_text("{}")
+        assert bench.infer_round(d) == 8  # mid-round 8
+        (tmp_path / "CORRECTNESS_r08.json").write_text("{}")
+        assert bench.infer_round(d) == 8  # close of round 8
+        (tmp_path / "BENCH_r08.json").write_text("{}")
+        assert bench.infer_round(d) == 9  # round 9 begins
+        assert bench.infer_round(d, forced_round=3) == 3  # override
+
+
 class TestShippedScripts:
     def test_streaming_file_ships_mapper_script(self, spark, tmp_path):
         # Hadoop Streaming -file: the mapper is a LOCAL script referenced
