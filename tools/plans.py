@@ -94,6 +94,12 @@ SHOWCASE = [
      "stage (pure-numpy baseline JPEG) -> perceptual hash"),
     ("lsh_bucket_stats", "band explode + two-level groupBy; census is "
      "model-sized, only the bucket groupBy touches data"),
+    # round-8 shapes
+    ("hamming_near_pairs", "disjoint-band explode (x3, not corpus-"
+     "pairs) -> band equi-join -> exact bit_count verify on "
+     "candidates only -> pair distinct"),
+    ("hamming_bucket_stats", "shift/mask band split + two-level "
+     "groupBy; the multimodal pre-flight census"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the
