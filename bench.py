@@ -476,8 +476,8 @@ def main() -> None:
     # 135-entry line overflows it and BENCH_r{N}.json records
     # "parsed": null (VERDICT r5/r6 "what's wrong #1"). Contract kept
     # two ways: the FULL per-query record is written to
-    # BENCH_LOCAL_r{N}.json in-repo (N = current round, inferred from
-    # the latest driver CORRECTNESS_r*.json + 1) and appended to
+    # BENCH_LOCAL_r{N}.json in-repo (N from --round, else the
+    # lifecycle-aware inference in infer_round) and appended to
     # tools/bench_history.csv for round-over-round diffs; stdout gets a
     # compact (<1.5 KB) summary line — total, io block, 12 slowest — as
     # the LAST line so the driver's tail-capture parses.
