@@ -803,3 +803,65 @@ class TestJpegCodecProperties:
         # smear block edges — bound mean tightly, max loosely
         assert err.mean() <= 6.0, (h, w, sub, dri, err.mean())
         assert err.max() <= 160, (h, w, sub, dri, err.max())
+
+
+class TestBandedHammingCompleteness:
+    """Pigeonhole completeness of the disjoint-band hamming join
+    (Norouzi CVPR'12) against the brute-force O(n²) model — for
+    RANDOM bit widths, band counts, and codes, not fixtures. This is
+    the property the uneven-width split (bits % n_bands != 0) and the
+    sign-bit band (bit 63 lives in the top band; shiftright is
+    arithmetic on longs) could silently break."""
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.data())
+    def test_matches_brute_force(self, spark, data):
+        from hadoop_distributed_dynamic_file_system_spark import cache
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup,
+        )
+
+        bits = data.draw(st.sampled_from([16, 24, 60, 64]))
+        max_h = data.draw(st.integers(1, 4))
+        n_bands = data.draw(st.integers(max_h + 1, max_h + 3))
+
+        def sgn(v):
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        # cluster the draws so pairs within radius actually occur:
+        # a few base codes, each with noisy copies at small hamming
+        bases = data.draw(
+            st.lists(st.integers(0, (1 << bits) - 1), min_size=1, max_size=4)
+        )
+        rows = []
+        for i, b in enumerate(bases):
+            rows.append((len(rows), b))
+            for _ in range(data.draw(st.integers(1, 4))):
+                flips = data.draw(
+                    st.lists(
+                        st.integers(0, bits - 1),
+                        min_size=0, max_size=max_h + 1, unique=True,
+                    )
+                )
+                v = b
+                for f in flips:
+                    v ^= 1 << f
+                rows.append((len(rows), v))
+        model = {
+            (a_id, b_id, bin(a_v ^ b_v).count("1"))
+            for ai, (a_id, a_v) in enumerate(rows)
+            for b_id, b_v in rows[ai + 1:]
+            if bin(a_v ^ b_v).count("1") <= max_h
+        }
+        df = spark.createDataFrame(
+            [(i, sgn(v)) for i, v in rows], "doc_id long, code long"
+        )
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.banded_hamming_pairs(
+                df, "doc_id", "code",
+                max_hamming=max_h, n_bands=n_bands, bits=bits, cache=False,
+            ).collect()
+        }
+        cache.release_all()
+        assert got == model, (bits, max_h, n_bands)
