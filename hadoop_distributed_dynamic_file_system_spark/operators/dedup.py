@@ -72,6 +72,10 @@ def _drop_oversized_buckets(
 
     Either way the anti-join side is at most |rows|/max_bucket_size
     keys (small — AQE broadcasts it)."""
+    if census not in ("eager", "lazy"):
+        raise ValueError(
+            f"census must be 'eager' or 'lazy', got {census!r}"
+        )
     sizes = banded.groupBy(*key_cols).agg(F.count("*").alias("_bsz"))
     big = sizes.filter(F.col("_bsz") > max_bucket_size)
     if census == "lazy":
