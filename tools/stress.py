@@ -573,6 +573,17 @@ def main() -> None:
             lambda: noop(dedup.incremental_near_dedup_bucketed(
                 spark, sf_docs, "stress_frozen_bk", "doc_id", "text")),
         )
+        if copies == 100:
+            # Amortization check for the narrative's claim: a 16x
+            # batch against the same 100x index should cost far less
+            # than 16x the 1x probe if the per-probe index scan
+            # dominates (it is paid once per BATCH, not per doc)
+            batch16 = distinct_corpus(16)
+            bench(
+                "frozen_probe_bucketed_16x_vs_100x", base * 16,
+                lambda b=batch16: noop(dedup.incremental_near_dedup_bucketed(
+                    spark, b, "stress_frozen_bk", "doc_id", "text")),
+            )
         spark.sql("DROP TABLE IF EXISTS stress_frozen_bk")
 
     # Skew join at a NASTIER ratio than sf0.1's mild skew (VERDICT r6
@@ -732,8 +743,12 @@ def main() -> None:
         "the two are near-tied at local scale — what the bucketed",
         "form removes is the per-batch index re-SHUFFLE and the",
         "executor-memory ceiling, which is why past broadcastable",
-        "size only the bucketed form exists at all (the scan cost",
-        "amortizes over batch size either way).",
+        "size only the bucketed form exists at all. The",
+        "`frozen_probe_bucketed_16x_vs_100x` row measures the",
+        "amortization: the index-scan cost is paid once per BATCH,",
+        "not per doc, so a 16x batch costs far less than 16x the 1x",
+        "probe (read it per row — the us/row column divides by the",
+        "batch size).",
         "",
         "`skew99_join_{plain,aqe,salted}_10m` rows = FACT rows, 99% on",
         "one key, dim non-broadcastable (threshold -1). Salted wins",
