@@ -769,7 +769,13 @@ def media_band_index(
     wrongly veto many non-duplicates — unlike the MinHash text twin,
     where a band match already implies all band minhashes agree.
     Persist once per corpus freeze; probes broadcast it per
-    micro-batch. NULL codes contribute nothing."""
+    micro-batch. NULL codes contribute nothing.
+
+    Schema note: before round 8 this index carried band keys only
+    (mbk); the verified gates REQUIRE (mbk, mcode). An index frozen
+    under the old schema must be re-frozen — the gates raise a clear
+    error when mcode is absent rather than silently skipping the
+    verify."""
     from ..cache import tracked_persist
 
     cols = hamming_band_cols(F.col(hash_col), n_bands, band_bits)

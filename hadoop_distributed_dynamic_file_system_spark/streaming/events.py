@@ -672,6 +672,35 @@ def vacuum_snapshots(table_root: str, keep: int = 2) -> list[str]:
     return doomed
 
 
+def _apply_index_mode(idx: DataFrame, index_mode: str) -> DataFrame:
+    """Join-strategy knob shared by the streaming dedup gates.
+
+    "broadcast" forces F.broadcast on the frozen side — correct when
+    the index is a small in-memory relation (the lsh_band_index /
+    media_band_index persisted form). "auto" leaves the plan to
+    Catalyst: pass `spark.table(name)` of a bucketed catalog table
+    written by freeze_band_index_bucketed / freeze_media_index_bucketed
+    and Catalyst size-gates the strategy from the table's statistics —
+    below spark.sql.autoBroadcastJoinThreshold it still broadcasts;
+    above it the per-micro-batch join becomes SMJ/shuffled-hash where
+    the bucketed frozen scan needs NO Exchange (its disk layout IS the
+    shuffle, paid once at freeze; only the small micro-batch side is
+    repartitioned). That removes the executor-memory ceiling the
+    forced broadcast imposed — at 100 TB the frozen corpus' band index
+    does not fit an executor, and "auto" is the mode an ingest
+    pipeline runs. (Reference analog: the identically-partitioned
+    precondition of the map-side join, mapred/join/
+    CompositeInputFormat.java:34-58 — the index layout is the
+    shuffle.)"""
+    if index_mode == "broadcast":
+        return F.broadcast(idx)
+    if index_mode == "auto":
+        return idx
+    raise ValueError(
+        f"index_mode must be 'broadcast' or 'auto', got {index_mode!r}"
+    )
+
+
 def streaming_near_dedup(
     doc_stream: DataFrame,
     band_index: DataFrame,
@@ -679,6 +708,7 @@ def streaming_near_dedup(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    index_mode: str = "broadcast",
 ) -> DataFrame:
     """Streaming incremental NEAR-dedup against a frozen corpus — the
     day-2 crawl filter (curation.incremental_dedup) upgraded from
@@ -691,13 +721,20 @@ def streaming_near_dedup(
     join saw it — no reassembly aggregation, so no watermark or state
     store is needed at all.
 
-    Scale: the static side is the distinct band-key relation (8-byte
-    longs, band-cardinality sized), broadcast per micro-batch; the
-    stream side is never shuffled. `bands` sequential anti-joins cost
-    bands× broadcast probes, not bands× shuffles. Batch/stream parity
-    is by construction — the same function applied to a batch frame
+    Scale: with index_mode="broadcast" (default) the static side is
+    the distinct band-key relation (8-byte longs, band-cardinality
+    sized), broadcast per micro-batch, and the stream side is never
+    shuffled — `bands` sequential anti-joins cost bands× broadcast
+    probes. When the frozen corpus outgrows executor memory, freeze it
+    with dedup.freeze_band_index_bucketed and pass
+    `spark.table(name)` with index_mode="auto": Catalyst size-gates
+    the strategy, and above the broadcast threshold each band probe
+    sort-merge joins against the bucketed frozen scan with ZERO
+    Exchange on the frozen side — only the (small) micro-batch is
+    repartitioned, bands× per batch. Batch/stream parity is by
+    construction — the same function applied to a batch frame
     produces the identical plan minus the streaming source (pinned by
-    the batch-twin test)."""
+    the batch-twin tests in both modes)."""
     out = dedup_ops.minhash_band_key_cols(
         doc_stream,
         text_col,
@@ -708,7 +745,7 @@ def streaming_near_dedup(
     for b in range(bands):
         idx = band_index.select(F.col("bk").alias(f"_ib{b}"))
         out = out.join(
-            F.broadcast(idx),
+            _apply_index_mode(idx, index_mode),
             F.col(f"_bk{b}") == F.col(f"_ib{b}"),
             "left_anti",
         )
@@ -722,6 +759,7 @@ def _streaming_code_dedup(
     n_bands: int,
     band_bits: int,
     max_hamming: int,
+    index_mode: str = "broadcast",
 ) -> DataFrame:
     """Shared core of the streaming media gates: per-band stream-static
     LEFT ANTI joins of 64-bit perceptual codes against a frozen
@@ -738,9 +776,22 @@ def _streaming_code_dedup(
 
     NULL codes get NULL band keys, never satisfy any join predicate,
     and survive every anti join — an undecodable payload cannot be
-    judged a duplicate."""
+    judged a duplicate.
+
+    index_mode="auto" probes a bucketed catalog table written by
+    multimodal.freeze_media_index_bucketed instead of force-
+    broadcasting (see _apply_index_mode) — the mode for frozen media
+    corpora whose (band-key, code) index outgrows executor memory."""
     from ..operators import multimodal as mm
 
+    if "mcode" not in media_index.columns:
+        raise ValueError(
+            "media index is missing the 'mcode' column: since round 8 "
+            "the gates verify exact hamming distance and the index "
+            "schema is (mbk, mcode). An index frozen before that "
+            "change carries band keys only — re-freeze it with "
+            "media_band_index / freeze_media_index_bucketed."
+        )
     bands = mm.hamming_band_cols(F.col(code_col), n_bands, band_bits)
     out = codes.select(
         *codes.columns,
@@ -756,7 +807,7 @@ def _streaming_code_dedup(
             F.col("mbk").alias(f"_mi{b}"), F.col("mcode").alias(f"_mc{b}")
         )
         out = out.join(
-            F.broadcast(idx),
+            _apply_index_mode(idx, index_mode),
             (F.col(f"_mb{b}") == F.col(f"_mi{b}"))
             & (
                 F.bit_count(
@@ -775,6 +826,7 @@ def streaming_media_dedup(
     n_bands: int = 4,
     band_bits: int = 16,
     max_hamming: int | None = None,
+    index_mode: str = "broadcast",
 ) -> DataFrame:
     """Streaming IMAGE near-dedup against a frozen corpus — the
     multimodal twin of streaming_near_dedup: decode each arriving
@@ -803,6 +855,10 @@ def streaming_media_dedup(
     them in the first band probe — the streaming form of the
     exact-dedup-first discipline.
 
+    index_mode="auto" probes a bucketed catalog table
+    (multimodal.freeze_media_index_bucketed) without the forced
+    broadcast — the mode for frozen corpora past executor memory.
+
     Output: (doc_id, ahash) of the kept documents."""
     from ..operators import multimodal as mm
 
@@ -810,7 +866,8 @@ def streaming_media_dedup(
         max_hamming = n_bands - 1
     codes = mm.ahash_codes(bin_stream).select("doc_id", "ahash")
     return _streaming_code_dedup(
-        codes, "ahash", media_index, n_bands, band_bits, max_hamming
+        codes, "ahash", media_index, n_bands, band_bits, max_hamming,
+        index_mode=index_mode,
     )
 
 
@@ -820,6 +877,7 @@ def streaming_audio_dedup(
     n_bands: int = 4,
     band_bits: int = 16,
     max_hamming: int | None = None,
+    index_mode: str = "broadcast",
 ) -> DataFrame:
     """Streaming AUDIO near-dedup against a frozen corpus — the same
     frozen-index gate as streaming_media_dedup over acoustic
@@ -837,7 +895,8 @@ def streaming_audio_dedup(
         max_hamming = n_bands - 1
     codes = mm.audio_fingerprint(bin_stream).select("doc_id", "afp")
     return _streaming_code_dedup(
-        codes, "afp", media_index, n_bands, band_bits, max_hamming
+        codes, "afp", media_index, n_bands, band_bits, max_hamming,
+        index_mode=index_mode,
     )
 
 

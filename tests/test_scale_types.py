@@ -268,6 +268,144 @@ class TestBucketedMediaIndex:
             spark.catalog.clearCache()
 
 
+class TestStreamingGatesBucketedIndex:
+    """Round-9: the streaming dedup gates accept a bucketed frozen
+    index (index_mode="auto") — no forced broadcast, so the frozen
+    corpus can outgrow executor memory. Batch-twin semantics + the
+    no-BroadcastExchange plan pin for the large-index mode."""
+
+    def test_text_gate_bucketed_matches_broadcast(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+        from hadoop_distributed_dynamic_file_system_spark.streaming import (
+            events as ev,
+        )
+
+        t = "t_gate_bk"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "pack my box with five dozen liquor jugs right now"),
+            ],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [
+                (10, "quick brown fox jumps over the lazy dog today"),
+                (11, "a completely different document about spark and scale"),
+                (12, "tiny"),
+            ],
+            "doc_id long, text string",
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            dedup.freeze_band_index_bucketed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            gated = ev.streaming_near_dedup(
+                probe, spark.table(t), index_mode="auto"
+            )
+            plan = gated._jdf.queryExecution().executedPlan().toString()
+            # the large-index mode: every band probe is a sort-merge
+            # anti join whose frozen scan uses the bucket layout — no
+            # BroadcastExchange anywhere, so no executor-memory ceiling
+            assert "BroadcastExchange" not in plan
+            assert "SortMergeJoin" in plan
+            assert "Bucketed: true" in plan
+            kept_bucketed = {r.doc_id for r in gated.collect()}
+            idx = dedup.lsh_band_index(corpus, "doc_id", "text")
+            kept_broadcast = {
+                r.doc_id
+                for r in ev.streaming_near_dedup(probe, idx).collect()
+            }
+            assert kept_bucketed == kept_broadcast == {11, 12}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+    def test_media_gate_bucketed_matches_broadcast(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+        from hadoop_distributed_dynamic_file_system_spark.streaming.events import (
+            _streaming_code_dedup,
+        )
+
+        t = "t_gate_media_bk"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        frozen = spark.createDataFrame(
+            [(1, 0x1111222233334444), (2, 0x0000FFFF0000FFFF)],
+            "doc_id long, ahash long",
+        )
+        probe = spark.createDataFrame(
+            [
+                (10, 0x1111222233334445),   # hamming 1 -> dropped
+                (11, 0x7777FFFF77770000),   # band collision only -> kept
+                (12, 0x5A5A5A5A5A5A5A5A),   # far -> kept
+                (13, None),                 # NULL survives
+            ],
+            "doc_id long, ahash long",
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            mm.freeze_media_index_bucketed(frozen, t, num_buckets=8)
+            gated = _streaming_code_dedup(
+                probe, "ahash", spark.table(t), 4, 16, 3,
+                index_mode="auto",
+            )
+            plan = gated._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan
+            assert "Bucketed: true" in plan
+            kept_bucketed = {r.doc_id for r in gated.collect()}
+            idx = mm.media_band_index(frozen)
+            kept_broadcast = {
+                r.doc_id
+                for r in _streaming_code_dedup(
+                    probe, "ahash", idx, 4, 16, 3
+                ).collect()
+            }
+            assert kept_bucketed == kept_broadcast == {11, 12, 13}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+    def test_pre_round8_index_without_mcode_raises(self, spark):
+        # ADVICE r8: an index frozen under the old (mbk-only) schema
+        # must fail loudly, not silently skip the hamming verify.
+        from hadoop_distributed_dynamic_file_system_spark.streaming.events import (
+            _streaming_code_dedup,
+        )
+
+        probe = spark.createDataFrame(
+            [(1, 0x1234)], "doc_id long, ahash long"
+        )
+        old_idx = spark.createDataFrame([(42,)], "mbk long")
+        with pytest.raises(ValueError, match="re-freeze"):
+            _streaming_code_dedup(probe, "ahash", old_idx, 4, 16, 3)
+
+    def test_invalid_index_mode_raises(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.streaming import (
+            events as ev,
+        )
+
+        probe = spark.createDataFrame(
+            [(1, "some words here")], "doc_id long, text string"
+        )
+        idx = spark.createDataFrame([(42,)], "bk long")
+        with pytest.raises(ValueError, match="index_mode"):
+            ev.streaming_near_dedup(probe, idx, index_mode="shuffle")
+
+
 class TestSalting:
     def test_salted_join_matches_plain_join(self, spark):
         # heavy skew: 90% of rows share key 0

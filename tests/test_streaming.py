@@ -657,6 +657,50 @@ class TestStreamingNearDedup:
         want = {r.doc_id for r in ev.streaming_near_dedup(batch, idx).collect()}
         assert got == want == {103, 104}
 
+    def test_stream_matches_batch_twin_bucketed_index(self, spark, tmp_path):
+        # round-9: same gate, frozen side a BUCKETED catalog table
+        # probed without the forced broadcast (index_mode="auto") — a
+        # REAL micro-batch run with the broadcast threshold disabled,
+        # so the per-batch joins take the large-index (sort-merge)
+        # path end-to-end through the streaming engine.
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        corpus, batch = self._corpus_and_batch(spark)
+        t = "t_stream_gate_bk"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        src = tmp_path / "docs_in_bk"
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            dedup.freeze_band_index_bucketed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            stream = ev.read_parquet_dir_stream(
+                spark, str(src), "doc_id long, text string"
+            )
+            out = ev.run_to_memory(
+                ev.streaming_near_dedup(
+                    stream, spark.table(t), index_mode="auto"
+                ),
+                "near_dedup_bk_out",
+            )
+            got = {r.doc_id for r in out.collect()}
+            want = {
+                r.doc_id
+                for r in ev.streaming_near_dedup(
+                    batch, spark.table(t), index_mode="auto"
+                ).collect()
+            }
+            assert got == want == {103, 104}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
     def test_band_keys_fold_compatible_with_lsh_pairs(self, spark):
         # the folded stream keys must equal lsh_candidate_pairs'
         # hash_band_keys fold, or index and stream silently disagree
