@@ -184,6 +184,10 @@ HEADLINE = [
     # hamming join (previously pytest-only) and its pre-flight census
     "hamming_near_pairs",
     "hamming_bucket_stats",
+    # round-9 addition: the 100 TB incremental-dedup path (frozen band
+    # index as a bucketed catalog table, sort-merge probe) priced next
+    # to its broadcast twin incremental_near_dedup
+    "incremental_dedup_bucketed",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -45,6 +45,26 @@ def write_bucketed(
     exists to clean up, src/tools/HadoopArchives.java). Set False only
     when one bucket exceeds a comfortable single-task output and you
     prefer parallel writers over file count."""
+    if mode == "overwrite":
+        # A warehouse dir can outlive the (in-memory) catalog across
+        # sessions; saveAsTable then raises LOCATION_ALREADY_EXISTS
+        # even in overwrite mode. If the catalog does not know the
+        # table, the leftover dir is an orphan — remove it (local
+        # filesystems only; best-effort elsewhere).
+        spark = df.sparkSession
+        if not spark.catalog.tableExists(table_name):
+            import os
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            )
+            if wh.scheme in ("file", ""):
+                shutil.rmtree(
+                    os.path.join(wh.path, table_name.lower()),
+                    ignore_errors=True,
+                )
     if align:
         df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
     writer = (

@@ -1926,6 +1926,61 @@ def incremental_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.streaming_near_dedup(batchd, idx).select("doc_id")
 
 
+@query(
+    "incremental_dedup_bucketed",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    batchd AS (
+      SELECT doc_id + 100000 AS doc_id,
+             regexp_replace(text, '^\\S+\\s*', '') AS text
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    ),
+    csigs AS ({_minhash_sql(8, "corpus")}),
+    bsigs AS ({_minhash_sql(8, "batchd")}),
+    cbands AS (
+      SELECT DISTINCT band, bkey FROM ({_band_keys_sql("csigs")})
+      WHERE bkey IS NOT NULL
+    ),
+    bbands AS ({_band_keys_sql("bsigs")}),
+    hits AS (
+      SELECT DISTINCT doc_id FROM bbands JOIN cbands USING (band, bkey)
+    )
+    SELECT doc_id FROM batchd WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def incremental_dedup_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of incremental_near_dedup: the frozen corpus'
+    band index is a BUCKETED catalog table (never broadcast — its
+    shuffle was paid once at freeze, dedup.freeze_band_index_bucketed)
+    and the arriving batch sort-merge probes it with zero Exchange on
+    the frozen scan (dedup.incremental_near_dedup_bucketed). Same
+    fixture and same oracle as the broadcast form — the survivors must
+    be identical, which is exactly the equivalence the bucketed path
+    promises. The freeze is a real saveAsTable per run (sf-scoped name,
+    overwritten each time), so the query exercises write + catalog read
+    end-to-end, not a pre-staged fixture."""
+    import re as _re
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batchd = (
+        corpus.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+        )
+        .unionByName(d.filter(F.col("doc_id") % 2 == 1))
+    )
+    t = "inc_dedup_frozen_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    dedup.freeze_band_index_bucketed(corpus, "doc_id", "text", t)
+    return dedup.incremental_near_dedup_bucketed(
+        spark, batchd, t, "doc_id", "text"
+    ).select("doc_id")
+
+
 _SQL_COS_AB = (
     "round(list_dot_product(a.cv, b.cv) /"
     " sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b.cv, b.cv)), 6)"
