@@ -40,7 +40,8 @@ def _drop_oversized_buckets(
     key_cols: list[str],
     max_bucket_size: int,
     what: str,
-    census: str = "eager",
+    census: str = "lazy",
+    census_hint: str = "lsh_bucket_stats",
 ) -> DataFrame:
     """Hot-bucket guard for the candidate-pair generators: a bucket
     key shared by m rows yields O(m²) join output, and on real crawl
@@ -52,23 +53,23 @@ def _drop_oversized_buckets(
     members that degenerate are better handled by the exact-dedup
     stage of the funnel that precedes near-dedup.
 
-    `census="eager"` (the primitive default) runs a driver-side size
-    census FIRST and LOGS any drop (bucket count + rows + largest),
-    never silent — one cheap aggregation, but it is a
+    `census="lazy"` (the DEFAULT since round 9, after a round of soak
+    in the composites) is ACTION-FREE: the oversized-bucket relation
+    is anti-joined unconditionally, so plan construction triggers no
+    job and the guard composes into any batch plan. The trade: no
+    drop log (one info line notes the armed cap + which pre-flight
+    census to run); size the cap beforehand with `census_hint` (the
+    lsh_bucket_stats / hamming_bucket_stats pre-flight), which
+    reports exactly what a given cap would drop.
+
+    `census="eager"` is the opt-in DEBUG mode: it runs a driver-side
+    size census FIRST and LOGS any drop (bucket count + rows +
+    largest), never silent — one cheap aggregation, but it is a
     CONSTRUCTION-TIME ACTION: it assumes `banded` is persisted (with
     cache=False or a parquet-staged input it recomputes the upstream
     pipeline), it runs even when nothing exceeds the cap, and it is
     illegal inside a streaming plan (the streaming gates use the
     frozen-index path instead — pinned by a negative test).
-
-    `census="lazy"` is ACTION-FREE: the oversized-bucket relation is
-    anti-joined unconditionally, so plan construction triggers no job
-    and the guard composes into any batch plan. The trade: no drop
-    log (one info line notes the armed cap); size the cap beforehand
-    with the `lsh_bucket_stats` pre-flight census, which reports
-    exactly what a given cap would drop. The composite entry points
-    (near_dedup, ahash/audio_near_pairs) use this mode for their
-    default-on caps.
 
     Either way the anti-join side is at most |rows|/max_bucket_size
     keys (small — AQE broadcasts it)."""
@@ -82,8 +83,9 @@ def _drop_oversized_buckets(
         log.info(
             "%s: hot-bucket guard armed lazily (max_bucket_size=%d); "
             "oversized buckets are dropped from candidate generation — "
-            "run lsh_bucket_stats for the drop census",
-            what, max_bucket_size,
+            "run %s for the drop census, or pass census='eager' for a "
+            "logged drop count",
+            what, max_bucket_size, census_hint,
         )
         return banded.join(big.select(*key_cols), key_cols, "left_anti")
     stats = big.agg(
@@ -285,17 +287,18 @@ def lsh_candidate_pairs(
     cache: bool = True,
     hash_band_keys: bool = True,
     max_bucket_size: int | None = None,
-    bucket_census: str = "eager",
+    bucket_census: str = "lazy",
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band key
     are candidates. Returns distinct (id_a, id_b) with id_a < id_b.
 
     `max_bucket_size` bounds the O(m²) blow-up of a degenerate band
     bucket (boilerplate/empty-template pages at crawl scale): buckets
-    over the cap are dropped from candidate generation with a logged
-    count (see _drop_oversized_buckets; `bucket_census="lazy"` makes
-    the guard action-free at the cost of the drop log). None =
-    unguarded exact behavior.
+    over the cap are dropped from candidate generation (see
+    _drop_oversized_buckets; the default lazy census is action-free —
+    pass `bucket_census="eager"` for a logged drop count at the cost
+    of a construction-time job). None (the default) = unguarded exact
+    behavior — complete recall; size a cap with lsh_bucket_stats.
 
     One shuffle on the band key; the self-join is an equi-join so
     Catalyst plans SMJ/broadcast — never a cross product. The banded
@@ -539,7 +542,7 @@ def banded_hamming_pairs(
     bits: int = 64,
     cache: bool = True,
     max_bucket_size: int | None = None,
-    bucket_census: str = "eager",
+    bucket_census: str = "lazy",
 ) -> DataFrame:
     """Near-duplicate pairs by hamming distance over DISJOINT code
     bands — multi-index hashing (Norouzi et al. CVPR'12). The code's
@@ -554,8 +557,19 @@ def banded_hamming_pairs(
     Plan: explode to one row per (id, band, value) — explode factor
     `n_bands`, not corpus size — equi-join on (band, value), exact
     bit_count verify on candidates only, distinct pairs.
-    `max_bucket_size` drops degenerate band buckets with a logged
-    count (same guard as the LSH path).
+    `max_bucket_size` drops degenerate band buckets (same guard as
+    the LSH path; the default lazy census is action-free, eager logs
+    the drop). Size it with hamming_bucket_stats.
+
+    Band-width selection for a target corpus: buckets stay sparse
+    while band_bits ≳ log2(n_codes) — with n_bands = max_hamming + 1
+    disjoint bands over `bits` total, band width is bits // n_bands,
+    so the radius trades directly against width (radius 3 over 64
+    bits → 16-bit bands → expected bucket size n_codes / 2^16, which
+    passes ~65k codes per bucket value at 4B codes: past design
+    point). hamming_bucket_stats emits a recommended configuration
+    line for a measured corpus (STRESS: radius-1 2×32-bit bands show
+    falling us/code at 20M codes; radius-3 16-bit bands do not).
 
     Output: (id_a, id_b, hamming) with id_a < id_b."""
     if n_bands is None:
@@ -567,6 +581,7 @@ def banded_hamming_pairs(
         banded = _drop_oversized_buckets(
             banded, ["_band", "_val"], max_bucket_size,
             "banded_hamming_pairs", census=bucket_census,
+            census_hint="hamming_bucket_stats",
         )
     a, b_ = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -600,6 +615,7 @@ def simhash_near_pairs(
     rotations: int = 1,
     bits: int = 16,
     max_bucket_size: int | None = None,
+    bucket_census: str = "lazy",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, banded so the
     self-join is an equi-join: candidates must share the top
@@ -614,8 +630,8 @@ def simhash_near_pairs(
 
     `max_bucket_size` guards the remaining exposure — a band value
     shared by m fingerprints (near-identical boilerplate hashes the
-    same) yields O(m²) join rows; oversized buckets are dropped with
-    a logged count (None = unguarded)."""
+    same) yields O(m²) join rows; oversized buckets are dropped
+    (None = unguarded; bucket_census="eager" logs the drop)."""
     step = bits // rotations
     h = F.col(hash_col)
     mask = (1 << bits) - 1
@@ -647,7 +663,8 @@ def simhash_near_pairs(
         banded = tracked_persist(banded)
     if max_bucket_size is not None:
         banded = _drop_oversized_buckets(
-            banded, ["_rot", "_band"], max_bucket_size, "simhash_near_pairs"
+            banded, ["_rot", "_band"], max_bucket_size,
+            "simhash_near_pairs", census=bucket_census,
         )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

@@ -859,47 +859,32 @@ def incremental_media_dedup_bucketed(
     return codes.join(hits, id_col, "left_anti")
 
 
-def _warn_ignored_band_shift(band_shift: int, what: str) -> None:
-    """The pre-round-7 prefix-band form tuned recall with band_shift;
-    the disjoint-band hamming join has no prefix, so the parameter is
-    a no-op kept only for signature compatibility. A caller passing a
-    non-default value is tuning a dead knob — say so instead of
-    silently ignoring it."""
-    if band_shift != 32:
-        import warnings
-
-        warnings.warn(
-            f"{what}: band_shift is ignored since the switch to "
-            "disjoint-band multi-index hamming (full recall for the "
-            "requested max_hamming radius); tune max_hamming/n_bands "
-            "instead. The parameter will be removed.",
-            DeprecationWarning,
-            stacklevel=3,
-        )
-
-
 def ahash_near_pairs(
     binaries: DataFrame,
     max_hamming: int = 4,
-    band_shift: int = 32,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs: aHash codes → disjoint-band hamming
     join (dedup.banded_hamming_pairs — multi-index hashing with
     max_hamming+1 bands, so recall is COMPLETE for the requested
     radius; the round-6 prefix-band form missed pairs whose differing
     bits fell in the prefix). NULL codes (undecodable payloads) never
-    join. `max_bucket_size` DEFAULTS ON (1000): crawls are full of
-    byte-identical images (logos, spacers, tracking pixels) whose
-    shared code makes one band bucket quadratic — run exact dedup on
-    md5(payload) first, then the cap bounds the residue. The guard is
-    the action-free lazy form (no drop log; docs in an oversized
-    bucket are kept, not silently deleted); pass None for exact
-    unguarded behavior. `band_shift` is deprecated and ignored (the
-    disjoint-band form has no prefix)."""
+    join.
+
+    `max_bucket_size` defaults OFF: this is a pair-generation
+    PRIMITIVE whose contract is complete recall, so nothing is
+    silently dropped by default (ADVICE r8 — the round-8 default-on
+    cap was a runtime-silent recall loss on exactly the skewed crawl
+    data where it fired). On real crawls, byte-identical images
+    (logos, spacers, tracking pixels) make one band bucket quadratic:
+    run exact dedup on md5(payload) first, then size a cap with the
+    hamming_bucket_stats pre-flight census and pass it explicitly.
+    The composite keep/drop funnels (near_dedup, the streaming gates)
+    keep their default-on guards — there the safe direction is
+    keeping docs. (`band_shift`, deprecated in r8, is removed: the
+    disjoint-band form has no prefix to shift.)"""
     from . import dedup
 
-    _warn_ignored_band_shift(band_shift, "ahash_near_pairs")
     codes = ahash_codes(binaries).filter(F.col("ahash").isNotNull())
     return dedup.banded_hamming_pairs(
         codes,
@@ -908,7 +893,6 @@ def ahash_near_pairs(
         max_hamming=max_hamming,
         bits=64,
         max_bucket_size=max_bucket_size,
-        bucket_census="lazy",
     )
 
 
@@ -1005,15 +989,14 @@ def audio_fingerprint(binaries: DataFrame, n_frames: int = 64) -> DataFrame:
 def audio_near_pairs(
     binaries: DataFrame,
     max_hamming: int = 4,
-    band_shift: int = 32,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Audio near-duplicate pairs: fingerprints → disjoint-band
-    hamming join (same full-recall machinery, default-on lazy
-    hot-bucket cap, and deprecated band_shift as ahash_near_pairs)."""
+    hamming join — same full-recall machinery and same exact-by-
+    default contract as ahash_near_pairs (cap opt-in, sized via
+    hamming_bucket_stats; band_shift removed)."""
     from . import dedup
 
-    _warn_ignored_band_shift(band_shift, "audio_near_pairs")
     codes = audio_fingerprint(binaries).filter(F.col("afp").isNotNull())
     return dedup.banded_hamming_pairs(
         codes,
@@ -1022,7 +1005,6 @@ def audio_near_pairs(
         max_hamming=max_hamming,
         bits=64,
         max_bucket_size=max_bucket_size,
-        bucket_census="lazy",
     )
 
 

@@ -246,7 +246,7 @@ class TestHotBucketGuards:
             ):
                 guarded = dedup.lsh_candidate_pairs(
                     sigs, "doc_id", num_hashes=8, bands=4, cache=False,
-                    max_bucket_size=10,
+                    max_bucket_size=10, bucket_census="eager",
                 ).count()
             assert guarded == 0  # all pairs lived in the hot bucket
             assert any(
@@ -294,7 +294,7 @@ class TestHotBucketGuards:
         ):
             out = dedup.simhash_near_pairs(
                 fps, "doc_id", max_hamming=3, band_shift=8, cache=False,
-                max_bucket_size=8,
+                max_bucket_size=8, bucket_census="eager",
             ).collect()
         # the 30-member bucket is gone; 100/101 share a band and survive
         assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}
@@ -433,24 +433,93 @@ class TestHotBucketGuards:
         ev.streaming_audio_dedup(probe_bin, midx)
         spark.catalog.clearCache()
 
-    def test_band_shift_deprecation_warns(self, spark):
-        import warnings
+    def test_band_shift_removed_from_media_pair_primitives(self, spark):
+        # deprecated r8 (DeprecationWarning), removed r9: the
+        # disjoint-band hamming join has no prefix to shift, so the
+        # dead knob must now fail loudly rather than warn.
+        import inspect
 
         from hadoop_distributed_dynamic_file_system_spark.operators import (
             multimodal as mm,
         )
 
-        bins = spark.createDataFrame(
-            [(1, mm.make_two_tone_bmp(16, 16, 4))],
-            "doc_id long, payload binary",
+        for fn in (mm.ahash_near_pairs, mm.audio_near_pairs):
+            params = inspect.signature(fn).parameters
+            assert "band_shift" not in params
+            # ADVICE r8: pair-generation primitives are exact by
+            # default — the hot-bucket cap is opt-in here (the
+            # composite keep/drop funnels keep their default-on caps)
+            assert params["max_bucket_size"].default is None
+
+    def test_pair_primitive_default_is_complete_recall(self, spark):
+        # ADVICE r8 regression pin: a band bucket larger than the old
+        # default cap (1000) must still emit ALL its pairs under
+        # primitive defaults — no runtime-silent recall loss.
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        n = 1100
+        codes = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit(0x1234).alias("code")
         )
-        with warnings.catch_warnings(record=True) as w:
-            warnings.simplefilter("always")
-            mm.ahash_near_pairs(bins, band_shift=16)  # non-default: warns
-            mm.ahash_near_pairs(bins)  # default: silent
-        msgs = [x for x in w if issubclass(x.category, DeprecationWarning)]
-        assert len(msgs) == 1 and "band_shift" in str(msgs[0].message)
-        spark.catalog.clearCache()
+        try:
+            got = dedup.banded_hamming_pairs(
+                codes, "doc_id", "code", max_hamming=2
+            ).count()
+            assert got == n * (n - 1) // 2
+        finally:
+            spark.catalog.clearCache()
+
+    def test_guarded_plan_construction_runs_no_job(self, spark, monkeypatch):
+        # VERDICT r8 ask #4: with the lazy census now the default, no
+        # operator constructor in pkg/operators may trigger a Spark
+        # job — tag a job group around pure plan construction and
+        # assert the group stays empty. The ONE sanctioned
+        # construction-time action is tracked_persist's eager cache
+        # fill (the self-join race fix, documented in
+        # lsh_candidate_pairs); it is stubbed here so this test proves
+        # the census and everything else construct job-free.
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup,
+            multimodal as mm,
+        )
+
+        monkeypatch.setattr(
+            dedup, "tracked_persist", lambda df, eager=True: df
+        )
+        sc = spark.sparkContext
+        group = "guard-construction-probe"
+        sc.setJobGroup(group, "plan construction must run no job")
+        try:
+            df = spark.createDataFrame(
+                [(1, "some words for the corpus here")],
+                "doc_id long, text string",
+            )
+            sigs = dedup.minhash_signatures(df, "doc_id", "text", num_hashes=8)
+            dedup.lsh_candidate_pairs(
+                sigs, "doc_id", num_hashes=8, bands=4, cache=False,
+                max_bucket_size=10,
+            )
+            dedup.near_dedup(df, "doc_id", "text")
+            codes = spark.createDataFrame(
+                [(1, 0x1234)], "doc_id long, code long"
+            )
+            dedup.banded_hamming_pairs(
+                codes, "doc_id", "code", max_bucket_size=10, cache=False
+            )
+            dedup.simhash_near_pairs(
+                codes.withColumnRenamed("code", "simhash"), "doc_id",
+                max_bucket_size=10, cache=False,
+            )
+            bins = spark.createDataFrame(
+                [(1, mm.make_two_tone_bmp(16, 16, 4))],
+                "doc_id long, payload binary",
+            )
+            mm.ahash_near_pairs(bins, max_bucket_size=10)
+            mm.audio_near_pairs(bins, max_bucket_size=10)
+            assert sc.statusTracker().getJobIdsForGroup(group) == []
+        finally:
+            sc.setJobGroup("", "")
+            spark.catalog.clearCache()
 
     def test_hamming_bucket_stats_exact_counts(self, spark):
         # hand-checkable census: 5 codes over 3 disjoint 20-bit bands
