@@ -367,14 +367,25 @@ def hamming_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 1, (code >> 20) & 1048575 FROM codes
       UNION ALL SELECT 2, (code >> 40) & 1048575 FROM codes
     ),
-    sizes AS (SELECT band, val, count(*) AS cnt FROM bands GROUP BY band, val)
-    SELECT band,
-           CAST(count(*) AS BIGINT) AS n_buckets,
-           CAST(max(cnt) AS BIGINT) AS max_bucket,
-           CAST(sum(CASE WHEN cnt > 3 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_over_cap,
-           CAST(sum((cnt * (cnt - 1)) // 2) AS BIGINT) AS pairs_bound
-    FROM sizes GROUP BY band
+    sizes AS (SELECT band, val, count(*) AS cnt FROM bands GROUP BY band, val),
+    census AS (
+      SELECT band,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(max(cnt) AS BIGINT) AS max_bucket,
+             CAST(sum(CASE WHEN cnt > 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over_cap,
+             CAST(sum((cnt * (cnt - 1)) // 2) AS BIGINT) AS pairs_bound,
+             CAST(sum(cnt) AS BIGINT) AS n_codes,
+             CAST(least(greatest(
+               length(bin(CAST(sum(cnt) AS BIGINT) - 1)), 1), 60) AS BIGINT)
+               AS rec_band_bits
+      FROM sizes GROUP BY band
+    )
+    SELECT band, n_buckets, max_bucket, n_over_cap, pairs_bound, n_codes,
+           rec_band_bits,
+           CAST(60 // rec_band_bits AS BIGINT) AS rec_n_bands,
+           CAST(60 // rec_band_bits AS BIGINT) - 1 AS rec_max_radius
+    FROM census
     """,
 )
 def hamming_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,7 +396,10 @@ def hamming_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     consults BEFORE paying the banded join, sized from the exact
     band split the join uses (_hamming_banded is shared). cap=3 so
     the fixture exercises the over-cap counter (twin pairs put 2 in
-    most buckets; md5 collisions push a few over)."""
+    most buckets; md5 collisions push a few over). Round 9 adds the
+    recommended-banding columns (n_codes, rec_band_bits = integer
+    ceil-log2, rec_n_bands, rec_max_radius) — the band-width rule
+    STRESS motivated, oracle-checked via DuckDB's bin()."""
     codes = _hamming_twin_codes(spark, sf_dir)
     return dedup.hamming_bucket_stats(
         codes, "doc_id", "code", max_hamming=2, bits=60, cap=3

@@ -543,6 +543,41 @@ class TestHotBucketGuards:
                 rows[1].n_over_cap, rows[1].pairs_bound) == (2, 4, 1, 6)
         assert (rows[2].n_buckets, rows[2].max_bucket,
                 rows[2].n_over_cap, rows[2].pairs_bound) == (1, 5, 1, 10)
+        # recommendation columns: 5 codes -> ceil(log2 5) = 3-bit
+        # bands keep buckets sparse; 60 div 3 = 20 bands serve up to
+        # radius 19 with full pigeonhole recall
+        for r in rows.values():
+            assert (r.n_codes, r.rec_band_bits,
+                    r.rec_n_bands, r.rec_max_radius) == (5, 3, 20, 19)
+
+    def test_hamming_census_recommendation_scales_with_corpus(self, spark):
+        # The band-width rule (band_bits >= log2 n for sparse buckets):
+        # 2^16 codes -> 16-bit bands -> 64 div 16 = 4 bands -> radius 3
+        # is exactly at design point; one more code flips to 17-bit
+        # bands (3 bands, radius 2) — the STRESS finding ("radius-3's
+        # 16-bit bands are past design point at 20M codes") as a
+        # testable recommendation.
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        at = spark.range(1 << 16).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("code")
+        )
+        r = dedup.hamming_bucket_stats(
+            at, "doc_id", "code", max_hamming=3, bits=64
+        ).collect()[0]
+        assert (r.rec_band_bits, r.rec_n_bands, r.rec_max_radius) == (16, 4, 3)
+        past = spark.range((1 << 16) + 1).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("code")
+        )
+        r2 = dedup.hamming_bucket_stats(
+            past, "doc_id", "code", max_hamming=3, bits=64
+        ).collect()[0]
+        assert (r2.rec_band_bits, r2.rec_n_bands, r2.rec_max_radius) == (17, 3, 2)
+        one = spark.createDataFrame([(1, 7)], "doc_id long, code long")
+        r3 = dedup.hamming_bucket_stats(
+            one, "doc_id", "code", max_hamming=1, bits=64
+        ).collect()[0]
+        assert (r3.n_codes, r3.rec_band_bits) == (1, 1)  # bin(0) edge
 
     def test_fixture_buckets_far_below_default_cap(self, spark, sf_dir):
         # The judge-vetted premise for defaulting the cap ON: the
