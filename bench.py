@@ -223,6 +223,64 @@ def infer_round(repo: str, forced_round: int | None = None) -> int:
     return cor if cor > ben else cor + 1
 
 
+def infer_phase(repo: str) -> str:
+    """Which lifecycle phase an unlabeled run is in, from the same
+    artifact comparison as infer_round: CORRECTNESS ahead of BENCH_r
+    means the driver is closing the round ("close"); equal means a
+    mid-round working run ("mid"). Folded into the default label so
+    two unlabeled runs only overwrite each other's history rows when
+    they are genuinely the same kind of run (ADVICE r8: an unlabeled
+    close-of-round re-run used to replace the unlabeled mid-round
+    rows, because both defaulted to the same rNN-inferred label)."""
+    import glob
+    import re
+
+    def _max_round(pattern):
+        ns = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, pattern))
+            if (m := re.search(r"r(\d+)\.json$", p))
+        ]
+        return max(ns) if ns else 0
+
+    cor, ben = _max_round("CORRECTNESS_r*.json"), _max_round("BENCH_r*.json")
+    return "close" if cor > ben else "mid"
+
+
+def update_history(
+    hist: str, rnd: int, label: str, timings: dict[str, float]
+) -> None:
+    """Append this run's rows to the round-keyed history CSV.
+
+    Re-runs replace only rows with the SAME (round, label); other
+    rounds/labels pass through unchanged. The lifecycle phase is part
+    of the default label (infer_phase), so an unlabeled close-of-round
+    re-run no longer replaces the unlabeled mid-round rows; two
+    unlabeled runs in the SAME phase still overwrite each other — pass
+    --label to keep both. The header is rebuilt unconditionally: an
+    empty file or a filter that removes every line must not produce a
+    headerless CSV (ADVICE r8)."""
+    header = "round,query,seconds,label\n"
+    kept: list[str] = []
+    if os.path.exists(hist):
+        with open(hist) as f:
+            kept = [
+                ln for ln in f
+                if ln.strip()
+                and not ln.startswith("round,")
+                and not (
+                    ln.startswith(f"{rnd},")
+                    and ln.rstrip("\n").endswith(f",{label}")
+                )
+            ]
+    new_rows = [
+        f"{rnd},{name},{sec},{label}\n"
+        for name, sec in sorted(timings.items())
+    ]
+    with open(hist, "w") as f:
+        f.writelines([header] + kept + new_rows)
+
+
 def main() -> None:
     # --round N / --label STR pin the round this run records under
     # (ADVICE r7: the max(CORRECTNESS_r*)+1 inference mislabels a
@@ -262,24 +320,30 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = q.QUERIES.get(name)
         if fn is None:
             continue
         # min-of-2: single shots swing 2-3x under GC/scheduling noise
         # (measured in round 3); the minimum is the steady-state cost
-        # the plan actually has.
-        best = float("inf")
+        # the plan actually has. Both rep times are kept in the full
+        # record (queries_spread): a wide max/min spread on entries
+        # whose code did not change marks a load-contaminated run
+        # (VERDICT r8 "what's wrong #2" — the driver's mid-round
+        # capture read 1.26x high from concurrent machine activity).
+        reps = []
         for _ in range(2):
             t0 = time.time()
             materialize(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
+            reps.append(time.time() - t0)
             # Release engine-internal persists between entries: a
             # multi-query session otherwise accumulates executor
             # storage until eviction pressure taxes every later entry
             # (~2× uniform inflation in r02).
             cache.release_all()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(reps), 3)
+        spreads[name] = [round(min(reps), 3), round(max(reps), 3)]
 
     # TeraSort-shaped sort throughput (datagen → total-order sort),
     # scaled with the SF so the number tracks data volume
@@ -472,6 +536,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-entry [min, max] of the two reps + the machine's load
+        # average: a contaminated record self-identifies (wide spreads
+        # on untouched entries, loadavg far above this session's own
+        # 32 threads) instead of masquerading as a code regression
+        "queries_spread": spreads,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
         "io": io_stats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -491,7 +561,9 @@ def main() -> None:
     # artifact itself (VERDICT r7 "what's wrong" #3): "r8" = which
     # round's rows these are, suffix = when in the round they ran.
     label = run_label or (
-        f"r{rnd:02d}-inferred" if forced_round is None else f"r{rnd:02d}"
+        f"r{rnd:02d}-{infer_phase(repo)}-inferred"
+        if forced_round is None
+        else f"r{rnd:02d}"
     )
     record["round"] = rnd
     record["round_label"] = label
@@ -499,31 +571,10 @@ def main() -> None:
     try:
         with open(full_path, "w") as f:
             json.dump(record, f, indent=1)
-        hist = os.path.join(repo, "tools", "bench_history.csv")
-        header = "round,query,seconds,label\n"
-        lines = [header]
-        if os.path.exists(hist):
-            with open(hist) as f:
-                # re-runs replace only rows with the SAME (round,
-                # label) — a final run never erases the mid-round
-                # record; other rounds/labels pass through unchanged
-                lines = [
-                    ln for ln in f
-                    if not (
-                        ln.startswith(f"{rnd},")
-                        and ln.rstrip("\n").endswith(f",{label}")
-                    )
-                ]
-            if lines and not lines[0].startswith("round,"):
-                lines.insert(0, header)
-            elif lines:
-                lines[0] = header
-        lines += [
-            f"{rnd},{name},{sec},{label}\n"
-            for name, sec in sorted(timings.items())
-        ]
-        with open(hist, "w") as f:
-            f.writelines(lines)
+        update_history(
+            os.path.join(repo, "tools", "bench_history.csv"),
+            rnd, label, timings,
+        )
     except OSError:
         pass  # bench numbers still printed below
 
