@@ -188,6 +188,7 @@ HEADLINE = [
     # index as a bucketed catalog table, sort-merge probe) priced next
     # to its broadcast twin incremental_near_dedup
     "incremental_dedup_bucketed",
+    "incremental_dedup_extended",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -1200,6 +1200,52 @@ def freeze_band_index_bucketed(
     idx.unpersist()  # staged to disk; the memory copy is done
 
 
+def extend_band_index_bucketed(
+    spark: SparkSession,
+    kept_docs: DataFrame,
+    table_name: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    num_buckets: int = 32,
+) -> None:
+    """Day-2 CONTINUATION of the bucketed incremental loop: after
+    incremental_near_dedup_bucketed keeps a batch's survivors, their
+    band keys must join the frozen index so the NEXT batch dedups
+    against them too — otherwise two novel near-twins arriving in
+    different batches both survive forever. Appends the survivors'
+    distinct band keys, minus those already frozen (left-anti against
+    the table, itself an Exchange-free bucketed-side probe), via
+    skew.append_bucketed — the appended files carry the SAME bucket
+    spec, so every later probe stays Exchange-free on the frozen scan
+    and the index never rewrites. `num_buckets` must match the freeze
+    (a mismatch raises, never silently corrupts the layout).
+
+    At 100 TB this is the whole point of the bucketed form: the index
+    grows by batch-sized appends (one file per touched bucket),
+    not corpus-sized rewrites; compact occasionally with
+    freeze_band_index_bucketed when per-bucket file counts grow."""
+    keyed = minhash_band_key_cols(
+        kept_docs, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    new_keys = (
+        keyed.select(
+            F.explode(
+                F.array(*[F.col(f"_bk{b}") for b in range(bands)])
+            ).alias("bk")
+        )
+        .filter(F.col("bk").isNotNull())
+        .distinct()
+        .join(spark.table(table_name), "bk", "left_anti")
+    )
+    from . import skew
+
+    skew.append_bucketed(new_keys, table_name, ["bk"], num_buckets=num_buckets)
+
+
 def incremental_near_dedup_bucketed(
     spark: SparkSession,
     new_docs: DataFrame,

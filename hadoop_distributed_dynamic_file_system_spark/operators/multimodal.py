@@ -812,6 +812,42 @@ def freeze_media_index_bucketed(
     idx.unpersist()  # staged to disk; the memory copy is done
 
 
+def extend_media_index_bucketed(
+    spark: SparkSession,
+    kept_codes: DataFrame,
+    table_name: str,
+    hash_col: str = "ahash",
+    n_bands: int = 4,
+    band_bits: int = 16,
+    num_buckets: int = 32,
+) -> None:
+    """Media twin of dedup.extend_band_index_bucketed: append the kept
+    batch's (band-key, code) pairs — minus pairs already frozen — to
+    the bucketed media index so the next batch's probe sees them. Same
+    append discipline (bucket spec validated, probes stay
+    Exchange-free, batch-sized appends instead of corpus-sized
+    rewrites)."""
+    cols = hamming_band_cols(F.col(hash_col), n_bands, band_bits)
+    new_pairs = (
+        kept_codes.select(
+            F.explode(
+                F.array(*[
+                    F.xxhash64(F.lit(b), c) for b, c in enumerate(cols)
+                ])
+            ).alias("mbk"),
+            F.col(hash_col).alias("mcode"),
+        )
+        .filter(F.col("mcode").isNotNull())
+        .distinct()
+        .join(spark.table(table_name), ["mbk", "mcode"], "left_anti")
+    )
+    from . import skew
+
+    skew.append_bucketed(
+        new_pairs, table_name, ["mbk"], num_buckets=num_buckets
+    )
+
+
 def incremental_media_dedup_bucketed(
     spark: SparkSession,
     codes: DataFrame,

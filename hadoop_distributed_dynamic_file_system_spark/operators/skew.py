@@ -75,6 +75,34 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def append_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    align: bool = True,
+) -> None:
+    """Append to an existing bucketed table keeping the layout live:
+    saveAsTable(mode="append") with a bucketBy spec validates against
+    the catalog's spec (a mismatch raises AnalysisException rather
+    than silently corrupting the bucket layout — pinned in tests) and
+    writes properly bucketed files, so later joins stay Exchange-free
+    on the bucketed key. Each append adds at most one file per touched
+    bucket (with align=True); compact periodically with
+    write_bucketed(spark.table(t), ..., mode="overwrite") when file
+    counts grow — the HadoopArchives small-file discipline
+    (src/tools/HadoopArchives.java)."""
+    if align:
+        df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+    (
+        df.write.mode("append")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .saveAsTable(table_name)
+    )
+
+
 def bucketed_join(
     spark, left_table: str, right_table: str, on: list[str], how: str = "inner"
 ) -> DataFrame:

@@ -1995,6 +1995,85 @@ def incremental_dedup_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+@query(
+    "incremental_dedup_extended",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    b2 AS (
+      SELECT doc_id + 300000 AS doc_id,
+             regexp_replace(text, '^\\S+\\s*', '') AS text
+      FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      -- upper-cased twins shingle to entirely new md5 keys: genuinely
+      -- novel docs that MUST survive, so an engine that over-drops
+      -- (or an append that poisons the index) fails on row count,
+      -- not just on the mutated cohort
+      SELECT doc_id + 400000 AS doc_id, upper(text) AS text
+      FROM documents WHERE doc_id % 2 = 1 AND doc_id % 10 = 1
+    ),
+    csigs AS ({_minhash_sql(8, "corpus")}),
+    b1sigs AS ({_minhash_sql(8, "b1")}),
+    b2sigs AS ({_minhash_sql(8, "b2")}),
+    cbands AS (
+      SELECT DISTINCT band, bkey FROM ({_band_keys_sql("csigs")})
+      WHERE bkey IS NOT NULL
+    ),
+    b1bands AS ({_band_keys_sql("b1sigs")}),
+    b1hits AS (
+      SELECT DISTINCT doc_id FROM b1bands JOIN cbands USING (band, bkey)
+    ),
+    extbands AS (
+      SELECT band, bkey FROM cbands
+      UNION
+      SELECT DISTINCT band, bkey FROM b1bands
+      WHERE bkey IS NOT NULL
+        AND doc_id NOT IN (SELECT doc_id FROM b1hits)
+    ),
+    b2bands AS ({_band_keys_sql("b2sigs")}),
+    b2hits AS (
+      SELECT DISTINCT doc_id FROM b2bands JOIN extbands USING (band, bkey)
+    )
+    SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM b2hits)
+    """,
+)
+def incremental_dedup_extended_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full day-2 LOOP through the bucketed index: freeze the even
+    half-corpus, probe batch 1 (the odd half — novel vs the corpus),
+    EXTEND the frozen index with batch 1's survivors
+    (dedup.extend_band_index_bucketed — a batch-sized bucketed APPEND,
+    never a corpus rewrite), then probe batch 2 (mutated copies of the
+    odd half). A batch-2 mutation dies either against the original
+    corpus or against the batch-1 survivor it copies — the oracle
+    replays both generations of band keys in SQL, so a broken append
+    (lost keys, wrong layout) surfaces as extra survivors."""
+    import re as _re
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    b1 = d.filter(F.col("doc_id") % 2 == 1)
+    b2 = b1.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+    ).unionByName(
+        b1.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+    )
+    t = "inc_dedup_ext_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    dedup.freeze_band_index_bucketed(corpus, "doc_id", "text", t)
+    kept1 = dedup.incremental_near_dedup_bucketed(
+        spark, b1, t, "doc_id", "text"
+    )
+    dedup.extend_band_index_bucketed(spark, kept1, t, "doc_id", "text")
+    return dedup.incremental_near_dedup_bucketed(
+        spark, b2, t, "doc_id", "text"
+    ).select("doc_id")
+
+
 _SQL_COS_AB = (
     "round(list_dot_product(a.cv, b.cv) /"
     " sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b.cv, b.cv)), 6)"

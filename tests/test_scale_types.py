@@ -268,6 +268,155 @@ class TestBucketedMediaIndex:
             spark.catalog.clearCache()
 
 
+class TestBucketedIndexExtension:
+    """Round-9: the day-2 loop closes — survivors of each batch extend
+    the frozen bucketed index by APPEND (batch-sized, layout-kept),
+    never a corpus-sized rewrite."""
+
+    def test_extend_makes_next_batch_see_survivors(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "t_extend_bk"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        batch1 = spark.createDataFrame(
+            [(10, "a completely novel first batch document about engines")],
+            "doc_id long, text string",
+        )
+        # near-twin of batch1's survivor: without the extension it
+        # would survive batch 2 (the frozen corpus never saw doc 10)
+        batch2 = spark.createDataFrame(
+            [
+                (20, "a completely novel first batch document about engines"),
+                (21, "some genuinely different second batch text entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        try:
+            dedup.freeze_band_index_bucketed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            kept1 = dedup.incremental_near_dedup_bucketed(
+                spark, batch1, t, "doc_id", "text"
+            )
+            assert {r.doc_id for r in kept1.collect()} == {10}
+            dedup.extend_band_index_bucketed(
+                spark, kept1, t, "doc_id", "text", num_buckets=8
+            )
+            kept2 = {
+                r.doc_id
+                for r in dedup.incremental_near_dedup_bucketed(
+                    spark, batch2, t, "doc_id", "text"
+                ).collect()
+            }
+            assert kept2 == {21}  # 20 now dies against doc 10's keys
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+    def test_extend_keeps_layout_and_dedupes_keys(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "t_extend_bk2"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        corpus = spark.createDataFrame(
+            [(1, "pack my box with five dozen liquor jugs right now")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(10, "some novel words that shingle into several band keys")],
+            "doc_id long, text string",
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            dedup.freeze_band_index_bucketed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            dedup.extend_band_index_bucketed(
+                spark, batch, t, "doc_id", "text", num_buckets=8
+            )
+            n1 = spark.table(t).count()
+            # idempotent: re-extending with the same docs adds nothing
+            dedup.extend_band_index_bucketed(
+                spark, batch, t, "doc_id", "text", num_buckets=8
+            )
+            assert spark.table(t).count() == n1
+            assert spark.table(t).select("bk").distinct().count() == n1
+            # the appended files carry the bucket spec: probes remain
+            # Exchange-free on the frozen side after the append
+            probe = spark.range(5).select(F.col("id").alias("bk"))
+            semi = probe.join(spark.table(t), "bk", "left_semi")
+            plan = semi._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert plan.count("Exchange") == 1  # probe side only
+            # a mismatched bucket count must fail loudly, not corrupt
+            import pytest as _pytest
+            from pyspark.errors import AnalysisException
+
+            with _pytest.raises(AnalysisException):
+                dedup.extend_band_index_bucketed(
+                    spark, batch, t, "doc_id", "text", num_buckets=4
+                )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+    def test_media_extend_twin(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        t = "t_extend_media_bk"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        frozen = spark.createDataFrame(
+            [(1, 0x1111222233334444)], "doc_id long, ahash long"
+        )
+        kept = spark.createDataFrame(
+            [(10, 0x5A5A5A5A5A5A5A5A), (11, None)],
+            "doc_id long, ahash long",
+        )
+        probe = spark.createDataFrame(
+            [(20, 0x5A5A5A5A5A5A5A5B)],  # hamming 1 from kept #10
+            "doc_id long, ahash long",
+        )
+        try:
+            mm.freeze_media_index_bucketed(frozen, t, num_buckets=8)
+            before = {
+                r.doc_id
+                for r in mm.incremental_media_dedup_bucketed(
+                    spark, probe, t, max_hamming=3
+                ).collect()
+            }
+            assert before == {20}  # nothing frozen is near it yet
+            mm.extend_media_index_bucketed(spark, kept, t, num_buckets=8)
+            after = {
+                r.doc_id
+                for r in mm.incremental_media_dedup_bucketed(
+                    spark, probe, t, max_hamming=3
+                ).collect()
+            }
+            assert after == set()  # now verified-near kept #10
+            # NULL codes contributed nothing
+            assert spark.table(t).filter(F.col("mcode").isNull()).count() == 0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+
 class TestStreamingGatesBucketedIndex:
     """Round-9: the streaming dedup gates accept a bucketed frozen
     index (index_mode="auto") — no forced broadcast, so the frozen
