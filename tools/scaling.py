@@ -110,6 +110,12 @@ QUERIES = [
     # round-8 additions
     "hamming_near_pairs",
     "hamming_bucket_stats",
+    # round-9 additions: the bucketed incremental-dedup path and the
+    # full freeze->probe->extend->probe loop (each run re-freezes its
+    # sf-scoped table, so the measured cost INCLUDES the freeze write
+    # — the honest day-2 cost is probe+extend only, priced in STRESS)
+    "incremental_dedup_bucketed",
+    "incremental_dedup_extended",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

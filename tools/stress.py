@@ -584,6 +584,36 @@ def main() -> None:
                 lambda b=batch16: noop(dedup.incremental_near_dedup_bucketed(
                     spark, b, "stress_frozen_bk", "doc_id", "text")),
             )
+            # Day-2 index growth (round 9): EXTEND the 100x index
+            # with a 1x batch of genuinely-new keys (append — the
+            # anti-join scans the frozen side Exchange-free, the
+            # write is batch-sized, one file per touched bucket) vs
+            # RE-FREEZING the whole 101x corpus (the corpus-sized
+            # rewrite the append exists to avoid). reps=1 for the
+            # extend: a second rep would find all keys frozen and
+            # time an empty append.
+            new_batch = sf_docs.select(
+                (F.col("doc_id") + 100_000 * 500).alias("doc_id"),
+                F.regexp_replace(
+                    "text", r"(\S+)", r"s500\1"
+                ).alias("text"),
+            )
+            bench(
+                "extend_append_1x_into_100x", base,
+                lambda: dedup.extend_band_index_bucketed(
+                    spark, new_batch, "stress_frozen_bk",
+                    "doc_id", "text"),
+                reps=1,
+            )
+            spark.sql("DROP TABLE IF EXISTS stress_refreeze_bk")
+            bench(
+                "refreeze_whole_101x_corpus", base * 101,
+                lambda: dedup.freeze_band_index_bucketed(
+                    distinct_corpus(101), "doc_id", "text",
+                    "stress_refreeze_bk"),
+                reps=1,
+            )
+            spark.sql("DROP TABLE IF EXISTS stress_refreeze_bk")
         spark.sql("DROP TABLE IF EXISTS stress_frozen_bk")
 
     # Skew join at a NASTIER ratio than sf0.1's mild skew (VERDICT r6
