@@ -65,14 +65,51 @@ def write_bucketed(
                     os.path.join(wh.path, table_name.lower()),
                     ignore_errors=True,
                 )
-    if align:
-        df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
-    writer = (
-        df.write.mode(mode)
+    _aligned_bucket_write(
+        df, num_buckets, bucket_cols, align,
+        lambda d: d.write.mode(mode)
         .bucketBy(num_buckets, *bucket_cols)
         .sortBy(*(sort_cols or bucket_cols))
+        .saveAsTable(table_name),
     )
-    writer.saveAsTable(table_name)
+
+
+def _aligned_bucket_write(df, num_buckets, bucket_cols, align, save) -> None:
+    """Shared alignment core of write_bucketed/append_bucketed. With
+    align=True the repartition pins exactly num_buckets tasks, one per
+    bucket — but the sortBy write plans a Sort ABOVE the alignment
+    shuffle, and AQE then treats that shuffle as coalescible (the
+    user-repartition protection applies only to a terminal
+    repartition), silently merging partitions on small data so tasks
+    straddle buckets and files = tasks × buckets again. Disable AQE
+    partition coalescing for just this write: at scale the partitions
+    exceed the advisory size and coalescing would be a no-op anyway —
+    this only pins the invariant the knob exists for."""
+    if not align:
+        save(df)
+        return
+    df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+    spark = df.sparkSession
+    pins = {
+        # AQE would coalesce the alignment shuffle on small data
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # When the SOURCE is the same-bucketed table (compact, a
+        # read-extend-rewrite), the optimizer drops the repartition as
+        # redundant against the table's bucketing — and then the
+        # planner auto-DISABLES the bucketed scan for the bare
+        # read-write query, leaving split-packed unaligned input.
+        # Forcing the bucketed scan keeps that dropped repartition's
+        # promise: one partition per source bucket.
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    try:
+        save(df)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
 
 
 def append_bucketed(
@@ -93,14 +130,43 @@ def append_bucketed(
     write_bucketed(spark.table(t), ..., mode="overwrite") when file
     counts grow — the HadoopArchives small-file discipline
     (src/tools/HadoopArchives.java)."""
-    if align:
-        df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
-    (
-        df.write.mode("append")
+    _aligned_bucket_write(
+        df, num_buckets, bucket_cols, align,
+        lambda d: d.write.mode("append")
         .bucketBy(num_buckets, *bucket_cols)
         .sortBy(*(sort_cols or bucket_cols))
-        .saveAsTable(table_name)
+        .saveAsTable(table_name),
     )
+
+
+def compact_bucketed(
+    spark,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Rewrite a bucketed table in place to one file per bucket —
+    the companion to append_bucketed: each append adds a file per
+    touched bucket, and after many batches the per-bucket file count
+    taxes listing and open() the same way the reference's small-file
+    pathology taxed the NameNode (HadoopArchives exists for exactly
+    this, src/tools/HadoopArchives.java). Run it off the ingest path
+    on whatever cadence the file census suggests; the rewrite is one
+    corpus-sized job, after which appends resume.
+
+    Staged through a temp table then swapped, because overwriting a
+    table from its own scan would truncate the source mid-read."""
+    tmp = f"{table_name}__compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    write_bucketed(
+        spark.table(table_name), tmp, bucket_cols,
+        num_buckets=num_buckets, sort_cols=sort_cols,
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # file-level move keeps this metadata-cheap; ALTER TABLE RENAME on
+    # a managed datasource table moves the directory for us
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
 
 
 def bucketed_join(

@@ -372,6 +372,57 @@ class TestBucketedIndexExtension:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             spark.catalog.clearCache()
 
+    def test_compact_restores_one_file_per_bucket(self, spark):
+        import glob
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "t_compact_bk"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}__compact_tmp")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        shutil.rmtree(f"spark-warehouse/{t}__compact_tmp", ignore_errors=True)
+        corpus = spark.createDataFrame(
+            [(1, "pack my box with five dozen liquor jugs right now")],
+            "doc_id long, text string",
+        )
+        try:
+            dedup.freeze_band_index_bucketed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            for k in range(3):  # three day-2 appends grow file count
+                batch = spark.createDataFrame(
+                    [(10 + k, f"novel batch {k} words that shingle "
+                              f"into fresh band keys {k} here")],
+                    "doc_id long, text string",
+                )
+                dedup.extend_band_index_bucketed(
+                    spark, batch, t, "doc_id", "text", num_buckets=8
+                )
+            n_rows = spark.table(t).count()
+            files_before = len(glob.glob(f"spark-warehouse/{t}/*.parquet"))
+            assert files_before > 8  # appends piled files onto buckets
+            skew.compact_bucketed(spark, t, ["bk"], num_buckets=8)
+            files_after = len(glob.glob(f"spark-warehouse/{t}/*.parquet"))
+            assert files_after <= 8  # one file per (non-empty) bucket
+            assert spark.table(t).count() == n_rows
+            # layout still live after the swap: Exchange-free probe
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                probe = spark.range(5).select(F.col("id").alias("bk"))
+                semi = probe.join(spark.table(t), "bk", "left_semi")
+                plan = semi._jdf.queryExecution().executedPlan().toString()
+                assert "Bucketed: true" in plan
+                assert plan.count("Exchange") == 1
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__compact_tmp")
+            spark.catalog.clearCache()
+
     def test_media_extend_twin(self, spark):
         import shutil
 
