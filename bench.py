@@ -303,6 +303,10 @@ def main() -> None:
             run_label = a.split("=", 1)[1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # captured BEFORE the session spins up its own 32 threads: ambient
+    # machine load at start is the contamination signal; the end
+    # snapshot mostly reads this bench's own work
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("bench")
 
     # Warm-up at the smallest SF: pays whole-stage-codegen JIT for each
@@ -542,7 +546,8 @@ def main() -> None:
         # on untouched entries, loadavg far above this session's own
         # 32 threads) instead of masquerading as a code regression
         "queries_spread": spreads,
-        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "io": io_stats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
