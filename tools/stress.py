@@ -780,6 +780,18 @@ def main() -> None:
         "probe (read it per row — the us/row column divides by the",
         "batch size).",
         "",
+        "`extend_append_1x_into_100x` vs `refreeze_whole_101x_corpus`",
+        "(round 9) prices the day-2 index-growth choice: appending a",
+        "1x batch's new band keys costs about ONE probe (the",
+        "anti-join's scan of the frozen side dominates; the write is",
+        "batch-sized, one file per touched bucket) while refreezing",
+        "the whole 101x corpus re-pays signature + shuffle + write",
+        "for every frozen doc — ~8.5x the wall here, and that gap",
+        "widens linearly with corpus size (refreeze is O(corpus),",
+        "append is O(batch + index scan)). compact_bucketed exists",
+        "for the resulting per-bucket file growth, off the ingest",
+        "path.",
+        "",
         "`skew99_join_{plain,aqe,salted}_10m` rows = FACT rows, 99% on",
         "one key, dim non-broadcastable (threshold -1). Salted wins",
         "(~3.5x vs plain); AQE skew-split is statistically TIED with",
