@@ -100,6 +100,17 @@ SHOWCASE = [
      "candidates only -> pair distinct"),
     ("hamming_bucket_stats", "shift/mask band split + two-level "
      "groupBy; the multimodal pre-flight census"),
+    # round-9 shapes. At oracle SF the frozen index sits under the
+    # broadcast threshold, so these dumps SHOW Catalyst's size gate
+    # choosing broadcast — the large-index shape (Bucketed:true scan,
+    # zero Exchange on the frozen side, SMJ semi) is pinned under
+    # threshold=-1 in tests/test_scale_types.py.
+    ("incremental_dedup_bucketed", "frozen-index probe; broadcast "
+     "here by size gate — the at-scale SMJ/zero-Exchange shape is "
+     "plan-pinned in tests under threshold=-1"),
+    ("incremental_dedup_extended", "the day-2 loop: two frozen-index "
+     "probes around a batch-sized index append; the frozen side "
+     "never re-shuffles at any size"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the
