@@ -734,7 +734,16 @@ def streaming_near_dedup(
     repartitioned, bands× per batch. Batch/stream parity is by
     construction — the same function applied to a batch frame
     produces the identical plan minus the streaming source (pinned by
-    the batch-twin tests in both modes)."""
+    the batch-twin tests in both modes).
+
+    Day-2 composition: the static side re-resolves every micro-batch,
+    so dedup.extend_band_index_bucketed can grow the frozen index
+    UNDER a live gate and the very next micro-batch dedups against
+    the appended keys (pinned by test_live_stream_sees_index_extends).
+    Same-session appends invalidate Spark's relation cache
+    automatically; an extender running in a DIFFERENT session must be
+    paired with spark.catalog.refreshTable(name) in the streaming
+    session, or the gate keeps probing the stale file listing."""
     out = dedup_ops.minhash_band_key_cols(
         doc_stream,
         text_col,

@@ -701,6 +701,77 @@ class TestStreamingNearDedup:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             spark.catalog.clearCache()
 
+    def test_live_stream_sees_index_extends(self, spark, tmp_path):
+        # Day-2 composition: extend_band_index_bucketed grows the
+        # frozen index UNDER a live gate; the next micro-batch must
+        # dedup against the appended keys (the static side re-resolves
+        # per batch, and same-session saveAsTable appends invalidate
+        # the relation cache).
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "t_live_ext_bk"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        src = tmp_path / "live_ext_src"
+        src.mkdir()
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        q = None
+        try:
+            dedup.freeze_band_index_bucketed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            stream = ev.read_parquet_dir_stream(
+                spark, str(src), "doc_id long, text string"
+            )
+            gated = ev.streaming_near_dedup(
+                stream, spark.table(t), index_mode="auto"
+            )
+            q = (
+                gated.writeStream.format("memory")
+                .queryName("live_ext_out")
+                .outputMode("append")
+                .start()
+            )
+            b1 = spark.createDataFrame(
+                [(10, "a totally novel streaming document about engines")],
+                "doc_id long, text string",
+            )
+            b1.coalesce(1).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+            got = {
+                r.doc_id
+                for r in spark.sql("select doc_id from live_ext_out").collect()
+            }
+            assert got == {10}
+            dedup.extend_band_index_bucketed(
+                spark, b1, t, "doc_id", "text", num_buckets=8
+            )
+            b2 = spark.createDataFrame(
+                [
+                    # twin of the extended survivor: must now drop
+                    (20, "a totally novel streaming document about engines"),
+                    (21, "completely different second micro batch text entirely"),
+                ],
+                "doc_id long, text string",
+            )
+            b2.coalesce(1).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+            got = {
+                r.doc_id
+                for r in spark.sql("select doc_id from live_ext_out").collect()
+            }
+            assert got == {10, 21}
+        finally:
+            if q is not None:
+                q.stop()
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
     def test_band_keys_fold_compatible_with_lsh_pairs(self, spark):
         # the folded stream keys must equal lsh_candidate_pairs'
         # hash_band_keys fold, or index and stream silently disagree
