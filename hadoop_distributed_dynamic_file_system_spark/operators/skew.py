@@ -156,7 +156,15 @@ def compact_bucketed(
     corpus-sized job, after which appends resume.
 
     Staged through a temp table then swapped, because overwriting a
-    table from its own scan would truncate the source mid-read."""
+    table from its own scan would truncate the source mid-read.
+
+    Live-consumer caveat: the swap is DROP + RENAME, so a streaming
+    gate probing the table (streaming_near_dedup index_mode="auto")
+    can plan a micro-batch in the gap and fail that batch. Pause the
+    gate around compaction (streams restart cleanly from their
+    checkpoint), or schedule compaction in the ingest pipeline's
+    quiet window — the same discipline as the reference's archive
+    compaction, which also required the source quiescent."""
     tmp = f"{table_name}__compact_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     write_bucketed(
