@@ -189,6 +189,7 @@ HEADLINE = [
     # to its broadcast twin incremental_near_dedup
     "incremental_dedup_bucketed",
     "incremental_dedup_extended",
+    "ann_ivf_extended",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -140,12 +140,46 @@ def build_ivf_index(
     fixed set of files, so a future non-broadcast probe join needs no
     shuffle on the corpus side.
     """
+    from . import skew
+
     assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
-    (
-        assigned.write.mode("overwrite")
-        .bucketBy(num_buckets, "centroid_id")
-        .sortBy("centroid_id")
-        .saveAsTable(table_name)
+    skew.write_bucketed(
+        assigned, table_name, ["centroid_id"], num_buckets=num_buckets
+    )
+
+
+def extend_ivf_index(
+    spark,
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    table_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+) -> None:
+    """Day-2 growth of a served ANN index — the similarity twin of
+    dedup.extend_band_index_bucketed: route the arriving vectors to
+    the SAME frozen centroids (broadcast, one batch-sized pass), drop
+    ids already indexed (idempotent re-ingest), and APPEND bucketed by
+    centroid_id (skew.append_bucketed — spec-validated, layout stays
+    live, one file per touched inverted list). ivf_topk_indexed then
+    serves the union with no rebuild: an index over 100 TB of
+    embeddings grows by batch-sized appends, and the routing window
+    only ever runs over each day's arrivals, never the corpus.
+
+    Centroids stay FROZEN — the standing IVF trade (FAISS `add` does
+    the same): drift in the vector distribution degrades recall
+    gradually and is repaired by a scheduled re-fit + re-freeze, not
+    on the ingest path. Compact per compact_bucketed when per-bucket
+    file counts grow."""
+    from . import skew
+
+    assigned = assign_to_centroids(new_vectors, centroids, id_col, vec_col)
+    fresh = assigned.join(
+        spark.table(table_name).select(id_col), id_col, "left_anti"
+    )
+    skew.append_bucketed(
+        fresh, table_name, ["centroid_id"], num_buckets=num_buckets
     )
 
 

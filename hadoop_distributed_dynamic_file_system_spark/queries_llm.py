@@ -529,6 +529,83 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_ANN_IVF_BODY = """
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    assigned AS (
+      SELECT vec_id, cv, centroid_id FROM (
+        SELECT c.vec_id, c.cv, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(cv, zv) /
+                          sqrt(list_dot_product(cv, cv) * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS crk
+        FROM c CROSS JOIN cen
+      ) WHERE crk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 3),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(qv, zv) /
+                          sqrt(list_dot_product(qv, qv) * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS prk
+        FROM q CROSS JOIN cen
+      ) WHERE prk <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, {cos} AS score
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, vec_id, score, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+"""
+
+
+@query(
+    "ann_ivf_extended",
+    f"""
+    WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
+                 FROM embeddings WHERE vec_id < 8),
+    {_SQL_ANN_IVF_BODY.format(cos=_SQL_COS).strip()}
+    """,
+)
+def ann_ivf_extended_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 ANN growth, driver-pinned: build the IVF index over the
+    even half of the embeddings (day 1), EXTEND it with the odd half
+    (similarity.extend_ivf_index — route to the SAME frozen centroids,
+    batch-sized bucketed append, no rebuild), then serve the queries
+    from the extended table. The oracle is plain full-corpus IVF SQL
+    (identical to ann_ivf's): if the append lost vectors, misrouted
+    them, or corrupted the inverted-list layout, the served top-5
+    diverges from the union answer and the hash fails."""
+    import re as _re
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    t = "ivf_ext_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    similarity.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), centroids, t
+    )
+    similarity.extend_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 1), centroids, t
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_topk_indexed(
+        spark, t, qs, centroids, k=5, nprobe=2
+    ).select("query_id", "vec_id", "score", "rk")
+
+
 @query(
     "ann_ivf_pq",
     """

@@ -72,6 +72,48 @@ class TestIvfIndex:
             cents.unpersist()
             spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+    def test_extend_ivf_index_serves_union_without_rebuild(self, spark, embeddings):
+        # Day-2 ANN growth: new vectors appended to the frozen-centroid
+        # index must be served by ivf_topk_indexed exactly as a full
+        # rebuild over the union would serve them.
+        import shutil
+
+        cents = similarity.kmeans_fit(embeddings, k=4, iterations=2)
+        cents = cents.persist()
+        cents.count()
+        table = "ivf_index_ext_test"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(os.path.join("spark-warehouse", table), ignore_errors=True)
+        day1 = embeddings.filter(F.col("vec_id") % 2 == 0)
+        day2 = embeddings.filter(F.col("vec_id") % 2 == 1)
+        try:
+            similarity.build_ivf_index(day1, cents, table, num_buckets=4)
+            n1 = spark.table(table).count()
+            similarity.extend_ivf_index(spark, day2, cents, table, num_buckets=4)
+            assert spark.table(table).count() == embeddings.count()
+            # idempotent: re-ingesting day2 adds nothing
+            similarity.extend_ivf_index(spark, day2, cents, table, num_buckets=4)
+            assert spark.table(table).count() == embeddings.count()
+            assert n1 < embeddings.count()
+            qs = embeddings.filter(F.col("vec_id") < 3)
+            extended = similarity.ivf_topk_indexed(
+                spark, table, qs, cents, k=5, nprobe=2
+            )
+            rebuilt_table = table + "_rebuilt"
+            spark.sql(f"DROP TABLE IF EXISTS {rebuilt_table}")
+            similarity.build_ivf_index(embeddings, cents, rebuilt_table, num_buckets=4)
+            rebuilt = similarity.ivf_topk_indexed(
+                spark, rebuilt_table, qs, cents, k=5, nprobe=2
+            )
+            e = sorted((r.query_id, r.vec_id, r.score, r.rk) for r in extended.collect())
+            r_ = sorted((r.query_id, r.vec_id, r.score, r.rk) for r in rebuilt.collect())
+            assert e == r_ and len(e) > 0
+            spark.sql(f"DROP TABLE IF EXISTS {rebuilt_table}")
+        finally:
+            cents.unpersist()
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            spark.catalog.clearCache()
+
 
 class TestProductQuantization:
     def test_pq_encode_shape_and_determinism(self, spark, embeddings):

@@ -116,6 +116,7 @@ QUERIES = [
     # — the honest day-2 cost is probe+extend only, priced in STRESS)
     "incremental_dedup_bucketed",
     "incremental_dedup_extended",
+    "ann_ivf_extended",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
