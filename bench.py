@@ -202,14 +202,10 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def infer_round(repo: str, forced_round: int | None = None) -> int:
-    """Lifecycle-aware round inference (ADVICE r7): the driver writes
-    CORRECTNESS_r{N} BEFORE running bench and BENCH_r{N} AFTER it, so
-    max(CORRECTNESS) ahead of max(BENCH_r) means this run is the CLOSE
-    of round N (label rows N, not N+1); the two equal means a
-    mid-round run of round N+1. An explicit --round overrides both."""
-    if forced_round is not None:
-        return forced_round
+def _artifact_rounds(repo: str) -> tuple[int, int]:
+    """(max CORRECTNESS round, max BENCH round) from the driver's
+    artifact files — the single source both infer_round and
+    infer_phase read, so the two can never silently disagree."""
     import glob
     import re
 
@@ -221,7 +217,18 @@ def infer_round(repo: str, forced_round: int | None = None) -> int:
         ]
         return max(ns) if ns else 0
 
-    cor, ben = _max_round("CORRECTNESS_r*.json"), _max_round("BENCH_r*.json")
+    return _max_round("CORRECTNESS_r*.json"), _max_round("BENCH_r*.json")
+
+
+def infer_round(repo: str, forced_round: int | None = None) -> int:
+    """Lifecycle-aware round inference (ADVICE r7): the driver writes
+    CORRECTNESS_r{N} BEFORE running bench and BENCH_r{N} AFTER it, so
+    max(CORRECTNESS) ahead of max(BENCH_r) means this run is the CLOSE
+    of round N (label rows N, not N+1); the two equal means a
+    mid-round run of round N+1. An explicit --round overrides both."""
+    if forced_round is not None:
+        return forced_round
+    cor, ben = _artifact_rounds(repo)
     return cor if cor > ben else cor + 1
 
 
@@ -234,18 +241,7 @@ def infer_phase(repo: str) -> str:
     they are genuinely the same kind of run (ADVICE r8: an unlabeled
     close-of-round re-run used to replace the unlabeled mid-round
     rows, because both defaulted to the same rNN-inferred label)."""
-    import glob
-    import re
-
-    def _max_round(pattern):
-        ns = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(repo, pattern))
-            if (m := re.search(r"r(\d+)\.json$", p))
-        ]
-        return max(ns) if ns else 0
-
-    cor, ben = _max_round("CORRECTNESS_r*.json"), _max_round("BENCH_r*.json")
+    cor, ben = _artifact_rounds(repo)
     return "close" if cor > ben else "mid"
 
 

@@ -1225,8 +1225,10 @@ def extend_band_index_bucketed(
 
     At 100 TB this is the whole point of the bucketed form: the index
     grows by batch-sized appends (one file per touched bucket),
-    not corpus-sized rewrites; compact occasionally with
-    freeze_band_index_bucketed when per-bucket file counts grow."""
+    not corpus-sized rewrites; when per-bucket file counts grow,
+    compact with skew.compact_bucketed (a layout-only rewrite of the
+    index — re-freezing from the corpus would recompute every
+    signature)."""
     keyed = minhash_band_key_cols(
         kept_docs, text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,

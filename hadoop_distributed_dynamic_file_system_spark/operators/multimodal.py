@@ -898,6 +898,7 @@ def incremental_media_dedup_bucketed(
 def ahash_near_pairs(
     binaries: DataFrame,
     max_hamming: int = 4,
+    *,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs: aHash codes → disjoint-band hamming
@@ -918,7 +919,10 @@ def ahash_near_pairs(
     The composite keep/drop funnels (near_dedup, the streaming gates)
     keep their default-on guards — there the safe direction is
     keeping docs. (`band_shift`, deprecated in r8, is removed: the
-    disjoint-band form has no prefix to shift.)"""
+    disjoint-band form has no prefix to shift. The remaining tuning
+    knob is keyword-only so an old positional call like
+    `ahash_near_pairs(bins, 6, 16)` fails loudly instead of silently
+    binding the dead knob's value to `max_bucket_size`.)"""
     from . import dedup
 
     codes = ahash_codes(binaries).filter(F.col("ahash").isNotNull())
@@ -1025,6 +1029,7 @@ def audio_fingerprint(binaries: DataFrame, n_frames: int = 64) -> DataFrame:
 def audio_near_pairs(
     binaries: DataFrame,
     max_hamming: int = 4,
+    *,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Audio near-duplicate pairs: fingerprints → disjoint-band

@@ -175,7 +175,12 @@ def extend_ivf_index(
     from . import skew
 
     assigned = assign_to_centroids(new_vectors, centroids, id_col, vec_col)
-    fresh = assigned.join(
+    # distinct() collapses exact duplicate rows WITHIN the batch
+    # (overlapping input files re-deliver the same vector) — without
+    # it the anti-join passes both copies and the served top-k wastes
+    # slots on twins. Same-id-DIFFERENT-vector rows are conflicting
+    # input the caller must resolve upstream (the id is the identity).
+    fresh = assigned.distinct().join(
         spark.table(table_name).select(id_col), id_col, "left_anti"
     )
     skew.append_bucketed(

@@ -15,6 +15,8 @@ Reference analogs:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,20 +53,7 @@ def write_bucketed(
         # even in overwrite mode. If the catalog does not know the
         # table, the leftover dir is an orphan — remove it (local
         # filesystems only; best-effort elsewhere).
-        spark = df.sparkSession
-        if not spark.catalog.tableExists(table_name):
-            import os
-            import shutil
-            from urllib.parse import urlparse
-
-            wh = urlparse(
-                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-            )
-            if wh.scheme in ("file", ""):
-                shutil.rmtree(
-                    os.path.join(wh.path, table_name.lower()),
-                    ignore_errors=True,
-                )
+        _remove_orphan_table_dir(df.sparkSession, table_name)
     _aligned_bucket_write(
         df, num_buckets, bucket_cols, align,
         lambda d: d.write.mode(mode)
@@ -72,6 +61,50 @@ def write_bucketed(
         .sortBy(*(sort_cols or bucket_cols))
         .saveAsTable(table_name),
     )
+
+
+def _remove_orphan_table_dir(spark, table_name: str) -> None:
+    """Remove a warehouse directory the catalog no longer knows.
+
+    The existence check and the deleted path MUST resolve in the SAME
+    namespace saveAsTable will write to, or this deletes live data: an
+    unqualified name resolves in the CURRENT database, whose managed
+    location is `<warehouse>/<db>.db/<table>` for every database
+    except `default` (`<warehouse>/<table>`). A mismatch here (e.g.
+    checking `work.t` but rmtree'ing default's `<warehouse>/t`) would
+    rmtree the data directory of a REGISTERED table."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(table_name):
+        return
+    if "." in table_name:
+        db, bare = table_name.rsplit(".", 1)
+        # strip an explicit catalog prefix (spark_catalog.db.t)
+        db = db.split(".")[-1]
+    else:
+        db, bare = spark.catalog.currentDatabase(), table_name
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    )
+    if wh.scheme not in ("file", ""):
+        return  # best-effort: only local filesystems
+    base = (
+        wh.path
+        if db == "default"
+        else os.path.join(wh.path, f"{db.lower()}.db")
+    )
+    shutil.rmtree(os.path.join(base, bare.lower()), ignore_errors=True)
+
+
+# Session confs are process-global: two concurrent aligned writes in
+# one session would race the save/restore below and could leave the
+# pins applied forever. One write at a time keeps restore correct
+# (queries planned in OTHER threads during a write still see the
+# pinned confs — inherent to session confs; both pins are
+# conservative: they cost small-data coalescing, never correctness).
+_ALIGNED_WRITE_LOCK = threading.Lock()
 
 
 def _aligned_bucket_write(df, num_buckets, bucket_cols, align, save) -> None:
@@ -102,14 +135,15 @@ def _aligned_bucket_write(df, num_buckets, bucket_cols, align, save) -> None:
         # promise: one partition per source bucket.
         "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
     }
-    prev = {k: spark.conf.get(k) for k in pins}
-    for k, v in pins.items():
-        spark.conf.set(k, v)
-    try:
-        save(df)
-    finally:
-        for k, v in prev.items():
+    with _ALIGNED_WRITE_LOCK:
+        prev = {k: spark.conf.get(k) for k in pins}
+        for k, v in pins.items():
             spark.conf.set(k, v)
+        try:
+            save(df)
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
 
 
 def append_bucketed(
@@ -127,9 +161,10 @@ def append_bucketed(
     writes properly bucketed files, so later joins stay Exchange-free
     on the bucketed key. Each append adds at most one file per touched
     bucket (with align=True); compact periodically with
-    write_bucketed(spark.table(t), ..., mode="overwrite") when file
-    counts grow — the HadoopArchives small-file discipline
-    (src/tools/HadoopArchives.java)."""
+    compact_bucketed when file counts grow — the HadoopArchives
+    small-file discipline (src/tools/HadoopArchives.java). (Never
+    write_bucketed(spark.table(t), t, ...): Spark rejects overwriting
+    a table from its own scan.)"""
     _aligned_bucket_write(
         df, num_buckets, bucket_cols, align,
         lambda d: d.write.mode("append")
@@ -139,11 +174,28 @@ def append_bucketed(
     )
 
 
+def bucket_spec(spark, table_name: str) -> tuple[list[str], int]:
+    """(bucket columns, bucket count) of a bucketed catalog table,
+    from DESCRIBE TABLE EXTENDED. Raises ValueError for an unbucketed
+    table — callers that rewrite layouts must not guess a spec."""
+    rows = {
+        r.col_name: r.data_type
+        for r in spark.sql(
+            f"DESCRIBE TABLE EXTENDED {table_name}"
+        ).collect()
+    }
+    if "Num Buckets" not in rows:
+        raise ValueError(f"{table_name} is not a bucketed table")
+    cols = [
+        c.strip(" `")
+        for c in rows["Bucket Columns"].strip("[]").split(",")
+    ]
+    return cols, int(rows["Num Buckets"])
+
+
 def compact_bucketed(
     spark,
     table_name: str,
-    bucket_cols: list[str],
-    num_buckets: int = 32,
     sort_cols: list[str] | None = None,
 ) -> None:
     """Rewrite a bucketed table in place to one file per bucket —
@@ -155,8 +207,17 @@ def compact_bucketed(
     on whatever cadence the file census suggests; the rewrite is one
     corpus-sized job, after which appends resume.
 
+    The bucket spec is READ FROM THE CATALOG (bucket_spec), never
+    passed by the caller: overwrite mode would not validate a wrong
+    parameter, so a caller-supplied count could silently re-bucket
+    the table and break every same-spec consumer.
+
     Staged through a temp table then swapped, because overwriting a
-    table from its own scan would truncate the source mid-read.
+    table from its own scan would truncate the source mid-read. If a
+    previous compaction crashed between the DROP and the RENAME (the
+    data is intact in `<table>__compact_tmp`), this call detects the
+    half-swap and completes the rename before doing anything else —
+    re-running compact IS the recovery path.
 
     Live-consumer caveat: the swap is DROP + RENAME, so a streaming
     gate probing the table (streaming_near_dedup index_mode="auto")
@@ -166,6 +227,13 @@ def compact_bucketed(
     quiet window — the same discipline as the reference's archive
     compaction, which also required the source quiescent."""
     tmp = f"{table_name}__compact_tmp"
+    if spark.catalog.tableExists(tmp) and not spark.catalog.tableExists(
+        table_name
+    ):
+        # a previous compact died mid-swap; the tmp table IS the data
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+        return
+    bucket_cols, num_buckets = bucket_spec(spark, table_name)
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     write_bucketed(
         spark.table(table_name), tmp, bucket_cols,

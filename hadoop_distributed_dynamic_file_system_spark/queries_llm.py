@@ -474,61 +474,10 @@ def ann_brute_force_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf",
-    f"""
-    WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
-                 FROM embeddings WHERE vec_id < 8),
-    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
-    assigned AS (
-      SELECT vec_id, cv, centroid_id FROM (
-        SELECT c.vec_id, c.cv, cen.centroid_id,
-               row_number() OVER (
-                 PARTITION BY c.vec_id
-                 ORDER BY round(list_dot_product(cv, zv) /
-                          sqrt(list_dot_product(cv, cv) * list_dot_product(zv, zv)), 6) DESC,
-                          cen.centroid_id) AS crk
-        FROM c CROSS JOIN cen
-      ) WHERE crk = 1
-    ),
-    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-          FROM embeddings WHERE vec_id < 3),
-    probes AS (
-      SELECT query_id, qv, centroid_id FROM (
-        SELECT q.query_id, q.qv, cen.centroid_id,
-               row_number() OVER (
-                 PARTITION BY q.query_id
-                 ORDER BY round(list_dot_product(qv, zv) /
-                          sqrt(list_dot_product(qv, qv) * list_dot_product(zv, zv)), 6) DESC,
-                          cen.centroid_id) AS prk
-        FROM q CROSS JOIN cen
-      ) WHERE prk <= 2
-    ),
-    scored AS (
-      SELECT p.query_id, a.vec_id, {_SQL_COS} AS score
-      FROM assigned a JOIN probes p USING (centroid_id)
-      WHERE p.query_id <> a.vec_id
-    )
-    SELECT query_id, vec_id, score, rk FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, vec_id) AS rk
-      FROM scored
-    ) WHERE rk <= 5
-    """,
-)
-def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5: route corpus to 8 fixed centroids, probe the 2
-    nearest buckets per query — the scan-pruning scale path."""
-    emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    qs = emb.filter(F.col("vec_id") < 3)
-    return similarity.ivf_topk(emb, qs, centroids, k=5, nprobe=2).select(
-        "query_id", "vec_id", "score", "rk"
-    )
-
-
+# Shared by ann_ivf and ann_ivf_extended: the extended query's whole
+# contract is "serving the grown index ≡ full-corpus IVF", so the two
+# oracles must be THE SAME text, not hand-kept copies that could
+# silently diverge.
 _SQL_ANN_IVF_BODY = """
     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
     assigned AS (
@@ -566,6 +515,27 @@ _SQL_ANN_IVF_BODY = """
       FROM scored
     ) WHERE rk <= 5
 """
+
+
+@query(
+    "ann_ivf",
+    f"""
+    WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
+                 FROM embeddings WHERE vec_id < 8),
+    {_SQL_ANN_IVF_BODY.format(cos=_SQL_COS).strip()}
+    """,
+)
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5: route corpus to 8 fixed centroids, probe the 2
+    nearest buckets per query — the scan-pruning scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_topk(emb, qs, centroids, k=5, nprobe=2).select(
+        "query_id", "vec_id", "score", "rk"
+    )
 
 
 @query(

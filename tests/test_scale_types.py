@@ -403,7 +403,10 @@ class TestBucketedIndexExtension:
             n_rows = spark.table(t).count()
             files_before = len(glob.glob(f"spark-warehouse/{t}/*.parquet"))
             assert files_before > 8  # appends piled files onto buckets
-            skew.compact_bucketed(spark, t, ["bk"], num_buckets=8)
+            # spec is read from the catalog, never passed: a wrong
+            # caller value could silently re-bucket the table
+            assert skew.bucket_spec(spark, t) == (["bk"], 8)
+            skew.compact_bucketed(spark, t)
             files_after = len(glob.glob(f"spark-warehouse/{t}/*.parquet"))
             assert files_after <= 8  # one file per (non-empty) bucket
             assert spark.table(t).count() == n_rows
@@ -465,6 +468,39 @@ class TestBucketedIndexExtension:
             assert spark.table(t).filter(F.col("mcode").isNull()).count() == 0
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+
+class TestOrphanDirCleanupNamespace:
+    def test_other_database_write_never_deletes_default_tables_dir(self, spark):
+        # review r9: the orphan cleanup must resolve existence and path
+        # in the SAME namespace — with current database 'work' and a
+        # bare name that exists only in default, the old code rmtree'd
+        # default's live data directory.
+        import os
+        import shutil
+
+        t = "t_ns_victim"
+        spark.sql(f"DROP TABLE IF EXISTS default.{t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        spark.sql("CREATE DATABASE IF NOT EXISTS workdb")
+        try:
+            df = spark.range(10).select(F.col("id").alias("k"))
+            skew.write_bucketed(df, t, ["k"], num_buckets=4)  # default.t
+            assert os.path.exists(f"spark-warehouse/{t}")
+            spark.catalog.setCurrentDatabase("workdb")
+            # workdb.t does not exist -> cleanup path runs; it must
+            # target workdb's location, not default's
+            skew.write_bucketed(df, t, ["k"], num_buckets=4)  # workdb.t
+            spark.catalog.setCurrentDatabase("default")
+            assert os.path.exists(f"spark-warehouse/{t}")  # victim intact
+            assert spark.table(f"default.{t}").count() == 10
+            assert spark.table(f"workdb.{t}").count() == 10
+        finally:
+            spark.catalog.setCurrentDatabase("default")
+            spark.sql(f"DROP TABLE IF EXISTS default.{t}")
+            spark.sql(f"DROP TABLE IF EXISTS workdb.{t}")
+            spark.sql("DROP DATABASE IF EXISTS workdb")
             spark.catalog.clearCache()
 
 

@@ -94,6 +94,12 @@ class TestIvfIndex:
             # idempotent: re-ingesting day2 adds nothing
             similarity.extend_ivf_index(spark, day2, cents, table, num_buckets=4)
             assert spark.table(table).count() == embeddings.count()
+            # intra-batch duplicates (overlapping input files deliver
+            # the same vector twice) collapse before the append — a
+            # double-stored row would waste a served top-k slot
+            dup_batch = day2.limit(1).unionByName(day2.limit(1))
+            similarity.extend_ivf_index(spark, dup_batch, cents, table, num_buckets=4)
+            assert spark.table(table).count() == embeddings.count()
             assert n1 < embeddings.count()
             qs = embeddings.filter(F.col("vec_id") < 3)
             extended = similarity.ivf_topk_indexed(
