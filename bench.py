@@ -190,6 +190,9 @@ HEADLINE = [
     "incremental_dedup_bucketed",
     "incremental_dedup_extended",
     "ann_ivf_extended",
+    # round-9: the embedding twin of the frozen-index gates — day-2
+    # SemDeDup probing the served IVF inverted lists
+    "incremental_semantic_dedup",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -813,6 +813,110 @@ def semantic_dedup(
     )
 
 
+def centroid_probe_array(
+    centroids_local: list,
+    vec: Column,
+    nprobe: int,
+) -> Column:
+    """Top-`nprobe` centroid ids for the row's vector as ONE codegen
+    expression (array<long>, cosine desc / centroid_id asc) — no
+    window, no shuffle, streaming-legal.
+
+    `centroids_local` is the COLLECTED centroid relation as
+    (centroid_id, vector) pairs — the bounded "broadcast the model"
+    contract (K centroids is a model, not data; same bound as the
+    streaming classifier gates). Sorting (cscore, -centroid_id)
+    structs DESC equals score desc / centroid_id asc — identical to
+    assign_to_centroids / _probe_assigned's window order, so per-row
+    routing and the window-based batch routing agree bit-for-bit
+    (both round cosine to 6 before ranking).
+    """
+    ranked = []
+    for cid, zv in centroids_local:
+        zlit = F.array(*[F.lit(float(x)) for x in zv])
+        cs = F.round(cosine(vec, zlit), 6)
+        ranked.append(
+            F.struct(cs.alias("cscore"), F.lit(-int(cid)).alias("neg_cid"))
+        )
+    top = F.slice(F.sort_array(F.array(*ranked), asc=False), 1, nprobe)
+    return F.transform(top, lambda p: (-p["neg_cid"]).cast("long"))
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    frozen_index: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Day-2 SemDeDup gate: drop arriving vectors that are semantic
+    duplicates (cosine >= threshold) of a FROZEN corpus, probing only
+    the `nprobe` nearest inverted lists of the corpus' IVF layout.
+    Returns the surviving batch rows (original columns).
+
+    `frozen_index` is the (id, cv, centroid_id) relation that
+    build_ivf_index persists and extend_ivf_index grows — the gate
+    probes the SAME bucketed inverted lists the ANN service serves,
+    so one index amortizes both workloads (an in-memory
+    assign_to_centroids relation works equally for small corpora).
+
+    The plan is stateless and streaming-legal end to end: routing is
+    a per-row codegen expression (centroid_probe_array — no window),
+    and each probe is one LEFT ANTI equi-join on centroid_id with the
+    exact cosine verify riding as a join predicate — the band-gate
+    shape (streaming/_streaming_code_dedup's bit_count verify), so a
+    fat inverted list can surface candidates but never veto a
+    non-duplicate by itself. A vector survives only if EVERY probed
+    list misses; re-ingesting a vector already in the frozen corpus
+    drops it at cosine 1.0 (idempotent re-ingest).
+
+    Recall contract is SemDeDup's (Abbas et al. 2023): a duplicate
+    hiding in an unprobed list is missed — raise `nprobe` (nprobe
+    sequential anti-joins per batch) when recall matters more than
+    cost. Zero-norm vectors are undefined under cosine and must be
+    routed out upstream (int8_quantize documents the same drop).
+
+    Scale: the arriving batch is never shuffled when the frozen side
+    broadcasts; against a bucketed catalog table above the broadcast
+    threshold (streaming_semantic_dedup index_mode="auto") the frozen
+    scan has ZERO Exchange — its bucketed layout IS the shuffle, paid
+    once at build_ivf_index time (reference analog: the map-side join
+    precondition, mapred/join/CompositeInputFormat.java:34-58).
+    `_qv`/`_sc*` are reserved intermediate column names.
+    """
+    cen_local = [
+        (r["centroid_id"], r[vec_col])
+        for r in centroids.select("centroid_id", vec_col).collect()
+    ]  # bounded model relation (K centroids)
+    qv = _as_double(F.col(vec_col))
+    probes = centroid_probe_array(cen_local, qv, nprobe)
+    out = batch.select(
+        *batch.columns,
+        qv.alias("_qv"),
+        *[
+            F.element_at(probes, r + 1).alias(f"_sc{r}")
+            for r in range(nprobe)
+        ],
+    )
+    for r in range(nprobe):
+        idx = frozen_index.select(
+            F.col("centroid_id").alias(f"_fc{r}"),
+            F.col("cv").alias(f"_fv{r}"),
+        )
+        out = out.join(
+            idx,
+            (F.col(f"_sc{r}") == F.col(f"_fc{r}"))
+            & (
+                F.round(cosine(F.col("_qv"), F.col(f"_fv{r}")), 6)
+                >= F.lit(float(threshold))
+            ),
+            "left_anti",
+        )
+    return out.select(*batch.columns)
+
+
 def two_stage_rerank(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2178,6 +2178,83 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(corpus, centroids, threshold=0.95)
 
 
+@query(
+    "incremental_semantic_dedup",
+    f"""
+    WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
+                 FROM embeddings WHERE vec_id < 16),
+    fro AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    fassigned AS (
+      SELECT vec_id, cv, centroid_id FROM (
+        SELECT fro.vec_id, fro.cv, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY fro.vec_id
+                 ORDER BY round(list_dot_product(cv, zv) /
+                          sqrt(list_dot_product(cv, cv) * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS crk
+        FROM fro CROSS JOIN cen
+      ) WHERE crk = 1
+    ),
+    arriving AS (
+      SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS av
+      FROM embeddings WHERE vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + 200000, list_transform(embedding::DOUBLE[], x -> -x)
+      FROM embeddings WHERE vec_id % 7 = 2
+    ),
+    aassigned AS (
+      SELECT vec_id, av, centroid_id FROM (
+        SELECT arriving.vec_id, arriving.av, cen.centroid_id,
+               row_number() OVER (
+                 PARTITION BY arriving.vec_id
+                 ORDER BY round(list_dot_product(av, zv) /
+                          sqrt(list_dot_product(av, av) * list_dot_product(zv, zv)), 6) DESC,
+                          cen.centroid_id) AS prk
+        FROM arriving CROSS JOIN cen
+      ) WHERE prk = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM aassigned a JOIN fassigned f USING (centroid_id)
+      WHERE round(list_dot_product(a.av, f.cv) /
+            sqrt(list_dot_product(a.av, a.av) * list_dot_product(f.cv, f.cv)), 6) >= 0.95
+    )
+    SELECT a.vec_id FROM aassigned a
+    LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
+def incremental_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 SemDeDup gate, driver-pinned: the frozen corpus is the
+    full embeddings table routed to 16 fixed centroids (the SAME
+    relation similarity.build_ivf_index would persist); the arriving
+    batch plants exact copies of every 5th vector (cosine 1.0 inside
+    the original's inverted list — dropped) and NEGATED copies of
+    every 7th (cosine -1 to their source, ~0 to everything else —
+    survive). One probed list (nprobe=1), exact cosine verify as the
+    anti-join predicate (similarity.incremental_semantic_dedup); the
+    streaming twin (streaming_semantic_dedup) is the same plan pinned
+    stream ≡ batch in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    frozen = similarity.assign_to_centroids(emb, centroids)
+    arriving = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") % 7 == 2).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            )
+        )
+    )
+    return similarity.incremental_semantic_dedup(
+        arriving, frozen, centroids, threshold=0.95, nprobe=1
+    ).select("vec_id")
+
+
 _SQL_LM_SCORES = f"""
     toks AS (
       SELECT doc_id, unnest({_SQL_LOWER_WORDS}) AS w FROM documents

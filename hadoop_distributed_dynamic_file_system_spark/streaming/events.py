@@ -909,6 +909,59 @@ def streaming_audio_dedup(
     )
 
 
+def streaming_semantic_dedup(
+    emb_stream: DataFrame,
+    ivf_index: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_mode: str = "broadcast",
+) -> DataFrame:
+    """Streaming SemDeDup gate: arriving embeddings are dropped when a
+    frozen corpus member sits at cosine >= threshold in one of the
+    `nprobe` probed inverted lists — the EMBEDDING twin of
+    streaming_near_dedup (text bands) and streaming_media_dedup /
+    streaming_audio_dedup (perceptual codes), completing the modality
+    set. The frozen side is the SERVED ANN index
+    (similarity.build_ivf_index / extend_ivf_index): the same bucketed
+    inverted lists answer top-k queries and gate the ingest stream, so
+    the corpus routing shuffle is paid once, at index-build time, for
+    both workloads.
+
+    Stateless and streaming-legal (no watermark, no state store):
+    routing is a per-row expression over the collected centroid model
+    (similarity.centroid_probe_array), then nprobe stream-static LEFT
+    ANTI joins with the exact cosine verify riding as a join predicate
+    — a fat inverted list can surface candidates but never veto a
+    non-duplicate by itself (the media gates' verify contract).
+
+    index_mode="auto" probes a bucketed catalog table without the
+    forced broadcast (_apply_index_mode) — the mode once the frozen
+    corpus' vectors outgrow executor memory. Day-2 appends via
+    similarity.extend_ivf_index are picked up on the next micro-batch
+    exactly as the band gates pick up extend_band_index_bucketed
+    (same-session appends invalidate the relation cache; a
+    cross-session extender needs spark.catalog.refreshTable).
+
+    Batch/stream parity is by construction: this delegates to
+    similarity.incremental_semantic_dedup, which runs the identical
+    stateless plan on a batch frame (pinned by the twin tests in both
+    modes). Output: the surviving stream rows, original columns."""
+    from ..operators import similarity
+
+    return similarity.incremental_semantic_dedup(
+        emb_stream,
+        _apply_index_mode(ivf_index, index_mode),
+        centroids,
+        threshold=threshold,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def streaming_curation(
     doc_stream: DataFrame,
     band_index: DataFrame,
@@ -1166,31 +1219,18 @@ def streaming_ann_topk(
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..operators.similarity import cosine
+    from ..operators.similarity import centroid_probe_array, cosine
 
-    cen = centroids.collect()  # bounded model relation (n_centroids rows)
+    # bounded model relation (n_centroids rows); the per-row probe
+    # expression carries _probe_assigned's exact tie-break
+    cen = [
+        (r["centroid_id"], r[vec_col]) for r in centroids.collect()
+    ]
     qv = F.col(vec_col).cast("array<double>")
-    ranked = []
-    for r in cen:
-        zlit = F.array(*[F.lit(float(x)) for x in r[vec_col]])
-        cs = F.round(cosine(qv, zlit), 6)
-        # struct sorts field-by-field: (cscore, -centroid_id) DESC ==
-        # score desc, centroid_id asc — _probe_assigned's tie-break
-        ranked.append(
-            F.struct(
-                cs.alias("cscore"),
-                F.lit(-int(r["centroid_id"])).alias("neg_cid"),
-            )
-        )
-    probes = F.slice(
-        F.sort_array(F.array(*ranked), asc=False), 1, nprobe
-    )
     q = query_stream.select(
         F.col(id_col).alias("query_id"),
         qv.alias("qv"),
-        F.explode(probes).alias("p"),
-    ).select(
-        "query_id", "qv", (-F.col("p.neg_cid")).cast("long").alias("centroid_id")
+        F.explode(centroid_probe_array(cen, qv, nprobe)).alias("centroid_id"),
     )
     cand = q.join(corpus_codes, "centroid_id").filter(
         F.col("query_id") != F.col(id_col)

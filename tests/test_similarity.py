@@ -121,6 +121,82 @@ class TestIvfIndex:
             spark.catalog.clearCache()
 
 
+class TestIncrementalSemanticDedup:
+    def _fixture(self, spark, embeddings):
+        centroids = embeddings.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        frozen = similarity.assign_to_centroids(embeddings, centroids)
+        copies = embeddings.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        novel = embeddings.filter(F.col("vec_id") % 7 == 2).select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+        return centroids, frozen, copies, novel
+
+    def test_copies_drop_novel_survives(self, spark, embeddings):
+        # exact copies land in their source's inverted list at cosine
+        # 1.0 (dropped); negated vectors are cosine -1 to their source
+        # and ~0 to everything else on the synthetic data (kept)
+        centroids, frozen, copies, novel = self._fixture(spark, embeddings)
+        batch = copies.unionByName(novel)
+        kept = similarity.incremental_semantic_dedup(
+            batch, frozen, centroids, threshold=0.95, nprobe=1
+        )
+        ids = {r.vec_id for r in kept.collect()}
+        copy_ids = {r.vec_id for r in copies.select("vec_id").collect()}
+        novel_ids = {r.vec_id for r in novel.select("vec_id").collect()}
+        assert ids & copy_ids == set()
+        assert ids == novel_ids and len(novel_ids) > 0
+
+    def test_reingest_of_frozen_members_is_idempotent_drop(
+        self, spark, embeddings
+    ):
+        # the day-2 re-delivery case: a vector already in the frozen
+        # corpus arrives again (same id or not) — self-cosine 1.0
+        # inside its own inverted list drops it
+        centroids, frozen, _, _ = self._fixture(spark, embeddings)
+        rearrived = embeddings.filter(F.col("vec_id") < 20).select(
+            "vec_id", "embedding"
+        )
+        kept = similarity.incremental_semantic_dedup(
+            rearrived, frozen, centroids
+        )
+        assert kept.count() == 0
+
+    def test_probe_expr_matches_window_routing(self, spark, embeddings):
+        # centroid_probe_array (per-row codegen expression, the
+        # streaming-legal routing) must agree bit-for-bit with
+        # assign_to_centroids' window rank — same rounding, same
+        # tie-break — or stream and batch route differently
+        centroids = embeddings.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        cen_local = [
+            (r["centroid_id"], r["embedding"])
+            for r in centroids.collect()
+        ]
+        via_expr = embeddings.select(
+            "vec_id",
+            F.element_at(
+                similarity.centroid_probe_array(
+                    cen_local,
+                    F.col("embedding").cast("array<double>"),
+                    1,
+                ),
+                1,
+            ).alias("centroid_id"),
+        )
+        via_window = similarity.assign_to_centroids(
+            embeddings, centroids
+        ).select("vec_id", "centroid_id")
+        e = {(r.vec_id, r.centroid_id) for r in via_expr.collect()}
+        w = {(r.vec_id, r.centroid_id) for r in via_window.collect()}
+        assert e == w
+
+
 class TestProductQuantization:
     def test_pq_encode_shape_and_determinism(self, spark, embeddings):
         seeds = embeddings.filter(F.col("vec_id") < 16)

@@ -1481,3 +1481,129 @@ class TestStreamingAudioDedup:
         }
         assert got == want == {203, 204}
         spark.catalog.clearCache()
+
+
+class TestStreamingSemanticDedup:
+    """Embedding twin of the band gates: per-row centroid routing
+    (no window — streaming-legal), then stream-static LEFT ANTI joins
+    against the frozen corpus' IVF inverted lists with the exact
+    cosine verify as a join predicate. The frozen side is the SERVED
+    ANN index (build_ivf_index), so one index gates ingest AND answers
+    top-k."""
+
+    def _fixture(self, spark):
+        frozen_corpus = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0, 0.0]),
+                (2, [0.0, 1.0, 0.0, 0.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        centroids = spark.createDataFrame(
+            [
+                (0, [1.0, 0.1, 0.0, 0.0]),
+                (1, [0.0, 1.0, 0.1, 0.0]),
+            ],
+            "centroid_id long, embedding array<double>",
+        )
+        batch = spark.createDataFrame(
+            [
+                # exact duplicate of frozen 1 -> cosine 1.0 -> dropped
+                (101, [1.0, 0.0, 0.0, 0.0]),
+                # near-duplicate of frozen 1 (cosine ~0.990) -> dropped
+                (102, [0.99, 0.14, 0.0, 0.0]),
+                # orthogonal to everything frozen -> survives
+                (103, [0.0, 0.0, 1.0, 0.0]),
+                # routes to centroid 0, cosine 0.5 to frozen 1 -> survives
+                (104, [0.5, -0.5, 0.5, -0.5]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        return frozen_corpus, centroids, batch
+
+    def test_batch_semantics(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            similarity,
+        )
+
+        frozen_corpus, centroids, batch = self._fixture(spark)
+        idx = similarity.assign_to_centroids(frozen_corpus, centroids)
+        kept = ev.streaming_semantic_dedup(batch, idx, centroids)
+        assert {r.vec_id for r in kept.collect()} == {103, 104}
+        spark.catalog.clearCache()
+
+    def test_stream_matches_batch_twin(self, spark, tmp_path):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            similarity,
+        )
+
+        frozen_corpus, centroids, batch = self._fixture(spark)
+        idx = similarity.assign_to_centroids(frozen_corpus, centroids)
+        src = tmp_path / "emb_in"
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        stream = ev.read_parquet_dir_stream(
+            spark, str(src), "vec_id long, embedding array<double>"
+        )
+        out = ev.run_to_memory(
+            ev.streaming_semantic_dedup(stream, idx, centroids),
+            "sem_dedup_out",
+        )
+        got = {r.vec_id for r in out.collect()}
+        want = {
+            r.vec_id
+            for r in ev.streaming_semantic_dedup(
+                batch, idx, centroids
+            ).collect()
+        }
+        assert got == want == {103, 104}
+        spark.catalog.clearCache()
+
+    def test_stream_probes_served_ivf_index_without_broadcast(
+        self, spark, tmp_path
+    ):
+        # the 100 TB mode: the frozen side is the bucketed catalog
+        # table build_ivf_index serves ANN queries from, probed with
+        # index_mode="auto" and the broadcast threshold disabled — a
+        # REAL micro-batch run takes the large-index (sort-merge)
+        # path; the batch twin's plan pins the frozen scan as bucketed
+        # with no BroadcastExchange anywhere.
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            similarity,
+        )
+
+        frozen_corpus, centroids, batch = self._fixture(spark)
+        t = "t_sem_gate_ivf"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        src = tmp_path / "emb_in_bk"
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            similarity.build_ivf_index(
+                frozen_corpus, centroids, t, num_buckets=4
+            )
+            stream = ev.read_parquet_dir_stream(
+                spark, str(src), "vec_id long, embedding array<double>"
+            )
+            out = ev.run_to_memory(
+                ev.streaming_semantic_dedup(
+                    stream, spark.table(t), centroids, index_mode="auto"
+                ),
+                "sem_dedup_bk_out",
+            )
+            got = {r.vec_id for r in out.collect()}
+            batch_twin = ev.streaming_semantic_dedup(
+                batch, spark.table(t), centroids, index_mode="auto"
+            )
+            want = {r.vec_id for r in batch_twin.collect()}
+            assert got == want == {103, 104}
+            plan = batch_twin._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan
+            assert "Bucketed: true" in plan  # frozen scan uses the layout
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()

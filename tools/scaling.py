@@ -117,6 +117,8 @@ QUERIES = [
     "incremental_dedup_bucketed",
     "incremental_dedup_extended",
     "ann_ivf_extended",
+    # the embedding twin of the frozen-index gates (day-2 SemDeDup)
+    "incremental_semantic_dedup",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
