@@ -193,6 +193,10 @@ HEADLINE = [
     # round-9: the embedding twin of the frozen-index gates — day-2
     # SemDeDup probing the served IVF inverted lists
     "incremental_semantic_dedup",
+    # round-9: the day-2 DELETE leg — attributed index + tombstone
+    # retraction, priced so the broadcast-anti overhead per probe shows
+    "dedup_retraction",
+    "dedup_attribution",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -1293,3 +1293,281 @@ def incremental_near_dedup_bucketed(
         .distinct()
     )
     return new_docs.join(hits, id_col, "left_anti")
+
+
+def _attributed_band_keys(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(bk, id) rows of a document set — the ATTRIBUTED form of
+    lsh_band_index's key stream. Keeping the owning doc id per band
+    key is what makes retraction *correct*: a band key is live iff at
+    least one non-retracted document still holds it, which cannot be
+    decided from the key alone (two docs routinely share a band)."""
+    keyed = minhash_band_key_cols(
+        docs, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    return (
+        keyed.select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[F.col(f"_bk{b}") for b in range(bands)])
+            ).alias("bk"),
+        )
+        .filter(F.col("bk").isNotNull())
+        .select("bk", id_col)
+        .distinct()
+    )
+
+
+def freeze_band_index_attributed(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_name: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    num_buckets: int = 32,
+) -> None:
+    """Freeze a corpus' band index as a bucketed (bk, id) catalog
+    table — the RETRACTABLE twin of freeze_band_index_bucketed.
+
+    The unattributed index stores only distinct band keys, which is
+    the minimal state for append-only dedup but makes deletion
+    (GDPR/takedown/retention — the reference's own deletion story is
+    `FsShell -rm` + the NameNode re-replicating around the hole,
+    src/hdfs/.../FSNamesystem.java) *impossible to do correctly*:
+    dropping a retracted doc's band keys would also stop gating any
+    REMAINING doc that shares those keys, silently re-admitting its
+    near-twins. Carrying the owning id costs one long per row and
+    buys exact retraction semantics: a key gates iff some live doc
+    holds it.
+
+    Same bucketing discipline as the unattributed freeze: bucketed on
+    `bk`, the index's shuffle paid ONCE here, every later probe
+    Exchange-free on the frozen scan."""
+    from . import skew
+
+    idx = _attributed_band_keys(
+        corpus, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    skew.write_bucketed(idx, table_name, ["bk"], num_buckets=num_buckets)
+    # a freeze starts a NEW index generation: tombstones written
+    # against the previous generation must not leak into it (the new
+    # corpus either contains the doc — live again by definition — or
+    # does not, and then there is nothing to suppress)
+    corpus.sparkSession.sql(
+        f"DROP TABLE IF EXISTS {_tombstone_table(table_name)}"
+    )
+
+
+def _tombstone_table(table_name: str) -> str:
+    return f"{table_name}__tombstones"
+
+
+def _require_attributed(spark: SparkSession, table_name: str, id_col: str):
+    cols = spark.table(table_name).columns
+    if id_col not in cols:
+        raise ValueError(
+            f"index table {table_name} has columns {cols} — no attribution "
+            f"column {id_col!r}. Retraction needs per-key ownership: "
+            "re-freeze with freeze_band_index_attributed (an index frozen "
+            "by freeze_band_index_bucketed stores only distinct band keys "
+            "and cannot be retracted from correctly)."
+        )
+
+
+def retract_from_band_index(
+    spark: SparkSession,
+    table_name: str,
+    retract_ids: DataFrame,
+    id_col: str,
+) -> None:
+    """Retract documents from a frozen attributed band index — the
+    day-2 DELETE leg (GDPR erasure, takedowns, retention expiry) next
+    to freeze (create), probe (read) and extend (append).
+
+    Writes the ids to a small side table `<table>__tombstones` instead
+    of rewriting the index: deletion cost is retraction-sized, not
+    corpus-sized, and the ingest path never pauses. Probes apply the
+    tombstones as a broadcast anti-join on the attribution column —
+    the frozen scan stays Exchange-free — so retraction is effective
+    on the very next batch. Fold tombstones into the base off the
+    ingest path with compact_band_index_attributed (one corpus-sized
+    rewrite, the same cadence call as skew.compact_bucketed).
+
+    Idempotent: already-tombstoned ids are skipped, so replaying a
+    retraction feed is safe."""
+    from . import skew
+
+    _require_attributed(spark, table_name, id_col)
+    tomb = _tombstone_table(table_name)
+    ids = retract_ids.select(id_col).distinct()
+    if spark.catalog.tableExists(tomb):
+        ids = ids.join(spark.table(tomb), id_col, "left_anti")
+        ids.write.mode("append").saveAsTable(tomb)
+    else:
+        # a tombstone dir can outlive the in-memory catalog across
+        # sessions (same pathology skew.write_bucketed handles)
+        skew._remove_orphan_table_dir(spark, tomb)
+        ids.write.saveAsTable(tomb)
+
+
+def live_band_index(
+    spark: SparkSession, table_name: str, id_col: str
+) -> DataFrame:
+    """The frozen attributed index minus its tombstones — what every
+    probe must see. Tombstones are retraction-sized, so they ride as
+    a broadcast LEFT ANTI on the attribution column: no Exchange is
+    added on the frozen scan and the bucketed layout stays usable by
+    the sort-merge probe."""
+    base = spark.table(table_name)
+    tomb = _tombstone_table(table_name)
+    if spark.catalog.tableExists(tomb):
+        base = base.join(
+            F.broadcast(spark.table(tomb)), id_col, "left_anti"
+        )
+    return base
+
+
+def incremental_near_dedup_attributed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table_name: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    attribute: bool = False,
+) -> DataFrame:
+    """incremental_near_dedup_bucketed against an ATTRIBUTED index,
+    honoring tombstones: a batch doc survives iff none of its band
+    keys is held by a LIVE (non-retracted) frozen document. Same plan
+    shape as the unattributed probe — one Exchange aligns the batch's
+    (id, bk) rows to the index bucketing, the frozen scan itself is
+    never re-shuffled, and the tombstone anti-join broadcasts.
+
+    attribute=True returns provenance instead of survivors: one row
+    (id, dup_of) per DUPLICATE batch doc, dup_of = the smallest live
+    frozen doc id sharing a band — the "which document did I collide
+    with" answer an erasure/audit pipeline needs before it can honor
+    a complaint, and exactly the attribution the unattributed index
+    cannot produce."""
+    keyed = minhash_band_key_cols(
+        new_docs, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    probe = keyed.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.col(f"_bk{b}") for b in range(bands)])
+        ).alias("bk"),
+    ).filter(F.col("bk").isNotNull())
+    live = live_band_index(spark, table_name, id_col)
+    if attribute:
+        return (
+            probe.join(
+                live.withColumnRenamed(id_col, "dup_of"), "bk"
+            )
+            .groupBy(id_col)
+            .agg(F.min("dup_of").alias("dup_of"))
+        )
+    hits = (
+        probe.join(live.select("bk"), "bk", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return new_docs.join(hits, id_col, "left_anti")
+
+
+def extend_band_index_attributed(
+    spark: SparkSession,
+    kept_docs: DataFrame,
+    table_name: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Day-2 growth of the attributed index: append the survivors'
+    (bk, id) rows so the next batch dedups against them too. The
+    bucket spec is read from the catalog (skew.bucket_spec), never
+    passed — append validates against it, so a drifted caller raises
+    instead of corrupting the layout. The dedup anti-join matches on
+    (bk, id): bucketing on bk already co-locates every (bk, id) pair,
+    so the frozen side still satisfies the join's clustering without
+    an Exchange.
+
+    Re-adding a previously RETRACTED id resurrects it: its tombstone
+    is cleared (the small tombstone table rewrites — retraction-sized,
+    not corpus-sized). Erasure pipelines that must keep a doc out
+    forever enforce that upstream on the batch feed, not here — the
+    index records what the corpus currently holds, not policy."""
+    from . import skew
+
+    _require_attributed(spark, table_name, id_col)
+    bucket_cols, num_buckets = skew.bucket_spec(spark, table_name)
+    new_rows = _attributed_band_keys(
+        kept_docs, id_col, text_col, num_hashes, bands, shingle_n
+    ).join(spark.table(table_name), ["bk", id_col], "left_anti")
+    skew.append_bucketed(
+        new_rows, table_name, bucket_cols, num_buckets=num_buckets
+    )
+    tomb = _tombstone_table(table_name)
+    if spark.catalog.tableExists(tomb):
+        resurrected = kept_docs.select(id_col).distinct()
+        remaining = spark.table(tomb).join(
+            resurrected, id_col, "left_anti"
+        )
+        # overwrite-from-own-scan is rejected; stage through a temp
+        # view materialized by the write of a localCheckpoint-free
+        # small relation: tombstones are retraction-sized, collect-free
+        # staging via a swap table keeps it safe at any size
+        tmp = f"{tomb}__swap"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        skew._remove_orphan_table_dir(spark, tmp)
+        remaining.write.saveAsTable(tmp)
+        spark.sql(f"DROP TABLE IF EXISTS {tomb}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {tomb}")
+
+
+def compact_band_index_attributed(
+    spark: SparkSession, table_name: str, id_col: str
+) -> None:
+    """Fold tombstones into the attributed index base: one staged
+    bucketed rewrite of the LIVE rows (same swap discipline as
+    skew.compact_bucketed — write to `<t>__compact_tmp`, drop, rename;
+    re-running after a mid-swap crash completes the rename), then the
+    tombstone table drops. Run off the ingest path when the tombstone
+    set has grown enough that the per-probe broadcast anti-join is
+    worth retiring; probes see identical survivors before and after
+    (pinned in tests). Crash between swap and tombstone drop is
+    harmless: re-applying tombstones to a base that already excludes
+    them anti-joins to nothing."""
+    from . import skew
+
+    _require_attributed(spark, table_name, id_col)
+    tomb = _tombstone_table(table_name)
+    tmp = f"{table_name}__compact_tmp"
+    if spark.catalog.tableExists(tmp) and not spark.catalog.tableExists(
+        table_name
+    ):
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    else:
+        bucket_cols, num_buckets = skew.bucket_spec(spark, table_name)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        skew.write_bucketed(
+            live_band_index(spark, table_name, id_col),
+            tmp, bucket_cols, num_buckets=num_buckets,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {_tombstone_table(table_name)}")

@@ -2121,6 +2121,124 @@ def incremental_dedup_extended_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+@query(
+    "dedup_retraction",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    batchd AS (
+      SELECT doc_id + 100000 AS doc_id,
+             regexp_replace(text, '^\\S+\\s*', '') AS text
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    ),
+    csigs AS ({_minhash_sql(8, "corpus")}),
+    bsigs AS ({_minhash_sql(8, "batchd")}),
+    -- live = band keys still held by at least one NON-retracted doc
+    -- (retraction set: the doc_id % 4 = 0 half of the corpus)
+    live AS (
+      SELECT DISTINCT band, bkey FROM ({_band_keys_sql("csigs")})
+      WHERE bkey IS NOT NULL AND doc_id % 4 != 0
+    ),
+    bbands AS ({_band_keys_sql("bsigs")}),
+    hits AS (
+      SELECT DISTINCT doc_id FROM bbands JOIN live USING (band, bkey)
+    )
+    SELECT doc_id FROM batchd WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def dedup_retraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 DELETE leg of the bucketed dedup loop (GDPR erasure /
+    takedown / retention expiry): freeze the even half-corpus as an
+    ATTRIBUTED (bk, doc_id) index, retract the doc_id % 4 = 0 half,
+    then probe a batch of mutated copies of EVERY frozen doc plus the
+    genuinely-novel odd half. Copies of retracted docs must now
+    SURVIVE (their source is gone) — unless a band key is also held
+    by a remaining doc, in which case it keeps gating: the exact
+    refcount semantics only the attributed index can express, and the
+    oracle recomputes per-doc key ownership in SQL so an engine that
+    over-deletes shared keys fails on row count. Retraction itself is
+    tombstone-sized (a side table + broadcast anti-join at probe),
+    never a corpus rewrite."""
+    import re as _re
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batchd = (
+        corpus.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+        )
+        .unionByName(d.filter(F.col("doc_id") % 2 == 1))
+    )
+    t = "dedup_retract_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    dedup.freeze_band_index_attributed(corpus, "doc_id", "text", t)
+    dedup.retract_from_band_index(
+        spark, t, corpus.filter(F.col("doc_id") % 4 == 0), "doc_id"
+    )
+    return dedup.incremental_near_dedup_attributed(
+        spark, batchd, t, "doc_id", "text"
+    ).select("doc_id")
+
+
+@query(
+    "dedup_attribution",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    batchd AS (
+      SELECT doc_id + 100000 AS doc_id,
+             regexp_replace(text, '^\\S+\\s*', '') AS text
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    ),
+    csigs AS ({_minhash_sql(8, "corpus")}),
+    bsigs AS ({_minhash_sql(8, "batchd")}),
+    live AS (
+      SELECT DISTINCT band, bkey, doc_id FROM ({_band_keys_sql("csigs")})
+      WHERE bkey IS NOT NULL AND doc_id % 4 != 0
+    ),
+    bbands AS ({_band_keys_sql("bsigs")})
+    SELECT b.doc_id AS doc_id, min(c.doc_id) AS dup_of
+    FROM bbands b JOIN live c USING (band, bkey)
+    GROUP BY b.doc_id
+    """,
+)
+def dedup_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate PROVENANCE over the attributed index: for every batch
+    doc that collides with the live frozen corpus, WHICH frozen doc
+    does it duplicate (smallest live id sharing a band)? This is the
+    audit answer an erasure/complaint pipeline needs before acting,
+    and it is only answerable because the index carries (bk, doc_id)
+    — the key-only index knows THAT a batch doc collided, never with
+    whom. Retracted sources (doc_id % 4 = 0) stop being attributable:
+    a mutated copy whose only collisions pointed at retracted docs
+    emits no row at all."""
+    import re as _re
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batchd = (
+        corpus.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+        )
+        .unionByName(d.filter(F.col("doc_id") % 2 == 1))
+    )
+    t = "dedup_attrib_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    dedup.freeze_band_index_attributed(corpus, "doc_id", "text", t)
+    dedup.retract_from_band_index(
+        spark, t, corpus.filter(F.col("doc_id") % 4 == 0), "doc_id"
+    )
+    return dedup.incremental_near_dedup_attributed(
+        spark, batchd, t, "doc_id", "text", attribute=True
+    )
+
+
 _SQL_COS_AB = (
     "round(list_dot_product(a.cv, b.cv) /"
     " sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b.cv, b.cv)), 6)"

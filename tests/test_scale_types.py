@@ -805,3 +805,259 @@ class TestDerivedPartsupp:
         ps_half = q._partsupp(spark, sf_dir, suppliers=s_half)
         want = ps_all.filter(F.col("ps_suppkey") % 2 == 0).count()
         assert ps_half.count() == want > 0
+
+
+class TestAttributedIndexRetraction:
+    """Round-9: the day-2 DELETE leg. The attributed (bk, id) index
+    supports correct retraction — a band key stays live while ANY
+    non-retracted doc holds it — which the key-only index cannot."""
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog near the bank"),
+                (2, "an entirely different sentence about distributed systems today"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_lifecycle_freeze_probe_retract_resurrect_compact(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "t_attr_life"
+        for x in (t, t + "__tombstones", t + "__compact_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        corpus = self._corpus(spark)
+        batch = spark.createDataFrame(
+            [
+                # near-twin of doc 1 (first word dropped)
+                (101, "quick brown fox jumps over the lazy dog near the bank"),
+                # near-twin of doc 2
+                (102, "entirely different sentence about distributed systems today"),
+                (999, "totally novel content with no shingle overlap whatsoever"),
+            ],
+            "doc_id long, text string",
+        )
+
+        def survivors():
+            return {
+                r.doc_id
+                for r in dedup.incremental_near_dedup_attributed(
+                    spark, batch, t, "doc_id", "text"
+                ).collect()
+            }
+
+        try:
+            dedup.freeze_band_index_attributed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            assert survivors() == {999}
+            ids = spark.createDataFrame([(1,)], "doc_id long")
+            dedup.retract_from_band_index(spark, t, ids, "doc_id")
+            dedup.retract_from_band_index(spark, t, ids, "doc_id")  # idempotent
+            assert survivors() == {101, 999}
+            assert spark.table(t + "__tombstones").count() == 1
+            # extending with doc 1 again resurrects it
+            dedup.extend_band_index_attributed(
+                spark, corpus.filter(F.col("doc_id") == 1),
+                t, "doc_id", "text",
+            )
+            assert survivors() == {999}
+            assert spark.table(t + "__tombstones").count() == 0
+            # retract again; compaction folds the tombstone into the base
+            dedup.retract_from_band_index(spark, t, ids, "doc_id")
+            dedup.compact_band_index_attributed(spark, t, "doc_id")
+            assert not spark.catalog.tableExists(t + "__tombstones")
+            assert survivors() == {101, 999}
+            # layout survived the fold: still bucketed on bk, same count
+            cols, n = skew.bucket_spec(spark, t)
+            assert (cols, n) == (["bk"], 8)
+        finally:
+            for x in (t, t + "__tombstones", t + "__compact_tmp"):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
+            spark.catalog.clearCache()
+
+    def test_shared_band_key_keeps_gating_after_retraction(self, spark):
+        # THE case attribution exists for: docs 1 and 2 are near-twins
+        # (shared band keys). Retracting doc 1 must NOT stop those keys
+        # gating doc 2's twins — a key-only index that deleted the
+        # retracted doc's keys would re-admit them.
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "t_attr_shared"
+        for x in (t, t + "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        corpus = spark.createDataFrame(
+            [
+                (1, "pack my box with five dozen liquor jugs right now friends"),
+                (2, "pack my box with five dozen liquor jugs right now folks"),
+            ],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(201, "pack my box with five dozen liquor jugs right now people")],
+            "doc_id long, text string",
+        )
+        try:
+            dedup.freeze_band_index_attributed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            # sanity: the corpus twins really share >=1 band key, and
+            # the batch doc collides pre-retraction
+            idx = spark.table(t)
+            shared = (
+                idx.groupBy("bk").count().filter(F.col("count") >= 2).count()
+            )
+            assert shared >= 1
+            pre = dedup.incremental_near_dedup_attributed(
+                spark, batch, t, "doc_id", "text"
+            )
+            assert pre.count() == 0
+            dedup.retract_from_band_index(
+                spark, t,
+                spark.createDataFrame([(1,)], "doc_id long"),
+                "doc_id",
+            )
+            post = dedup.incremental_near_dedup_attributed(
+                spark, batch, t, "doc_id", "text"
+            )
+            # doc 2 still live and still holds the shared keys
+            assert post.count() == 0
+        finally:
+            for x in (t, t + "__tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
+            spark.catalog.clearCache()
+
+    def test_attribution_reports_smallest_live_collision(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "t_attr_prov"
+        for x in (t, t + "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        corpus = self._corpus(spark)
+        batch = spark.createDataFrame(
+            [
+                (101, "quick brown fox jumps over the lazy dog near the bank"),
+                (999, "totally novel content with no shingle overlap whatsoever"),
+            ],
+            "doc_id long, text string",
+        )
+        try:
+            dedup.freeze_band_index_attributed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            pairs = {
+                (r.doc_id, r.dup_of)
+                for r in dedup.incremental_near_dedup_attributed(
+                    spark, batch, t, "doc_id", "text", attribute=True
+                ).collect()
+            }
+            assert pairs == {(101, 1)}  # novel doc emits NO row
+            # a retracted source stops being attributable
+            dedup.retract_from_band_index(
+                spark, t,
+                spark.createDataFrame([(1,)], "doc_id long"),
+                "doc_id",
+            )
+            assert (
+                dedup.incremental_near_dedup_attributed(
+                    spark, batch, t, "doc_id", "text", attribute=True
+                ).count()
+                == 0
+            )
+        finally:
+            for x in (t, t + "__tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
+            spark.catalog.clearCache()
+
+    def test_unattributed_index_rejects_retraction(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "t_attr_reject"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        try:
+            dedup.freeze_band_index_bucketed(
+                self._corpus(spark), "doc_id", "text", t, num_buckets=8
+            )
+            with pytest.raises(ValueError, match="freeze_band_index_attributed"):
+                dedup.retract_from_band_index(
+                    spark, t,
+                    spark.createDataFrame([(1,)], "doc_id long"),
+                    "doc_id",
+                )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+    def test_tombstoned_probe_adds_no_exchange_on_frozen_scan(self, spark):
+        # The retraction anti-join must ride as a BroadcastHashJoin on
+        # the frozen scan's output — partitioning preserved, so the
+        # sort-merge probe still sees the bucketed layout and the ONE
+        # Exchange in the plan belongs to the (batch-sized) probe side.
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "t_attr_plan"
+        for x in (t, t + "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        corpus = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("document number "),
+                F.col("id").cast("string"),
+                F.lit(" with enough words to shingle properly here"),
+            ).alias("text"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            dedup.freeze_band_index_attributed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            dedup.retract_from_band_index(
+                spark, t,
+                spark.createDataFrame([(7,)], "doc_id long"),
+                "doc_id",
+            )
+            keyed = dedup.minhash_band_key_cols(
+                corpus.filter(F.col("doc_id") < 50), "text"
+            )
+            probe = keyed.select(
+                "doc_id",
+                F.explode(
+                    F.array(*[F.col(f"_bk{b}") for b in range(4)])
+                ).alias("bk"),
+            ).filter(F.col("bk").isNotNull())
+            live = dedup.live_band_index(spark, t, "doc_id")
+            semi = probe.join(live.select("bk"), "bk", "left_semi")
+            plan = semi._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "BroadcastHashJoin" in plan  # the tombstone anti
+            # one shuffle Exchange (probe side) + one BroadcastExchange
+            # (the retraction-sized tombstones); the frozen scan itself
+            # is never re-shuffled
+            import re as _re
+
+            shuffles = len(_re.findall(r"Exchange hashpartitioning", plan))
+            assert shuffles == 1
+            assert "Bucketed: true" in plan
+            assert semi.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            for x in (t, t + "__tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
+            spark.catalog.clearCache()
