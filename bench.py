@@ -197,6 +197,9 @@ HEADLINE = [
     # retraction, priced so the broadcast-anti overhead per probe shows
     "dedup_retraction",
     "dedup_attribution",
+    # round-9: vector-store erasure — tombstoned IVF serve priced next
+    # to the plain indexed serve inside ann_ivf_extended
+    "ann_retraction",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -1362,13 +1362,15 @@ def freeze_band_index_attributed(
     # against the previous generation must not leak into it (the new
     # corpus either contains the doc — live again by definition — or
     # does not, and then there is nothing to suppress)
-    corpus.sparkSession.sql(
-        f"DROP TABLE IF EXISTS {_tombstone_table(table_name)}"
-    )
+    from . import tombstones
+
+    tombstones.drop(corpus.sparkSession, table_name)
 
 
 def _tombstone_table(table_name: str) -> str:
-    return f"{table_name}__tombstones"
+    from . import tombstones
+
+    return tombstones.tombstone_table(table_name)
 
 
 def _require_attributed(spark: SparkSession, table_name: str, id_col: str):
@@ -1404,19 +1406,10 @@ def retract_from_band_index(
 
     Idempotent: already-tombstoned ids are skipped, so replaying a
     retraction feed is safe."""
-    from . import skew
+    from . import tombstones
 
     _require_attributed(spark, table_name, id_col)
-    tomb = _tombstone_table(table_name)
-    ids = retract_ids.select(id_col).distinct()
-    if spark.catalog.tableExists(tomb):
-        ids = ids.join(spark.table(tomb), id_col, "left_anti")
-        ids.write.mode("append").saveAsTable(tomb)
-    else:
-        # a tombstone dir can outlive the in-memory catalog across
-        # sessions (same pathology skew.write_bucketed handles)
-        skew._remove_orphan_table_dir(spark, tomb)
-        ids.write.saveAsTable(tomb)
+    tombstones.add(spark, table_name, retract_ids, id_col)
 
 
 def live_band_index(
@@ -1427,13 +1420,9 @@ def live_band_index(
     a broadcast LEFT ANTI on the attribution column: no Exchange is
     added on the frozen scan and the bucketed layout stays usable by
     the sort-merge probe."""
-    base = spark.table(table_name)
-    tomb = _tombstone_table(table_name)
-    if spark.catalog.tableExists(tomb):
-        base = base.join(
-            F.broadcast(spark.table(tomb)), id_col, "left_anti"
-        )
-    return base
+    from . import tombstones
+
+    return tombstones.live(spark, table_name, id_col)
 
 
 def incremental_near_dedup_attributed(
@@ -1521,22 +1510,9 @@ def extend_band_index_attributed(
     skew.append_bucketed(
         new_rows, table_name, bucket_cols, num_buckets=num_buckets
     )
-    tomb = _tombstone_table(table_name)
-    if spark.catalog.tableExists(tomb):
-        resurrected = kept_docs.select(id_col).distinct()
-        remaining = spark.table(tomb).join(
-            resurrected, id_col, "left_anti"
-        )
-        # overwrite-from-own-scan is rejected; stage through a temp
-        # view materialized by the write of a localCheckpoint-free
-        # small relation: tombstones are retraction-sized, collect-free
-        # staging via a swap table keeps it safe at any size
-        tmp = f"{tomb}__swap"
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        skew._remove_orphan_table_dir(spark, tmp)
-        remaining.write.saveAsTable(tmp)
-        spark.sql(f"DROP TABLE IF EXISTS {tomb}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {tomb}")
+    from . import tombstones
+
+    tombstones.clear_for(spark, table_name, kept_docs, id_col)
 
 
 def compact_band_index_attributed(
@@ -1552,22 +1528,7 @@ def compact_band_index_attributed(
     (pinned in tests). Crash between swap and tombstone drop is
     harmless: re-applying tombstones to a base that already excludes
     them anti-joins to nothing."""
-    from . import skew
+    from . import tombstones
 
     _require_attributed(spark, table_name, id_col)
-    tomb = _tombstone_table(table_name)
-    tmp = f"{table_name}__compact_tmp"
-    if spark.catalog.tableExists(tmp) and not spark.catalog.tableExists(
-        table_name
-    ):
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
-    else:
-        bucket_cols, num_buckets = skew.bucket_spec(spark, table_name)
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        skew.write_bucketed(
-            live_band_index(spark, table_name, id_col),
-            tmp, bucket_cols, num_buckets=num_buckets,
-        )
-        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
-    spark.sql(f"DROP TABLE IF EXISTS {_tombstone_table(table_name)}")
+    tombstones.compact(spark, table_name, id_col)

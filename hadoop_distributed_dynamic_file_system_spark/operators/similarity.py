@@ -146,6 +146,11 @@ def build_ivf_index(
     skew.write_bucketed(
         assigned, table_name, ["centroid_id"], num_buckets=num_buckets
     )
+    # a (re)build starts a NEW index generation: tombstones written
+    # against the previous generation must not suppress the new corpus
+    from . import tombstones
+
+    tombstones.drop(corpus.sparkSession, table_name)
 
 
 def extend_ivf_index(
@@ -186,6 +191,61 @@ def extend_ivf_index(
     skew.append_bucketed(
         fresh, table_name, ["centroid_id"], num_buckets=num_buckets
     )
+    # a re-added id that was RETRACTED resurrects: its physical row
+    # never left (the anti-join above skips re-appending it), so only
+    # the tombstone clears — retraction-sized work, same policy as
+    # dedup.extend_band_index_attributed
+    from . import tombstones
+
+    tombstones.clear_for(spark, table_name, new_vectors, id_col)
+
+
+def retract_from_ivf_index(
+    spark,
+    table_name: str,
+    retract_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Retract vectors from a served IVF index — the vector-store
+    erasure leg (GDPR/takedown): after this call ivf_topk_indexed
+    stops returning the ids and incremental/streaming semantic dedup
+    stops gating arrivals on them, both on the very next query/batch.
+
+    Same tombstone mechanics as the text band index
+    (dedup.retract_from_band_index): ids land in a retraction-sized
+    side table, every probe subtracts them as a broadcast anti-join
+    (no Exchange added on the bucketed inverted-list scan), and
+    compact_ivf_index folds them into the base off the serving path.
+    No attribution prerequisite here — inverted-list rows carry their
+    vector id by construction. Re-adding a retracted id via
+    extend_ivf_index resurrects it (the index records what the corpus
+    holds, not policy)."""
+    from . import tombstones
+
+    tombstones.add(spark, table_name, retract_ids, id_col)
+
+
+def live_ivf_index(spark, table_name: str, id_col: str = "vec_id") -> DataFrame:
+    """The served inverted lists minus tombstones — what every ANN /
+    semantic-dedup probe must see. Pass THIS (not spark.table) as the
+    frozen side of incremental_semantic_dedup / the streaming gates
+    when retraction is in play; ivf_topk_indexed reads it already."""
+    from . import tombstones
+
+    return tombstones.live(spark, table_name, id_col)
+
+
+def compact_ivf_index(
+    spark, table_name: str, id_col: str = "vec_id"
+) -> None:
+    """Fold IVF tombstones into the inverted lists: one staged bucketed
+    rewrite of the live rows, then the tombstone table drops. Schedule
+    off the serving path (same quiescence note as
+    skew.compact_bucketed); probes see identical results before and
+    after."""
+    from . import tombstones
+
+    tombstones.compact(spark, table_name, id_col)
 
 
 def ivf_topk_indexed(
@@ -200,8 +260,9 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """ivf_topk served from a prebuilt `build_ivf_index` table — skips
     the routing scan; result is identical to ivf_topk over the same
-    corpus+centroids (pinned by test)."""
-    assigned = spark.table(table_name)
+    corpus+centroids (pinned by test). Honors retraction: tombstoned
+    ids (retract_from_ivf_index) never reach the candidate set."""
+    assigned = live_ivf_index(spark, table_name, id_col)
     return _probe_assigned(assigned, queries, centroids, id_col, vec_col, k, nprobe)
 
 

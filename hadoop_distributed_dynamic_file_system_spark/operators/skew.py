@@ -197,6 +197,7 @@ def compact_bucketed(
     spark,
     table_name: str,
     sort_cols: list[str] | None = None,
+    transform=None,
 ) -> None:
     """Rewrite a bucketed table in place to one file per bucket —
     the companion to append_bucketed: each append adds a file per
@@ -225,7 +226,12 @@ def compact_bucketed(
     gate around compaction (streams restart cleanly from their
     checkpoint), or schedule compaction in the ingest pipeline's
     quiet window — the same discipline as the reference's archive
-    compaction, which also required the source quiescent."""
+    compaction, which also required the source quiescent.
+
+    `transform` (optional, DataFrame -> DataFrame) rewrites THROUGH a
+    filter/projection — the hook retraction compaction uses to fold
+    tombstones into the base in the same staged pass. It must not
+    change the bucket columns."""
     tmp = f"{table_name}__compact_tmp"
     if spark.catalog.tableExists(tmp) and not spark.catalog.tableExists(
         table_name
@@ -235,8 +241,11 @@ def compact_bucketed(
         return
     bucket_cols, num_buckets = bucket_spec(spark, table_name)
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    src = spark.table(table_name)
+    if transform is not None:
+        src = transform(src)
     write_bucketed(
-        spark.table(table_name), tmp, bucket_cols,
+        src, tmp, bucket_cols,
         num_buckets=num_buckets, sort_cols=sort_cols,
     )
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")

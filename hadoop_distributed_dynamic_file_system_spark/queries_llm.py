@@ -479,7 +479,7 @@ def ann_brute_force_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles must be THE SAME text, not hand-kept copies that could
 # silently diverge.
 _SQL_ANN_IVF_BODY = """
-    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM {src}),
     assigned AS (
       SELECT vec_id, cv, centroid_id FROM (
         SELECT c.vec_id, c.cv, cen.centroid_id,
@@ -522,7 +522,7 @@ _SQL_ANN_IVF_BODY = """
     f"""
     WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
                  FROM embeddings WHERE vec_id < 8),
-    {_SQL_ANN_IVF_BODY.format(cos=_SQL_COS).strip()}
+    {_SQL_ANN_IVF_BODY.format(cos=_SQL_COS, src='embeddings').strip()}
     """,
 )
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,7 +543,7 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
                  FROM embeddings WHERE vec_id < 8),
-    {_SQL_ANN_IVF_BODY.format(cos=_SQL_COS).strip()}
+    {_SQL_ANN_IVF_BODY.format(cos=_SQL_COS, src='embeddings').strip()}
     """,
 )
 def ann_ivf_extended_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,6 +569,48 @@ def ann_ivf_extended_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     similarity.extend_ivf_index(
         spark, emb.filter(F.col("vec_id") % 2 == 1), centroids, t
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_topk_indexed(
+        spark, t, qs, centroids, k=5, nprobe=2
+    ).select("query_id", "vec_id", "score", "rk")
+
+
+@query(
+    "ann_retraction",
+    f"""
+    WITH cen AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS zv
+                 FROM embeddings WHERE vec_id < 8),
+    {_SQL_ANN_IVF_BODY.format(
+        cos=_SQL_COS,
+        src="(SELECT * FROM embeddings WHERE vec_id % 3 != 0)",
+    ).strip()}
+    """,
+)
+def ann_retraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store erasure, driver-pinned: build the IVF index over
+    the FULL corpus, retract every vec_id % 3 = 0
+    (similarity.retract_from_ivf_index — a tombstone side table, the
+    inverted lists never rewrite), then serve top-5. The oracle is
+    plain IVF SQL over the corpus WITHOUT the retracted vectors: if a
+    tombstoned id leaks into any candidate list the hash fails, and
+    because dropping corpus rows promotes new vectors into the top-5,
+    over-retention ALSO fails on values, not just missing rows. The
+    query set (vec_id < 3) intentionally includes retracted id 0 —
+    erasure removes a vector from the CORPUS, not from the right to
+    query."""
+    import re as _re
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    t = "ivf_retract_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    similarity.build_ivf_index(emb, centroids, t)
+    similarity.retract_from_ivf_index(
+        spark, t, emb.filter(F.col("vec_id") % 3 == 0)
     )
     qs = emb.filter(F.col("vec_id") < 3)
     return similarity.ivf_topk_indexed(

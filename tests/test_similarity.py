@@ -545,3 +545,139 @@ class TestRrfFuse:
         l2 = spark.createDataFrame([(1, 2, 1)], "query_id long, doc_id long, rk int")
         rows = sim.rrf_fuse([l1, l2], "doc_id", k=5).collect()
         assert {(r.query_id, r.doc_id, r.rk) for r in rows} == {(0, 1, 1), (1, 2, 1)}
+
+
+class TestIvfRetraction:
+    """Round-9: the vector-store erasure leg — tombstones over the
+    served inverted lists; ANN top-k and the semantic gates stop
+    seeing retracted ids on the next probe, no index rewrite."""
+
+    def _tables(self, spark, table):
+        import shutil
+
+        for t in (table, table + "__tombstones", table + "__compact_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join("spark-warehouse", t), ignore_errors=True)
+
+    def test_topk_excludes_retracted_then_resurrects_then_compacts(
+        self, spark, embeddings
+    ):
+        cents = similarity.kmeans_fit(embeddings, k=4, iterations=2)
+        cents = cents.persist()
+        cents.count()
+        table = "ivf_retract_test"
+        self._tables(spark, table)
+        qs = embeddings.filter(F.col("vec_id") < 3)
+        try:
+            similarity.build_ivf_index(embeddings, cents, table, num_buckets=4)
+            full = similarity.ivf_topk_indexed(
+                spark, table, qs, cents, k=5, nprobe=2
+            )
+            # retract every id the full top-5 returned: the next serve
+            # must promote entirely different vectors
+            gone = {r.vec_id for r in full.collect()}
+            assert gone
+            similarity.retract_from_ivf_index(
+                spark, table,
+                embeddings.filter(F.col("vec_id").isin(*gone)),
+            )
+            after = similarity.ivf_topk_indexed(
+                spark, table, qs, cents, k=5, nprobe=2
+            )
+            served = {r.vec_id for r in after.collect()}
+            assert served and not (served & gone)
+            # oracle: indexed serve over tombstones == direct IVF over
+            # the corpus minus the retracted vectors
+            direct = similarity.ivf_topk(
+                embeddings.filter(~F.col("vec_id").isin(*gone)),
+                qs, cents, k=5, nprobe=2,
+            )
+            assert sorted(
+                (r.query_id, r.vec_id, r.score, r.rk) for r in after.collect()
+            ) == sorted(
+                (r.query_id, r.vec_id, r.score, r.rk) for r in direct.collect()
+            )
+            # re-adding one retracted vector resurrects exactly it
+            back = min(gone)
+            similarity.extend_ivf_index(
+                spark,
+                embeddings.filter(F.col("vec_id") == back),
+                cents, table, num_buckets=4,
+            )
+            assert spark.table(table + "__tombstones").count() == len(gone) - 1
+            resurrected = {
+                r.vec_id
+                for r in similarity.ivf_topk_indexed(
+                    spark, table, qs, cents, k=5, nprobe=2
+                ).collect()
+            }
+            assert back in resurrected
+            # compact folds the remaining tombstones; serve unchanged
+            pre = sorted(
+                (r.query_id, r.vec_id, r.score, r.rk)
+                for r in similarity.ivf_topk_indexed(
+                    spark, table, qs, cents, k=5, nprobe=2
+                ).collect()
+            )
+            similarity.compact_ivf_index(spark, table)
+            assert not spark.catalog.tableExists(table + "__tombstones")
+            post = sorted(
+                (r.query_id, r.vec_id, r.score, r.rk)
+                for r in similarity.ivf_topk_indexed(
+                    spark, table, qs, cents, k=5, nprobe=2
+                ).collect()
+            )
+            assert pre == post
+        finally:
+            cents.unpersist()
+            self._tables(spark, table)
+
+    def test_semantic_gate_readmits_after_retraction(self, spark, embeddings):
+        # the dedup gate composes through live_ivf_index: a batch vector
+        # that duplicates ONLY a retracted corpus vector must survive
+        cents = similarity.kmeans_fit(embeddings, k=4, iterations=2)
+        cents = cents.persist()
+        cents.count()
+        table = "ivf_retract_sem"
+        self._tables(spark, table)
+        try:
+            similarity.build_ivf_index(embeddings, cents, table, num_buckets=4)
+            batch = embeddings.filter(F.col("vec_id") == 7).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+            kept_pre = similarity.incremental_semantic_dedup(
+                batch,
+                similarity.live_ivf_index(spark, table),
+                cents, threshold=0.999, nprobe=2,
+            )
+            assert kept_pre.count() == 0  # exact copy of live id 7 dies
+            similarity.retract_from_ivf_index(
+                spark, table, embeddings.filter(F.col("vec_id") == 7)
+            )
+            kept_post = similarity.incremental_semantic_dedup(
+                batch,
+                similarity.live_ivf_index(spark, table),
+                cents, threshold=0.999, nprobe=2,
+            )
+            assert kept_post.count() == 1  # its only source is gone
+        finally:
+            cents.unpersist()
+            self._tables(spark, table)
+
+    def test_rebuild_starts_new_generation(self, spark, embeddings):
+        cents = similarity.kmeans_fit(embeddings, k=4, iterations=2)
+        cents = cents.persist()
+        cents.count()
+        table = "ivf_retract_gen"
+        self._tables(spark, table)
+        try:
+            similarity.build_ivf_index(embeddings, cents, table, num_buckets=4)
+            similarity.retract_from_ivf_index(
+                spark, table, embeddings.filter(F.col("vec_id") == 1)
+            )
+            assert spark.catalog.tableExists(table + "__tombstones")
+            similarity.build_ivf_index(embeddings, cents, table, num_buckets=4)
+            assert not spark.catalog.tableExists(table + "__tombstones")
+        finally:
+            cents.unpersist()
+            self._tables(spark, table)
