@@ -895,6 +895,124 @@ def incremental_media_dedup_bucketed(
     return codes.join(hits, id_col, "left_anti")
 
 
+def freeze_media_index_attributed(
+    codes: DataFrame,
+    table_name: str,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+    n_bands: int = 4,
+    band_bits: int = 16,
+    num_buckets: int = 32,
+) -> None:
+    """RETRACTABLE twin of freeze_media_index_bucketed: the bucketed
+    index rows carry (mbk, mcode, id) so deletion is CORRECT — two
+    documents routinely share one perceptual code (exact re-uploads,
+    resized twins), and a code must keep gating while ANY non-retracted
+    doc still holds it, undecidable from (mbk, mcode) alone. Same
+    design as dedup.freeze_band_index_attributed; costs one long per
+    row over the unattributed form."""
+    from . import skew, tombstones
+
+    bands = hamming_band_cols(F.col(hash_col), n_bands, band_bits)
+    idx = (
+        codes.select(
+            F.explode(
+                F.array(*[
+                    F.xxhash64(F.lit(b), c) for b, c in enumerate(bands)
+                ])
+            ).alias("mbk"),
+            F.col(hash_col).alias("mcode"),
+            F.col(id_col),
+        )
+        .filter(F.col("mcode").isNotNull())
+        .distinct()
+    )
+    skew.write_bucketed(idx, table_name, ["mbk"], num_buckets=num_buckets)
+    # new index generation: stale tombstones must not suppress it
+    tombstones.drop(codes.sparkSession, table_name)
+
+
+def retract_from_media_index(
+    spark: SparkSession,
+    table_name: str,
+    retract_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> None:
+    """Retract documents from a frozen attributed media index — the
+    image/audio erasure leg (same tombstone mechanics as
+    dedup.retract_from_band_index / similarity.retract_from_ivf_index:
+    retraction-sized side table, broadcast anti-join at probe, fold at
+    compact_media_index_attributed). Raises with a re-freeze pointer
+    when the index was frozen without attribution."""
+    from . import tombstones
+
+    cols = spark.table(table_name).columns
+    if id_col not in cols:
+        raise ValueError(
+            f"media index {table_name} has columns {cols} — no attribution "
+            f"column {id_col!r}. Retraction needs per-code ownership: "
+            "re-freeze with freeze_media_index_attributed (an index frozen "
+            "by freeze_media_index_bucketed stores only (mbk, mcode) and "
+            "cannot be retracted from correctly)."
+        )
+    tombstones.add(spark, table_name, retract_ids, id_col)
+
+
+def incremental_media_dedup_attributed(
+    spark: SparkSession,
+    codes: DataFrame,
+    table_name: str,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """incremental_media_dedup_bucketed against an ATTRIBUTED index,
+    honoring tombstones: a batch code drops only if some LIVE frozen
+    code shares a band AND verifies bit_count hamming <= max_hamming;
+    NULL codes survive. The frozen doc id exists only to scope the
+    tombstone anti-join — it is projected away before the band join,
+    so the probe's shape (one Exchange, frozen scan never re-shuffled)
+    is unchanged from the unattributed form."""
+    from . import tombstones
+
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    bands = hamming_band_cols(F.col(hash_col), n_bands, band_bits)
+    probe = codes.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(*[
+                F.xxhash64(F.lit(b), c) for b, c in enumerate(bands)
+            ])
+        ).alias("mbk"),
+    ).filter(F.col(hash_col).isNotNull())
+    live = tombstones.live(spark, table_name, id_col).select("mbk", "mcode")
+    hits = (
+        probe.join(live, "mbk")
+        .filter(
+            F.bit_count(F.col(hash_col).bitwiseXOR(F.col("mcode")))
+            <= F.lit(max_hamming)
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return codes.join(hits, id_col, "left_anti")
+
+
+def compact_media_index_attributed(
+    spark: SparkSession, table_name: str, id_col: str = "doc_id"
+) -> None:
+    """Fold media-index tombstones into the base (staged bucketed
+    rewrite of live rows, then the tombstone table drops); probes see
+    identical survivors before and after."""
+    from . import tombstones
+
+    tombstones.compact(spark, table_name, id_col)
+
+
 def ahash_near_pairs(
     binaries: DataFrame,
     max_hamming: int = 4,

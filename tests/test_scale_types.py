@@ -1061,3 +1061,136 @@ class TestAttributedIndexRetraction:
             for x in (t, t + "__tombstones"):
                 spark.sql(f"DROP TABLE IF EXISTS {x}")
             spark.catalog.clearCache()
+
+
+class TestAttributedMediaIndexRetraction:
+    """Round-9: the media erasure leg — (mbk, mcode, doc_id) index,
+    shared-code semantics (an exact re-upload's code keeps gating
+    while any holder remains), verified-hamming probe unchanged."""
+
+    def test_lifecycle_and_shared_code_gating(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        t = "t_attr_media"
+        for x in (t, t + "__tombstones", t + "__compact_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        # docs 1 and 2 share the SAME code (exact re-upload); doc 3 far
+        frozen = spark.createDataFrame(
+            [
+                (1, 0x1111222233334444),
+                (2, 0x1111222233334444),
+                (3, 0x0000FFFF0000FFFF),
+            ],
+            "doc_id long, ahash long",
+        )
+        probe = spark.createDataFrame(
+            [
+                (10, 0x1111222233334445),  # hamming 1 from the shared code
+                (11, 0x0000FFFF0000FFF7),  # hamming 1 from doc 3's code
+                (12, 0x5A5A5A5A5A5A5A5A),  # far from everything
+                (13, None),                # undecodable survives
+            ],
+            "doc_id long, ahash long",
+        )
+
+        def survivors():
+            return {
+                r.doc_id
+                for r in mm.incremental_media_dedup_attributed(
+                    spark, probe, t, max_hamming=3
+                ).collect()
+            }
+
+        try:
+            mm.freeze_media_index_attributed(frozen, t, num_buckets=8)
+            assert survivors() == {12, 13}
+            # retract doc 1: doc 2 still holds the shared code, so 10
+            # must STILL drop — the correctness attribution buys
+            mm.retract_from_media_index(
+                spark, t, spark.createDataFrame([(1,)], "doc_id long")
+            )
+            assert survivors() == {12, 13}
+            # retract doc 2 as well: now 10 is re-admitted; 11 still
+            # dies against doc 3
+            mm.retract_from_media_index(
+                spark, t, spark.createDataFrame([(2,)], "doc_id long")
+            )
+            assert survivors() == {10, 12, 13}
+            # compact folds both tombstones; survivors unchanged
+            mm.compact_media_index_attributed(spark, t)
+            assert not spark.catalog.tableExists(t + "__tombstones")
+            assert survivors() == {10, 12, 13}
+        finally:
+            for x in (t, t + "__tombstones", t + "__compact_tmp"):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
+            spark.catalog.clearCache()
+
+    def test_unattributed_media_index_rejects_retraction(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        t = "t_attr_media_rej"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        frozen = spark.createDataFrame(
+            [(1, 0x1111222233334444)], "doc_id long, ahash long"
+        )
+        try:
+            mm.freeze_media_index_bucketed(frozen, t, num_buckets=8)
+            with pytest.raises(
+                ValueError, match="freeze_media_index_attributed"
+            ):
+                mm.retract_from_media_index(
+                    spark, t, spark.createDataFrame([(1,)], "doc_id long")
+                )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+    def test_attributed_probe_matches_unattributed_without_tombstones(
+        self, spark
+    ):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        ta, tb = "t_attr_media_eq", "t_attr_media_eq_plain"
+        for x in (ta, ta + "__tombstones", tb):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        frozen = spark.range(300).select(
+            F.col("id").alias("doc_id"), F.xxhash64("id").alias("ahash")
+        )
+        probe = spark.range(0, 600, 7).select(
+            F.col("id").alias("doc_id"), F.xxhash64("id").alias("ahash")
+        )
+        try:
+            mm.freeze_media_index_attributed(frozen, ta, num_buckets=8)
+            mm.freeze_media_index_bucketed(frozen, tb, num_buckets=8)
+            a = {
+                r.doc_id
+                for r in mm.incremental_media_dedup_attributed(
+                    spark, probe, ta, max_hamming=3
+                ).collect()
+            }
+            b = {
+                r.doc_id
+                for r in mm.incremental_media_dedup_bucketed(
+                    spark, probe, tb, max_hamming=3
+                ).collect()
+            }
+            assert a == b and len(a) > 0
+        finally:
+            for x in (ta, ta + "__tombstones", tb):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
+            spark.catalog.clearCache()

@@ -614,6 +614,64 @@ def main() -> None:
                 reps=1,
             )
             spark.sql("DROP TABLE IF EXISTS stress_refreeze_bk")
+            # Day-2 retraction (round 9): price the DELETE leg against
+            # the same 100x corpus. The attributed freeze is the cost
+            # of retractability (per-(bk,id) rows instead of distinct
+            # bk); the retract itself must be TOMBSTONE-sized (a 10%
+            # id list write, nowhere near the corpus); the tombstoned
+            # probe shows the per-batch overhead of the broadcast
+            # anti-join; compaction is the one corpus-sized fold that
+            # retires it. reps=1 on the mutating steps (a second
+            # retract appends nothing and would time an empty write).
+            spark.sql("DROP TABLE IF EXISTS stress_frozen_attr")
+            spark.sql(
+                "DROP TABLE IF EXISTS stress_frozen_attr__tombstones"
+            )
+            corpus100 = distinct_corpus(100)
+            bench(
+                "freeze_attributed_100x", base * 100,
+                lambda: dedup.freeze_band_index_attributed(
+                    corpus100, "doc_id", "text", "stress_frozen_attr"),
+                reps=1,
+            )
+            bench(
+                "attr_probe_clean_1x_vs_100x", base,
+                lambda: noop(dedup.incremental_near_dedup_attributed(
+                    spark, sf_docs, "stress_frozen_attr",
+                    "doc_id", "text")),
+            )
+            retract_ids = corpus100.select("doc_id").filter(
+                F.col("doc_id") % 10 == 0
+            )
+            bench(
+                "retract_10pct_of_100x", base * 10,
+                lambda: dedup.retract_from_band_index(
+                    spark, "stress_frozen_attr", retract_ids,
+                    "doc_id"),
+                reps=1,
+            )
+            bench(
+                "attr_probe_tombstoned_1x_vs_100x", base,
+                lambda: noop(dedup.incremental_near_dedup_attributed(
+                    spark, sf_docs, "stress_frozen_attr",
+                    "doc_id", "text")),
+            )
+            bench(
+                "compact_fold_10pct_of_100x", base * 100,
+                lambda: dedup.compact_band_index_attributed(
+                    spark, "stress_frozen_attr", "doc_id"),
+                reps=1,
+            )
+            bench(
+                "attr_probe_compacted_1x_vs_90x", base,
+                lambda: noop(dedup.incremental_near_dedup_attributed(
+                    spark, sf_docs, "stress_frozen_attr",
+                    "doc_id", "text")),
+            )
+            spark.sql("DROP TABLE IF EXISTS stress_frozen_attr")
+            spark.sql(
+                "DROP TABLE IF EXISTS stress_frozen_attr__tombstones"
+            )
         spark.sql("DROP TABLE IF EXISTS stress_frozen_bk")
 
     # Skew join at a NASTIER ratio than sf0.1's mild skew (VERDICT r6
@@ -791,6 +849,21 @@ def main() -> None:
         "append is O(batch + index scan)). compact_bucketed exists",
         "for the resulting per-bucket file growth, off the ingest",
         "path.",
+        "",
+        "`freeze_attributed_100x` / `attr_probe_*` /",
+        "`retract_10pct_of_100x` / `compact_fold_10pct_of_100x`",
+        "(round 9) price the day-2 DELETE leg. The attributed freeze",
+        "is the cost of retractability (per-(bk,id) rows instead of",
+        "distinct keys — more index rows, same shuffle count).",
+        "Retracting 10% of the corpus costs a tombstone-sized id",
+        "write, NOT a corpus rewrite (compare its wall to the",
+        "refreeze row); the tombstoned probe vs the clean probe",
+        "isolates the broadcast-anti-join overhead each batch pays",
+        "while tombstones are outstanding; the compact row is the",
+        "one corpus-sized fold that retires them (≈ a layout rewrite,",
+        "NO signature recompute — cheaper than refreeze), after",
+        "which the probe returns to clean cost over the 10%-smaller",
+        "index.",
         "",
         "`skew99_join_{plain,aqe,salted}_10m` rows = FACT rows, 99% on",
         "one key, dim non-broadcastable (threshold -1). Salted wins",
