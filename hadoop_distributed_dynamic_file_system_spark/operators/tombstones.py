@@ -121,3 +121,30 @@ def _subtract(spark, df: DataFrame, table_name: str, id_col: str) -> DataFrame:
     if spark.catalog.tableExists(tomb):
         df = df.join(F.broadcast(spark.table(tomb)), id_col, "left_anti")
     return df
+
+
+def ensure(spark: SparkSession, table_name: str, id_col: str) -> None:
+    """Create an EMPTY tombstone table for `table_name` if none exists
+    — arming retraction pickup for long-running consumers.
+
+    Why this matters for streaming: `live()` decides whether the
+    anti-join is in the plan by catalog existence AT PLAN TIME, and a
+    streaming gate plans its static side once at `start()`. If the
+    first retraction happens after the stream started, the running
+    query's plan has no anti-join to feed and the retraction is
+    invisible until restart. Calling ensure() before `start()` puts
+    the (empty) anti-join in the plan; each micro-batch then re-reads
+    the side table, so later `add()` calls take effect on the very
+    next batch — the same live-pickup contract as index appends
+    (extend_band_index_bucketed). Batch probes never need this: they
+    plan per call.
+
+    The empty table inherits `id_col`'s type from the base table, so
+    a later add() appends with an identical schema."""
+    tomb = tombstone_table(table_name)
+    if spark.catalog.tableExists(tomb):
+        return
+    from . import skew
+
+    skew._remove_orphan_table_dir(spark, tomb)
+    spark.table(table_name).select(id_col).limit(0).write.saveAsTable(tomb)

@@ -743,7 +743,14 @@ def streaming_near_dedup(
     Same-session appends invalidate Spark's relation cache
     automatically; an extender running in a DIFFERENT session must be
     paired with spark.catalog.refreshTable(name) in the streaming
-    session, or the gate keeps probing the stale file listing."""
+    session, or the gate keeps probing the stale file listing.
+    RETRACTION composes the same way for attributed indexes: arm the
+    gate with tombstones.ensure(name) BEFORE start(), pass
+    dedup.live_band_index(spark, name, id_col) as the static side,
+    and retract_from_band_index takes effect on the next micro-batch
+    (pinned by test_live_stream_sees_retractions — without ensure()
+    the anti-join is absent from the running plan and retraction
+    waits for a restart)."""
     out = dedup_ops.minhash_band_key_cols(
         doc_stream,
         text_col,

@@ -772,6 +772,83 @@ class TestStreamingNearDedup:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             spark.catalog.clearCache()
 
+    def test_live_stream_sees_retractions(self, spark, tmp_path):
+        # Day-2 DELETE under a live gate: tombstones.ensure() arms the
+        # anti-join in the streaming plan, so a retraction filed while
+        # the stream runs re-admits twins on the very next micro-batch.
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup, tombstones,
+        )
+
+        t = "t_live_retract_bk"
+        for x in (t, t + "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        src = tmp_path / "live_retract_src"
+        src.mkdir()
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        q = None
+        try:
+            dedup.freeze_band_index_attributed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            tombstones.ensure(spark, t, "doc_id")  # arm BEFORE start
+            stream = ev.read_parquet_dir_stream(
+                spark, str(src), "doc_id long, text string"
+            )
+            gated = ev.streaming_near_dedup(
+                stream,
+                dedup.live_band_index(spark, t, "doc_id"),
+                index_mode="auto",
+            )
+            q = (
+                gated.writeStream.format("memory")
+                .queryName("live_retract_out")
+                .outputMode("append")
+                .start()
+            )
+            twin = "quick brown fox jumps over the lazy dog today"
+            b1 = spark.createDataFrame(
+                [(10, twin)], "doc_id long, text string"
+            )
+            b1.coalesce(1).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+            got = {
+                r.doc_id
+                for r in spark.sql(
+                    "select doc_id from live_retract_out"
+                ).collect()
+            }
+            assert got == set()  # twin of live doc 1 drops
+            dedup.retract_from_band_index(
+                spark, t,
+                spark.createDataFrame([(1,)], "doc_id long"),
+                "doc_id",
+            )
+            b2 = spark.createDataFrame(
+                [(20, twin)], "doc_id long, text string"
+            )
+            b2.coalesce(1).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+            got = {
+                r.doc_id
+                for r in spark.sql(
+                    "select doc_id from live_retract_out"
+                ).collect()
+            }
+            assert got == {20}  # source retracted -> twin re-admitted
+        finally:
+            if q is not None:
+                q.stop()
+            for x in (t, t + "__tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
+            spark.catalog.clearCache()
+
     def test_band_keys_fold_compatible_with_lsh_pairs(self, spark):
         # the folded stream keys must equal lsh_candidate_pairs'
         # hash_band_keys fold, or index and stream silently disagree

@@ -111,6 +111,9 @@ SHOWCASE = [
     ("incremental_dedup_extended", "the day-2 loop: two frozen-index "
      "probes around a batch-sized index append; the frozen side "
      "never re-shuffles at any size"),
+    ("dedup_retraction", "the DELETE leg: tombstones ride the frozen "
+     "side as a broadcast anti-join (retraction-sized build side), "
+     "so the probe keeps the frozen scan Exchange-free"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the

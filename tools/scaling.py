@@ -119,6 +119,12 @@ QUERIES = [
     "ann_ivf_extended",
     # the embedding twin of the frozen-index gates (day-2 SemDeDup)
     "incremental_semantic_dedup",
+    # the DELETE leg: attributed freeze + tombstoned probes (cost
+    # includes the per-run freeze+retract writes; the steady-state
+    # probe-only overhead is isolated in STRESS)
+    "dedup_retraction",
+    "dedup_attribution",
+    "ann_retraction",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

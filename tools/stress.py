@@ -863,7 +863,13 @@ def main() -> None:
         "one corpus-sized fold that retires them (≈ a layout rewrite,",
         "NO signature recompute — cheaper than refreeze), after",
         "which the probe returns to clean cost over the 10%-smaller",
-        "index.",
+        "index. Read the attr rows AGAINST EACH OTHER, not against the",
+        "mid-suite unattributed rows: the stanza runs dead-last and",
+        "carries the documented late-session tax (~2x on small probes —",
+        "the same shape priced 8 entries earlier reads ~2.4s), so the",
+        "meaningful readings are tombstoned/clean (~1.1x: the anti-join",
+        "is near-free) and compact wall vs refreeze wall (layout rewrite",
+        "vs signature recompute).",
         "",
         "`skew99_join_{plain,aqe,salted}_10m` rows = FACT rows, 99% on",
         "one key, dim non-broadcastable (threshold -1). Salted wins",
