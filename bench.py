@@ -200,6 +200,9 @@ HEADLINE = [
     # round-9: vector-store erasure — tombstoned IVF serve priced next
     # to the plain indexed serve inside ann_ivf_extended
     "ann_retraction",
+    # round-9: the MONITOR leg — the ops census an operator runs to
+    # schedule compaction; priced so the cadence call stays cheap
+    "index_health",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

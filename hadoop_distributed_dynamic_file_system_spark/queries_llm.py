@@ -2281,6 +2281,72 @@ def dedup_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "index_health",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    csigs AS ({_minhash_sql(8, "corpus")}),
+    keys AS (
+      SELECT DISTINCT band, bkey, doc_id FROM ({_band_keys_sql("csigs")})
+      WHERE bkey IS NOT NULL
+    ),
+    flagged AS (
+      SELECT band, bkey, doc_id, (doc_id % 4 = 0) AS dead FROM keys
+    ),
+    rowstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS index_rows,
+             CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT)
+               AS dead_rows,
+             CAST(count(DISTINCT CASE WHEN NOT dead THEN doc_id END)
+               AS BIGINT) AS live_docs
+      FROM flagged
+    ),
+    keystats AS (
+      SELECT CAST(count(*) AS BIGINT) AS live_keys,
+             CAST(coalesce(max(kn), 0) AS BIGINT) AS max_key_docs
+      FROM (SELECT band, bkey, count(*) AS kn FROM flagged
+            WHERE NOT dead GROUP BY band, bkey)
+    ),
+    retr AS (
+      SELECT CAST(count(*) AS BIGINT) AS retracted_docs
+      FROM corpus WHERE doc_id % 4 = 0
+    )
+    SELECT index_rows, dead_rows,
+           index_rows - dead_rows AS live_rows,
+           round(CAST(dead_rows AS DOUBLE) / index_rows, 6) AS dead_frac,
+           live_docs, retracted_docs, live_keys, max_key_docs,
+           CAST(dead_rows AS DOUBLE) / index_rows >= 0.2
+             AS recommend_compact
+    FROM rowstats CROSS JOIN keystats CROSS JOIN retr
+    """,
+)
+def index_health_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONITOR leg of the day-2 index lifecycle
+    (operators/dedup.band_index_health): freeze the even half-corpus
+    as an attributed (bk, doc_id) index, retract the doc_id % 4 = 0
+    half, then census the index — total vs dead vs live rows, dead
+    fraction, live docs/keys, tombstone size, hottest live key, and
+    the compact recommendation. This is the cadence signal an ops
+    pipeline reads to decide WHEN the corpus-sized
+    compact_band_index_attributed rewrite is worth paying (here ~half
+    the rows are dead, so it fires). The oracle recomputes the whole
+    census from the raw corpus in SQL, so an engine that miscounts
+    key ownership, leaks tombstoned rows into the live set, or
+    collapses shared band keys fails on exact scalars."""
+    import re as _re
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    t = "index_health_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    dedup.freeze_band_index_attributed(corpus, "doc_id", "text", t)
+    dedup.retract_from_band_index(
+        spark, t, corpus.filter(F.col("doc_id") % 4 == 0), "doc_id"
+    )
+    return dedup.band_index_health(spark, t, "doc_id")
+
+
 _SQL_COS_AB = (
     "round(list_dot_product(a.cv, b.cv) /"
     " sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b.cv, b.cv)), 6)"

@@ -880,6 +880,79 @@ class TestAttributedIndexRetraction:
                 spark.sql(f"DROP TABLE IF EXISTS {x}")
             spark.catalog.clearCache()
 
+    def test_band_index_health_census(self, spark):
+        # the MONITOR leg: every scalar is checked against values
+        # re-derived from the frozen table itself, across the whole
+        # lifecycle (clean -> retracted -> fully-dead -> compacted)
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        t = "t_attr_health"
+        for x in (t, t + "__tombstones", t + "__compact_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        try:
+            dedup.freeze_band_index_attributed(
+                self._corpus(spark), "doc_id", "text", t, num_buckets=8
+            )
+            base = spark.table(t)
+            total = base.count()
+            d1 = base.filter(F.col("doc_id") == 1).count()
+            assert total > d1 > 0
+
+            def health():
+                return dedup.band_index_health(spark, t, "doc_id").collect()[0]
+
+            h0 = health()
+            assert (
+                h0.index_rows, h0.dead_rows, h0.live_rows, h0.live_docs,
+                h0.retracted_docs, h0.recommend_compact,
+            ) == (total, 0, total, 2, 0, False)
+            assert h0.dead_frac == 0.0 and h0.max_key_docs >= 1
+
+            ids1 = spark.createDataFrame([(1,)], "doc_id long")
+            dedup.retract_from_band_index(spark, t, ids1, "doc_id")
+            h1 = health()
+            assert (
+                h1.index_rows, h1.dead_rows, h1.live_rows, h1.live_docs,
+                h1.retracted_docs,
+            ) == (total, d1, total - d1, 1, 1)
+            assert abs(h1.dead_frac - d1 / total) < 1e-6
+            assert h1.recommend_compact is True  # 50% dead >= 0.2
+            # threshold is a knob: above the actual fraction -> False
+            h1b = dedup.band_index_health(
+                spark, t, "doc_id", compact_threshold=0.9
+            ).collect()[0]
+            assert h1b.recommend_compact is False
+
+            # fully-dead index: live-side aggregates hit their empty
+            # branches (coalesce'd max, zero keys) instead of NULLs
+            dedup.retract_from_band_index(
+                spark, t, spark.createDataFrame([(2,)], "doc_id long"),
+                "doc_id",
+            )
+            h2 = health()
+            assert (
+                h2.live_rows, h2.live_docs, h2.live_keys, h2.max_key_docs,
+            ) == (0, 0, 0, 0)
+            assert h2.dead_frac == 1.0 and h2.recommend_compact is True
+
+            # forget both retractions, retract ONLY doc 1, compact:
+            # census reads clean again over doc 2's surviving rows
+            spark.sql(f"DROP TABLE IF EXISTS {t}__tombstones")
+            dedup.retract_from_band_index(spark, t, ids1, "doc_id")
+            dedup.compact_band_index_attributed(spark, t, "doc_id")
+            h3 = health()
+            assert (
+                h3.index_rows, h3.dead_rows, h3.live_docs, h3.retracted_docs,
+                h3.recommend_compact,
+            ) == (total - d1, 0, 1, 0, False)
+        finally:
+            for x in (t, t + "__tombstones", t + "__compact_tmp"):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
+            spark.catalog.clearCache()
+
     def test_shared_band_key_keeps_gating_after_retraction(self, spark):
         # THE case attribution exists for: docs 1 and 2 are near-twins
         # (shared band keys). Retracting doc 1 must NOT stop those keys

@@ -125,6 +125,8 @@ QUERIES = [
     "dedup_retraction",
     "dedup_attribution",
     "ann_retraction",
+    # the MONITOR leg: census cost must stay cadence-cheap
+    "index_health",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
