@@ -1568,65 +1568,13 @@ def band_index_health(
     count on bk that rides the existing bucketing, and three 1-row
     aggregates joined by broadcast. Nothing corpus-sized moves.
 
-    Reference parity: the ops-visibility analog of fsck + `dfs -count`
-    (src/hdfs/org/apache/hadoop/hdfs/server/namenode/NamenodeFsck.java,
-    src/core/org/apache/hadoop/fs/FsShell.java count) — surface the
-    dead-weight a deletion left behind so the operator knows when to
-    reclaim, instead of discovering it as probe-time cost."""
+    Shared mechanics: tombstones.health — the media-band and IVF
+    indexes expose the same census through
+    multimodal.media_index_health / similarity.ivf_index_health."""
     from . import tombstones
 
     _require_attributed(spark, table_name, id_col)
-    base = spark.table(table_name)
-    tomb_name = tombstones.tombstone_table(table_name)
-    if spark.catalog.tableExists(tomb_name):
-        tomb = spark.table(tomb_name)
-    else:
-        tomb = base.select(id_col).limit(0)
-    flagged = base.join(
-        F.broadcast(tomb.select(F.col(id_col).alias("_tid"))),
-        F.col(id_col) == F.col("_tid"),
-        "left",
-    ).select(
-        "bk", id_col, F.col("_tid").isNotNull().alias("dead")
-    )
-    row_stats = flagged.agg(
-        F.count("*").alias("index_rows"),
-        F.coalesce(
-            F.sum(F.col("dead").cast("long")), F.lit(0).cast("long")
-        ).alias("dead_rows"),
-        F.count_distinct(
-            F.when(~F.col("dead"), F.col(id_col))
-        ).alias("live_docs"),
-    )
-    key_stats = (
-        flagged.filter(~F.col("dead"))
-        .groupBy("bk")
-        .agg(F.count("*").alias("_kn"))
-        .agg(
-            F.count("*").alias("live_keys"),
-            F.coalesce(
-                F.max("_kn"), F.lit(0).cast("long")
-            ).alias("max_key_docs"),
-        )
-    )
-    retr = tomb.agg(F.count("*").alias("retracted_docs"))
-    frac = F.try_divide(
-        F.col("dead_rows").cast("double"), F.col("index_rows").cast("double")
-    )
-    return (
-        row_stats.join(F.broadcast(key_stats))
-        .join(F.broadcast(retr))
-        .select(
-            "index_rows",
-            "dead_rows",
-            (F.col("index_rows") - F.col("dead_rows")).alias("live_rows"),
-            F.round(frac, 6).alias("dead_frac"),
-            "live_docs",
-            "retracted_docs",
-            "live_keys",
-            "max_key_docs",
-            F.coalesce(
-                frac >= F.lit(float(compact_threshold)), F.lit(False)
-            ).alias("recommend_compact"),
-        )
+    return tombstones.health(
+        spark, table_name, id_col, ["bk"],
+        compact_threshold=compact_threshold,
     )

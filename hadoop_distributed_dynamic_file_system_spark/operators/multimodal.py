@@ -1013,6 +1013,33 @@ def compact_media_index_attributed(
     tombstones.compact(spark, table_name, id_col)
 
 
+def media_index_health(
+    spark: SparkSession,
+    table_name: str,
+    id_col: str = "doc_id",
+    compact_threshold: float = 0.2,
+) -> DataFrame:
+    """One-row health census of an attributed media index — the
+    MONITOR leg (tombstones.health with the media key (mbk, mcode)):
+    dead vs live rows, tombstone size, hottest live perceptual code
+    (a spacer-pixel/logo-degenerate code shows up as max_key_docs
+    first), and the compact-cadence recommendation. Raises the same
+    re-freeze pointer as retraction when the index lacks attribution."""
+    from . import tombstones
+
+    cols = spark.table(table_name).columns
+    if id_col not in cols:
+        raise ValueError(
+            f"media index {table_name} has columns {cols} — no attribution "
+            f"column {id_col!r}. The health census needs per-code ownership:"
+            " re-freeze with freeze_media_index_attributed."
+        )
+    return tombstones.health(
+        spark, table_name, id_col, ["mbk", "mcode"],
+        compact_threshold=compact_threshold,
+    )
+
+
 def ahash_near_pairs(
     binaries: DataFrame,
     max_hamming: int = 4,

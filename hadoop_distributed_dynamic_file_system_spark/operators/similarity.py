@@ -248,6 +248,27 @@ def compact_ivf_index(
     tombstones.compact(spark, table_name, id_col)
 
 
+def ivf_index_health(
+    spark,
+    table_name: str,
+    id_col: str = "vec_id",
+    compact_threshold: float = 0.2,
+) -> DataFrame:
+    """One-row health census of a served IVF index — the MONITOR leg
+    (tombstones.health keyed on centroid_id): dead vs live rows,
+    tombstone size, live cell count and the hottest live cell
+    (max_key_docs here is serving skew — the cell every nprobe route
+    pays for), and the compact-cadence recommendation. No attribution
+    prerequisite: inverted-list rows carry their vector id by
+    construction."""
+    from . import tombstones
+
+    return tombstones.health(
+        spark, table_name, id_col, ["centroid_id"],
+        compact_threshold=compact_threshold,
+    )
+
+
 def ivf_topk_indexed(
     spark,
     table_name: str,

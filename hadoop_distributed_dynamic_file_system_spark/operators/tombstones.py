@@ -148,3 +148,101 @@ def ensure(spark: SparkSession, table_name: str, id_col: str) -> None:
 
     skew._remove_orphan_table_dir(spark, tomb)
     spark.table(table_name).select(id_col).limit(0).write.saveAsTable(tomb)
+
+
+def health(
+    spark: SparkSession,
+    table_name: str,
+    id_col: str,
+    key_cols: list[str],
+    compact_threshold: float = 0.2,
+) -> DataFrame:
+    """One-row health census of a retractable frozen index — the
+    MONITOR leg of the day-2 lifecycle, shared by every index modality
+    (text bands key_cols=["bk"], media bands ["mbk", "mcode"], IVF
+    inverted lists ["centroid_id"]). An ops pipeline runs it on a
+    cadence to decide WHEN to pay the corpus-sized compaction rewrite,
+    the way lsh_bucket_stats decides whether a candidate join is
+    affordable BEFORE paying it.
+
+    Columns (all scalars, one row):
+      index_rows     total rows in the frozen base
+      dead_rows      rows owned by a tombstoned id — anti-join work
+                     every probe repays until a compact folds it away
+      live_rows      index_rows - dead_rows
+      dead_frac      dead_rows / index_rows (NULL on an empty index)
+      live_docs      distinct live ids still gating / served
+      retracted_docs tombstone-table size — the broadcast every probe
+                     plan carries
+      live_keys      distinct key_cols groups still live (occupied
+                     bands / perceptual codes / IVF cells)
+      max_key_docs   largest live group (skew probe: a boilerplate-
+                     degenerate band or a hot IVF cell shows up first)
+      recommend_compact  dead_frac >= compact_threshold — the cadence
+                     signal for the modality's compact_* call
+
+    Scale shape: one scan of the frozen base (bucketed layout intact —
+    the tombstone join broadcasts, adding no Exchange), one grouped
+    count on key_cols that rides the existing bucketing when key_cols
+    lead with the bucket column, and three 1-row aggregates joined by
+    broadcast. Nothing corpus-sized moves.
+
+    Reference parity: the ops-visibility analog of fsck + `dfs -count`
+    (src/hdfs/org/apache/hadoop/hdfs/server/namenode/NamenodeFsck.java,
+    src/core/org/apache/hadoop/fs/FsShell.java count) — surface the
+    dead weight a deletion left behind so the operator knows when to
+    reclaim it, instead of discovering it as probe-time cost."""
+    base = spark.table(table_name)
+    tomb_name = tombstone_table(table_name)
+    if spark.catalog.tableExists(tomb_name):
+        tomb = spark.table(tomb_name)
+    else:
+        tomb = base.select(id_col).limit(0)
+    flagged = base.join(
+        F.broadcast(tomb.select(F.col(id_col).alias("_tid"))),
+        F.col(id_col) == F.col("_tid"),
+        "left",
+    ).select(
+        *key_cols, id_col, F.col("_tid").isNotNull().alias("dead")
+    )
+    row_stats = flagged.agg(
+        F.count("*").alias("index_rows"),
+        F.coalesce(
+            F.sum(F.col("dead").cast("long")), F.lit(0).cast("long")
+        ).alias("dead_rows"),
+        F.count_distinct(
+            F.when(~F.col("dead"), F.col(id_col))
+        ).alias("live_docs"),
+    )
+    key_stats = (
+        flagged.filter(~F.col("dead"))
+        .groupBy(*key_cols)
+        .agg(F.count("*").alias("_kn"))
+        .agg(
+            F.count("*").alias("live_keys"),
+            F.coalesce(
+                F.max("_kn"), F.lit(0).cast("long")
+            ).alias("max_key_docs"),
+        )
+    )
+    retr = tomb.agg(F.count("*").alias("retracted_docs"))
+    frac = F.try_divide(
+        F.col("dead_rows").cast("double"), F.col("index_rows").cast("double")
+    )
+    return (
+        row_stats.join(F.broadcast(key_stats))
+        .join(F.broadcast(retr))
+        .select(
+            "index_rows",
+            "dead_rows",
+            (F.col("index_rows") - F.col("dead_rows")).alias("live_rows"),
+            F.round(frac, 6).alias("dead_frac"),
+            "live_docs",
+            "retracted_docs",
+            "live_keys",
+            "max_key_docs",
+            F.coalesce(
+                frac >= F.lit(float(compact_threshold)), F.lit(False)
+            ).alias("recommend_compact"),
+        )
+    )

@@ -1203,6 +1203,56 @@ class TestAttributedMediaIndexRetraction:
                 spark.sql(f"DROP TABLE IF EXISTS {x}")
             spark.catalog.clearCache()
 
+    def test_media_index_health_census(self, spark):
+        # MONITOR leg, media modality: scalars re-derived from the
+        # frozen table; max_key_docs sees the shared (mbk, mcode)
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        t = "t_attr_media_health"
+        for x in (t, t + "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        frozen = spark.createDataFrame(
+            [
+                (1, 0x1111222233334444),
+                (2, 0x1111222233334444),  # exact re-upload: shared code
+                (3, 0x0000FFFF0000FFFF),
+            ],
+            "doc_id long, ahash long",
+        )
+        try:
+            mm.freeze_media_index_attributed(frozen, t, num_buckets=8)
+            base = spark.table(t)
+            total = base.count()
+            d1 = base.filter(F.col("doc_id") == 1).count()
+            h0 = mm.media_index_health(spark, t).collect()[0]
+            assert (
+                h0.index_rows, h0.dead_rows, h0.live_docs,
+                h0.retracted_docs, h0.recommend_compact,
+            ) == (total, 0, 3, 0, False)
+            # docs 1+2 share every (mbk, mcode): hottest group is 2
+            assert h0.max_key_docs == 2
+            mm.retract_from_media_index(
+                spark, t, spark.createDataFrame([(1,)], "doc_id long")
+            )
+            h1 = mm.media_index_health(spark, t).collect()[0]
+            assert (
+                h1.index_rows, h1.dead_rows, h1.live_rows, h1.live_docs,
+                h1.retracted_docs,
+            ) == (total, d1, total - d1, 2, 1)
+            # the shared codes are still live through doc 2, but no
+            # live group has two holders anymore
+            assert h1.max_key_docs == 1
+            assert h1.recommend_compact is (d1 / total >= 0.2)
+        finally:
+            for x in (t, t + "__tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
+            spark.catalog.clearCache()
+
     def test_unattributed_media_index_rejects_retraction(self, spark):
         import shutil
 
@@ -1224,6 +1274,10 @@ class TestAttributedMediaIndexRetraction:
                 mm.retract_from_media_index(
                     spark, t, spark.createDataFrame([(1,)], "doc_id long")
                 )
+            with pytest.raises(
+                ValueError, match="freeze_media_index_attributed"
+            ):
+                mm.media_index_health(spark, t)
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             spark.catalog.clearCache()

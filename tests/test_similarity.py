@@ -559,6 +559,48 @@ class TestIvfRetraction:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(os.path.join("spark-warehouse", t), ignore_errors=True)
 
+    def test_ivf_index_health_census(self, spark, embeddings):
+        # MONITOR leg, vector-store modality: scalars re-derived from
+        # the served inverted lists; max_key_docs is cell skew
+        cents = similarity.kmeans_fit(embeddings, k=4, iterations=2)
+        cents = cents.persist()
+        cents.count()
+        table = "ivf_health_test"
+        self._tables(spark, table)
+        try:
+            similarity.build_ivf_index(embeddings, cents, table, num_buckets=4)
+            base = spark.table(table)
+            total = base.count()
+            cells = base.select("centroid_id").distinct().count()
+            hottest = (
+                base.groupBy("centroid_id").count()
+                .agg(F.max("count")).collect()[0][0]
+            )
+            h0 = similarity.ivf_index_health(spark, table).collect()[0]
+            assert (
+                h0.index_rows, h0.dead_rows, h0.live_keys, h0.max_key_docs,
+                h0.retracted_docs, h0.recommend_compact,
+            ) == (total, 0, cells, hottest, 0, False)
+            # retract ~half the vectors: dead accounting + cadence fire
+            gone = embeddings.filter(F.col("vec_id") % 2 == 0)
+            n_gone = gone.count()
+            similarity.retract_from_ivf_index(spark, table, gone)
+            h1 = similarity.ivf_index_health(spark, table).collect()[0]
+            assert (h1.dead_rows, h1.retracted_docs) == (n_gone, n_gone)
+            assert h1.live_rows == total - n_gone
+            assert h1.recommend_compact is True
+            # compact folds them: clean census over the survivors
+            similarity.compact_ivf_index(spark, table)
+            h2 = similarity.ivf_index_health(spark, table).collect()[0]
+            assert (
+                h2.index_rows, h2.dead_rows, h2.retracted_docs,
+                h2.recommend_compact,
+            ) == (total - n_gone, 0, 0, False)
+        finally:
+            cents.unpersist()
+            self._tables(spark, table)
+            spark.catalog.clearCache()
+
     def test_topk_excludes_retracted_then_resurrects_then_compacts(
         self, spark, embeddings
     ):
