@@ -1563,10 +1563,10 @@ def band_index_health(
       recommend_compact  dead_frac >= compact_threshold — the cadence
                      signal for compact_band_index_attributed
 
-    Scale shape: one scan of the frozen base (bucketed layout intact,
-    no Exchange added by the broadcast tombstone join), one grouped
-    count on bk that rides the existing bucketing, and three 1-row
-    aggregates joined by broadcast. Nothing corpus-sized moves.
+    Scale shape: two bucketed scans of the frozen base (row census +
+    live key census; the per-bk count rides the bucketing with zero
+    Exchange), a doc-count-sized distinct shuffle for live_docs, and
+    three broadcast 1-row joins. Nothing index-sized shuffles.
 
     Shared mechanics: tombstones.health — the media-band and IVF
     indexes expose the same census through

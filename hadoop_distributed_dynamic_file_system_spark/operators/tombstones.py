@@ -181,11 +181,16 @@ def health(
       recommend_compact  dead_frac >= compact_threshold — the cadence
                      signal for the modality's compact_* call
 
-    Scale shape: one scan of the frozen base (bucketed layout intact —
-    the tombstone join broadcasts, adding no Exchange), one grouped
-    count on key_cols that rides the existing bucketing when key_cols
-    lead with the bucket column, and three 1-row aggregates joined by
-    broadcast. Nothing corpus-sized moves.
+    Scale shape: two scans of the frozen base (row census, live key
+    census — bucketed layout intact; the tombstone join broadcasts,
+    adding no Exchange). The per-key grouped count rides the existing
+    bucketing when key_cols lead with the bucket column (adjacent
+    partial/final HashAggregates, zero Exchange — plan above the
+    frozen scan stays shuffle-free), the only data-sized shuffle is
+    the distinct-live-id rewrite (doc-count-sized), and the three
+    1-row aggregates join by broadcast. A single-pass rollup would
+    trade the second scan for an index-sized distinct shuffle — worse
+    at 100 TB, where scans are cheaper than shuffles.
 
     Reference parity: the ops-visibility analog of fsck + `dfs -count`
     (src/hdfs/org/apache/hadoop/hdfs/server/namenode/NamenodeFsck.java,

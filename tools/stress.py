@@ -656,6 +656,14 @@ def main() -> None:
                     spark, sf_docs, "stress_frozen_attr",
                     "doc_id", "text")),
             )
+            # the MONITOR leg priced on the state it exists for (10%
+            # tombstoned): the cadence call must stay far below the
+            # compaction it schedules
+            bench(
+                "health_census_100x_tombstoned", base * 100,
+                lambda: noop(dedup.band_index_health(
+                    spark, "stress_frozen_attr", "doc_id")),
+            )
             bench(
                 "compact_fold_10pct_of_100x", base * 100,
                 lambda: dedup.compact_band_index_attributed(
@@ -870,6 +878,13 @@ def main() -> None:
         "meaningful readings are tombstoned/clean (~1.1x: the anti-join",
         "is near-free) and compact wall vs refreeze wall (layout rewrite",
         "vs signature recompute).",
+        "",
+        "`health_census_100x_tombstoned` prices the MONITOR leg on the",
+        "state it exists for (10% of the 100x index tombstoned): one",
+        "layout-preserving scans + a bucketing-riding count on bk, so the",
+        "cadence call that SCHEDULES compaction costs about one probe —",
+        "far below the corpus-sized fold it decides on. Normalized per",
+        "index row (n = the 100x index's source docs).",
         "",
         "`skew99_join_{plain,aqe,salted}_10m` rows = FACT rows, 99% on",
         "one key, dim non-broadcastable (threshold -1). Salted wins",
