@@ -913,6 +913,17 @@ class TestAttributedIndexRetraction:
 
             ids1 = spark.createDataFrame([(1,)], "doc_id long")
             dedup.retract_from_band_index(spark, t, ids1, "doc_id")
+            # scale pin: the live-key census rides the bucketing (no
+            # shuffle keyed on bk; the one shuffle Exchange is the
+            # doc-sized distinct-live-id rewrite) and the key-census
+            # scan stays bucketed
+            plan = (
+                dedup.band_index_health(spark, t, "doc_id")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "hashpartitioning(bk" not in plan
+            assert plan.count("Exchange hashpartitioning") == 1
+            assert "Bucketed: true" in plan
             h1 = health()
             assert (
                 h1.index_rows, h1.dead_rows, h1.live_rows, h1.live_docs,
