@@ -114,6 +114,10 @@ SHOWCASE = [
     ("dedup_retraction", "the DELETE leg: tombstones ride the frozen "
      "side as a broadcast anti-join (retraction-sized build side), "
      "so the probe keeps the frozen scan Exchange-free"),
+    ("index_health", "the MONITOR leg: the per-key census rides the "
+     "index bucketing (no shuffle keyed on bk — the one "
+     "hashpartitioning Exchange is the doc-sized distinct-live-id "
+     "rewrite); three 1-row aggregates join by broadcast"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the
