@@ -1250,6 +1250,16 @@ class TestAttributedMediaIndexRetraction:
             mm.retract_from_media_index(
                 spark, t, spark.createDataFrame([(1,)], "doc_id long")
             )
+            # scale pin: grouping on (mbk, mcode) is satisfied by the
+            # mbk bucketing (subset rule) — no shuffle keyed on mbk,
+            # one bucketed scan, only the doc-sized distinct shuffle
+            plan = (
+                mm.media_index_health(spark, t)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "hashpartitioning(mbk" not in plan
+            assert plan.count("Exchange hashpartitioning") == 1
+            assert "Bucketed: true" in plan
             h1 = mm.media_index_health(spark, t).collect()[0]
             assert (
                 h1.index_rows, h1.dead_rows, h1.live_rows, h1.live_docs,

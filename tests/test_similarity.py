@@ -585,6 +585,16 @@ class TestIvfRetraction:
             gone = embeddings.filter(F.col("vec_id") % 2 == 0)
             n_gone = gone.count()
             similarity.retract_from_ivf_index(spark, table, gone)
+            # scale pin: the cell census rides the centroid_id
+            # bucketing — no shuffle keyed on centroid_id, one
+            # bucketed scan, only the doc-sized distinct shuffle
+            plan = (
+                similarity.ivf_index_health(spark, table)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "hashpartitioning(centroid_id" not in plan
+            assert plan.count("Exchange hashpartitioning") == 1
+            assert "Bucketed: true" in plan
             h1 = similarity.ivf_index_health(spark, table).collect()[0]
             assert (h1.dead_rows, h1.retracted_docs) == (n_gone, n_gone)
             assert h1.live_rows == total - n_gone
