@@ -932,6 +932,20 @@ def freeze_media_index_attributed(
     tombstones.drop(codes.sparkSession, table_name)
 
 
+def _require_media_attributed(
+    spark: SparkSession, table_name: str, id_col: str, needs: str
+) -> None:
+    cols = spark.table(table_name).columns
+    if id_col not in cols:
+        raise ValueError(
+            f"media index {table_name} has columns {cols} — no attribution "
+            f"column {id_col!r}. {needs} needs per-code ownership: "
+            "re-freeze with freeze_media_index_attributed (an index frozen "
+            "by freeze_media_index_bucketed stores only (mbk, mcode) and "
+            "cannot be retracted from correctly)."
+        )
+
+
 def retract_from_media_index(
     spark: SparkSession,
     table_name: str,
@@ -946,15 +960,7 @@ def retract_from_media_index(
     when the index was frozen without attribution."""
     from . import tombstones
 
-    cols = spark.table(table_name).columns
-    if id_col not in cols:
-        raise ValueError(
-            f"media index {table_name} has columns {cols} — no attribution "
-            f"column {id_col!r}. Retraction needs per-code ownership: "
-            "re-freeze with freeze_media_index_attributed (an index frozen "
-            "by freeze_media_index_bucketed stores only (mbk, mcode) and "
-            "cannot be retracted from correctly)."
-        )
+    _require_media_attributed(spark, table_name, id_col, "Retraction")
     tombstones.add(spark, table_name, retract_ids, id_col)
 
 
@@ -1027,13 +1033,7 @@ def media_index_health(
     re-freeze pointer as retraction when the index lacks attribution."""
     from . import tombstones
 
-    cols = spark.table(table_name).columns
-    if id_col not in cols:
-        raise ValueError(
-            f"media index {table_name} has columns {cols} — no attribution "
-            f"column {id_col!r}. The health census needs per-code ownership:"
-            " re-freeze with freeze_media_index_attributed."
-        )
+    _require_media_attributed(spark, table_name, id_col, "The health census")
     return tombstones.health(
         spark, table_name, id_col, ["mbk", "mcode"],
         compact_threshold=compact_threshold,

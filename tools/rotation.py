@@ -22,7 +22,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    os.environ.setdefault("SPARK_GRAFT_NO_SPARK", "1")
     import __spark_entry__ as entry
 
     registered = list(entry.queries().keys())

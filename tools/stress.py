@@ -880,11 +880,11 @@ def main() -> None:
         "vs signature recompute).",
         "",
         "`health_census_100x_tombstoned` prices the MONITOR leg on the",
-        "state it exists for (10% of the 100x index tombstoned): one",
-        "layout-preserving scans + a bucketing-riding count on bk, so the",
-        "cadence call that SCHEDULES compaction costs about one probe —",
-        "far below the corpus-sized fold it decides on. Normalized per",
-        "index row (n = the 100x index's source docs).",
+        "state it exists for (10% of the 100x index tombstoned): two",
+        "layout-preserving scans of the frozen base (row census + live-key",
+        "census, the latter riding the bk bucketing), so the cadence call",
+        "that SCHEDULES compaction costs about one probe — far below the",
+        "corpus-sized fold it decides on. Normalized per index row (n = the 100x index's source docs).",
         "",
         "`skew99_join_{plain,aqe,salted}_10m` rows = FACT rows, 99% on",
         "one key, dim non-broadcastable (threshold -1). Salted wins",
