@@ -865,3 +865,85 @@ class TestBandedHammingCompleteness:
         }
         cache.release_all()
         assert got == model, (bits, max_h, n_bands)
+
+
+class TestIndexHealthProperties:
+    """tombstones.health vs a brute-force model: for ANY retraction
+    set (incl. empty, full, and ids absent from the index), every
+    scalar of the census must equal a recount over the frozen table's
+    actual rows. The fixture corpus plants near-twin pairs so band
+    keys are genuinely shared and live_keys/max_key_docs exercise the
+    holder-count semantics, not just per-doc rows."""
+
+    TABLE = "t_health_prop"
+
+    @pytest.fixture(scope="class")
+    def frozen_rows(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup,
+        )
+
+        for x in (self.TABLE, self.TABLE + "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        docs = []
+        for i in range(20):
+            if i % 2 == 1:
+                # near-twin of i-1: first word dropped -> shared bands
+                base = docs[-1][1]
+                docs.append((i, base.split(" ", 1)[1]))
+            else:
+                docs.append((
+                    i,
+                    f"alpha{i} bravo{i % 3} charlie delta echo{i % 5} "
+                    f"foxtrot golf hotel india{i % 7} juliet kilo",
+                ))
+        corpus = spark.createDataFrame(docs, "doc_id long, text string")
+        dedup.freeze_band_index_attributed(
+            corpus, "doc_id", "text", self.TABLE, num_buckets=8
+        )
+        rows = [
+            (r.bk, r.doc_id) for r in spark.table(self.TABLE).collect()
+        ]
+        assert rows
+        yield rows
+        for x in (self.TABLE, self.TABLE + "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+        spark.catalog.clearCache()
+
+    @settings(max_examples=8, deadline=None)
+    @given(retract=st.sets(st.integers(0, 25), max_size=26))
+    def test_census_matches_model(self, spark, frozen_rows, retract):
+        from collections import Counter
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup, tombstones,
+        )
+
+        tombstones.drop(spark, self.TABLE)
+        if retract:
+            dedup.retract_from_band_index(
+                spark, self.TABLE,
+                spark.createDataFrame(
+                    [(i,) for i in sorted(retract)], "doc_id long"
+                ),
+                "doc_id",
+            )
+        h = dedup.band_index_health(spark, self.TABLE, "doc_id").collect()[0]
+        live = [(bk, d) for bk, d in frozen_rows if d not in retract]
+        index_rows = len(frozen_rows)
+        dead_rows = index_rows - len(live)
+        key_counts = Counter(bk for bk, _ in live)
+        assert (
+            h.index_rows, h.dead_rows, h.live_rows, h.live_docs,
+            h.retracted_docs, h.live_keys, h.max_key_docs,
+        ) == (
+            index_rows, dead_rows, len(live),
+            len({d for _, d in live}), len(retract),
+            len(key_counts),
+            max(key_counts.values()) if key_counts else 0,
+        ), sorted(retract)
+        assert abs(h.dead_frac - dead_rows / index_rows) < 1e-6
+        assert h.recommend_compact is (dead_rows / index_rows >= 0.2)
