@@ -203,6 +203,9 @@ HEADLINE = [
     # round-9: the MONITOR leg — the ops census an operator runs to
     # schedule compaction; priced so the cadence call stays cheap
     "index_health",
+    # round-9: RESURRECTION (retract -> re-add clears tombstones);
+    # cost shape = dedup_retraction + one batch-sized extend
+    "dedup_resurrection",
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

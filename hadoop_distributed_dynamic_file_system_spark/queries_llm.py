@@ -2282,6 +2282,75 @@ def dedup_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_resurrection",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    batchd AS (
+      SELECT doc_id + 100000 AS doc_id,
+             regexp_replace(text, '^\\S+\\s*', '') AS text
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    ),
+    csigs AS ({_minhash_sql(8, "corpus")}),
+    bsigs AS ({_minhash_sql(8, "batchd")}),
+    -- live = held by a never-retracted doc (% 4 != 0) OR by a
+    -- retracted-then-re-added doc (% 8 = 0 — the resurrected half)
+    live AS (
+      SELECT DISTINCT band, bkey FROM ({_band_keys_sql("csigs")})
+      WHERE bkey IS NOT NULL AND (doc_id % 4 != 0 OR doc_id % 8 = 0)
+    ),
+    bbands AS ({_band_keys_sql("bsigs")}),
+    hits AS (
+      SELECT DISTINCT doc_id FROM bbands JOIN live USING (band, bkey)
+    )
+    SELECT doc_id FROM batchd WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def dedup_resurrection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESURRECTION — the lifecycle transition between DELETE and
+    APPEND: freeze the even half-corpus attributed, retract the
+    doc_id % 4 = 0 half, then RE-ADD the doc_id % 8 = 0 half of the
+    retracted docs via extend_band_index_attributed (re-ingestion
+    clears their tombstones — the index records what the corpus
+    holds, not policy; an erasure pipeline that must keep a doc out
+    forever gates the feed upstream). Probing mutated copies of every
+    frozen doc plus the novel odd half must now see: copies of
+    resurrected docs DROP again, copies of still-retracted docs
+    survive, never-retracted gating unchanged. The oracle recomputes
+    key liveness with the resurrection predicate, so an engine that
+    fails to clear tombstones on re-add (copies survive) OR clears
+    too many (still-retracted copies drop) fails on row count. With
+    index_health this driver-pins every lifecycle transition:
+    create/read/append/delete/resurrect/monitor/compact-fold."""
+    import re as _re
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batchd = (
+        corpus.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+        )
+        .unionByName(d.filter(F.col("doc_id") % 2 == 1))
+    )
+    t = "dedup_resurrect_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    dedup.freeze_band_index_attributed(corpus, "doc_id", "text", t)
+    dedup.retract_from_band_index(
+        spark, t, corpus.filter(F.col("doc_id") % 4 == 0), "doc_id"
+    )
+    dedup.extend_band_index_attributed(
+        spark, corpus.filter(F.col("doc_id") % 8 == 0),
+        t, "doc_id", "text",
+    )
+    return dedup.incremental_near_dedup_attributed(
+        spark, batchd, t, "doc_id", "text"
+    ).select("doc_id")
+
+
+@query(
     "index_health",
     f"""
     WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),

@@ -127,6 +127,9 @@ QUERIES = [
     "ann_retraction",
     # the MONITOR leg: census cost must stay cadence-cheap
     "index_health",
+    # dedup_resurrection is oracle-checked + benched but NOT scaled:
+    # its cost decomposes into dedup_retraction (above) + one
+    # batch-sized extend (priced in STRESS extend_append_1x_into_100x)
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
