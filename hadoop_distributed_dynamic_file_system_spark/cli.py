@@ -292,6 +292,29 @@ def cmd_export_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_maintain(args: argparse.Namespace) -> int:
+    """Daemon tick over one or more frozen indexes (the reference's
+    DynamicReplicationMonitor analog, FSNamesystem.java:4389-4560 —
+    policy signal read and acted on by the system, not the operator).
+    Prints one JSON decision record per table; exit 0 when every tick
+    succeeded, 1 if any spec errored."""
+    from .operators.maintenance import maintain_indexes
+
+    specs = [
+        {
+            "table_name": t,
+            "modality": args.modality,
+            "id_col": args.id_col,
+            "compact_threshold": args.threshold,
+        }
+        for t in args.tables
+    ]
+    records = maintain_indexes(_spark(), specs, dry_run=args.dry_run)
+    for r in records:
+        print(json.dumps(r, default=str))
+    return 1 if any(r["action"] == "error" for r in records) else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hddfs-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -363,6 +386,21 @@ def build_parser() -> argparse.ArgumentParser:
     he.add_argument("data_dir")
     he.add_argument("query", nargs="*")
     he.set_defaults(fn=cmd_heat)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="index maintenance tick: census, compact if recommended",
+    )
+    mt.add_argument("tables", nargs="+",
+                    help="catalog table name(s) of frozen indexes")
+    mt.add_argument("--modality", default="band",
+                    choices=["band", "media", "ivf"])
+    mt.add_argument("--id-col", dest="id_col", default=None)
+    mt.add_argument("--threshold", type=float, default=0.2,
+                    help="dead_frac at which compaction fires")
+    mt.add_argument("--dry-run", dest="dry_run", action="store_true",
+                    help="report decisions without compacting")
+    mt.set_defaults(fn=cmd_maintain)
     return p
 
 

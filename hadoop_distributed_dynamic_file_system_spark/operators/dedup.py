@@ -1367,12 +1367,6 @@ def freeze_band_index_attributed(
     tombstones.drop(corpus.sparkSession, table_name)
 
 
-def _tombstone_table(table_name: str) -> str:
-    from . import tombstones
-
-    return tombstones.tombstone_table(table_name)
-
-
 def _require_attributed(spark: SparkSession, table_name: str, id_col: str):
     cols = spark.table(table_name).columns
     if id_col not in cols:

@@ -1,0 +1,185 @@
+"""Maintenance actor over retractable frozen indexes — the DAEMON leg
+of the day-2 lifecycle.
+
+Round 9 gave every index modality a MONITOR (the one-row
+tombstones.health census with its `recommend_compact` cadence signal)
+and a corpus-sized compaction to retire dead rows. What was still
+missing is the thing that makes the reference fork novel: its
+DynamicReplicationMonitor is a *daemon* that reads its own policy
+signal and ACTS on it (FSNamesystem.java:4389-4560 computes the
+EWMA heat and the monitor thread promotes/demotes replication by
+itself; FSDirectory.java:1365-1373 wires the policy into the
+namespace) — the operator never re-replicates by hand. This module is
+that actor for index state: read the census, and when the signal
+fires, pay the fold.
+
+`maintain_index` is ONE maintenance tick for one index;
+`maintain_indexes` sweeps a fleet of them — the loop body a scheduler
+(cron / Airflow / a Structured Streaming foreachBatch hook) runs on
+whatever cadence the ingest pipeline's quiet window allows. The tick
+itself is census-priced (two bucketed scans + broadcast 1-row joins,
+see tombstones.health) unless it decides to compact, which is the
+whole point: the expensive rewrite happens exactly when the policy
+says it pays for itself, never on a blind schedule.
+
+Scale shape: the only driver-side materialization is the ONE-row
+census collect — bounded by construction. The compaction it may
+trigger is skew.compact_bucketed's staged swap (crash-safe: re-running
+the tick IS the recovery path). Quiescence caveat inherited from
+compact_bucketed: pause live streaming gates probing the table around
+a fired tick, or schedule ticks in the ingest quiet window.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+logger = logging.getLogger(__name__)
+
+
+def _band_health(spark, table, id_col, thr):
+    from . import dedup
+
+    return dedup.band_index_health(spark, table, id_col, compact_threshold=thr)
+
+
+def _band_compact(spark, table, id_col):
+    from . import dedup
+
+    dedup.compact_band_index_attributed(spark, table, id_col)
+
+
+def _media_health(spark, table, id_col, thr):
+    from . import multimodal
+
+    return multimodal.media_index_health(
+        spark, table, id_col, compact_threshold=thr
+    )
+
+
+def _media_compact(spark, table, id_col):
+    from . import multimodal
+
+    multimodal.compact_media_index_attributed(spark, table, id_col)
+
+
+def _ivf_health(spark, table, id_col, thr):
+    from . import similarity
+
+    return similarity.ivf_index_health(
+        spark, table, id_col, compact_threshold=thr
+    )
+
+
+def _ivf_compact(spark, table, id_col):
+    from . import similarity
+
+    similarity.compact_ivf_index(spark, table, id_col)
+
+
+# modality -> (health_fn, compact_fn, default id column). Routed
+# through the modality entry points — not tombstones.health directly —
+# so their guards (attribution required for band/media retractability)
+# apply to the daemon path exactly as they do to a hand-run census.
+MODALITIES: dict[str, tuple[Any, Any, str]] = {
+    "band": (_band_health, _band_compact, "doc_id"),
+    "media": (_media_health, _media_compact, "doc_id"),
+    "ivf": (_ivf_health, _ivf_compact, "vec_id"),
+}
+
+
+def maintain_index(
+    spark: SparkSession,
+    table_name: str,
+    modality: str = "band",
+    id_col: str | None = None,
+    compact_threshold: float = 0.2,
+    dry_run: bool = False,
+) -> dict:
+    """One maintenance tick: census the index, and if the census
+    recommends compaction, fold the tombstones into the base (unless
+    `dry_run`, which reports the decision without acting — the
+    pre-flight an operator runs before granting the daemon a fleet).
+
+    Returns the decision record — every census scalar plus:
+      action   'compacted'      signal fired and the fold ran
+               'would_compact'  signal fired, dry_run held the fold
+               'healthy'        signal quiet, nothing to do
+    and echoes table/modality/threshold so a fleet sweep's records are
+    self-describing. One log line per decision (the daemon's audit
+    trail, same role as the reference monitor's allocation log).
+
+    The census is collected BEFORE acting, so the record shows the
+    state that justified the decision, not the post-fold state; a
+    retraction landing between census and fold is simply picked up by
+    the next tick. Idempotent: a fired tick drops the tombstone table,
+    so the next tick reads dead_frac 0 and reports 'healthy'."""
+    if modality not in MODALITIES:
+        raise ValueError(
+            f"unknown index modality {modality!r} — one of "
+            f"{sorted(MODALITIES)}"
+        )
+    health_fn, compact_fn, default_id = MODALITIES[modality]
+    if id_col is None:
+        id_col = default_id
+    census = health_fn(spark, table_name, id_col, compact_threshold)
+    row = census.collect()[0]  # one row by construction — bounded
+    record = {
+        "table": table_name,
+        "modality": modality,
+        "id_col": id_col,
+        "compact_threshold": float(compact_threshold),
+        **row.asDict(),
+    }
+    if row["recommend_compact"]:
+        if dry_run:
+            record["action"] = "would_compact"
+        else:
+            compact_fn(spark, table_name, id_col)
+            record["action"] = "compacted"
+    else:
+        record["action"] = "healthy"
+    logger.info(
+        "maintain_index %s (%s): dead_frac=%s dead_rows=%s "
+        "retracted_docs=%s -> %s",
+        table_name,
+        modality,
+        record["dead_frac"],
+        record["dead_rows"],
+        record["retracted_docs"],
+        record["action"],
+    )
+    return record
+
+
+def maintain_indexes(
+    spark: SparkSession,
+    specs: list[dict],
+    dry_run: bool = False,
+) -> list[dict]:
+    """Fleet sweep: one maintenance tick per spec, in order. Each spec
+    is maintain_index kwargs (`table_name` required; `modality`,
+    `id_col`, `compact_threshold` optional). A spec that raises (e.g.
+    an unattributed media index) is recorded as action='error' with
+    the message instead of aborting the sweep — a daemon that dies on
+    the first sick index never reaches the healthy ones."""
+    records = []
+    for spec in specs:
+        try:
+            records.append(maintain_index(spark, dry_run=dry_run, **spec))
+        except Exception as exc:  # noqa: BLE001 — sweep must survive
+            logger.warning(
+                "maintain_index %s failed: %s", spec.get("table_name"), exc
+            )
+            records.append(
+                {
+                    "table": spec.get("table_name"),
+                    "modality": spec.get("modality", "band"),
+                    "action": "error",
+                    "error": str(exc),
+                }
+            )
+    return records

@@ -150,6 +150,52 @@ class TestCli:
         assert {r["table"] for r in lines} >= {"nation", "orders"}
         spark.catalog.clearCache()
 
+    def test_maintain_cli(self, spark, capsys):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup,
+        )
+        from pyspark.sql import functions as F
+
+        t = "t_cli_maint"
+        for x in (t, t + "__tombstones", t + "__compact_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "an entirely different sentence about storage layers"),
+            ],
+            "doc_id long, text string",
+        )
+        try:
+            dedup.freeze_band_index_attributed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            dedup.retract_from_band_index(
+                spark, t,
+                corpus.filter(F.col("doc_id") == 1).select("doc_id"),
+                "doc_id",
+            )
+            # dry-run: decision reported, tombstones untouched
+            assert cli.main(["maintain", t, "--dry-run"]) == 0
+            rec = json.loads(capsys.readouterr().out.splitlines()[-1])
+            assert rec["action"] == "would_compact"
+            assert spark.catalog.tableExists(t + "__tombstones")
+            # real tick compacts; a second table that errors flips the
+            # exit code but does not block the healthy one
+            assert cli.main(["maintain", t, "t_cli_maint_missing"]) == 1
+            recs = [
+                json.loads(l) for l in capsys.readouterr().out.splitlines()
+            ]
+            assert [r["action"] for r in recs] == ["compacted", "error"]
+            assert not spark.catalog.tableExists(t + "__tombstones")
+        finally:
+            for x in (t, t + "__tombstones", t + "__compact_tmp"):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
+            spark.catalog.clearCache()
+
     def test_fs_text_decodes_sequencefile(self, spark, tmp_path, capsys):
         path = str(tmp_path / "seqt")
         spark.sparkContext.parallelize([("a", "1"), ("b", "2")], 1).saveAsSequenceFile(path)

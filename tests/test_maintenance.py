@@ -1,0 +1,188 @@
+"""Maintenance actor (operators/maintenance.py) — the DAEMON leg.
+
+Pins the round-10 contract: a tick compacts EXACTLY when the census
+recommends it, dry-run reports without acting, probes see identical
+survivors before and after a fired tick, a fired tick is idempotent
+(the next one reads 'healthy'), and the fleet sweep survives a sick
+index instead of dying on it."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_distributed_dynamic_file_system_spark.operators import (
+    dedup,
+    maintenance,
+    similarity,
+    skew,
+)
+
+
+def _drop(spark, t):
+    for x in (t, t + "__tombstones", t + "__compact_tmp",
+              t + "__tombstones__swap"):
+        spark.sql(f"DROP TABLE IF EXISTS {x}")
+        shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the bank"),
+    (2, "an entirely different sentence about distributed systems today"),
+]
+BATCH = [
+    (101, "quick brown fox jumps over the lazy dog near the bank"),
+    (102, "entirely different sentence about distributed systems today"),
+    (999, "totally novel content with no shingle overlap whatsoever"),
+]
+
+
+class TestMaintainBandIndex:
+    def _freeze(self, spark, t):
+        _drop(spark, t)
+        corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        dedup.freeze_band_index_attributed(
+            corpus, "doc_id", "text", t, num_buckets=8
+        )
+        return corpus
+
+    def _survivors(self, spark, t):
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        return {
+            r.doc_id
+            for r in dedup.incremental_near_dedup_attributed(
+                spark, batch, t, "doc_id", "text"
+            ).collect()
+        }
+
+    def test_tick_fires_exactly_when_recommended(self, spark):
+        t = "t_maint_band"
+        self._freeze(spark, t)
+        try:
+            # healthy index: tick is a no-op census
+            r0 = maintenance.maintain_index(spark, t, "band")
+            assert r0["action"] == "healthy"
+            assert r0["dead_rows"] == 0 and r0["recommend_compact"] is False
+            assert not spark.catalog.tableExists(t + "__tombstones")
+
+            # retract doc 1 (~half the rows dead >= default 0.2)
+            dedup.retract_from_band_index(
+                spark, t, spark.createDataFrame([(1,)], "doc_id long"),
+                "doc_id",
+            )
+            before = self._survivors(spark, t)
+
+            # threshold is honored: above the actual fraction -> no fire
+            r1 = maintenance.maintain_index(
+                spark, t, "band", compact_threshold=0.9
+            )
+            assert r1["action"] == "healthy"
+            assert spark.catalog.tableExists(t + "__tombstones")
+
+            # dry-run: decision reported, nothing acted on
+            r2 = maintenance.maintain_index(spark, t, "band", dry_run=True)
+            assert r2["action"] == "would_compact"
+            assert r2["recommend_compact"] is True and r2["dead_rows"] > 0
+            assert spark.catalog.tableExists(t + "__tombstones")
+
+            # real tick: compaction fires, tombstones fold away
+            r3 = maintenance.maintain_index(spark, t, "band")
+            assert r3["action"] == "compacted"
+            assert not spark.catalog.tableExists(t + "__tombstones")
+            # probe-equivalence across the fired tick
+            assert self._survivors(spark, t) == before == {101, 999}
+            # the fold kept only live rows and the bucketed layout
+            assert spark.table(t).filter(F.col("doc_id") == 1).count() == 0
+            assert skew.bucket_spec(spark, t) == (["bk"], 8)
+
+            # idempotent: next tick reads the folded index as healthy
+            r4 = maintenance.maintain_index(spark, t, "band")
+            assert r4["action"] == "healthy" and r4["dead_rows"] == 0
+            # decision records are self-describing for fleet logs
+            assert (r3["table"], r3["modality"], r3["id_col"]) == (
+                t, "band", "doc_id"
+            )
+        finally:
+            _drop(spark, t)
+            spark.catalog.clearCache()
+
+    def test_unknown_modality_raises(self, spark):
+        with pytest.raises(ValueError, match="modality"):
+            maintenance.maintain_index(spark, "whatever", "bogus")
+
+    def test_sweep_survives_sick_index(self, spark):
+        # fleet sweep: an unattributed index errors (its guard applies
+        # to the daemon path too) without aborting the healthy ticks
+        # after it.
+        t_ok, t_bad = "t_maint_ok", "t_maint_bad"
+        self._freeze(spark, t_ok)
+        _drop(spark, t_bad)
+        corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        dedup.freeze_band_index_bucketed(
+            corpus, "doc_id", "text", t_bad, num_buckets=8
+        )  # key-only: not retractable, census must refuse
+        try:
+            dedup.retract_from_band_index(
+                spark, t_ok,
+                spark.createDataFrame([(1,)], "doc_id long"), "doc_id",
+            )
+            recs = maintenance.maintain_indexes(
+                spark,
+                [
+                    {"table_name": t_bad, "modality": "band"},
+                    {"table_name": t_ok, "modality": "band"},
+                ],
+            )
+            assert [r["action"] for r in recs] == ["error", "compacted"]
+            assert "attribution" in recs[0]["error"]
+            assert not spark.catalog.tableExists(t_ok + "__tombstones")
+        finally:
+            _drop(spark, t_ok)
+            _drop(spark, t_bad)
+            spark.catalog.clearCache()
+
+
+class TestMaintainIvfIndex:
+    def test_tick_compacts_served_ivf(self, spark):
+        t = "t_maint_ivf"
+        _drop(spark, t)
+        vecs = spark.createDataFrame(
+            [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = similarity.kmeans_fit(vecs, k=2, iterations=2)
+        cents = cents.persist()
+        cents.count()
+        try:
+            similarity.build_ivf_index(vecs, cents, t, num_buckets=4)
+            similarity.retract_from_ivf_index(
+                spark, t,
+                spark.createDataFrame(
+                    [(i,) for i in range(0, 20, 2)], "vec_id long"
+                ),
+            )
+            qs = vecs.filter(F.col("vec_id") < 2)
+            before = sorted(
+                (r.query_id, r.vec_id, r.score, r.rk)
+                for r in similarity.ivf_topk_indexed(
+                    spark, t, qs, cents, k=3, nprobe=2
+                ).collect()
+            )
+            rec = maintenance.maintain_index(spark, t, "ivf")
+            assert rec["action"] == "compacted"
+            assert rec["id_col"] == "vec_id"  # modality default applied
+            assert not spark.catalog.tableExists(t + "__tombstones")
+            after = sorted(
+                (r.query_id, r.vec_id, r.score, r.rk)
+                for r in similarity.ivf_topk_indexed(
+                    spark, t, qs, cents, k=3, nprobe=2
+                ).collect()
+            )
+            assert before == after and len(after) > 0
+            assert maintenance.maintain_index(spark, t, "ivf")["action"] == (
+                "healthy"
+            )
+        finally:
+            cents.unpersist()
+            _drop(spark, t)
+            spark.catalog.clearCache()
