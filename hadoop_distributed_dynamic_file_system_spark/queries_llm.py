@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 
 from .cache import tracked_persist
 
-from .operators import curation, dedup, multimodal, similarity, textanalysis
+from .operators import (
+    curation,
+    dedup,
+    maintenance,
+    multimodal,
+    similarity,
+    textanalysis,
+)
 from .queries import ORACLE, QUERIES, _t, query
 
 # ---------------------------------------------------------------- SQL helpers
@@ -2414,6 +2421,152 @@ def index_health_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, t, corpus.filter(F.col("doc_id") % 4 == 0), "doc_id"
     )
     return dedup.band_index_health(spark, t, "doc_id")
+
+
+@query(
+    "index_maintenance",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    csigs AS ({_minhash_sql(8, "corpus")}),
+    -- the index the ACTOR must leave behind: the compaction it
+    -- triggers folds the tombstoned (doc_id % 4 = 0) half away, so
+    -- the post-maintenance base is exactly the live key set
+    keys AS (
+      SELECT DISTINCT band, bkey, doc_id FROM ({_band_keys_sql("csigs")})
+      WHERE bkey IS NOT NULL AND doc_id % 4 != 0
+    ),
+    rowstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS index_rows,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS live_docs
+      FROM keys
+    ),
+    keystats AS (
+      SELECT CAST(count(*) AS BIGINT) AS live_keys,
+             CAST(coalesce(max(kn), 0) AS BIGINT) AS max_key_docs
+      FROM (SELECT band, bkey, count(*) AS kn FROM keys
+            GROUP BY band, bkey)
+    )
+    SELECT index_rows,
+           CAST(0 AS BIGINT) AS dead_rows,
+           index_rows AS live_rows,
+           CAST(0.0 AS DOUBLE) AS dead_frac,
+           live_docs,
+           CAST(0 AS BIGINT) AS retracted_docs,
+           live_keys, max_key_docs,
+           FALSE AS recommend_compact,
+           'compacted' AS action_first,
+           'healthy' AS action_second
+    FROM rowstats CROSS JOIN keystats
+    """,
+)
+def index_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAEMON leg of the day-2 index lifecycle
+    (operators/maintenance.maintain_index — the actor the reference's
+    DynamicReplicationMonitor models, FSNamesystem.java:4389-4560:
+    policy signal read and acted on by the system, not the operator):
+    freeze the even half-corpus attributed, retract the doc_id % 4 = 0
+    half (~half the rows dead, over the 0.2 threshold), then run TWO
+    maintenance ticks. The first must read the census and fire the
+    compaction ('compacted'); the second must find the folded index
+    clean ('healthy' — the tick is idempotent). The returned row is
+    the POST-maintenance census plus both decisions, and the oracle
+    recomputes the entire post-fold state from the raw corpus: an
+    actor that never fires leaves dead rows (index_rows mismatch),
+    one that over-deletes shared band keys loses live keys, and one
+    that re-fires on a clean index breaks action_second."""
+    import re as _re
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    t = "index_maint_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    dedup.freeze_band_index_attributed(corpus, "doc_id", "text", t)
+    dedup.retract_from_band_index(
+        spark, t, corpus.filter(F.col("doc_id") % 4 == 0), "doc_id"
+    )
+    tick1 = maintenance.maintain_index(spark, t, "band")
+    tick2 = maintenance.maintain_index(spark, t, "band")
+    return dedup.band_index_health(spark, t, "doc_id").select(
+        "*",
+        F.lit(tick1["action"]).alias("action_first"),
+        F.lit(tick2["action"]).alias("action_second"),
+    )
+
+
+@query(
+    "media_index_retraction",
+    """
+    WITH corpus AS (
+      SELECT doc_id, doc_id % 4 + 1 AS k FROM documents
+      WHERE doc_id % 2 = 0
+    ),
+    -- a perceptual code class stays live while ANY non-retracted
+    -- frozen doc still holds it; retracting the doc_id % 4 = 0 docs
+    -- kills their class entirely (they are its only holders)
+    live AS (SELECT DISTINCT k FROM corpus WHERE doc_id % 4 != 0),
+    batch AS (
+      SELECT doc_id + 100000 AS doc_id, doc_id % 4 + 1 AS k
+      FROM documents
+    )
+    SELECT doc_id FROM batch WHERE k NOT IN (SELECT k FROM live)
+    """,
+)
+def media_index_retraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 DELETE leg of the MEDIA index (operators/multimodal
+    retract_from_media_index — the image/audio twin of the text
+    dedup_retraction driver pin): synthesize a 32x32 two-tone BMP per
+    even-half document with cut (doc_id % 4 + 1) blocks — four aHash
+    code classes, computed by the REAL raster decode — freeze the
+    attributed media index, retract the doc_id % 4 = 0 docs (the sole
+    holders of the k=1 class), then probe re-uploads of EVERY document
+    under new ids. Re-uploads of the retracted class must now SURVIVE
+    (their gating code has no live holder) while the still-live
+    class's re-uploads keep dropping; distinct classes sit at hamming
+    8 > max_hamming 3, so only exact-class collisions gate. The oracle
+    recomputes class liveness from doc_id arithmetic alone (the
+    two-tone aHash is closed-form — image_ahash_roundtrip pins the
+    byte-level decode), so an engine that ignores tombstones,
+    over-deletes, or mis-buckets hamming bands fails on row count."""
+    import re as _re
+
+    import pandas as pd  # noqa: F401
+
+    def codes_for(ids, id_shift=0):
+        # single-row-group scan -> one partition; spread the Arrow
+        # decode across executors (same fix as image_ahash_roundtrip)
+        d = ids.repartition(spark.sparkContext.defaultParallelism)
+
+        def build(it):
+            for pdf in it:
+                payloads = [
+                    multimodal.make_two_tone_bmp(
+                        32, 32, (int(i) % 4 + 1) * 4
+                    )
+                    for i in pdf["doc_id"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"] + id_shift,
+                        "payload": payloads,
+                    }
+                )
+
+        bins = d.mapInPandas(build, "doc_id bigint, payload binary")
+        return multimodal.ahash_codes(bins)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus_ids = d.filter(F.col("doc_id") % 2 == 0)
+    t = "media_retract_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    multimodal.freeze_media_index_attributed(codes_for(corpus_ids), t)
+    multimodal.retract_from_media_index(
+        spark, t, corpus_ids.filter(F.col("doc_id") % 4 == 0)
+    )
+    return multimodal.incremental_media_dedup_attributed(
+        spark, codes_for(d, id_shift=100000), t
+    ).select("doc_id")
 
 
 _SQL_COS_AB = (

@@ -90,6 +90,9 @@ class TestPlanQuality:
                                             # decode (codec — non-Catalyst)
             "jpeg_ahash_roundtrip",         # mapInPandas Huffman+IDCT
                                             # encode/decode (codec)
+            "media_index_retraction",       # mapInPandas BMP encode +
+                                            # raster decode feeding the
+                                            # retractable media index
         }
         for name, fn in q.QUERIES.items():
             plan = plan_of(fn(spark, sf_dir))
