@@ -675,10 +675,13 @@ def vacuum_snapshots(table_root: str, keep: int = 2) -> list[str]:
 def _apply_index_mode(idx: DataFrame, index_mode: str) -> DataFrame:
     """Join-strategy knob shared by the streaming dedup gates.
 
-    "broadcast" forces F.broadcast on the frozen side — correct when
-    the index is a small in-memory relation (the lsh_band_index /
-    media_band_index persisted form). "auto" leaves the plan to
-    Catalyst: pass `spark.table(name)` of a bucketed catalog table
+    "auto" (the DEFAULT since round 10, after a round of soak — the
+    same default-flip discipline the census guard followed) leaves
+    the plan to Catalyst; "broadcast" forces F.broadcast on the
+    frozen side — the opt-in for a small in-memory relation (the
+    lsh_band_index / media_band_index persisted form), whose size
+    Catalyst may over-estimate from the plan instead of statistics.
+    With "auto", pass `spark.table(name)` of a bucketed catalog table
     written by freeze_band_index_bucketed / freeze_media_index_bucketed
     and Catalyst size-gates the strategy from the table's statistics —
     below spark.sql.autoBroadcastJoinThreshold it still broadcasts;
@@ -708,7 +711,7 @@ def streaming_near_dedup(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
-    index_mode: str = "broadcast",
+    index_mode: str = "auto",
 ) -> DataFrame:
     """Streaming incremental NEAR-dedup against a frozen corpus — the
     day-2 crawl filter (curation.incremental_dedup) upgraded from
@@ -721,20 +724,22 @@ def streaming_near_dedup(
     join saw it — no reassembly aggregation, so no watermark or state
     store is needed at all.
 
-    Scale: with index_mode="broadcast" (default) the static side is
-    the distinct band-key relation (8-byte longs, band-cardinality
-    sized), broadcast per micro-batch, and the stream side is never
-    shuffled — `bands` sequential anti-joins cost bands× broadcast
-    probes. When the frozen corpus outgrows executor memory, freeze it
-    with dedup.freeze_band_index_bucketed and pass
-    `spark.table(name)` with index_mode="auto": Catalyst size-gates
-    the strategy, and above the broadcast threshold each band probe
-    sort-merge joins against the bucketed frozen scan with ZERO
-    Exchange on the frozen side — only the (small) micro-batch is
-    repartitioned, bands× per batch. Batch/stream parity is by
-    construction — the same function applied to a batch frame
-    produces the identical plan minus the streaming source (pinned by
-    the batch-twin tests in both modes).
+    Scale: with index_mode="auto" (the default — the 100 TB-safe
+    mode an ingest pipeline runs) freeze the corpus with
+    dedup.freeze_band_index_bucketed and pass `spark.table(name)`:
+    Catalyst size-gates the strategy from the table's statistics —
+    below spark.sql.autoBroadcastJoinThreshold it still broadcasts;
+    above it each band probe sort-merge joins against the bucketed
+    frozen scan with ZERO Exchange on the frozen side — only the
+    (small) micro-batch is repartitioned, bands× per batch. For a
+    small in-memory index relation (lsh_band_index's persisted form,
+    whose size Catalyst may over-estimate), opt in to
+    index_mode="broadcast": the static side is the distinct band-key
+    relation (8-byte longs, band-cardinality sized), broadcast per
+    micro-batch, and the stream side is never shuffled. Batch/stream
+    parity is by construction — the same function applied to a batch
+    frame produces the identical plan minus the streaming source
+    (pinned by the batch-twin tests in both modes).
 
     Day-2 composition: the static side re-resolves every micro-batch,
     so dedup.extend_band_index_bucketed can grow the frozen index
@@ -775,7 +780,7 @@ def _streaming_code_dedup(
     n_bands: int,
     band_bits: int,
     max_hamming: int,
-    index_mode: str = "broadcast",
+    index_mode: str = "auto",
 ) -> DataFrame:
     """Shared core of the streaming media gates: per-band stream-static
     LEFT ANTI joins of 64-bit perceptual codes against a frozen
@@ -794,10 +799,11 @@ def _streaming_code_dedup(
     and survive every anti join — an undecodable payload cannot be
     judged a duplicate.
 
-    index_mode="auto" probes a bucketed catalog table written by
-    multimodal.freeze_media_index_bucketed instead of force-
-    broadcasting (see _apply_index_mode) — the mode for frozen media
-    corpora whose (band-key, code) index outgrows executor memory."""
+    index_mode="auto" (default) probes a bucketed catalog table
+    written by multimodal.freeze_media_index_bucketed without a
+    forced broadcast (see _apply_index_mode) — the mode for frozen
+    media corpora whose (band-key, code) index outgrows executor
+    memory; "broadcast" is the opt-in for small in-memory indexes."""
     from ..operators import multimodal as mm
 
     if "mcode" not in media_index.columns:
@@ -842,7 +848,7 @@ def streaming_media_dedup(
     n_bands: int = 4,
     band_bits: int = 16,
     max_hamming: int | None = None,
-    index_mode: str = "broadcast",
+    index_mode: str = "auto",
 ) -> DataFrame:
     """Streaming IMAGE near-dedup against a frozen corpus — the
     multimodal twin of streaming_near_dedup: decode each arriving
@@ -871,9 +877,10 @@ def streaming_media_dedup(
     them in the first band probe — the streaming form of the
     exact-dedup-first discipline.
 
-    index_mode="auto" probes a bucketed catalog table
-    (multimodal.freeze_media_index_bucketed) without the forced
-    broadcast — the mode for frozen corpora past executor memory.
+    index_mode="auto" (default) probes a bucketed catalog table
+    (multimodal.freeze_media_index_bucketed) without a forced
+    broadcast — the mode for frozen corpora past executor memory;
+    "broadcast" is the opt-in for small in-memory indexes.
 
     Output: (doc_id, ahash) of the kept documents."""
     from ..operators import multimodal as mm
@@ -893,7 +900,7 @@ def streaming_audio_dedup(
     n_bands: int = 4,
     band_bits: int = 16,
     max_hamming: int | None = None,
-    index_mode: str = "broadcast",
+    index_mode: str = "auto",
 ) -> DataFrame:
     """Streaming AUDIO near-dedup against a frozen corpus — the same
     frozen-index gate as streaming_media_dedup over acoustic
@@ -924,7 +931,7 @@ def streaming_semantic_dedup(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    index_mode: str = "broadcast",
+    index_mode: str = "auto",
 ) -> DataFrame:
     """Streaming SemDeDup gate: arriving embeddings are dropped when a
     frozen corpus member sits at cosine >= threshold in one of the
@@ -944,9 +951,10 @@ def streaming_semantic_dedup(
     — a fat inverted list can surface candidates but never veto a
     non-duplicate by itself (the media gates' verify contract).
 
-    index_mode="auto" probes a bucketed catalog table without the
-    forced broadcast (_apply_index_mode) — the mode once the frozen
-    corpus' vectors outgrow executor memory. Day-2 appends via
+    index_mode="auto" (default) probes a bucketed catalog table
+    without a forced broadcast (_apply_index_mode) — the mode once
+    the frozen corpus' vectors outgrow executor memory; "broadcast"
+    is the opt-in for small in-memory indexes. Day-2 appends via
     similarity.extend_ivf_index are picked up on the next micro-batch
     exactly as the band gates pick up extend_band_index_bucketed
     (same-session appends invalidate the relation cache; a

@@ -659,10 +659,12 @@ class TestStreamingNearDedup:
 
     def test_stream_matches_batch_twin_bucketed_index(self, spark, tmp_path):
         # round-9: same gate, frozen side a BUCKETED catalog table
-        # probed without the forced broadcast (index_mode="auto") — a
-        # REAL micro-batch run with the broadcast threshold disabled,
-        # so the per-batch joins take the large-index (sort-merge)
-        # path end-to-end through the streaming engine.
+        # probed without the forced broadcast — a REAL micro-batch run
+        # with the broadcast threshold disabled, so the per-batch
+        # joins take the large-index (sort-merge) path end-to-end
+        # through the streaming engine. Since round 10 "auto" is the
+        # DEFAULT, so this calls the gate with no index_mode argument
+        # — a regression of the default flip fails here.
         import shutil
 
         from hadoop_distributed_dynamic_file_system_spark.operators import dedup
@@ -683,16 +685,14 @@ class TestStreamingNearDedup:
                 spark, str(src), "doc_id long, text string"
             )
             out = ev.run_to_memory(
-                ev.streaming_near_dedup(
-                    stream, spark.table(t), index_mode="auto"
-                ),
+                ev.streaming_near_dedup(stream, spark.table(t)),
                 "near_dedup_bk_out",
             )
             got = {r.doc_id for r in out.collect()}
             want = {
                 r.doc_id
                 for r in ev.streaming_near_dedup(
-                    batch, spark.table(t), index_mode="auto"
+                    batch, spark.table(t)
                 ).collect()
             }
             assert got == want == {103, 104}
@@ -1640,7 +1640,9 @@ class TestStreamingSemanticDedup:
     ):
         # the 100 TB mode: the frozen side is the bucketed catalog
         # table build_ivf_index serves ANN queries from, probed with
-        # index_mode="auto" and the broadcast threshold disabled — a
+        # the round-10 DEFAULT index_mode ("auto" — no argument
+        # passed, so a regression of the default flip fails here)
+        # and the broadcast threshold disabled — a
         # REAL micro-batch run takes the large-index (sort-merge)
         # path; the batch twin's plan pins the frozen scan as bucketed
         # with no BroadcastExchange anywhere.
@@ -1667,13 +1669,13 @@ class TestStreamingSemanticDedup:
             )
             out = ev.run_to_memory(
                 ev.streaming_semantic_dedup(
-                    stream, spark.table(t), centroids, index_mode="auto"
+                    stream, spark.table(t), centroids
                 ),
                 "sem_dedup_bk_out",
             )
             got = {r.vec_id for r in out.collect()}
             batch_twin = ev.streaming_semantic_dedup(
-                batch, spark.table(t), centroids, index_mode="auto"
+                batch, spark.table(t), centroids
             )
             want = {r.vec_id for r in batch_twin.collect()}
             assert got == want == {103, 104}
