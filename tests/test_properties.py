@@ -947,3 +947,89 @@ class TestIndexHealthProperties:
         ), sorted(retract)
         assert abs(h.dead_frac - dead_rows / index_rows) < 1e-6
         assert h.recommend_compact is (dead_rows / index_rows >= 0.2)
+
+
+class TestMaintenanceActorProperties:
+    """maintain_index vs a brute-force decision model: for ANY
+    retraction set and ANY threshold, the dry-run tick must report
+    exactly what the census recommends (would_compact iff the live
+    recount's dead fraction clears the threshold) and must leave the
+    index and its tombstones untouched. The fold itself is pinned
+    deterministically in tests/test_maintenance.py; this property
+    pins the DECISION boundary the daemon acts on."""
+
+    TABLE = "t_maint_prop"
+
+    @pytest.fixture(scope="class")
+    def frozen_rows(self, spark):
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup,
+        )
+
+        for x in (self.TABLE, self.TABLE + "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        docs = []
+        for i in range(20):
+            if i % 2 == 1:
+                base = docs[-1][1]
+                docs.append((i, base.split(" ", 1)[1]))
+            else:
+                docs.append((
+                    i,
+                    f"alpha{i} bravo{i % 3} charlie delta echo{i % 5} "
+                    f"foxtrot golf hotel india{i % 7} juliet kilo",
+                ))
+        corpus = spark.createDataFrame(docs, "doc_id long, text string")
+        dedup.freeze_band_index_attributed(
+            corpus, "doc_id", "text", self.TABLE, num_buckets=8
+        )
+        rows = [
+            (r.bk, r.doc_id) for r in spark.table(self.TABLE).collect()
+        ]
+        assert rows
+        yield rows
+        for x in (self.TABLE, self.TABLE + "__tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+        spark.catalog.clearCache()
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        retract=st.sets(st.integers(0, 25), max_size=26),
+        thr=st.sampled_from([0.05, 0.2, 0.5, 0.9, 1.0]),
+    )
+    def test_dry_run_decision_matches_model(
+        self, spark, frozen_rows, retract, thr
+    ):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup, maintenance, tombstones,
+        )
+
+        tombstones.drop(spark, self.TABLE)
+        if retract:
+            dedup.retract_from_band_index(
+                spark, self.TABLE,
+                spark.createDataFrame(
+                    [(i,) for i in sorted(retract)], "doc_id long"
+                ),
+                "doc_id",
+            )
+        rec = maintenance.maintain_index(
+            spark, self.TABLE, "band",
+            compact_threshold=thr, dry_run=True,
+        )
+        index_rows = len(frozen_rows)
+        dead_rows = sum(1 for _, d in frozen_rows if d in retract)
+        fire = dead_rows / index_rows >= thr
+        assert rec["action"] == ("would_compact" if fire else "healthy"), (
+            sorted(retract), thr,
+        )
+        assert rec["dead_rows"] == dead_rows
+        # dry-run acted on NOTHING: base row count intact, tombstone
+        # table present exactly when a retraction was filed
+        assert spark.table(self.TABLE).count() == index_rows
+        assert spark.catalog.tableExists(
+            self.TABLE + "__tombstones"
+        ) is bool(retract)

@@ -118,6 +118,12 @@ SHOWCASE = [
      "index bucketing (no shuffle keyed on bk — the one "
      "hashpartitioning Exchange is the doc-sized distinct-live-id "
      "rewrite); three 1-row aggregates join by broadcast"),
+    # round-10 shape
+    ("index_maintenance", "the DAEMON leg: the dumped plan is the "
+     "post-maintenance census over the already-compacted index (the "
+     "two ticks ran at construction time — census collect, fired "
+     "fold, idempotent re-tick); same census shape as index_health "
+     "with an empty tombstone side"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the

@@ -130,6 +130,12 @@ QUERIES = [
     # dedup_resurrection is oracle-checked + benched but NOT scaled:
     # its cost decomposes into dedup_retraction (above) + one
     # batch-sized extend (priced in STRESS extend_append_1x_into_100x)
+    # round-10 additions: the DAEMON leg (census + fired compaction +
+    # idempotent re-tick — cost includes the per-run freeze+retract
+    # writes, like the other lifecycle rows) and the media DELETE leg
+    # (BMP decode + attributed freeze + tombstoned probe)
+    "index_maintenance",
+    "media_index_retraction",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

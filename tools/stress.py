@@ -566,7 +566,10 @@ def main() -> None:
         cache.release_all()
         bench(
             f"frozen_probe_broadcast_1x_vs_{copies}x", base,
-            lambda i=idx: noop(ev_mod.streaming_near_dedup(sf_docs, i)),
+            # explicit since round 10: "auto" became the gate default,
+            # and this row prices the FORCED-broadcast strategy
+            lambda i=idx: noop(ev_mod.streaming_near_dedup(
+                sf_docs, i, index_mode="broadcast")),
         )
         bench(
             f"frozen_probe_bucketed_1x_vs_{copies}x", base,
@@ -584,6 +587,61 @@ def main() -> None:
                 lambda b=batch16: noop(dedup.incremental_near_dedup_bucketed(
                     spark, b, "stress_frozen_bk", "doc_id", "text")),
             )
+            # Round-10: the streaming AUTO mode priced at the scale a
+            # broadcast cannot serve — REAL micro-batch runs of
+            # streaming_near_dedup (index_mode="auto", the new
+            # default) against the 100x BUCKETED frozen index with
+            # the broadcast threshold disabled (standing in for the
+            # statistics size-gate that disables it naturally once
+            # the index passes the threshold), swept over micro-batch
+            # granularity: the same 1x corpus arrives as 1, 4, or 16
+            # triggers (maxFilesPerTrigger over a 16-file source).
+            # Each micro-batch pays the per-batch plan + frozen-scan
+            # join setup once, so the sweep prices exactly the
+            # per-micro-batch overhead an ingest pipeline trades
+            # against latency. The broadcast row above
+            # (frozen_probe_broadcast_1x_vs_100x) is the 1-batch
+            # forced-broadcast twin for comparison.
+            import shutil as _sh
+
+            stream_src = "/tmp/stress_stream_src"
+            _sh.rmtree(stream_src, ignore_errors=True)
+            sf_docs.select("doc_id", "text").repartition(16).write.parquet(
+                stream_src
+            )
+            doc_schema = (
+                spark.read.parquet(stream_src).schema
+            )
+
+            def stream_auto(mb, name):
+                stream = ev_mod.read_parquet_dir_stream(
+                    spark, stream_src, doc_schema,
+                    max_files_per_trigger=mb,
+                )
+                ev_mod.run_to_memory(
+                    ev_mod.streaming_near_dedup(
+                        stream, spark.table("stress_frozen_bk")
+                    ),
+                    name,
+                )
+
+            prev_bc_s = spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                for mb, n_b in ((16, 1), (4, 4), (1, 16)):
+                    bench(
+                        f"stream_auto_1x_vs_100x_{n_b}batches", base,
+                        lambda mb=mb, n_b=n_b: stream_auto(
+                            mb, f"stress_auto_{n_b}"
+                        ),
+                    )
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", prev_bc_s
+                )
+                _sh.rmtree(stream_src, ignore_errors=True)
             # Day-2 index growth (round 9): EXTEND the 100x index
             # with a 1x batch of genuinely-new keys (append — the
             # anti-join scans the frozen side Exchange-free, the
@@ -845,6 +903,26 @@ def main() -> None:
         "not per doc, so a 16x batch costs far less than 16x the 1x",
         "probe (read it per row — the us/row column divides by the",
         "batch size).",
+        "",
+        "`stream_auto_1x_vs_100x_{1,4,16}batches` (round 10) prices",
+        "the streaming gates' new DEFAULT mode (index_mode=\"auto\")",
+        "at the scale a broadcast cannot serve: REAL micro-batch runs",
+        "against the 100x BUCKETED frozen index (broadcast threshold",
+        "disabled, standing in for the statistics size-gate), the",
+        "same 1x corpus arriving as 1, 4, or 16 triggers. Every",
+        "micro-batch pays one frozen-index scan + per-batch plan",
+        "setup (~1.1-1.7 s here) regardless of how few docs it",
+        "carries, so wall grows ~linearly in trigger COUNT, not data:",
+        "4 triggers cost ~2.6x the single-batch run and 16 triggers",
+        "~7x. The micro-batch sweet spot is therefore the LARGEST",
+        "batch the latency budget tolerates — size triggers so the",
+        "per-batch index-scan floor is amortized over enough",
+        "documents (here >= a 4-file trigger; a per-file trigger",
+        "pays the floor per ~300 docs). At equal granularity the",
+        "auto mode is TIED with `frozen_probe_broadcast_1x_vs_100x`",
+        "(the forced-broadcast twin, feasible at local scale only):",
+        "what auto removes is the executor-memory ceiling and the",
+        "per-batch broadcast build, not scan work.",
         "",
         "`extend_append_1x_into_100x` vs `refreeze_whole_101x_corpus`",
         "(round 9) prices the day-2 index-growth choice: appending a",
