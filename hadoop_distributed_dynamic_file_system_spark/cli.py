@@ -306,6 +306,7 @@ def cmd_maintain(args: argparse.Namespace) -> int:
             "modality": args.modality,
             "id_col": args.id_col,
             "compact_threshold": args.threshold,
+            "max_files_per_bucket": args.max_files_per_bucket or None,
         }
         for t in args.tables
     ]
@@ -398,6 +399,10 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--id-col", dest="id_col", default=None)
     mt.add_argument("--threshold", type=float, default=0.2,
                     help="dead_frac at which compaction fires")
+    mt.add_argument("--max-files-per-bucket", dest="max_files_per_bucket",
+                    type=int, default=8,
+                    help="per-bucket file count at which compaction "
+                         "fires (0 disables the fragmentation signal)")
     mt.add_argument("--dry-run", dest="dry_run", action="store_true",
                     help="report decisions without compacting")
     mt.set_defaults(fn=cmd_maintain)

@@ -97,26 +97,48 @@ def maintain_index(
     modality: str = "band",
     id_col: str | None = None,
     compact_threshold: float = 0.2,
+    max_files_per_bucket: int | None = 8,
     dry_run: bool = False,
 ) -> dict:
-    """One maintenance tick: census the index, and if the census
-    recommends compaction, fold the tombstones into the base (unless
-    `dry_run`, which reports the decision without acting — the
-    pre-flight an operator runs before granting the daemon a fleet).
+    """One maintenance tick: census the index, and if either signal
+    fires, run the modality's compaction (unless `dry_run`, which
+    reports the decision without acting — the pre-flight an operator
+    runs before granting the daemon a fleet). Two independent signals,
+    mirroring the two ways a frozen index decays:
 
-    Returns the decision record — every census scalar plus:
-      action   'compacted'      signal fired and the fold ran
-               'would_compact'  signal fired, dry_run held the fold
-               'healthy'        signal quiet, nothing to do
-    and echoes table/modality/threshold so a fleet sweep's records are
-    self-describing. One log line per decision (the daemon's audit
-    trail, same role as the reference monitor's allocation log).
+      dead rows      tombstones outstanding — the health census's
+                     `recommend_compact` (dead_frac >= compact_
+                     threshold); every probe repays the anti-join
+                     until the fold retires it
+      fragmentation  append_bucketed adds up to one file per touched
+                     bucket per batch (skew.bucket_file_census);
+                     past `max_files_per_bucket` (default 8 — about
+                     eight appends since the last fold) listing/open
+                     cost says fold now. Pass None to disable (e.g.
+                     non-local warehouses, where the file census
+                     cannot look). The modality compact folds
+                     tombstones AND restores one file per bucket in
+                     the same staged rewrite, so one action serves
+                     both signals.
+
+    Returns the decision record — every census scalar, the file-census
+    fields (files_total / files_max_per_bucket, when measured), plus:
+      action   'compacted'      a signal fired and the fold ran
+               'would_compact'  a signal fired, dry_run held the fold
+               'healthy'        both signals quiet
+      reason   'dead_rows' | 'fragmentation' | None — which signal
+               fired (dead rows win the label when both do: the fold
+               is the same, the operator's follow-up differs)
+    and echoes table/modality/thresholds so a fleet sweep's records
+    are self-describing. One log line per decision (the daemon's
+    audit trail, same role as the reference monitor's allocation log).
 
     The census is collected BEFORE acting, so the record shows the
     state that justified the decision, not the post-fold state; a
     retraction landing between census and fold is simply picked up by
-    the next tick. Idempotent: a fired tick drops the tombstone table,
-    so the next tick reads dead_frac 0 and reports 'healthy'."""
+    the next tick. Idempotent: a fired tick drops the tombstones and
+    rewrites to one file per bucket, so the next tick reads both
+    signals quiet and reports 'healthy'."""
     if modality not in MODALITIES:
         raise ValueError(
             f"unknown index modality {modality!r} — one of "
@@ -132,9 +154,24 @@ def maintain_index(
         "modality": modality,
         "id_col": id_col,
         "compact_threshold": float(compact_threshold),
+        "max_files_per_bucket": max_files_per_bucket,
         **row.asDict(),
     }
+    fire_frag = False
+    if max_files_per_bucket is not None:
+        from . import skew
+
+        fc = skew.bucket_file_census(spark, table_name)
+        record["files_total"] = fc["n_files"]
+        record["files_max_per_bucket"] = fc["max_files_per_bucket"]
+        fire_frag = fc["max_files_per_bucket"] >= max_files_per_bucket
     if row["recommend_compact"]:
+        record["reason"] = "dead_rows"
+    elif fire_frag:
+        record["reason"] = "fragmentation"
+    else:
+        record["reason"] = None
+    if record["reason"] is not None:
         if dry_run:
             record["action"] = "would_compact"
         else:
@@ -144,13 +181,15 @@ def maintain_index(
         record["action"] = "healthy"
     logger.info(
         "maintain_index %s (%s): dead_frac=%s dead_rows=%s "
-        "retracted_docs=%s -> %s",
+        "retracted_docs=%s files_max_per_bucket=%s -> %s (%s)",
         table_name,
         modality,
         record["dead_frac"],
         record["dead_rows"],
         record["retracted_docs"],
+        record.get("files_max_per_bucket"),
         record["action"],
+        record["reason"],
     )
     return record
 

@@ -193,6 +193,55 @@ def bucket_spec(spark, table_name: str) -> tuple[list[str], int]:
     return cols, int(rows["Num Buckets"])
 
 
+def bucket_file_census(spark, table_name: str) -> dict:
+    """Per-bucket data-file census of a bucketed catalog table — the
+    fragmentation signal compact_bucketed's cadence defers to: each
+    append_bucketed batch adds up to one file per touched bucket, and
+    after many batches the per-bucket file count taxes listing and
+    open() the same way the reference's small-file pathology taxed
+    the NameNode (src/tools/HadoopArchives.java exists for exactly
+    this). Returns {n_buckets, n_files, buckets_touched,
+    max_files_per_bucket}.
+
+    Driver-side directory listing — the same metadata-op class as
+    FsShell count / fsck's footer walk: bounded by file count, never
+    reads data. The bucket id is parsed from Spark's bucketed file
+    naming (`part-NNNNN-<uuid>_BBBBB.c000...` — the `_BBBBB` suffix
+    IS the bucket). Local filesystems only; raises ValueError for an
+    unbucketed table (bucket_spec) or a non-local location, so a
+    caller that gates on the census fails loudly instead of reading
+    zeros."""
+    import os
+    import re
+    from collections import Counter
+    from urllib.parse import unquote, urlparse
+
+    _, num_buckets = bucket_spec(spark, table_name)
+    loc = {
+        r.col_name: r.data_type
+        for r in spark.sql(
+            f"DESCRIBE TABLE EXTENDED {table_name}"
+        ).collect()
+    }["Location"]
+    p = urlparse(loc)
+    if p.scheme not in ("file", ""):
+        raise ValueError(
+            f"bucket_file_census reads local table dirs only; "
+            f"{table_name} is at {loc}"
+        )
+    counts: Counter = Counter()
+    for f in os.listdir(unquote(p.path)):
+        m = re.match(r"part-\d+-.+_(\d{5})\.", f)
+        if m:
+            counts[int(m.group(1))] += 1
+    return {
+        "n_buckets": num_buckets,
+        "n_files": sum(counts.values()),
+        "buckets_touched": len(counts),
+        "max_files_per_bucket": max(counts.values()) if counts else 0,
+    }
+
+
 def compact_bucketed(
     spark,
     table_name: str,

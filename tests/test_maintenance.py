@@ -106,6 +106,80 @@ class TestMaintainBandIndex:
             _drop(spark, t)
             spark.catalog.clearCache()
 
+    def test_fragmentation_signal_fires_without_dead_rows(self, spark):
+        # append_bucketed fragmentation is the SECOND signal: each
+        # extend adds a file to every bucket its new keys touch, so
+        # after two extends some bucket holds >= 2 files; with
+        # max_files_per_bucket=2 the tick must fire (reason
+        # 'fragmentation', zero dead rows) and the fold must restore
+        # one file per bucket so the next tick is healthy.
+        t = "t_maint_frag"
+        self._freeze(spark, t)
+        try:
+            for k, text in (
+                (10, "completely novel words appear here today friends"),
+                (11, "yet more unrelated vocabulary arrives in batch two"),
+            ):
+                dedup.extend_band_index_attributed(
+                    spark,
+                    spark.createDataFrame(
+                        [(k, text)], "doc_id long, text string"
+                    ),
+                    t, "doc_id", "text",
+                )
+            fc = skew.bucket_file_census(spark, t)
+            assert fc["n_buckets"] == 8
+            assert fc["max_files_per_bucket"] >= 2
+
+            # default threshold (8) not reached -> healthy
+            r0 = maintenance.maintain_index(spark, t, "band")
+            assert (r0["action"], r0["reason"]) == ("healthy", None)
+            assert r0["files_max_per_bucket"] == fc["max_files_per_bucket"]
+
+            before = self._survivors(spark, t)
+            r1 = maintenance.maintain_index(
+                spark, t, "band", max_files_per_bucket=2
+            )
+            assert (r1["action"], r1["reason"]) == (
+                "compacted", "fragmentation"
+            )
+            assert r1["dead_rows"] == 0
+            assert skew.bucket_file_census(spark, t)[
+                "max_files_per_bucket"
+            ] == 1
+            assert self._survivors(spark, t) == before
+            r2 = maintenance.maintain_index(
+                spark, t, "band", max_files_per_bucket=2
+            )
+            assert (r2["action"], r2["reason"]) == ("healthy", None)
+        finally:
+            _drop(spark, t)
+            spark.catalog.clearCache()
+
+    def test_dead_rows_win_the_reason_label(self, spark):
+        # both signals fired: the fold is the same, the label names
+        # the dead rows (the operator's follow-up differs)
+        t = "t_maint_both"
+        self._freeze(spark, t)
+        try:
+            dedup.retract_from_band_index(
+                spark, t, spark.createDataFrame([(1,)], "doc_id long"),
+                "doc_id",
+            )
+            r = maintenance.maintain_index(
+                spark, t, "band", max_files_per_bucket=1
+            )
+            assert (r["action"], r["reason"]) == ("compacted", "dead_rows")
+            # disabling the file census drops its record fields
+            r2 = maintenance.maintain_index(
+                spark, t, "band", max_files_per_bucket=None
+            )
+            assert r2["action"] == "healthy"
+            assert "files_total" not in r2
+        finally:
+            _drop(spark, t)
+            spark.catalog.clearCache()
+
     def test_unknown_modality_raises(self, spark):
         with pytest.raises(ValueError, match="modality"):
             maintenance.maintain_index(spark, "whatever", "bogus")
