@@ -207,7 +207,12 @@ HEADLINE = [
     # cost shape = dedup_retraction + one batch-sized extend
     "dedup_resurrection",
     # round-10: the DAEMON leg — census + fired compaction + the
-    # idempotent re-tick, priced as one maintenance cycle
+    # idempotent re-tick, priced as one maintenance cycle.
+    # index_file_compaction (the fragmentation-signal twin) is
+    # oracle-checked but NOT benched: its wall decomposes into
+    # index_maintenance (above) + two extends already priced in
+    # incremental_dedup_extended, and the file census itself is a
+    # millisecond driver listing.
     "index_maintenance",
     # round-10: media-index DELETE leg (BMP decode + attributed freeze
     # + tombstoned probe), the image twin of dedup_retraction

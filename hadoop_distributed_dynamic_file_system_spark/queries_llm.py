@@ -2495,6 +2495,82 @@ def index_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "index_file_compaction",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    batchd AS (
+      SELECT doc_id + 100000 AS doc_id,
+             regexp_replace(text, '^\\S+\\s*', '') AS text
+      FROM documents
+    ),
+    csigs AS ({_minhash_sql(8, "corpus")}),
+    bsigs AS ({_minhash_sql(8, "batchd")}),
+    -- append-only lifecycle: every doc of all three ingest waves is
+    -- live; the fold the fragmentation tick fires must preserve
+    -- exactly this key ownership
+    live AS (
+      SELECT DISTINCT band, bkey, doc_id FROM ({_band_keys_sql("csigs")})
+      WHERE bkey IS NOT NULL
+    ),
+    bbands AS ({_band_keys_sql("bsigs")})
+    SELECT b.doc_id AS doc_id, min(c.doc_id) AS dup_of,
+           'compacted' AS action_first,
+           'fragmentation' AS reason_first,
+           'healthy' AS action_second
+    FROM bbands b JOIN live c USING (band, bkey)
+    GROUP BY b.doc_id
+    """,
+)
+def index_file_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGMENTATION leg of the maintenance daemon: freeze a third of
+    the corpus, append the other two thirds in separate
+    extend_band_index_attributed batches (each append adds a file per
+    touched bucket — the small-file growth HadoopArchives existed
+    for), then run two maintenance ticks with max_files_per_bucket=2.
+    The first must fire via the FILE census — zero dead rows, so the
+    decision can only come from fragmentation (reason pinned as a
+    column) — and its fold must rewrite to one file per bucket
+    without changing key ownership; the second must read both signals
+    quiet. The returned rows are duplicate attributions of mutated
+    copies of EVERY document against the post-fold index, so a fold
+    that drops or duplicates live keys changes dup_of/row count, and
+    the oracle recomputes the full append-only ownership in SQL."""
+    import re as _re
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = "index_filecomp_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    dedup.freeze_band_index_attributed(
+        d.filter(F.col("doc_id") % 3 == 0), "doc_id", "text", t
+    )
+    for wave in (1, 2):
+        dedup.extend_band_index_attributed(
+            spark, d.filter(F.col("doc_id") % 3 == wave),
+            t, "doc_id", "text",
+        )
+    tick1 = maintenance.maintain_index(
+        spark, t, "band", max_files_per_bucket=2
+    )
+    tick2 = maintenance.maintain_index(
+        spark, t, "band", max_files_per_bucket=2
+    )
+    batchd = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+    )
+    return dedup.incremental_near_dedup_attributed(
+        spark, batchd, t, "doc_id", "text", attribute=True
+    ).select(
+        "doc_id",
+        "dup_of",
+        F.lit(tick1["action"]).alias("action_first"),
+        F.lit(tick1["reason"]).alias("reason_first"),
+        F.lit(tick2["action"]).alias("action_second"),
+    )
+
+
+@query(
     "media_index_retraction",
     """
     WITH corpus AS (
