@@ -1416,6 +1416,51 @@ class TestStreamingMediaDedup:
         assert got == want == {103, 104}
         spark.catalog.clearCache()
 
+    def test_stream_matches_batch_twin_bucketed_index(self, spark, tmp_path):
+        # the 100 TB mode for the MEDIA gate: frozen side a BUCKETED
+        # catalog table (freeze_media_index_bucketed), probed with the
+        # round-10 DEFAULT index_mode ("auto" — no argument passed, so
+        # a regression of the default flip fails here) and the
+        # broadcast threshold disabled; a REAL micro-batch run takes
+        # the large-index path, and the batch twin's plan pins the
+        # frozen scan as bucketed with no BroadcastExchange.
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            multimodal as mm,
+        )
+
+        corpus, batch = self._corpus_and_batch(spark)
+        t = "t_media_gate_bk"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        src = tmp_path / "media_in_bk"
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            mm.freeze_media_index_bucketed(
+                mm.ahash_codes(corpus), t, num_buckets=8
+            )
+            stream = ev.read_parquet_dir_stream(
+                spark, str(src), "doc_id long, payload binary"
+            )
+            out = ev.run_to_memory(
+                ev.streaming_media_dedup(stream, spark.table(t)),
+                "media_dedup_bk_out",
+            )
+            got = {r.doc_id for r in out.collect()}
+            batch_twin = ev.streaming_media_dedup(batch, spark.table(t))
+            want = {r.doc_id for r in batch_twin.collect()}
+            assert got == want == {103, 104}
+            plan = batch_twin._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan
+            assert "Bucketed: true" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
     def test_pigeonhole_catches_small_hamming(self, spark):
         # synthetic codes: flip 3 bits spread across three bands —
         # the fourth band is untouched, so the gate MUST catch it
