@@ -25,6 +25,13 @@ def main() -> None:
     import __spark_entry__ as entry
 
     registered = list(entry.queries().keys())
+    # Capacity policy (round 11): the registry is capped at the 50x5=250
+    # rotation ceiling so every query stays driver-checked within K=5
+    # rounds. Admission past the cap requires retiring a redundant query.
+    assert len(registered) <= 250, (
+        f"registry {len(registered)} exceeds the 250 rotation ceiling — "
+        "retire/merge a redundant query before admitting a new one"
+    )
     last_green: dict[str, int] = {}
     last_red: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
