@@ -200,21 +200,27 @@ def bucket_file_census(spark, table_name: str) -> dict:
     after many batches the per-bucket file count taxes listing and
     open() the same way the reference's small-file pathology taxed
     the NameNode (src/tools/HadoopArchives.java exists for exactly
-    this). Returns {n_buckets, n_files, buckets_touched,
+    this — and its accounting was NameNode-side, i.e., warehouse-side,
+    never a local walk). Returns {n_buckets, n_files, buckets_touched,
     max_files_per_bucket}.
 
-    Driver-side directory listing — the same metadata-op class as
-    FsShell count / fsck's footer walk: bounded by file count, never
-    reads data. The bucket id is parsed from Spark's bucketed file
-    naming (`part-NNNNN-<uuid>_BBBBB.c000...` — the `_BBBBB` suffix
-    IS the bucket). Local filesystems only; raises ValueError for an
-    unbucketed table (bucket_spec) or a non-local location, so a
-    caller that gates on the census fails loudly instead of reading
-    zeros."""
-    import os
+    Driver-side listing through Hadoop's FileSystem API (py4j), the
+    same client FsShell ops use — so the census works against any
+    scheme Spark's Hadoop client knows (file://, hdfs://, s3a://...),
+    not just local dirs. `listFiles(recursive=True)` is a single
+    RemoteIterator round-trip class op on HDFS and a paged LIST on
+    object stores: bounded by file count, never reads data. The
+    recursion also covers partitioned+bucketed layouts, where data
+    files nest under partition subdirectories — a flat listing would
+    silently report zero files there. The bucket id is parsed from
+    Spark's bucketed file naming (`part-NNNNN-<uuid>_BBBBB.c000...` —
+    the `_BBBBB` suffix IS the bucket). Raises ValueError for an
+    unbucketed table (bucket_spec), for a scheme the Hadoop client
+    cannot open, or when a non-empty table yields zero bucket-named
+    data files — so a caller that gates on the census fails loudly
+    instead of reading zeros."""
     import re
     from collections import Counter
-    from urllib.parse import unquote, urlparse
 
     _, num_buckets = bucket_spec(spark, table_name)
     loc = {
@@ -223,17 +229,34 @@ def bucket_file_census(spark, table_name: str) -> dict:
             f"DESCRIBE TABLE EXTENDED {table_name}"
         ).collect()
     }["Location"]
-    p = urlparse(loc)
-    if p.scheme not in ("file", ""):
-        raise ValueError(
-            f"bucket_file_census reads local table dirs only; "
-            f"{table_name} is at {loc}"
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(loc)
+    try:
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jpath.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
         )
+        it = fs.listFiles(jpath, True)
+    except Exception as exc:  # unknown scheme / unreachable store
+        raise ValueError(
+            f"bucket_file_census cannot list {table_name} at {loc}: {exc}"
+        ) from exc
     counts: Counter = Counter()
-    for f in os.listdir(unquote(p.path)):
-        m = re.match(r"part-\d+-.+_(\d{5})\.", f)
+    n_seen = 0
+    pat = re.compile(r"part-\d+-.+_(\d{5})\.")
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):  # _SUCCESS, _temporary, CRCs
+            continue
+        n_seen += 1
+        m = pat.match(name)
         if m:
             counts[int(m.group(1))] += 1
+    if n_seen and not counts:
+        raise ValueError(
+            f"{table_name} at {loc} holds {n_seen} data files but none "
+            "carry Spark's bucketed-file suffix — layout not bucketed?"
+        )
     return {
         "n_buckets": num_buckets,
         "n_files": sum(counts.values()),

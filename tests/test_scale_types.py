@@ -642,6 +642,97 @@ class TestStreamingGatesBucketedIndex:
             ev.streaming_near_dedup(probe, idx, index_mode="shuffle")
 
 
+class TestBucketFileCensusWarehouse:
+    """bucket_file_census lists through the Hadoop FileSystem API
+    (py4j), the same client FsShell ops use — so the fragmentation
+    signal works against any warehouse scheme the Hadoop client
+    knows, not just local dirs (the reference's small-file accounting
+    in HadoopArchives was NameNode-side, i.e., exactly not-local)."""
+
+    def test_partitioned_bucketed_nested_layout_counted(self, spark):
+        # data files of a partitioned+bucketed table nest under
+        # partition subdirectories — a flat listing finds nothing and
+        # would silently report max_files_per_bucket=0, blinding the
+        # actor's fragmentation signal. The recursive Hadoop listing
+        # must count them (and skip _SUCCESS / hidden files).
+        import shutil
+
+        t = "t_census_part_bk"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        df = spark.createDataFrame(
+            [(i, i % 2, f"v{i}") for i in range(40)],
+            "k long, p int, v string",
+        )
+        try:
+            (
+                df.repartition(4, F.col("k"))
+                .write.partitionBy("p")
+                .bucketBy(4, "k")
+                .sortBy("k")
+                .saveAsTable(t)
+            )
+            c = skew.bucket_file_census(spark, t)
+            assert c["n_buckets"] == 4
+            # every (partition, touched-bucket) pair is its own file;
+            # per-BUCKET count aggregates across the 2 partition dirs
+            assert c["n_files"] >= 4
+            assert c["max_files_per_bucket"] >= 2
+            assert c["buckets_touched"] >= 1
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+    def test_hadoop_fs_uri_location_counted(self, spark, tmp_path):
+        # external table addressed by an explicit file: URI — resolved
+        # through FileSystem.get on the table's OWN location URI, the
+        # code path an hdfs:// or s3a:// warehouse takes (the scheme
+        # picks the client; LocalFileSystem here).
+        t = "t_census_ext_uri"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = f"file://{tmp_path}/census_ext"
+        df = spark.range(0, 30).select(F.col("id").alias("k"))
+        try:
+            (
+                df.repartition(4, F.col("k"))
+                .write.option("path", loc)
+                .bucketBy(4, "k")
+                .sortBy("k")
+                .saveAsTable(t)
+            )
+            c = skew.bucket_file_census(spark, t)
+            assert c["n_buckets"] == 4
+            assert c["n_files"] == c["buckets_touched"] == 4
+            assert c["max_files_per_bucket"] == 1
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+
+    def test_unlistable_location_fails_loudly(self, spark, tmp_path):
+        # a location the Hadoop client cannot list must raise, never
+        # read zeros — a zero census would silently disarm the signal.
+        # (An unknown scheme is rejected by CREATE TABLE itself; the
+        # reachable unlistable case is a location that vanished.)
+        import shutil
+
+        import pytest as _pytest
+
+        t = "t_census_gone"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = f"{tmp_path}/census_gone"
+        try:
+            spark.sql(
+                f"CREATE TABLE {t} (k BIGINT) USING parquet "
+                f"CLUSTERED BY (k) INTO 4 BUCKETS "
+                f"LOCATION 'file://{loc}'"
+            )
+            shutil.rmtree(loc, ignore_errors=True)
+            with _pytest.raises(ValueError, match="cannot list"):
+                skew.bucket_file_census(spark, t)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 class TestSalting:
     def test_salted_join_matches_plain_join(self, spark):
         # heavy skew: 90% of rows share key 0
