@@ -25,9 +25,19 @@ says it pays for itself, never on a blind schedule.
 Scale shape: the only driver-side materialization is the ONE-row
 census collect — bounded by construction. The compaction it may
 trigger is skew.compact_bucketed's staged swap (crash-safe: re-running
-the tick IS the recovery path). Quiescence caveat inherited from
-compact_bucketed: pause live streaming gates probing the table around
-a fired tick, or schedule ticks in the ingest quiet window.
+the tick IS the recovery path). Live-gate contract, MEASURED (round
+11, pinned by tests/test_streaming.py
+test_live_gate_across_fired_maintenance_tick): a streaming gate
+already probing the table holds its analyzed plan's resolved
+relations, so after a fired fold its next micro-batch fails LOUDLY
+(FAILED_READ_FILE on the swapped files terminates the query — never a
+silent empty-index pass-through; an explicit refreshTable cannot
+reach the running plan either), and a restart from the same
+checkpoint replays the failed batch against the folded index with
+exactly-once output — the gates are stateless, so restart IS the
+recovery. Operationally: schedule ticks in the ingest quiet window,
+or treat a fired tick ('action' == 'compacted' in the decision
+record) as the signal to restart the affected gates.
 """
 
 from __future__ import annotations

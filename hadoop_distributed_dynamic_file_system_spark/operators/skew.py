@@ -292,13 +292,20 @@ def compact_bucketed(
     half-swap and completes the rename before doing anything else —
     re-running compact IS the recovery path.
 
-    Live-consumer caveat: the swap is DROP + RENAME, so a streaming
-    gate probing the table (streaming_near_dedup index_mode="auto")
-    can plan a micro-batch in the gap and fail that batch. Pause the
-    gate around compaction (streams restart cleanly from their
-    checkpoint), or schedule compaction in the ingest pipeline's
-    quiet window — the same discipline as the reference's archive
-    compaction, which also required the source quiescent.
+    Live-consumer contract, MEASURED (round 11, pinned by
+    tests/test_streaming.py test_live_gate_across_fired_maintenance_
+    tick): a streaming gate probing the table (streaming_near_dedup
+    index_mode="auto") holds its analyzed plan's resolved relations —
+    stale file listings the swap invalidates but that neither
+    same-session catalog invalidation nor an explicit refreshTable
+    can reach — so the gate's next micro-batch after the swap fails
+    LOUDLY (FAILED_READ_FILE terminates the query; never a silent
+    empty-index pass-through) and a restart from the same checkpoint
+    replays that batch against the compacted table with exactly-once
+    output. Schedule compaction in the ingest pipeline's quiet
+    window, or restart affected gates after it — the same discipline
+    as the reference's archive compaction, which also required the
+    source quiescent.
 
     `transform` (optional, DataFrame -> DataFrame) rewrites THROUGH a
     filter/projection — the hook retraction compaction uses to fold

@@ -876,6 +876,103 @@ class TestStreamingNearDedup:
         want = {r.bk for r in banded.collect()}
         assert idx == want
 
+    def test_live_gate_across_fired_maintenance_tick(self, spark, tmp_path):
+        # The compaction-vs-live-stream collision, MEASURED (round 11):
+        # a maintain_index tick that fires a fold swaps the index via
+        # DROP+RENAME, and a gate already running holds its analyzed
+        # plan's resolved relations — stale file listings that neither
+        # same-session catalog invalidation nor an explicit
+        # refreshTable can reach (probed: refresh-after-swap still
+        # fails). The next micro-batch therefore fails LOUDLY
+        # (FAILED_READ_FILE on the swapped files terminates the query)
+        # — never a silent empty-index pass-through — and a restart
+        # from the SAME checkpoint replays the failed batch against
+        # the folded index with exactly-once output. This is the ops
+        # contract the maintenance docstrings state: schedule ticks in
+        # the ingest quiet window, or treat a fired tick as a stream
+        # restart signal; streams are stateless gates and recover by
+        # construction.
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup,
+            maintenance,
+            tombstones,
+        )
+
+        t = "t_live_tick_bk"
+        for x in (t, t + "__tombstones", t + "__compact_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        src = tmp_path / "live_tick_src"
+        src.mkdir()
+        out = str(tmp_path / "live_tick_out")
+        ckpt = str(tmp_path / "live_tick_ckpt")
+        twin = "quick brown fox jumps over the lazy dog today"
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+
+        def start():
+            stream = ev.read_parquet_dir_stream(
+                spark, str(src), "doc_id long, text string"
+            )
+            gated = ev.streaming_near_dedup(
+                stream, dedup.live_band_index(spark, t, "doc_id")
+            )
+            return (
+                gated.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+
+        def feed(rows):
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(str(src))
+
+        q = None
+        try:
+            dedup.freeze_band_index_attributed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            tombstones.ensure(spark, t, "doc_id")  # arm BEFORE start
+            q = start()
+            feed([(10, twin), (11, "totally novel content zero overlap")])
+            q.processAllAvailable()
+
+            # day-2 ops while the gate is live: retract doc 1, then
+            # the actor's tick fires the fold (dead_rows signal)
+            dedup.retract_from_band_index(
+                spark, t,
+                spark.createDataFrame([(1,)], "doc_id long"), "doc_id",
+            )
+            rec = maintenance.maintain_index(spark, t, "band")
+            assert (rec["action"], rec["reason"]) == ("compacted", "dead_rows")
+
+            # the gate's NEXT micro-batch fails loudly and terminates
+            feed([(20, twin), (21, "second novel body of words here")])
+            with pytest.raises(Exception, match="STREAM_FAILED|FAILED_READ"):
+                q.processAllAvailable()
+            assert not q.isActive
+
+            # restart from the SAME checkpoint: the failed batch
+            # replays against the FOLDED index — doc 1 retracted, so
+            # its twin (20) is re-admitted; exactly-once output.
+            q = start()
+            q.processAllAvailable()
+            rows = spark.read.parquet(out).collect()
+            assert sorted(r.doc_id for r in rows) == [11, 20, 21]
+        finally:
+            if q is not None:
+                q.stop()
+            for x in (t, t + "__tombstones", t + "__compact_tmp"):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
+            spark.catalog.clearCache()
+
 
 class TestStreamingCuration:
     def test_funnel_matches_batch_twin(self, spark, tmp_path):
