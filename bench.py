@@ -217,6 +217,11 @@ HEADLINE = [
     # round-10: media-index DELETE leg (BMP decode + attributed freeze
     # + tombstoned probe), the image twin of dedup_retraction
     "media_index_retraction",
+    # round-11: index_fleet_sweep (the maintain_indexes driver pin) is
+    # oracle-checked but NOT benched: its wall decomposes into
+    # index_maintenance (above) + a key-only freeze + one REFUSED tick
+    # (the attribution guard raises before any scan) — no new cost
+    # shape to price.
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

@@ -2645,6 +2645,94 @@ def media_index_retraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+@query(
+    "index_fleet_sweep",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    csigs AS ({_minhash_sql(8, "corpus")}),
+    -- post-sweep state of the HEALTHY index: the sweep's tick folds
+    -- the tombstoned (doc_id % 4 = 0) half away, so the base is
+    -- exactly the live key set — recomputed here from the raw corpus
+    keys AS (
+      SELECT DISTINCT band, bkey, doc_id FROM ({_band_keys_sql("csigs")})
+      WHERE bkey IS NOT NULL AND doc_id % 4 != 0
+    ),
+    rowstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS index_rows,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS live_docs
+      FROM keys
+    ),
+    keystats AS (
+      SELECT CAST(count(*) AS BIGINT) AS live_keys,
+             CAST(coalesce(max(kn), 0) AS BIGINT) AS max_key_docs
+      FROM (SELECT band, bkey, count(*) AS kn FROM keys
+            GROUP BY band, bkey)
+    )
+    SELECT index_rows,
+           CAST(0 AS BIGINT) AS dead_rows,
+           index_rows AS live_rows,
+           CAST(0.0 AS DOUBLE) AS dead_frac,
+           live_docs,
+           CAST(0 AS BIGINT) AS retracted_docs,
+           live_keys, max_key_docs,
+           FALSE AS recommend_compact,
+           CAST(2 AS BIGINT) AS n_records,
+           'error' AS action_sick,
+           TRUE AS sick_names_attribution,
+           'compacted' AS action_healthy
+    FROM rowstats CROSS JOIN keystats
+    """,
+)
+def index_fleet_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLEET leg of the maintenance daemon
+    (operators/maintenance.maintain_indexes — the sweep loop a
+    scheduler runs over every served index, the reference's
+    DynamicReplicationMonitor pass over ALL monitored blocks,
+    FSNamesystem.java:4389-4560): build TWO band indexes — a SICK one
+    (key-only freeze_band_index_bucketed: not retractable, so the
+    tick's attribution guard must refuse it) and a HEALTHY attributed
+    one with the doc_id % 4 = 0 half retracted (over the 0.2
+    dead-row threshold) — then sweep both, sick FIRST. The sweep must
+    record action='error' naming the attribution guard for the sick
+    index AND STILL reach and compact the healthy one (a daemon that
+    dies on the first sick index never heals the fleet). The returned
+    row is the healthy index's POST-sweep census plus the sweep's
+    decision summary; the oracle recomputes the entire post-fold
+    census from the raw corpus, so a sweep that aborts early leaves
+    dead rows (index_rows mismatch), one that compacts the sick index
+    anyway errors outright, and one that mislabels the error record
+    fails on the pinned literals."""
+    import re as _re
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    t_sick, t_ok = f"fleet_sick_{tag}", f"fleet_ok_{tag}"
+    dedup.freeze_band_index_bucketed(
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", t_sick
+    )
+    dedup.freeze_band_index_attributed(corpus, "doc_id", "text", t_ok)
+    dedup.retract_from_band_index(
+        spark, t_ok, corpus.filter(F.col("doc_id") % 4 == 0), "doc_id"
+    )
+    recs = maintenance.maintain_indexes(
+        spark,
+        [
+            {"table_name": t_sick, "modality": "band"},
+            {"table_name": t_ok, "modality": "band"},
+        ],
+    )
+    return dedup.band_index_health(spark, t_ok, "doc_id").select(
+        "*",
+        F.lit(len(recs)).cast("bigint").alias("n_records"),
+        F.lit(recs[0]["action"]).alias("action_sick"),
+        F.lit("attribution" in recs[0].get("error", "")).alias(
+            "sick_names_attribution"
+        ),
+        F.lit(recs[1]["action"]).alias("action_healthy"),
+    )
+
+
 _SQL_COS_AB = (
     "round(list_dot_product(a.cv, b.cv) /"
     " sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b.cv, b.cv)), 6)"
