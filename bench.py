@@ -512,23 +512,38 @@ def main() -> None:
     import shutil
     import tempfile
 
+    # 3-rep MEDIAN + spread for both io entries and nnbench (r10
+    # VERDICT ask #5): these are one-shot, metadata/IO-bound numbers —
+    # exactly the entries ambient machine load distorts most (the two
+    # worst outliers on the contaminated r10 driver record read 2.9x /
+    # >1.5x while the idle record sat in band). Median-of-3 absorbs one
+    # contaminated rep; the spread rows make a dirty run self-evident.
     io_dir = tempfile.mkdtemp(prefix="dfsio_")
     try:
         io_rows = max(100_000, int(10_000_000 * (
             float(sf) if sf.replace(".", "").isdigit() else 0.1)))
         gen = datagen.teragen(spark, io_rows)  # ~100 B/row like DFSIO
-        t0 = time.time()
-        gen.write.mode("overwrite").parquet(io_dir)
-        w_sec = time.time() - t0
-        nbytes = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(io_dir) for f in fs
-        )
-        t0 = time.time()
-        materialize(spark.read.parquet(io_dir))
-        r_sec = time.time() - t0
+        w_reps, r_reps = [], []
+        nbytes = 0
+        for rep in range(3):
+            rep_dir = os.path.join(io_dir, f"rep{rep}")
+            t0 = time.time()
+            gen.write.mode("overwrite").parquet(rep_dir)
+            w_reps.append(time.time() - t0)
+            if rep == 0:
+                nbytes = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(rep_dir) for f in fs
+                )
+            t0 = time.time()
+            materialize(spark.read.parquet(rep_dir))
+            r_reps.append(time.time() - t0)
+            shutil.rmtree(rep_dir, ignore_errors=True)
+        w_sec, r_sec = sorted(w_reps)[1], sorted(r_reps)[1]
         timings["dfsio_write"] = round(w_sec, 3)
         timings["dfsio_read"] = round(r_sec, 3)
+        spreads["dfsio_write"] = [round(min(w_reps), 3), round(max(w_reps), 3)]
+        spreads["dfsio_read"] = [round(min(r_reps), 3), round(max(r_reps), 3)]
         io_stats = {
             "write_mb_s": round(nbytes / w_sec / 1e6, 1),
             "read_mb_s": round(nbytes / r_sec / 1e6, 1),
@@ -545,16 +560,22 @@ def main() -> None:
     try:
         sh = FsShell(spark)
         n_meta = 200
-        t0 = time.time()
-        for i in range(n_meta):
-            sh.touchz(os.path.join(meta_dir, f"f{i}"))
-        for i in range(n_meta):
-            sh.stat(os.path.join(meta_dir, f"f{i}"))
-        sh.ls(meta_dir)
-        for i in range(n_meta):
-            sh.rm(os.path.join(meta_dir, f"f{i}"), skip_trash=True)
-        m_sec = time.time() - t0
+        m_reps = []
+        for rep in range(3):
+            rep_dir = os.path.join(meta_dir, f"rep{rep}")
+            os.mkdir(rep_dir)
+            t0 = time.time()
+            for i in range(n_meta):
+                sh.touchz(os.path.join(rep_dir, f"f{i}"))
+            for i in range(n_meta):
+                sh.stat(os.path.join(rep_dir, f"f{i}"))
+            sh.ls(rep_dir)
+            for i in range(n_meta):
+                sh.rm(os.path.join(rep_dir, f"f{i}"), skip_trash=True)
+            m_reps.append(time.time() - t0)
+        m_sec = sorted(m_reps)[1]
         timings["nnbench_meta"] = round(m_sec, 3)
+        spreads["nnbench_meta"] = [round(min(m_reps), 3), round(max(m_reps), 3)]
         io_stats["meta_ops_s"] = round((3 * n_meta + 1) / m_sec, 1)
     finally:
         shutil.rmtree(meta_dir, ignore_errors=True)

@@ -17,6 +17,7 @@ with checkpointed exactly-once sinks.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators import dedup as dedup_ops
+
+logger = logging.getLogger(__name__)
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -694,14 +697,60 @@ def _apply_index_mode(idx: DataFrame, index_mode: str) -> DataFrame:
     pipeline runs. (Reference analog: the identically-partitioned
     precondition of the map-side join, mapred/join/
     CompositeInputFormat.java:34-58 — the index layout is the
-    shuffle.)"""
+    shuffle.)
+
+    Since "auto" became the default (round 10), a caller that used to
+    rely on the old forced broadcast can silently regress: an index
+    built as a purely in-memory relation (lsh_band_index /
+    media_band_index's persisted form) carries NO catalog/file
+    statistics, so Catalyst sizes it from plan defaults — usually an
+    over-estimate that picks sort-merge and shuffles every micro-batch
+    per band. "auto" therefore logs a one-line warning when the index
+    plan has no file/catalog leaf, steering such callers to the
+    explicit index_mode="broadcast" opt-in (ADVICE r10)."""
     if index_mode == "broadcast":
         return F.broadcast(idx)
     if index_mode == "auto":
+        if not _has_stats_bearing_leaf(idx):
+            logger.warning(
+                "index_mode='auto' received an in-memory index relation "
+                "with no catalog/file statistics; Catalyst may "
+                "over-estimate its size and sort-merge every micro-batch "
+                "— pass index_mode='broadcast' for small in-memory "
+                "indexes, or freeze to a bucketed catalog table for "
+                "large ones"
+            )
         return idx
     raise ValueError(
         f"index_mode must be 'broadcast' or 'auto', got {index_mode!r}"
     )
+
+
+def _has_stats_bearing_leaf(df: DataFrame) -> bool:
+    """True when the DataFrame's analyzed plan reads at least one
+    file/catalog relation — the leaves Catalyst can size from real
+    statistics. Purely in-memory plans (LocalRelation / LogicalRDD,
+    the createDataFrame / collected-and-parallelized index forms) have
+    none and get plan-default size estimates. Best-effort plan
+    introspection: on any py4j surprise, claim True (never warn
+    spuriously, never fail the gate)."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            name = leaves.apply(i).getClass().getSimpleName()
+            if name in (
+                "LogicalRelation",
+                "LogicalRelationWithTable",
+                "HiveTableRelation",
+                "UnresolvedCatalogRelation",
+                "StreamingRelation",
+                "StreamingRelationV2",
+                "DataSourceV2Relation",
+            ):
+                return True
+        return False
+    except Exception:  # noqa: BLE001 — introspection must never fail a gate
+        return True
 
 
 def streaming_near_dedup(

@@ -640,6 +640,40 @@ class TestStreamingNearDedup:
         assert 101 not in ids          # near dup: >=1 band hits
         assert {103, 104} <= ids       # novel docs survive every anti join
 
+    def test_auto_mode_warns_on_statistics_less_index(self, spark, caplog):
+        # ADVICE r10: since "auto" is the default, a caller passing a
+        # purely in-memory index (createDataFrame / LocalRelation —
+        # no catalog/file statistics for Catalyst to size from) gets
+        # a one-line steer toward index_mode="broadcast"; an index
+        # that reads a file/catalog relation stays silent.
+        import logging as _logging
+
+        corpus, batch = self._corpus_and_batch(spark)
+        in_mem = spark.createDataFrame([(1,), (2,)], "bk long")
+        with caplog.at_level(
+            _logging.WARNING,
+            logger="hadoop_distributed_dynamic_file_system_spark.streaming.events",
+        ):
+            ev.streaming_near_dedup(batch, in_mem)
+        assert any("index_mode='auto'" in r.message for r in caplog.records)
+        caplog.clear()
+        # lsh_band_index derives from the corpus relation — createDataFrame
+        # here too, so it warns; the silent path is a FILE-backed corpus
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        file_corpus = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        idx = dedup.lsh_band_index(file_corpus, "doc_id", "text")
+        with caplog.at_level(
+            _logging.WARNING,
+            logger="hadoop_distributed_dynamic_file_system_spark.streaming.events",
+        ):
+            ev.streaming_near_dedup(batch, idx)
+        assert not any(
+            "index_mode='auto'" in r.message for r in caplog.records
+        )
+
     def test_stream_matches_batch_twin(self, spark, tmp_path):
         from hadoop_distributed_dynamic_file_system_spark.operators import dedup
 
