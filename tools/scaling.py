@@ -136,6 +136,10 @@ QUERIES = [
     # (BMP decode + attributed freeze + tombstoned probe)
     "index_maintenance",
     "media_index_retraction",
+    # round-11 addition: the FLEET sweep (sick index refused by the
+    # attribution guard + healthy index compacted, one sweep call) —
+    # the scaling read is the healthy tick's, plus a key-only freeze
+    "index_fleet_sweep",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
