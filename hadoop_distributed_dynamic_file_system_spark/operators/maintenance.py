@@ -148,7 +148,15 @@ def maintain_index(
     retraction landing between census and fold is simply picked up by
     the next tick. Idempotent: a fired tick drops the tombstones and
     rewrites to one file per bucket, so the next tick reads both
-    signals quiet and reports 'healthy'."""
+    signals quiet and reports 'healthy'.
+
+    Crash-safe both ways: a fold that dies mid-rewrite leaves the
+    original table untouched (the staged write happens first), and a
+    fold that dies between compact_bucketed's DROP and RENAME (the
+    half-swap: data intact in `<t>__compact_tmp`, index unservable)
+    is detected and completed by the NEXT tick before its census —
+    recorded as `recovered_half_swap: True` — so re-running the
+    daemon IS the recovery path, no operator intervention."""
     if modality not in MODALITIES:
         raise ValueError(
             f"unknown index modality {modality!r} — one of "
@@ -157,6 +165,28 @@ def maintain_index(
     health_fn, compact_fn, default_id = MODALITIES[modality]
     if id_col is None:
         id_col = default_id
+    # Crash recovery is the DAEMON's job, not the operator's: a
+    # previous fold that died between compact_bucketed's DROP and
+    # RENAME leaves the data intact in `<t>__compact_tmp` and the
+    # index unservable. The tick detects the half-swap and completes
+    # the rename BEFORE censusing (compact_bucketed's documented
+    # recovery branch), records it, and proceeds with the normal
+    # tick — so a fleet sweep heals a crashed index instead of
+    # recording it as an error forever.
+    recovered = False
+    from . import skew as _skew
+
+    if spark.catalog.tableExists(
+        f"{table_name}__compact_tmp"
+    ) and not spark.catalog.tableExists(table_name):
+        _skew.compact_bucketed(spark, table_name)  # completes the rename
+        recovered = True
+        logger.warning(
+            "maintain_index %s: completed a crashed compaction's "
+            "half-swap (renamed __compact_tmp into place) before the "
+            "census",
+            table_name,
+        )
     census = health_fn(spark, table_name, id_col, compact_threshold)
     row = census.collect()[0]  # one row by construction — bounded
     record = {
@@ -167,6 +197,8 @@ def maintain_index(
         "max_files_per_bucket": max_files_per_bucket,
         **row.asDict(),
     }
+    if recovered:
+        record["recovered_half_swap"] = True
     fire_frag = False
     if max_files_per_bucket is not None:
         from . import skew

@@ -184,6 +184,40 @@ class TestMaintainBandIndex:
         with pytest.raises(ValueError, match="modality"):
             maintenance.maintain_index(spark, "whatever", "bogus")
 
+    def test_tick_self_heals_half_swap(self, spark):
+        # a fold that crashed between compact_bucketed's DROP and
+        # RENAME leaves the data in __compact_tmp and the index
+        # unservable; the NEXT tick must complete the rename before
+        # its census (recorded), then tick normally — re-running the
+        # daemon IS the recovery path.
+        t = "t_maint_crash"
+        self._freeze(spark, t)
+        try:
+            before = self._survivors(spark, t)
+            # simulate the crash state: staged tmp present, table gone
+            cols, nb = skew.bucket_spec(spark, t)
+            spark.sql(f"DROP TABLE IF EXISTS {t}__compact_tmp")
+            skew.write_bucketed(
+                spark.table(t), f"{t}__compact_tmp", cols, num_buckets=nb
+            )
+            spark.sql(f"DROP TABLE {t}")
+            assert not spark.catalog.tableExists(t)
+
+            rec = maintenance.maintain_index(spark, t, "band")
+            assert rec.get("recovered_half_swap") is True
+            assert rec["action"] == "healthy"  # clean index post-heal
+            assert spark.catalog.tableExists(t)
+            assert not spark.catalog.tableExists(t + "__compact_tmp")
+            assert skew.bucket_spec(spark, t) == (cols, nb)
+            assert self._survivors(spark, t) == before
+            # a normal tick carries no recovery field
+            assert "recovered_half_swap" not in maintenance.maintain_index(
+                spark, t, "band"
+            )
+        finally:
+            _drop(spark, t)
+            spark.catalog.clearCache()
+
     def test_sweep_survives_sick_index(self, spark):
         # fleet sweep: an unattributed index errors (its guard applies
         # to the daemon path too) without aborting the healthy ticks

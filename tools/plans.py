@@ -124,6 +124,12 @@ SHOWCASE = [
      "two ticks ran at construction time — census collect, fired "
      "fold, idempotent re-tick); same census shape as index_health "
      "with an empty tombstone side"),
+    # round-11 shape
+    ("index_fleet_sweep", "the FLEET leg: post-sweep census of the "
+     "healthy index after maintain_indexes refused the sick key-only "
+     "index (attribution guard) and compacted the tombstoned one; "
+     "the sweep's decision labels ride the plan as literals — the "
+     "census itself is the index_health shape, Exchange-free on bk"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the

@@ -780,13 +780,20 @@ def main() -> None:
                 lambda: skew_ops.bucket_file_census(
                     spark, "stress_frozen_attr"),
             )
+            def frag_tick(threshold, want_action):
+                rec = maintenance.maintain_index(
+                    spark, "stress_frozen_attr", "band",
+                    max_files_per_bucket=threshold,
+                )
+                # a tick that decided differently than the row's label
+                # would silently misprice the family on a regen
+                assert rec["action"] == want_action, rec
+                return rec
+
             bench(
                 "frag_tick_not_fired_90x", base * 90,
-                lambda: maintenance.maintain_index(
-                    spark, "stress_frozen_attr", "band",
-                    max_files_per_bucket=max(
-                        2 * fc["max_files_per_bucket"], 64
-                    ),
+                lambda: frag_tick(
+                    max(2 * fc["max_files_per_bucket"], 64), "healthy"
                 ),
             )
             bench(
@@ -797,10 +804,7 @@ def main() -> None:
             )
             bench(
                 "frag_tick_fired_fold_90x", base * 90,
-                lambda: maintenance.maintain_index(
-                    spark, "stress_frozen_attr", "band",
-                    max_files_per_bucket=8,
-                ),
+                lambda: frag_tick(8, "compacted"),
                 reps=1,
             )
             bench(
@@ -1059,7 +1063,11 @@ def main() -> None:
         "wall; with the measured numbers the default threshold 8",
         "(i.e., fold roughly every 8 append waves) keeps the probe tax",
         "within noise of the compacted probe while paying the fold",
-        "~4x less often than the waves arrive.",
+        "~8x less often than the waves arrive (each wave adds at most",
+        "one file per touched bucket). Measured round 11: census+tick",
+        "2.0 s ~= one probe; fragmented probe 2.9 s vs 2.5 s compacted",
+        "(the tax); fired fold 2.5 s ~= tick + the 0.8 s fold; refolded",
+        "probe back to 2.6 s.",
         "",
         "`skew99_join_{plain,aqe,salted}_10m` rows = FACT rows, 99% on",
         "one key, dim non-broadcastable (threshold -1). Salted wins",
