@@ -238,7 +238,12 @@ def bm25_scores(
         F.count("*").alias("__n"),
         F.avg(F.size("_words")).alias("__avgdl"),
     )
-    tf = (
+    # tf feeds BOTH the df count and the scoring join: without an
+    # eager persist each consumer re-runs the corpus tokenize+explode
+    # pipeline (the standard self-join recompute — measured 2x on this
+    # operator, round 11). The persisted relation is postings of the
+    # |Q| query terms only, hit-set sized, never corpus sized.
+    tf = tracked_persist(
         bound.select(
             F.col(id_col),
             F.size("_words").alias("dl"),
