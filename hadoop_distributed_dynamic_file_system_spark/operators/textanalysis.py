@@ -238,12 +238,18 @@ def bm25_scores(
         F.count("*").alias("__n"),
         F.avg(F.size("_words")).alias("__avgdl"),
     )
-    # tf feeds BOTH the df count and the scoring join: without an
-    # eager persist each consumer re-runs the corpus tokenize+explode
-    # pipeline (the standard self-join recompute — measured 2x on this
-    # operator, round 11). The persisted relation is postings of the
-    # |Q| query terms only, hit-set sized, never corpus sized.
-    tf = tracked_persist(
+    # tf feeds BOTH the df count and the scoring join — deliberately
+    # WITHOUT a persist. A/B-measured (round 11, sf0.1): no-persist
+    # 0.78-0.91 s, lazy tracked_persist 1.11-1.28 s, eager 1.25-1.4 s
+    # — the duplicate explode+filter subtree is a cheap scan of the
+    # (post-pushdown) corpus, while any cache pays InMemoryRelation
+    # materialization (+ a count job when eager) on the hot path.
+    # This is NOT the lsh_candidate_pairs situation (a wide self-join
+    # whose unpersisted sides re-run a 4-stage funnel); don't "fix"
+    # it into one. At true 100 TB corpus scale, drop the third scan
+    # by maintaining (N, avgdl) incrementally (moment_stats) rather
+    # than by caching postings.
+    tf = (
         bound.select(
             F.col(id_col),
             F.size("_words").alias("dl"),
