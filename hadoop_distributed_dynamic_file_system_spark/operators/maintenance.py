@@ -37,7 +37,12 @@ checkpoint replays the failed batch against the folded index with
 exactly-once output — the gates are stateless, so restart IS the
 recovery. Operationally: schedule ticks in the ingest quiet window,
 or treat a fired tick ('action' == 'compacted' in the decision
-record) as the signal to restart the affected gates.
+record) as the signal to restart the affected gates — OR migrate the
+index once with tombstones.enable_generational, after which folds
+swap generations catalog-only and a live gate keeps running through
+a fired tick (zero downtime; pre-fold semantics until its next
+restart; one-generation retention, so restart before the SECOND
+fold — pinned by test_live_gate_survives_generational_tick).
 """
 
 from __future__ import annotations

@@ -32,6 +32,7 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
     align: bool = True,
+    location: str | None = None,
 ) -> None:
     """Persist as a bucketed+sorted table (saveAsTable — bucketing
     metadata lives in the session catalog). Two tables bucketed the
@@ -46,21 +47,28 @@ def write_bucketed(
     at 100 TB (the very pathology the reference's HadoopArchives tool
     exists to clean up, src/tools/HadoopArchives.java). Set False only
     when one bucket exceeds a comfortable single-task output and you
-    prefer parallel writers over file count."""
-    if mode == "overwrite":
+    prefer parallel writers over file count.
+
+    `location` makes the table EXTERNAL at that path (generational
+    layout — see enable_generational): DROP then keeps the files,
+    which is what catalog-only generation swaps rely on."""
+    if mode == "overwrite" and location is None:
         # A warehouse dir can outlive the (in-memory) catalog across
         # sessions; saveAsTable then raises LOCATION_ALREADY_EXISTS
         # even in overwrite mode. If the catalog does not know the
         # table, the leftover dir is an orphan — remove it (local
         # filesystems only; best-effort elsewhere).
         _remove_orphan_table_dir(df.sparkSession, table_name)
-    _aligned_bucket_write(
-        df, num_buckets, bucket_cols, align,
-        lambda d: d.write.mode(mode)
-        .bucketBy(num_buckets, *bucket_cols)
-        .sortBy(*(sort_cols or bucket_cols))
-        .saveAsTable(table_name),
-    )
+
+    def save(d):
+        w = d.write.mode(mode)
+        if location is not None:
+            w = w.option("path", location)
+        (w.bucketBy(num_buckets, *bucket_cols)
+         .sortBy(*(sort_cols or bucket_cols))
+         .saveAsTable(table_name))
+
+    _aligned_bucket_write(df, num_buckets, bucket_cols, align, save)
 
 
 def _remove_orphan_table_dir(spark, table_name: str) -> None:
@@ -193,6 +201,95 @@ def bucket_spec(spark, table_name: str) -> tuple[list[str], int]:
     return cols, int(rows["Num Buckets"])
 
 
+# ------------------------------------------------- generational layout
+# Zero-downtime compaction (round 11). The legacy swap (DROP managed +
+# RENAME) deletes the old files, and a live streaming gate's analyzed
+# plan holds stale listings of exactly those files — its next
+# micro-batch dies on FAILED_READ (measured; see compact_bucketed's
+# live-consumer contract). The generational layout removes the
+# deletion from the swap: the table is EXTERNAL and ping-pongs between
+# two sibling directories (`<path>__genA` / `<path>__genB`); a
+# compaction writes the folded data into the OTHER directory, then
+# swaps with two catalog-only ops (DROP external + RENAME), leaving
+# the old generation's files on disk until the NEXT compaction
+# reclaims that directory. A gate started before the swap keeps
+# reading the retired generation — pre-fold semantics, correct
+# because its tombstone anti-join is still armed (tombstones retire
+# the same catalog-only way) — and picks up the fold at its next
+# restart/fresh resolution. One-generation retention bounds disk at
+# 2x index size; a gate running across TWO folds of the same index
+# still fails-and-restarts (the documented legacy contract).
+# This is the manual form of what table formats with MVCC snapshots
+# (Delta/Iceberg) give for free; the reference analog is the
+# rename-into-place commit of FileOutputCommitter — readers of the
+# old attempt's files are never invalidated mid-read.
+
+_GEN_SUFFIXES = ("__genA", "__genB")
+
+
+def table_location(spark, table_name: str) -> str:
+    """Table location URI from DESCRIBE TABLE EXTENDED."""
+    return {
+        r.col_name: r.data_type
+        for r in spark.sql(
+            f"DESCRIBE TABLE EXTENDED {table_name}"
+        ).collect()
+    }["Location"]
+
+
+def generational_location(spark, table_name: str) -> str | None:
+    """The table's location if it is in generational layout (path ends
+    with a generation suffix), else None."""
+    loc = table_location(spark, table_name).rstrip("/")
+    return loc if loc.endswith(_GEN_SUFFIXES) else None
+
+
+def _next_generation(loc: str) -> str:
+    loc = loc.rstrip("/")
+    a, b = _GEN_SUFFIXES
+    return loc[: -len(a)] + (b if loc.endswith(a) else a)
+
+
+def _delete_dir(spark, location: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API (any scheme
+    the client knows) — reclaiming a retired generation directory."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(location)
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jpath.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    fs.delete(jpath, True)
+
+
+def enable_generational(spark, table_name: str) -> None:
+    """One-time migration of a bucketed catalog table into the
+    generational (zero-downtime-compaction) layout: rewrite into an
+    EXTERNAL table at `<current_location>__genA` and swap. No-op if
+    already generational.
+
+    The migration itself is the LAST downtime-requiring rewrite: the
+    old managed directory is deleted by the DROP, so run it at freeze
+    time or in a quiescent window (the legacy live-consumer contract
+    applies to this one call). Every compact_bucketed after it — and
+    therefore every maintenance-actor fold — swaps catalog-only and
+    never breaks a live gate. A later write_bucketed overwrite of the
+    same name without `location` resets the table to managed layout;
+    re-run this migration after a re-freeze."""
+    if generational_location(spark, table_name) is not None:
+        return
+    bucket_cols, num_buckets = bucket_spec(spark, table_name)
+    gen_loc = table_location(spark, table_name).rstrip("/") + _GEN_SUFFIXES[0]
+    tmp = f"{table_name}__compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    _delete_dir(spark, gen_loc)
+    write_bucketed(
+        spark.table(table_name), tmp, bucket_cols,
+        num_buckets=num_buckets, location=gen_loc,
+    )
+    spark.sql(f"DROP TABLE {table_name}")  # managed: deletes old files
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+
+
 def bucket_file_census(spark, table_name: str) -> dict:
     """Per-bucket data-file census of a bucketed catalog table — the
     fragmentation signal compact_bucketed's cadence defers to: each
@@ -298,14 +395,17 @@ def compact_bucketed(
     index_mode="auto") holds its analyzed plan's resolved relations —
     stale file listings the swap invalidates but that neither
     same-session catalog invalidation nor an explicit refreshTable
-    can reach — so the gate's next micro-batch after the swap fails
-    LOUDLY (FAILED_READ_FILE terminates the query; never a silent
-    empty-index pass-through) and a restart from the same checkpoint
-    replays that batch against the compacted table with exactly-once
-    output. Schedule compaction in the ingest pipeline's quiet
-    window, or restart affected gates after it — the same discipline
-    as the reference's archive compaction, which also required the
-    source quiescent.
+    can reach — so in the LEGACY (managed) layout the gate's next
+    micro-batch after the swap fails LOUDLY (FAILED_READ_FILE
+    terminates the query; never a silent empty-index pass-through)
+    and a restart from the same checkpoint replays that batch against
+    the compacted table with exactly-once output. Schedule compaction
+    in the ingest pipeline's quiet window, or restart affected gates
+    after it — or migrate the table once with enable_generational,
+    after which the swap is catalog-only, the retired generation's
+    files stay on disk until the next compaction, and a live gate
+    keeps running through the fold (pre-fold semantics until its next
+    restart — pinned by test_live_gate_survives_generational_tick).
 
     `transform` (optional, DataFrame -> DataFrame) rewrites THROUGH a
     filter/projection — the hook retraction compaction uses to fold
@@ -319,14 +419,29 @@ def compact_bucketed(
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
         return
     bucket_cols, num_buckets = bucket_spec(spark, table_name)
+    gen_loc = generational_location(spark, table_name)
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     src = spark.table(table_name)
     if transform is not None:
         src = transform(src)
-    write_bucketed(
-        src, tmp, bucket_cols,
-        num_buckets=num_buckets, sort_cols=sort_cols,
-    )
+    if gen_loc is not None:
+        # generational: stage into the OTHER generation directory
+        # (reclaiming it — this deletion retires the PREVIOUS
+        # generation, one full fold after it stopped being current),
+        # then swap catalog-only; the current generation's files
+        # survive for gates already reading them.
+        next_loc = _next_generation(gen_loc)
+        _delete_dir(spark, next_loc)
+        write_bucketed(
+            src, tmp, bucket_cols,
+            num_buckets=num_buckets, sort_cols=sort_cols,
+            location=next_loc,
+        )
+    else:
+        write_bucketed(
+            src, tmp, bucket_cols,
+            num_buckets=num_buckets, sort_cols=sort_cols,
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # file-level move keeps this metadata-cheap; ALTER TABLE RENAME on
     # a managed datasource table moves the directory for us

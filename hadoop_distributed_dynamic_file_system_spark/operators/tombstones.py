@@ -26,6 +26,65 @@ def tombstone_table(table_name: str) -> str:
     return f"{table_name}__tombstones"
 
 
+# ------------------------------------------------- generational layout
+# When the BASE index is in skew's generational layout (zero-downtime
+# compaction), the tombstone table must follow it: the fold used to
+# DROP the tombstone table, and deleting its files is exactly what
+# killed live gates (the measured FAILED_READ came from the stale
+# tombstone listing first). Generational tombstones ping-pong between
+# `<base_root>__tombstones__gen{A,B}` with catalog-only swaps, so a
+# retirement (post-fold empty set) or a clear_for rewrite never
+# deletes files a running gate still lists; the retired directory is
+# reclaimed at the NEXT swap. Tombstone relations are
+# retraction-sized, so the 2x retention is bytes-trivial.
+
+
+def _base_generational_root(spark: SparkSession, table_name: str) -> str | None:
+    """`<base-location-minus-suffix>__tombstones` when the BASE index
+    is generational, else None."""
+    from . import skew
+
+    loc = skew.generational_location(spark, table_name)
+    if loc is None:
+        return None
+    return loc[: -len(skew._GEN_SUFFIXES[0])] + "__tombstones"
+
+
+def _create_generational(
+    spark: SparkSession, table_name: str, df: DataFrame
+) -> None:
+    """First write of a generational tombstone table (gen A). The
+    target directory is cleared first: an orphaned dir from a dropped
+    predecessor would otherwise be ADOPTED by the external create,
+    resurrecting stale tombstones."""
+    from . import skew
+
+    root = _base_generational_root(spark, table_name)
+    tomb = tombstone_table(table_name)
+    loc = root + skew._GEN_SUFFIXES[0]
+    skew._delete_dir(spark, loc)
+    df.write.option("path", loc).saveAsTable(tomb)
+
+
+def _generational_swap_small(
+    spark: SparkSession, table: str, new_df: DataFrame
+) -> None:
+    """Catalog-only rewrite of a small generational side table: stage
+    `new_df` into the other generation directory (reclaiming it), then
+    DROP external + RENAME — the current generation's files survive
+    for plans already reading them."""
+    from . import skew
+
+    loc = skew.generational_location(spark, table)
+    next_loc = skew._next_generation(loc)
+    tmp = f"{table}__swap"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    skew._delete_dir(spark, next_loc)
+    new_df.write.option("path", next_loc).saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+
+
 def add(
     spark: SparkSession,
     table_name: str,
@@ -41,6 +100,8 @@ def add(
     if spark.catalog.tableExists(tomb):
         ids = ids.join(spark.table(tomb), id_col, "left_anti")
         ids.write.mode("append").saveAsTable(tomb)
+    elif _base_generational_root(spark, table_name) is not None:
+        _create_generational(spark, table_name, ids)
     else:
         # a tombstone dir can outlive the in-memory catalog across
         # sessions (same pathology skew.write_bucketed handles)
@@ -80,6 +141,9 @@ def clear_for(
     remaining = spark.table(tomb).join(
         ids.select(id_col).distinct(), id_col, "left_anti"
     )
+    if skew.generational_location(spark, tomb) is not None:
+        _generational_swap_small(spark, tomb, remaining)
+        return
     tmp = f"{tomb}__swap"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     skew._remove_orphan_table_dir(spark, tmp)
@@ -113,7 +177,21 @@ def compact(
         spark, table_name, sort_cols=sort_cols,
         transform=lambda df: _subtract(spark, df, table_name, id_col),
     )
-    drop(spark, table_name)
+    tomb = tombstone_table(table_name)
+    if spark.catalog.tableExists(tomb) and (
+        skew.generational_location(spark, tomb) is not None
+    ):
+        # generational: retire to an EMPTY set catalog-only — the old
+        # tombstone files survive for live gates (whose stale base
+        # listing is the RETIRED pre-fold generation, so the stale
+        # tombstones are exactly the correct companion), and the
+        # armed-empty anti-join keeps the retraction pickup contract
+        # for the running stream.
+        _generational_swap_small(
+            spark, tomb, spark.table(tomb).limit(0)
+        )
+    else:
+        drop(spark, table_name)
 
 
 def _subtract(spark, df: DataFrame, table_name: str, id_col: str) -> DataFrame:
@@ -121,6 +199,35 @@ def _subtract(spark, df: DataFrame, table_name: str, id_col: str) -> DataFrame:
     if spark.catalog.tableExists(tomb):
         df = df.join(F.broadcast(spark.table(tomb)), id_col, "left_anti")
     return df
+
+
+def enable_generational(
+    spark: SparkSession, table_name: str, id_col: str
+) -> None:
+    """One-time migration of a RETRACTABLE frozen index (any modality
+    — text/media bands, IVF lists) into the zero-downtime-compaction
+    layout: the base moves via skew.enable_generational, the tombstone
+    table follows into its own ping-pong directories, and the (empty,
+    if new) tombstone side is armed (ensure) so gates started after
+    the migration carry the anti-join. Run in a quiescent window —
+    this is the LAST fold-shaped rewrite that breaks live consumers;
+    every maintenance tick after it swaps catalog-only."""
+    from . import skew
+
+    skew.enable_generational(spark, table_name)
+    tomb = tombstone_table(table_name)
+    if spark.catalog.tableExists(tomb) and (
+        skew.generational_location(spark, tomb) is None
+    ):
+        root = _base_generational_root(spark, table_name)
+        loc = root + skew._GEN_SUFFIXES[0]
+        tmp = f"{tomb}__swap"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        skew._delete_dir(spark, loc)
+        spark.table(tomb).write.option("path", loc).saveAsTable(tmp)
+        spark.sql(f"DROP TABLE {tomb}")  # managed: old files deleted
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {tomb}")
+    ensure(spark, table_name, id_col)
 
 
 def ensure(spark: SparkSession, table_name: str, id_col: str) -> None:
@@ -146,8 +253,12 @@ def ensure(spark: SparkSession, table_name: str, id_col: str) -> None:
         return
     from . import skew
 
+    empty = spark.table(table_name).select(id_col).limit(0)
+    if _base_generational_root(spark, table_name) is not None:
+        _create_generational(spark, table_name, empty)
+        return
     skew._remove_orphan_table_dir(spark, tomb)
-    spark.table(table_name).select(id_col).limit(0).write.saveAsTable(tomb)
+    empty.write.saveAsTable(tomb)
 
 
 def health(

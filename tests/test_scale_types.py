@@ -733,6 +733,154 @@ class TestBucketFileCensusWarehouse:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+class TestGenerationalCompaction:
+    """Zero-downtime compaction layout (round 11): external ping-pong
+    generation directories + catalog-only swaps. The batch-side
+    contract — migration, fold correctness, generation alternation
+    with one-generation retention, crash recovery — lives here; the
+    live-streaming zero-downtime pin is
+    test_streaming.test_live_gate_survives_generational_tick."""
+
+    CORPUS = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "an entirely different sentence about distributed systems now"),
+    ]
+
+    def _cleanup(self, spark, t):
+        import shutil
+
+        for x in (t, t + "__tombstones", t + "__compact_tmp",
+                  t + "__tombstones__swap"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        for suf in ("__genA", "__genB",
+                    "__tombstones__genA", "__tombstones__genB"):
+            shutil.rmtree(f"spark-warehouse/{t}{suf}", ignore_errors=True)
+
+    def _survivors(self, spark, t):
+        from hadoop_distributed_dynamic_file_system_spark.operators import dedup
+
+        batch = spark.createDataFrame(
+            [(101, "quick brown fox jumps over the lazy dog today"),
+             (102, "entirely different sentence about distributed systems now"),
+             (999, "totally novel content with no shingle overlap whatsoever")],
+            "doc_id long, text string",
+        )
+        return {
+            r.doc_id
+            for r in dedup.incremental_near_dedup_attributed(
+                spark, batch, t, "doc_id", "text"
+            ).collect()
+        }
+
+    def test_lifecycle_ping_pong_and_retention(self, spark):
+        import os
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup, maintenance, tombstones,
+        )
+
+        t = "t_gen_life"
+        self._cleanup(spark, t)
+        try:
+            corpus = spark.createDataFrame(
+                self.CORPUS, "doc_id long, text string"
+            )
+            dedup.freeze_band_index_attributed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            tombstones.enable_generational(spark, t, "doc_id")
+            # migration: base and tombstones both at gen A; bucket
+            # spec intact; re-running the migration is a no-op
+            assert skew.generational_location(spark, t).endswith("__genA")
+            assert skew.generational_location(
+                spark, t + "__tombstones"
+            ).endswith("__genA")
+            assert skew.bucket_spec(spark, t) == (["bk"], 8)
+            tombstones.enable_generational(spark, t, "doc_id")
+            assert skew.generational_location(spark, t).endswith("__genA")
+            assert self._survivors(spark, t) == {999}
+
+            # fired fold swaps to gen B catalog-only; the retired
+            # gen A directory SURVIVES (that's the whole point)
+            dedup.retract_from_band_index(
+                spark, t,
+                spark.createDataFrame([(1,)], "doc_id long"), "doc_id",
+            )
+            rec = maintenance.maintain_index(spark, t, "band")
+            assert (rec["action"], rec["reason"]) == ("compacted", "dead_rows")
+            assert skew.generational_location(spark, t).endswith("__genB")
+            assert skew.generational_location(
+                spark, t + "__tombstones"
+            ).endswith("__genB")
+            assert os.path.isdir(f"spark-warehouse/{t}__genA")
+            assert self._survivors(spark, t) == {101, 999}
+            assert maintenance.maintain_index(spark, t, "band")["action"] == (
+                "healthy"
+            )
+
+            # second fold ping-pongs BACK to gen A, reclaiming it
+            dedup.extend_band_index_attributed(
+                spark,
+                spark.createDataFrame(
+                    [(50, "completely fresh vocabulary for wave two arrives")],
+                    "doc_id long, text string",
+                ),
+                t, "doc_id", "text",
+            )
+            rec3 = maintenance.maintain_index(
+                spark, t, "band", max_files_per_bucket=1
+            )
+            assert (rec3["action"], rec3["reason"]) == (
+                "compacted", "fragmentation"
+            )
+            assert skew.generational_location(spark, t).endswith("__genA")
+            assert self._survivors(spark, t) == {101, 999}
+            assert skew.bucket_file_census(spark, t)[
+                "max_files_per_bucket"
+            ] == 1
+        finally:
+            self._cleanup(spark, t)
+            spark.catalog.clearCache()
+
+    def test_half_swap_recovery_in_generational_mode(self, spark):
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup, maintenance, tombstones,
+        )
+
+        t = "t_gen_crash"
+        self._cleanup(spark, t)
+        try:
+            corpus = spark.createDataFrame(
+                self.CORPUS, "doc_id long, text string"
+            )
+            dedup.freeze_band_index_attributed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            tombstones.enable_generational(spark, t, "doc_id")
+            before = self._survivors(spark, t)
+            # simulate a crash between DROP and RENAME: stage the next
+            # generation as the tmp table, then drop the live table
+            cols, nb = skew.bucket_spec(spark, t)
+            next_loc = skew._next_generation(
+                skew.generational_location(spark, t)
+            )
+            skew._delete_dir(spark, next_loc)
+            skew.write_bucketed(
+                spark.table(t), f"{t}__compact_tmp", cols,
+                num_buckets=nb, location=next_loc,
+            )
+            spark.sql(f"DROP TABLE {t}")
+            # the daemon's next tick completes the rename (self-heal)
+            rec = maintenance.maintain_index(spark, t, "band")
+            assert rec.get("recovered_half_swap") is True
+            assert skew.generational_location(spark, t).endswith("__genB")
+            assert self._survivors(spark, t) == before
+        finally:
+            self._cleanup(spark, t)
+            spark.catalog.clearCache()
+
+
 class TestSalting:
     def test_salted_join_matches_plain_join(self, spark):
         # heavy skew: 90% of rows share key 0

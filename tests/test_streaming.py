@@ -1007,6 +1007,135 @@ class TestStreamingNearDedup:
                 spark.sql(f"DROP TABLE IF EXISTS {x}")
             spark.catalog.clearCache()
 
+    def test_live_gate_survives_generational_tick(self, spark, tmp_path):
+        # ZERO-DOWNTIME twin of the test above (round 11): after
+        # tombstones.enable_generational, a fired maintenance tick
+        # swaps generations catalog-only and the retired generation's
+        # files stay on disk — so the SAME running gate keeps
+        # processing micro-batches through the fold (reading the
+        # retired pre-fold generation, whose still-armed tombstones
+        # make its semantics correct), and a fresh resolution reads
+        # the folded generation. One-generation retention is the
+        # documented bound: a gate that lives across TWO folds of the
+        # same index loses its files to the ping-pong reclaim and
+        # fails loudly (the legacy restart contract).
+        import shutil
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            dedup,
+            maintenance,
+            tombstones,
+        )
+
+        t = "t_live_gen_bk"
+        for x in (t, t + "__tombstones", t + "__compact_tmp",
+                  t + "__tombstones__swap"):
+            spark.sql(f"DROP TABLE IF EXISTS {x}")
+            shutil.rmtree(f"spark-warehouse/{x}", ignore_errors=True)
+        for suf in ("__genA", "__genB",
+                    "__tombstones__genA", "__tombstones__genB"):
+            shutil.rmtree(f"spark-warehouse/{t}{suf}", ignore_errors=True)
+        src = tmp_path / "live_gen_src"
+        src.mkdir()
+        twin = "quick brown fox jumps over the lazy dog today"
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        q = None
+        try:
+            dedup.freeze_band_index_attributed(
+                corpus, "doc_id", "text", t, num_buckets=8
+            )
+            tombstones.enable_generational(spark, t, "doc_id")  # arms too
+            stream = ev.read_parquet_dir_stream(
+                spark, str(src), "doc_id long, text string"
+            )
+            gated = ev.streaming_near_dedup(
+                stream, dedup.live_band_index(spark, t, "doc_id")
+            )
+            q = (
+                gated.writeStream.format("memory")
+                .queryName("live_gen_out")
+                .outputMode("append")
+                .start()
+            )
+
+            def feed(rows):
+                spark.createDataFrame(
+                    rows, "doc_id long, text string"
+                ).coalesce(1).write.mode("append").parquet(str(src))
+
+            def got():
+                return {
+                    r.doc_id
+                    for r in spark.sql(
+                        "select doc_id from live_gen_out"
+                    ).collect()
+                }
+
+            feed([(10, twin), (11, "totally novel content zero overlap")])
+            q.processAllAvailable()
+            assert got() == {11}
+
+            # retraction lands on the live gate (generational tombstone
+            # append is still a live pickup), then the tick FIRES
+            dedup.retract_from_band_index(
+                spark, t,
+                spark.createDataFrame([(1,)], "doc_id long"), "doc_id",
+            )
+            rec = maintenance.maintain_index(spark, t, "band")
+            assert (rec["action"], rec["reason"]) == ("compacted", "dead_rows")
+
+            # the SAME gate keeps running through the fold: no failure,
+            # twin of the retracted doc re-admitted, novel survives
+            feed([(20, twin), (21, "second novel body of words here")])
+            q.processAllAvailable()
+            assert q.isActive
+            assert got() == {11, 20, 21}
+
+            # fresh resolution reads the folded generation: same
+            # survivor semantics (fold ≡ retraction, by construction)
+            fresh = ev.streaming_near_dedup(
+                spark.createDataFrame(
+                    [(30, twin), (31, "third novel body entirely fresh")],
+                    "doc_id long, text string",
+                ),
+                dedup.live_band_index(spark, t, "doc_id"),
+            )
+            assert {r.doc_id for r in fresh.collect()} == {30, 31}
+
+            # documented retention bound: a SECOND fold reclaims the
+            # generation this gate is still reading — loud failure
+            dedup.extend_band_index_attributed(
+                spark,
+                spark.createDataFrame(
+                    [(40, "wave two vocabulary completely distinct")],
+                    "doc_id long, text string",
+                ),
+                t, "doc_id", "text",
+            )
+            rec2 = maintenance.maintain_index(
+                spark, t, "band", max_files_per_bucket=1
+            )
+            assert rec2["action"] == "compacted"
+            feed([(50, twin)])
+            with pytest.raises(Exception, match="STREAM_FAILED|FAILED_READ"):
+                q.processAllAvailable()
+            assert not q.isActive
+        finally:
+            if q is not None:
+                q.stop()
+            for x in (t, t + "__tombstones", t + "__compact_tmp",
+                      t + "__tombstones__swap"):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
+            for suf in ("__genA", "__genB",
+                        "__tombstones__genA", "__tombstones__genB"):
+                shutil.rmtree(
+                    f"spark-warehouse/{t}{suf}", ignore_errors=True
+                )
+            spark.catalog.clearCache()
+
 
 class TestStreamingCuration:
     def test_funnel_matches_batch_twin(self, spark, tmp_path):
