@@ -22,7 +22,9 @@ from .operators import (
     maintenance,
     multimodal,
     similarity,
+    skew,
     textanalysis,
+    tombstones,
 )
 from .queries import ORACLE, QUERIES, _t, query
 
@@ -2730,6 +2732,97 @@ def index_fleet_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sick_names_attribution"
         ),
         F.lit(recs[1]["action"]).alias("action_healthy"),
+    )
+
+
+@query(
+    "index_generational_rollover",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    csigs AS ({_minhash_sql(8, "corpus")}),
+    -- the zero-downtime fold must leave the SAME post-fold state as
+    -- the legacy swap: exactly the live key set, recomputed here from
+    -- the raw corpus
+    keys AS (
+      SELECT DISTINCT band, bkey, doc_id FROM ({_band_keys_sql("csigs")})
+      WHERE bkey IS NOT NULL AND doc_id % 4 != 0
+    ),
+    rowstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS index_rows,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS live_docs
+      FROM keys
+    ),
+    keystats AS (
+      SELECT CAST(count(*) AS BIGINT) AS live_keys,
+             CAST(coalesce(max(kn), 0) AS BIGINT) AS max_key_docs
+      FROM (SELECT band, bkey, count(*) AS kn FROM keys
+            GROUP BY band, bkey)
+    )
+    SELECT index_rows,
+           CAST(0 AS BIGINT) AS dead_rows,
+           index_rows AS live_rows,
+           CAST(0.0 AS DOUBLE) AS dead_frac,
+           live_docs,
+           CAST(0 AS BIGINT) AS retracted_docs,
+           live_keys, max_key_docs,
+           FALSE AS recommend_compact,
+           'compacted' AS action_first,
+           'healthy' AS action_second,
+           TRUE AS migrated_to_gen_a,
+           TRUE AS rolled_to_gen_b,
+           TRUE AS old_generation_retained
+    FROM rowstats CROSS JOIN keystats
+    """,
+)
+def index_generational_rollover_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-DOWNTIME leg of the maintenance daemon (round 11,
+    skew.enable_generational + tombstones.enable_generational +
+    compact_bucketed's generational branch): freeze the even
+    half-corpus attributed, migrate it to the generational layout
+    (external ping-pong directories — the manual form of an MVCC
+    table format's snapshot retention; reference analog: the
+    rename-into-place commit of FileOutputCommitter,
+    src/mapred/org/apache/hadoop/mapred/FileOutputCommitter.java —
+    readers of already-committed files are never invalidated), retract
+    the doc_id % 4 = 0 half, then run TWO maintenance ticks. The first
+    must fire and SWAP GENERATIONS catalog-only — the table rolls from
+    __genA to __genB while the retired generation's files remain on
+    disk for any gate still reading them — and the second must read
+    the rolled index healthy. The returned row is the post-rollover
+    census plus the tick decisions and three layout pins (migrated to
+    gen A, rolled to gen B, retired directory still present); the
+    oracle recomputes the entire post-fold census from the raw corpus,
+    so a rollover that loses keys in the external rewrite, fails to
+    alternate generations, or reclaims the retired files early fails
+    on exact columns."""
+    import re as _re
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    t = "index_genroll_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    dedup.freeze_band_index_attributed(corpus, "doc_id", "text", t)
+    tombstones.enable_generational(spark, t, "doc_id")
+    loc_a = skew.generational_location(spark, t)
+    dedup.retract_from_band_index(
+        spark, t, corpus.filter(F.col("doc_id") % 4 == 0), "doc_id"
+    )
+    tick1 = maintenance.maintain_index(spark, t, "band")
+    tick2 = maintenance.maintain_index(spark, t, "band")
+    loc_b = skew.generational_location(spark, t)
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(loc_a)
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jpath.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    return dedup.band_index_health(spark, t, "doc_id").select(
+        "*",
+        F.lit(tick1["action"]).alias("action_first"),
+        F.lit(tick2["action"]).alias("action_second"),
+        F.lit(bool(loc_a.endswith("__genA"))).alias("migrated_to_gen_a"),
+        F.lit(bool(loc_b.endswith("__genB"))).alias("rolled_to_gen_b"),
+        F.lit(bool(fs.exists(jpath))).alias("old_generation_retained"),
     )
 
 

@@ -136,10 +136,14 @@ QUERIES = [
     # (BMP decode + attributed freeze + tombstoned probe)
     "index_maintenance",
     "media_index_retraction",
-    # round-11 addition: the FLEET sweep (sick index refused by the
+    # round-11 additions: the FLEET sweep (sick index refused by the
     # attribution guard + healthy index compacted, one sweep call) —
-    # the scaling read is the healthy tick's, plus a key-only freeze
+    # the scaling read is the healthy tick's, plus a key-only freeze —
+    # and the ZERO-DOWNTIME rollover (freeze + generational migration
+    # + retract + fired catalog-only fold + idempotent re-tick; cost
+    # shape = index_maintenance + one extra staged rewrite)
     "index_fleet_sweep",
+    "index_generational_rollover",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

@@ -813,10 +813,57 @@ def main() -> None:
                     spark, sf_docs, "stress_frozen_attr",
                     "doc_id", "text")),
             )
+            # Zero-downtime layout priced on the same 90x index
+            # (round 11): the one-time generational migration is a
+            # corpus-sized staged rewrite (≈ one fold), and the
+            # catalog-only GENERATIONAL fold must cost the same wall
+            # as the legacy fold above — the layout buys live-gate
+            # survival with bytes (2x retention), not time. The tick
+            # is forced through maintain_index so a pricing regen
+            # also re-proves the daemon drives the generational swap.
+            from hadoop_distributed_dynamic_file_system_spark.operators import (  # noqa: E501
+                tombstones as tombstones_ops,
+            )
+
+            bench(
+                "gen_migrate_90x", base * 90,
+                lambda: tombstones_ops.enable_generational(
+                    spark, "stress_frozen_attr", "doc_id"),
+                reps=1,
+            )
+            dedup.extend_band_index_attributed(
+                spark,
+                sf_docs.select(
+                    (F.col("doc_id") + 100_000 * 700).alias("doc_id"),
+                    F.regexp_replace(
+                        "text", r"(\S+)", r"g\1"
+                    ).alias("text"),
+                ),
+                "stress_frozen_attr", "doc_id", "text",
+            )
+            bench(
+                "gen_fold_90x_catalog_only_swap", base * 90,
+                lambda: frag_tick(1, "compacted"),
+                reps=1,
+            )
+            bench(
+                "gen_probe_after_rollover_1x_vs_90x", base,
+                lambda: noop(dedup.incremental_near_dedup_attributed(
+                    spark, sf_docs, "stress_frozen_attr",
+                    "doc_id", "text")),
+            )
             spark.sql("DROP TABLE IF EXISTS stress_frozen_attr")
             spark.sql(
                 "DROP TABLE IF EXISTS stress_frozen_attr__tombstones"
             )
+            import shutil as _sh2
+
+            for _suf in ("__genA", "__genB",
+                         "__tombstones__genA", "__tombstones__genB"):
+                _sh2.rmtree(
+                    f"spark-warehouse/stress_frozen_attr{_suf}",
+                    ignore_errors=True,
+                )
         spark.sql("DROP TABLE IF EXISTS stress_frozen_bk")
 
     # Skew join at a NASTIER ratio than sf0.1's mild skew (VERDICT r6
@@ -1068,6 +1115,16 @@ def main() -> None:
         "2.0 s ~= one probe; fragmented probe 2.9 s vs 2.5 s compacted",
         "(the tax); fired fold 2.5 s ~= tick + the 0.8 s fold; refolded",
         "probe back to 2.6 s.",
+        "",
+        "`gen_*` (round 11) prices the ZERO-DOWNTIME generational",
+        "layout on the same index: `gen_migrate_90x` is the one-time",
+        "corpus-sized staged rewrite into the external ping-pong",
+        "directories (~ one fold — the LAST rewrite that requires a",
+        "quiescent window), and `gen_fold_90x_catalog_only_swap` is a",
+        "maintain_index-driven fold in the generational layout — it",
+        "must cost the same wall as the legacy `frag_tick_fired_fold`",
+        "row (the layout buys live-gate survival with 2x retention",
+        "bytes, not time; the swap itself is two catalog ops).",
         "",
         "`skew99_join_{plain,aqe,salted}_10m` rows = FACT rows, 99% on",
         "one key, dim non-broadcastable (threshold -1). Salted wins",
