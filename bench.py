@@ -222,6 +222,14 @@ HEADLINE = [
     # index_maintenance (above) + a key-only freeze + one REFUSED tick
     # (the attribution guard raises before any scan) — no new cost
     # shape to price.
+    # index_generational_rollover is oracle-checked (+ in SCALING:
+    # 1.4x on the 10x step) but NOT benched: the generational fold is
+    # wall-time-identical to the legacy fold by design (STRESS
+    # gen_fold_90x_catalog_only_swap 2.6 s vs frag_tick_fired_fold
+    # 2.5 s — the layout buys live-gate survival with 2x retention
+    # bytes, not time), so its cost decomposes into index_maintenance
+    # (above) + the one-time migration priced in STRESS
+    # gen_migrate_90x.
     # anchor_link_rank and anchor_hits are oracle-checked (+ rank in
     # SCALING) but NOT benched:
     # it is a third power-iteration entry whose wall-time is

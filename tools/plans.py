@@ -130,6 +130,12 @@ SHOWCASE = [
      "index (attribution guard) and compacted the tombstoned one; "
      "the sweep's decision labels ride the plan as literals — the "
      "census itself is the index_health shape, Exchange-free on bk"),
+    ("index_generational_rollover", "the ZERO-DOWNTIME leg: the "
+     "census reads the post-rollover EXTERNAL index whose scan "
+     "location is the swapped-in generation directory (catalog-only "
+     "swap — the retired generation's files still exist on disk but "
+     "are invisible to this plan); bucketing survives the swap, so "
+     "the census stays Exchange-free on bk like index_health"),
 ]
 
 # Preserved across regenerations: measured one-off evidence the
