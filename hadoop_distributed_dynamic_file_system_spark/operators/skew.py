@@ -320,12 +320,7 @@ def bucket_file_census(spark, table_name: str) -> dict:
     from collections import Counter
 
     _, num_buckets = bucket_spec(spark, table_name)
-    loc = {
-        r.col_name: r.data_type
-        for r in spark.sql(
-            f"DESCRIBE TABLE EXTENDED {table_name}"
-        ).collect()
-    }["Location"]
+    loc = table_location(spark, table_name)
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(loc)
     try:
