@@ -843,6 +843,112 @@ class TestGenerationalCompaction:
             self._cleanup(spark, t)
             spark.catalog.clearCache()
 
+    def test_ivf_daemon_tick_generational(self, spark):
+        # The generational layout is claimed to reach ALL index
+        # modalities through tombstones.compact; band is pinned by the
+        # lifecycle test above — this pins the IVF leg: a maintenance
+        # tick on a generationally-migrated served ANN index swaps
+        # catalog-only (retired generation retained) and serves
+        # identical top-k before and after the fold.
+        import os
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            maintenance, similarity, tombstones,
+        )
+
+        t = "t_gen_ivf"
+        self._cleanup(spark, t)
+        vecs = spark.createDataFrame(
+            [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = similarity.kmeans_fit(vecs, k=2, iterations=2).persist()
+        cents.count()
+        try:
+            similarity.build_ivf_index(vecs, cents, t, num_buckets=4)
+            tombstones.enable_generational(spark, t, "vec_id")
+            assert skew.generational_location(spark, t).endswith("__genA")
+            similarity.retract_from_ivf_index(
+                spark, t,
+                spark.createDataFrame(
+                    [(i,) for i in range(0, 20, 2)], "vec_id long"
+                ),
+            )
+            qs = vecs.filter(F.col("vec_id") < 2)
+            topk = lambda: sorted(  # noqa: E731
+                (r.query_id, r.vec_id, r.score, r.rk)
+                for r in similarity.ivf_topk_indexed(
+                    spark, t, qs, cents, k=3, nprobe=2
+                ).collect()
+            )
+            before = topk()
+            rec = maintenance.maintain_index(spark, t, "ivf")
+            assert (rec["action"], rec["id_col"]) == ("compacted", "vec_id")
+            assert skew.generational_location(spark, t).endswith("__genB")
+            assert os.path.isdir(f"spark-warehouse/{t}__genA")
+            # generational post-fold tombstones: armed EMPTY table, not
+            # the legacy drop
+            tomb = t + "__tombstones"
+            assert spark.catalog.tableExists(tomb)
+            assert spark.table(tomb).count() == 0
+            assert before == topk() and len(before) > 0
+            assert maintenance.maintain_index(spark, t, "ivf")[
+                "action"
+            ] == "healthy"
+        finally:
+            cents.unpersist()
+            self._cleanup(spark, t)
+            spark.catalog.clearCache()
+
+    def test_media_daemon_tick_generational(self, spark):
+        # The media leg of the same claim: codes synthesized directly
+        # (decode is orthogonal — media_index_retraction covers it),
+        # two docs sharing one perceptual code so the fold must keep
+        # the code alive while one holder remains.
+        import os
+
+        from hadoop_distributed_dynamic_file_system_spark.operators import (
+            maintenance, multimodal, tombstones,
+        )
+
+        t = "t_gen_media"
+        self._cleanup(spark, t)
+        codes = spark.createDataFrame(
+            [(1, 0x1234ABCD5678EF00), (2, 0x1234ABCD5678EF00),
+             (3, 0x0F0F0F0F0F0F0F0F)],
+            "doc_id long, ahash long",
+        )
+        try:
+            multimodal.freeze_media_index_attributed(
+                codes, t, num_buckets=8
+            )
+            tombstones.enable_generational(spark, t, "doc_id")
+            multimodal.retract_from_media_index(
+                spark, t, spark.createDataFrame([(1,)], "doc_id long")
+            )
+            live_before = sorted(
+                (r.mbk, r.mcode, r.doc_id)
+                for r in tombstones.live(spark, t, "doc_id").collect()
+            )
+            rec = maintenance.maintain_index(spark, t, "media")
+            assert (rec["action"], rec["id_col"]) == ("compacted", "doc_id")
+            assert skew.generational_location(spark, t).endswith("__genB")
+            assert os.path.isdir(f"spark-warehouse/{t}__genA")
+            after = sorted(
+                (r.mbk, r.mcode, r.doc_id)
+                for r in spark.table(t).collect()
+            )
+            # post-fold base holds exactly the pre-fold live rows: the
+            # shared code survives via doc 2, doc 3's code untouched
+            assert after == live_before
+            assert {r[2] for r in after} == {2, 3}
+            assert maintenance.maintain_index(spark, t, "media")[
+                "action"
+            ] == "healthy"
+        finally:
+            self._cleanup(spark, t)
+            spark.catalog.clearCache()
+
     def test_half_swap_recovery_in_generational_mode(self, spark):
         from hadoop_distributed_dynamic_file_system_spark.operators import (
             dedup, maintenance, tombstones,
