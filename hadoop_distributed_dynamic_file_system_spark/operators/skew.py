@@ -274,7 +274,15 @@ def enable_generational(spark, table_name: str) -> None:
     therefore every maintenance-actor fold — swaps catalog-only and
     never breaks a live gate. A later write_bucketed overwrite of the
     same name without `location` resets the table to managed layout;
-    re-run this migration after a re-freeze."""
+    re-run this migration after a re-freeze.
+
+    Crash recovery: the migration stages through the same
+    `<table>__compact_tmp` as a compaction, so a crash between the
+    DROP and the RENAME is the standard half-swap — the daemon's next
+    tick (or any compact_bucketed call) completes the rename; then
+    re-run the migration wrapper (tombstones.enable_generational) to
+    finish the tombstone side, whose own crash windows self-heal at
+    every tombstone entry point (tombstones._heal_swap)."""
     if generational_location(spark, table_name) is not None:
         return
     bucket_cols, num_buckets = bucket_spec(spark, table_name)

@@ -18,8 +18,12 @@ the same trade for index state.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def tombstone_table(table_name: str) -> str:
@@ -85,6 +89,30 @@ def _generational_swap_small(
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
 
 
+def _heal_swap(spark: SparkSession, table: str) -> None:
+    """Complete a crashed tombstone rewrite's half-swap. clear_for and
+    _generational_swap_small stage the new set as `<table>__swap`,
+    DROP the live table, then RENAME; a crash between the last two
+    leaves the staged table orphaned and the tombstone set apparently
+    ABSENT — and absence is load-bearing: live() keys its anti-join
+    and health() its dead-row census on catalog existence, so every
+    retracted id would silently resurface to probes and the daemon
+    would read the index healthy forever. Every tombstone entry point
+    (read or write) calls this first, so the next touch completes the
+    rename instead — the same the-retry-IS-the-recovery idiom as the
+    base index's `__compact_tmp` self-heal (skew.compact_bucketed /
+    the daemon's `recovered_half_swap`)."""
+    tmp = f"{table}__swap"
+    if spark.catalog.tableExists(tmp) and not spark.catalog.tableExists(
+        table
+    ):
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        # same per-repair visibility as the daemon's recovered_half_swap
+        logger.warning(
+            "healed crashed tombstone half-swap: %s -> %s", tmp, table
+        )
+
+
 def add(
     spark: SparkSession,
     table_name: str,
@@ -96,6 +124,7 @@ def add(
     from . import skew
 
     tomb = tombstone_table(table_name)
+    _heal_swap(spark, tomb)
     ids = retract_ids.select(id_col).distinct()
     if spark.catalog.tableExists(tomb):
         ids = ids.join(spark.table(tomb), id_col, "left_anti")
@@ -116,6 +145,7 @@ def live(spark: SparkSession, table_name: str, id_col: str) -> DataFrame:
     layout stays usable by sort-merge probes."""
     base = spark.table(table_name)
     tomb = tombstone_table(table_name)
+    _heal_swap(spark, tomb)
     if spark.catalog.tableExists(tomb):
         base = base.join(
             F.broadcast(spark.table(tomb)), id_col, "left_anti"
@@ -136,6 +166,7 @@ def clear_for(
     from . import skew
 
     tomb = tombstone_table(table_name)
+    _heal_swap(spark, tomb)
     if not spark.catalog.tableExists(tomb):
         return
     remaining = spark.table(tomb).join(
@@ -155,8 +186,12 @@ def clear_for(
 def drop(spark: SparkSession, table_name: str) -> None:
     """Forget all tombstones of `table_name` — called when a compaction
     folds them into the base, or when a re-freeze starts a new index
-    generation (stale tombstones must not suppress the new corpus)."""
-    spark.sql(f"DROP TABLE IF EXISTS {tombstone_table(table_name)}")
+    generation (stale tombstones must not suppress the new corpus).
+    Also drops an orphaned half-swap staging table: its content is
+    exactly what is being forgotten."""
+    tomb = tombstone_table(table_name)
+    spark.sql(f"DROP TABLE IF EXISTS {tomb}")
+    spark.sql(f"DROP TABLE IF EXISTS {tomb}__swap")
 
 
 def compact(
@@ -173,6 +208,7 @@ def compact(
     already excludes them anti-joins to nothing)."""
     from . import skew
 
+    _heal_swap(spark, tombstone_table(table_name))
     skew.compact_bucketed(
         spark, table_name, sort_cols=sort_cols,
         transform=lambda df: _subtract(spark, df, table_name, id_col),
@@ -216,6 +252,7 @@ def enable_generational(
 
     skew.enable_generational(spark, table_name)
     tomb = tombstone_table(table_name)
+    _heal_swap(spark, tomb)
     if spark.catalog.tableExists(tomb) and (
         skew.generational_location(spark, tomb) is None
     ):
@@ -249,6 +286,7 @@ def ensure(spark: SparkSession, table_name: str, id_col: str) -> None:
     The empty table inherits `id_col`'s type from the base table, so
     a later add() appends with an identical schema."""
     tomb = tombstone_table(table_name)
+    _heal_swap(spark, tomb)
     if spark.catalog.tableExists(tomb):
         return
     from . import skew
@@ -310,6 +348,7 @@ def health(
     reclaim it, instead of discovering it as probe-time cost."""
     base = spark.table(table_name)
     tomb_name = tombstone_table(table_name)
+    _heal_swap(spark, tomb_name)
     if spark.catalog.tableExists(tomb_name):
         tomb = spark.table(tomb_name)
     else:

@@ -16,6 +16,7 @@ from hadoop_distributed_dynamic_file_system_spark.operators import (
     maintenance,
     similarity,
     skew,
+    tombstones,
 )
 
 
@@ -293,4 +294,116 @@ class TestMaintainIvfIndex:
         finally:
             cents.unpersist()
             _drop(spark, t)
+            spark.catalog.clearCache()
+
+
+class TestTombstoneHalfSwapHeal:
+    """A tombstone rewrite (clear_for resurrection, generational
+    retire) stages `<tomb>__swap`, DROPs the live table, then RENAMEs.
+    A crash between the last two steps makes the tombstone set
+    apparently ABSENT — and absence is load-bearing: live() keys its
+    anti-join and health() its dead-row census on catalog existence,
+    so without repair every retracted id silently resurfaces and the
+    daemon reads the index healthy forever. tombstones._heal_swap at
+    every entry point turns the next touch into the recovery."""
+
+    def _freeze_retract(self, spark, t):
+        _drop(spark, t)
+        corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        dedup.freeze_band_index_attributed(
+            corpus, "doc_id", "text", t, num_buckets=8
+        )
+        dedup.retract_from_band_index(
+            spark, t, spark.createDataFrame([(1,)], "doc_id long"), "doc_id"
+        )
+
+    def _crash_swap(self, spark, tomb):
+        # replicate a rewrite's steps up to the crash point: staged
+        # copy written, live table dropped, rename never ran
+        tmp = f"{tomb}__swap"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        staged = spark.table(tomb)
+        staged.write.saveAsTable(tmp)
+        spark.sql(f"DROP TABLE {tomb}")
+
+    def _survivors(self, spark, t):
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        return {
+            r.doc_id
+            for r in dedup.incremental_near_dedup_attributed(
+                spark, batch, t, "doc_id", "text"
+            ).collect()
+        }
+
+    def test_probe_heals_and_keeps_filtering(self, spark):
+        t = "t_tomb_heal_probe"
+        self._freeze_retract(spark, t)
+        tomb = t + "__tombstones"
+        try:
+            # doc 1 retracted -> its near-dup 101 survives the gate
+            assert self._survivors(spark, t) == {101, 999}
+            self._crash_swap(spark, tomb)
+            assert not spark.catalog.tableExists(tomb)
+            # the next probe heals the half-swap and still filters —
+            # no silent resurrection of doc 1's gating
+            assert self._survivors(spark, t) == {101, 999}
+            assert spark.catalog.tableExists(tomb)
+            assert not spark.catalog.tableExists(f"{tomb}__swap")
+        finally:
+            _drop(spark, t)
+            spark.catalog.clearCache()
+
+    def test_daemon_census_heals_and_fires(self, spark):
+        t = "t_tomb_heal_census"
+        self._freeze_retract(spark, t)
+        tomb = t + "__tombstones"
+        try:
+            self._crash_swap(spark, tomb)
+            # without the heal the census would read dead_rows=0 and
+            # the daemon would never repair; with it, the tick sees
+            # the retraction and fires the fold
+            rec = maintenance.maintain_index(spark, t, "band")
+            assert (rec["action"], rec["reason"]) == (
+                "compacted", "dead_rows"
+            )
+            assert self._survivors(spark, t) == {101, 999}
+        finally:
+            _drop(spark, t)
+            spark.catalog.clearCache()
+
+    def test_crashed_tomb_migration_rerun_preserves_content(self, spark):
+        import shutil
+
+        t = "t_tomb_heal_migr"
+        self._freeze_retract(spark, t)
+        tomb = t + "__tombstones"
+        root = None
+        try:
+            skew.enable_generational(spark, t)
+            # simulate tombstones.enable_generational crashing between
+            # its DROP and RENAME: staged external copy at the gen-A
+            # tombstone directory, live tombstone table dropped
+            root = tombstones._base_generational_root(spark, t)
+            loc = root + skew._GEN_SUFFIXES[0]
+            tmp = f"{tomb}__swap"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            skew._delete_dir(spark, loc)
+            spark.table(tomb).write.option("path", loc).saveAsTable(tmp)
+            spark.sql(f"DROP TABLE {tomb}")
+            # re-running the migration IS the recovery: heal first,
+            # then the already-generational side is left alone — the
+            # retraction content survives (no silent arm-empty)
+            tombstones.enable_generational(spark, t, "doc_id")
+            assert skew.generational_location(spark, tomb).endswith(
+                "__genA"
+            )
+            assert spark.table(tomb).count() == 1
+            assert self._survivors(spark, t) == {101, 999}
+        finally:
+            _drop(spark, t)
+            for suf in ("__genA", "__genB", "__tombstones__genA",
+                        "__tombstones__genB"):
+                shutil.rmtree(
+                    f"spark-warehouse/{t}{suf}", ignore_errors=True
+                )
             spark.catalog.clearCache()
