@@ -222,6 +222,10 @@ HEADLINE = [
     # index_maintenance (above) + a key-only freeze + one REFUSED tick
     # (the attribution guard raises before any scan) — no new cost
     # shape to price.
+    # index_crash_recovery is oracle-checked but NOT benched: its wall
+    # IS index_maintenance (above) + two catalog ops (the staged-swap
+    # crash simulation and the heal's rename are metadata-only) — no
+    # new cost shape to price.
     # index_generational_rollover is oracle-checked (+ in SCALING:
     # 1.4x on the 10x step) but NOT benched: the generational fold is
     # wall-time-identical to the legacy fold by design (STRESS

@@ -2826,6 +2826,99 @@ def index_generational_rollover_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "index_crash_recovery",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    csigs AS ({_minhash_sql(8, "corpus")}),
+    -- the crash must be INVISIBLE in the end state: the healed
+    -- tombstones fire the fold, so the post-recovery base is exactly
+    -- the live key set — identical to an uncrashed maintenance pass
+    keys AS (
+      SELECT DISTINCT band, bkey, doc_id FROM ({_band_keys_sql("csigs")})
+      WHERE bkey IS NOT NULL AND doc_id % 4 != 0
+    ),
+    rowstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS index_rows,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS live_docs
+      FROM keys
+    ),
+    keystats AS (
+      SELECT CAST(count(*) AS BIGINT) AS live_keys,
+             CAST(coalesce(max(kn), 0) AS BIGINT) AS max_key_docs
+      FROM (SELECT band, bkey, count(*) AS kn FROM keys
+            GROUP BY band, bkey)
+    )
+    SELECT index_rows,
+           CAST(0 AS BIGINT) AS dead_rows,
+           index_rows AS live_rows,
+           CAST(0.0 AS DOUBLE) AS dead_frac,
+           live_docs,
+           CAST(0 AS BIGINT) AS retracted_docs,
+           live_keys, max_key_docs,
+           FALSE AS recommend_compact,
+           'compacted' AS action_first,
+           'dead_rows' AS reason_first,
+           'healthy' AS action_second,
+           TRUE AS swap_healed
+    FROM rowstats CROSS JOIN keystats
+    """,
+)
+def index_crash_recovery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRASH-RECOVERY leg of the day-2 index lifecycle (round 11,
+    tombstones._heal_swap): a tombstone rewrite stages
+    `<tomb>__swap`, DROPs the live table, then RENAMEs — and a crash
+    between the last two steps makes the tombstone set apparently
+    ABSENT, which is load-bearing (live() keys its anti-join and
+    health() its dead-row census on catalog existence), so without
+    repair every retracted id silently resurfaces and the daemon
+    reads the index healthy forever. This query freezes the even
+    half-corpus attributed, retracts the doc_id % 4 = 0 half,
+    reproduces that exact crash state (staged swap table, tombstone
+    table dropped), then runs TWO maintenance ticks. The first must
+    HEAL the half-swap and fire on the recovered dead rows
+    ('compacted'/'dead_rows' — an engine without the heal reads
+    dead_rows=0 and returns 'healthy' here), the second must read the
+    folded index healthy; the oracle recomputes the entire post-fold
+    census from the raw corpus, so a heal that loses retraction
+    content (arms empty) leaves the dead keys in the base and fails
+    on exact scalars. Reference analog: the lease-recovery /
+    FileOutputCommitter retry-completes-the-commit discipline
+    (src/mapred/org/apache/hadoop/mapred/FileOutputCommitter.java) —
+    re-running the operation IS the recovery."""
+    import re as _re
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    t = "index_crash_" + _re.sub(
+        r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    dedup.freeze_band_index_attributed(corpus, "doc_id", "text", t)
+    dedup.retract_from_band_index(
+        spark, t, corpus.filter(F.col("doc_id") % 4 == 0), "doc_id"
+    )
+    # reproduce a rewrite crash between its DROP and RENAME: the new
+    # tombstone set staged, the live table gone (clear_for's steps up
+    # to the crash point; same state as a crashed generational retire)
+    tomb = t + "__tombstones"
+    swap = f"{tomb}__swap"
+    spark.sql(f"DROP TABLE IF EXISTS {swap}")
+    skew._remove_orphan_table_dir(spark, swap)
+    spark.table(tomb).write.saveAsTable(swap)
+    spark.sql(f"DROP TABLE {tomb}")
+    tick1 = maintenance.maintain_index(spark, t, "band")
+    tick2 = maintenance.maintain_index(spark, t, "band")
+    return dedup.band_index_health(spark, t, "doc_id").select(
+        "*",
+        F.lit(tick1["action"]).alias("action_first"),
+        F.lit(tick1["reason"]).alias("reason_first"),
+        F.lit(tick2["action"]).alias("action_second"),
+        F.lit(
+            not spark.catalog.tableExists(swap)
+        ).alias("swap_healed"),
+    )
+
+
 _SQL_COS_AB = (
     "round(list_dot_product(a.cv, b.cv) /"
     " sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b.cv, b.cv)), 6)"

@@ -144,6 +144,9 @@ QUERIES = [
     # shape = index_maintenance + one extra staged rewrite)
     "index_fleet_sweep",
     "index_generational_rollover",
+    # index_crash_recovery is NOT a scaling row: its wall is
+    # index_maintenance (already a row) + two metadata-only catalog
+    # ops — the 10x step would just re-measure the maintenance fold.
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
