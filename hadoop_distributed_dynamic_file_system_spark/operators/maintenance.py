@@ -192,6 +192,17 @@ def maintain_index(
             "census",
             table_name,
         )
+    # The tombstone side has its own (SILENT-failure) crash window: a
+    # rewrite that died between its DROP and RENAME makes the set
+    # apparently absent, which would read as dead_rows=0 — healthy
+    # forever. Heal it here so the repair lands in THIS record, not
+    # only in tombstones' entry-point guards (which would fix it one
+    # call later anyway — this is record visibility, not correctness).
+    from . import tombstones as _tombstones
+
+    healed_tomb = _tombstones._heal_swap(
+        spark, _tombstones.tombstone_table(table_name)
+    )
     census = health_fn(spark, table_name, id_col, compact_threshold)
     row = census.collect()[0]  # one row by construction — bounded
     record = {
@@ -204,6 +215,8 @@ def maintain_index(
     }
     if recovered:
         record["recovered_half_swap"] = True
+    if healed_tomb:
+        record["healed_tombstone_swap"] = True
     fire_frag = False
     if max_files_per_bucket is not None:
         from . import skew

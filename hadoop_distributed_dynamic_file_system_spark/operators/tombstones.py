@@ -89,7 +89,7 @@ def _generational_swap_small(
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
 
 
-def _heal_swap(spark: SparkSession, table: str) -> None:
+def _heal_swap(spark: SparkSession, table: str) -> bool:
     """Complete a crashed tombstone rewrite's half-swap. clear_for and
     _generational_swap_small stage the new set as `<table>__swap`,
     DROP the live table, then RENAME; a crash between the last two
@@ -101,7 +101,9 @@ def _heal_swap(spark: SparkSession, table: str) -> None:
     (read or write) calls this first, so the next touch completes the
     rename instead — the same the-retry-IS-the-recovery idiom as the
     base index's `__compact_tmp` self-heal (skew.compact_bucketed /
-    the daemon's `recovered_half_swap`)."""
+    the daemon's `recovered_half_swap`). Returns True when a repair
+    ran (maintain_index surfaces it in its decision record as
+    `healed_tombstone_swap`)."""
     tmp = f"{table}__swap"
     if spark.catalog.tableExists(tmp) and not spark.catalog.tableExists(
         table
@@ -111,6 +113,8 @@ def _heal_swap(spark: SparkSession, table: str) -> None:
         logger.warning(
             "healed crashed tombstone half-swap: %s -> %s", tmp, table
         )
+        return True
+    return False
 
 
 def add(

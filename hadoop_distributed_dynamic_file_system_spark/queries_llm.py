@@ -2860,7 +2860,8 @@ def index_generational_rollover_q(spark: SparkSession, sf_dir: str) -> DataFrame
            'compacted' AS action_first,
            'dead_rows' AS reason_first,
            'healthy' AS action_second,
-           TRUE AS swap_healed
+           TRUE AS swap_healed,
+           TRUE AS tomb_heal_recorded
     FROM rowstats CROSS JOIN keystats
     """,
 )
@@ -2916,6 +2917,9 @@ def index_crash_recovery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(
             not spark.catalog.tableExists(swap)
         ).alias("swap_healed"),
+        F.lit(
+            bool(tick1.get("healed_tombstone_swap", False))
+        ).alias("tomb_heal_recorded"),
     )
 
 

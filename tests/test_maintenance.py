@@ -366,6 +366,9 @@ class TestTombstoneHalfSwapHeal:
             assert (rec["action"], rec["reason"]) == (
                 "compacted", "dead_rows"
             )
+            # the repair is surfaced in the decision record, the same
+            # fleet-log visibility as recovered_half_swap
+            assert rec.get("healed_tombstone_swap") is True
             assert self._survivors(spark, t) == {101, 999}
         finally:
             _drop(spark, t)
