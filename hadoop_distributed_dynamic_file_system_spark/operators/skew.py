@@ -250,14 +250,23 @@ def _next_generation(loc: str) -> str:
     return loc[: -len(a)] + (b if loc.endswith(a) else a)
 
 
-def _delete_dir(spark, location: str) -> None:
-    """Recursive delete through the Hadoop FileSystem API (any scheme
-    the client knows) — reclaiming a retired generation directory."""
+def hadoop_fs(spark, location: str):
+    """(FileSystem, Path) for a location URI through the same py4j
+    Hadoop client FsShell ops use — any scheme the client knows
+    (file://, hdfs://, s3a://...). The one construction site for the
+    warehouse-side file ops below (delete, census, existence pins)."""
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(location)
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(
         jpath.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
     )
+    return fs, jpath
+
+
+def _delete_dir(spark, location: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API (any scheme
+    the client knows) — reclaiming a retired generation directory."""
+    fs, jpath = hadoop_fs(spark, location)
     fs.delete(jpath, True)
 
 
@@ -329,12 +338,8 @@ def bucket_file_census(spark, table_name: str) -> dict:
 
     _, num_buckets = bucket_spec(spark, table_name)
     loc = table_location(spark, table_name)
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(loc)
     try:
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-            jpath.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
-        )
+        fs, jpath = hadoop_fs(spark, loc)
         it = fs.listFiles(jpath, True)
     except Exception as exc:  # unknown scheme / unreachable store
         raise ValueError(

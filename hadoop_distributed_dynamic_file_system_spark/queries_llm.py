@@ -2811,11 +2811,7 @@ def index_generational_rollover_q(spark: SparkSession, sf_dir: str) -> DataFrame
     tick1 = maintenance.maintain_index(spark, t, "band")
     tick2 = maintenance.maintain_index(spark, t, "band")
     loc_b = skew.generational_location(spark, t)
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(loc_a)
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        jpath.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
-    )
+    fs, jpath = skew.hadoop_fs(spark, loc_a)
     return dedup.band_index_health(spark, t, "doc_id").select(
         "*",
         F.lit(tick1["action"]).alias("action_first"),
