@@ -546,13 +546,15 @@ def rebalance_table(
     engine-level twin rewrites a table into evenly sized partitions
     (fixes small-file buildup and skewed partition sizes after
     incremental appends). Returns the new partition count."""
+    from .operators.skew import hadoop_fs
+
     df = spark.read.format(fmt).load(src_path)
+    # resolve the filesystem FROM the path (skew.hadoop_fs), not the
+    # default FS: listing an s3a://-style src through the default
+    # client would fail even though the Spark read above succeeds
+    fs, jpath = hadoop_fs(spark, src_path)
     total_bytes = sum(
-        f.getLen()
-        for f in spark.sparkContext._jvm.org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext._jsc.hadoopConfiguration()
-        ).listStatus(spark.sparkContext._jvm.org.apache.hadoop.fs.Path(src_path))
-        if not f.isDirectory()
+        f.getLen() for f in fs.listStatus(jpath) if not f.isDirectory()
     )
     n = max(1, round(total_bytes / target_partition_bytes))
     df.repartition(n).write.mode("overwrite").format(fmt).save(dst_path)
