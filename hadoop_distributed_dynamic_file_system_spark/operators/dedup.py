@@ -205,8 +205,16 @@ def minhash_signatures(
     (map-side partial min ⇒ ~1 row per doc per partition), so shuffle
     volume is the signature table, not the shingle stream. explode_outer
     keeps shingle-less docs (mh_* = NULL, matching list_min([]) = NULL
-    in the oracle)."""
-    sh = exploded_shingles(df, id_col, text_col, shingle_n, outer=True)
+    in the oracle). The input is spread first (transforms.
+    spread_for_compute): a single-row-group fixture scan would run the
+    whole 8-salt md5 kernel on one core (measured 1.6 s -> 0.9 s at
+    sf0.1); at scale the spread is a no-op by its partition-count
+    condition."""
+    from .transforms import spread_for_compute
+
+    sh = exploded_shingles(
+        spread_for_compute(df), id_col, text_col, shingle_n, outer=True
+    )
     aggs = [
         F.min(_salted_md5(s)(F.col("sh"))).alias(f"mh_{s}")
         for s in range(num_hashes)
@@ -727,13 +735,13 @@ def _pairwise_shingle_stats(
     cache: bool,
     hash_shingles: bool,
     max_doc_freq: int | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> DataFrame:
     """Shared core of the pairwise shingle-overlap metrics
     (Jaccard, containment): distinct shingles per side (8-byte
     xxhash64 keys under `hash_shingles`), per-doc counts, and the
-    intersection sizes from one equi-join. Returns (common, na, nb)
-    with columns (id_a, id_b, n_common) / (id_a, n_a) / (id_b, n_b);
-    only pairs sharing >= 1 shingle ever materialize in `common`.
+    intersection sizes from one equi-join. Returns one relation
+    (id_a, id_b, n_a, n_b, n_common); only pairs sharing >= 1
+    shingle ever materialize.
 
     `max_doc_freq` is the hot-shingle guard: a shingle present in
     m_a docs of A and m_b of B contributes m_a·m_b intersection rows
@@ -746,8 +754,61 @@ def _pairwise_shingle_stats(
     reduced universe (the standard DF-ceiling move in published
     dedup pipelines; near-ubiquitous shingles carry no dedup signal
     anyway). The drop is logged, never silent. None = exact,
-    unguarded."""
+    unguarded.
+
+    UNGUARDED plan shape (max_doc_freq=None): the per-doc distinct is
+    array_distinct on the scan-local shingle array (no shuffle — the
+    distinct set of a single doc never leaves its row) and the per-doc
+    count rides the exploded stream as a constant column, folded into
+    the intersection groupBy's keys. One pass per corpus, one shuffle
+    (the sh equi-join), zero persists — the old shape (shuffle-distinct
+    + eager persist per side + two count aggs + two count joins) paid
+    two extra materializations and four extra exchanges for the same
+    numbers (measured ~2x on ngram_jaccard at sf0.1). The guarded path
+    keeps the old shape: counts there must be recomputed AFTER hot-key
+    removal, which is inherently post-shuffle."""
     def exploded(df: DataFrame, side: str) -> DataFrame:
+        from .transforms import spread_for_compute
+
+        df = spread_for_compute(df)  # no-op on real at-scale scans
+        # per-doc distinct shingle array behind projection boundaries
+        # (split once, shingle once, hash once — each non-cheap alias
+        # is bound before it is referenced more than once)
+        words = df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.split(F.col(text_col), r"\s+").alias("_w"),
+        )
+        sh_arr = _shingles_of(F.col("_w"), shingle_n)
+        if hash_shingles:
+            sh_arr = F.transform(sh_arr, lambda s: F.xxhash64(s))
+        bound = words.select(
+            f"id_{side}", F.array_distinct(sh_arr).alias("_sharr")
+        )
+        # The lazy persist is a PUSHDOWN BARRIER, not a reuse cache:
+        # the intersection join infers isnotnull(sh) and the optimizer
+        # substitutes it through the projections into a pre-scan
+        # Filter with `_sharr` (and `_w`!) fully inlined — the
+        # O(words²) re-tokenization trap, measured 4s -> 22s when this
+        # relation was left bare. An InMemoryRelation stops the
+        # substitution; single consumer, so it fills lazily inside the
+        # join job (no extra pass), and it is strictly smaller than
+        # the exploded (id, sh) stream the old shape persisted.
+        bound = tracked_persist(bound, eager=False)
+        return bound.select(
+            f"id_{side}",
+            F.size("_sharr").alias(f"n_{side}"),
+            F.explode("_sharr").alias("sh"),
+        )
+
+    if max_doc_freq is None:
+        ea, eb = exploded(df_a, "a"), exploded(df_b, "b")
+        return (
+            ea.join(eb, "sh")
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+
+    def exploded_guarded(df: DataFrame, side: str) -> DataFrame:
         out = exploded_shingles(df, id_col, text_col, shingle_n).withColumnRenamed(
             id_col, f"id_{side}"
         )
@@ -758,7 +819,7 @@ def _pairwise_shingle_stats(
             out = tracked_persist(out)  # eager — both consumers race otherwise
         return out
 
-    ea, eb = exploded(df_a, "a"), exploded(df_b, "b")
+    ea, eb = exploded_guarded(df_a, "a"), exploded_guarded(df_b, "b")
     if max_doc_freq is not None:
         df_counts = (
             ea.select(F.col("sh")).unionAll(eb.select(F.col("sh")))
@@ -789,7 +850,9 @@ def _pairwise_shingle_stats(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
-    return common, na, nb
+    return common.join(na, "id_a").join(nb, "id_b").select(
+        "id_a", "id_b", "n_a", "n_b", "n_common"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -820,24 +883,19 @@ def ngram_jaccard_pairs(
     billion distinct shingles, ~3%·ε; disable for a provably exact
     answer).
     """
-    common, na, nb = _pairwise_shingle_stats(
+    stats = _pairwise_shingle_stats(
         df_a, df_b, id_col, text_col, shingle_n, cache, hash_shingles,
         max_doc_freq,
     )
-    return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return stats.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_containment_pairs(
@@ -863,16 +921,14 @@ def ngram_containment_pairs(
     for the intersection, per-doc counts joined back — only pairs
     sharing ≥1 shingle ever materialize; pairs survive when EITHER
     direction reaches `threshold`."""
-    common, na, nb = _pairwise_shingle_stats(
+    stats = _pairwise_shingle_stats(
         df_a, df_b, id_col, text_col, shingle_n, cache, hash_shingles,
         max_doc_freq,
     )
     c_ab = F.round(F.col("n_common") / F.col("n_a"), 6)
     c_ba = F.round(F.col("n_common") / F.col("n_b"), 6)
     return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
+        stats.select(
             "id_a",
             "id_b",
             c_ab.alias("containment_a_in_b"),
@@ -1146,27 +1202,48 @@ def lsh_band_index(
     corpus-band-cardinality sized, not corpus sized. Persist it to
     parquet once per corpus freeze; readers broadcast or shuffle-hash
     it per batch."""
-    banded = minhash_band_key_cols(
-        df, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
-    )
-    # ONE pass: explode the band-key array. A union of bands× selects
-    # over the (unpersisted) banded frame re-runs the whole minhash
-    # pipeline per band — measured 4x on the index build.
-    out = banded.select(
-        F.explode(
-            F.array(*[F.col(f"_bk{b}") for b in range(bands)])
-        ).alias("bk")
-    )
-    # shingle-less corpus docs carry NULL keys — dead weight in the
-    # index (NULL matches nothing in the probe's anti join).
     # Persisted: the consumer broadcasts the index once per band with
     # per-band column aliases, which defeats ReusedExchange — without
     # the persist the corpus minhash pipeline executes bands× (12.3s
     # -> ~3s at sf0.1). The at-scale form stages to parquet instead
     # (one write per corpus freeze), same idea durable.
     return tracked_persist(
-        out.filter(F.col("bk").isNotNull()).distinct()
+        _distinct_band_keys(df, text_col, num_hashes, bands, shingle_n)
     )
+
+
+def _distinct_band_keys(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Unpersisted distinct `bk` stream — the shared key derivation of
+    lsh_band_index (broadcast form, which persists it) and
+    freeze_band_index_bucketed (disk form, which must NOT persist:
+    its single consumer is the bucketed write, so an eager cache pass
+    is a wasted full materialization of the minhash pipeline —
+    measured ~2x on the freeze at sf0.1). Batch-only (both consumers
+    freeze a corpus), so the input is spread first — see
+    transforms.spread_for_compute."""
+    from .transforms import spread_for_compute
+
+    banded = minhash_band_key_cols(
+        spread_for_compute(df), text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    # ONE pass: explode the band-key array. A union of bands× selects
+    # over the (unpersisted) banded frame re-runs the whole minhash
+    # pipeline per band — measured 4x on the index build.
+    # shingle-less corpus docs carry NULL keys — dead weight in the
+    # index (NULL matches nothing in the probe's anti join).
+    out = banded.select(
+        F.explode(
+            F.array(*[F.col(f"_bk{b}") for b in range(bands)])
+        ).alias("bk")
+    )
+    return out.filter(F.col("bk").isNotNull()).distinct()
 
 
 def freeze_band_index_bucketed(
@@ -1192,12 +1269,14 @@ def freeze_band_index_bucketed(
     CompositeInputFormat.java:34-58)."""
     from . import skew
 
-    idx = lsh_band_index(
-        corpus, id_col, text_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    # no memory persist here (unlike lsh_band_index): the key stream's
+    # single consumer is the bucketed write below, so caching it first
+    # would pay one extra full materialization of the minhash pipeline
+    # for nothing (measured ~2x on the freeze at sf0.1)
+    idx = _distinct_band_keys(
+        corpus, text_col, num_hashes, bands, shingle_n
     )
     skew.write_bucketed(idx, table_name, ["bk"], num_buckets=num_buckets)
-    idx.unpersist()  # staged to disk; the memory copy is done
 
 
 def extend_band_index_bucketed(
@@ -1308,8 +1387,10 @@ def _attributed_band_keys(
     key is what makes retraction *correct*: a band key is live iff at
     least one non-retracted document still holds it, which cannot be
     decided from the key alone (two docs routinely share a band)."""
+    from .transforms import spread_for_compute
+
     keyed = minhash_band_key_cols(
-        docs, text_col,
+        spread_for_compute(docs), text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
     )
     return (

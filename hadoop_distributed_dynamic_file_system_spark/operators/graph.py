@@ -266,6 +266,12 @@ def pagerank(
     extra scalar job per round, same one-scalar discipline as CC's
     changed-count) and the loop exits early when it drops below tol;
     `iterations` then acts as the hard cap.
+
+    (Per-round localCheckpoint is deliberate even for short loops: an
+    A/B without it let the un-truncated rank lineage defeat join-size
+    estimation — Catalyst planned the per-round edge⋈rank join from
+    plan-default statistics and one profiled rep blew up 13x. The
+    barrier is cheaper than the mis-planned join.)
     """
     w_expr = (
         F.col(weight).cast("double") if weight is not None else F.lit(1.0)
@@ -287,23 +293,29 @@ def pagerank(
         ).filter(F.col("w") > 0)
     )
     deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    # lazy persists: the count()/first-consumer action below fills each
+    # cache, so no separate eager-count job is paid per relation (e
+    # stays eager — it feeds two union branches inside ONE job, which
+    # would race a lazy cache and recompute the upstream edge build)
     nodes = cache.tracked_persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     n = nodes.count()
     if n == 0:
         # empty edge set -> empty rank relation, not a ZeroDivisionError
         # (same tolerance convention as the zero-word/zero-char text ops)
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    ed = cache.tracked_persist(e.join(deg, "src"))
+    ed = cache.tracked_persist(e.join(deg, "src"), eager=False)
     # the dangling SET is fixed across rounds (only its mass changes):
     # resolve it once, and when it's empty — every symmetrized graph —
     # drop the term from the loop entirely instead of paying a
     # per-round anti-join for a provable zero
     dang_nodes = cache.tracked_persist(
-        nodes.join(deg.select(F.col("src").alias("node")), "node", "left_anti")
+        nodes.join(deg.select(F.col("src").alias("node")), "node", "left_anti"),
+        eager=False,
     )
     has_dangling = dang_nodes.count() > 0
     base = (1.0 - damping) / n

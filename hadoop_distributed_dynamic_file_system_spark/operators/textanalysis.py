@@ -493,8 +493,11 @@ def winnow_fingerprints(
     # inlined, every read would re-run the whole upstream expression
     # (tokenize per element_at: the O(words²) trap exploded_shingles
     # documents; measured 68 s -> 3 s at sf0.01 for this operator).
+    from .transforms import spread_for_compute
+
     bound = (
-        df.withColumn("_words", _words(F.col(text_col)))
+        spread_for_compute(df)
+        .withColumn("_words", _words(F.col(text_col)))
         .withColumn(
             "_hs",
             F.transform(_shingles_of(F.col("_words"), k), lambda g: F.md5(g)),

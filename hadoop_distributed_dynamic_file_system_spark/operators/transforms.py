@@ -28,6 +28,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan spread for compute-heavy narrow pipelines
+    (opt guide §2.5 "input skew: one huge unsplittable file … fix at
+    the source if you can; otherwise repartition immediately after the
+    read"): when the source yields fewer partitions than the session's
+    parallelism — a single-row-group parquet fixture, one gzip member,
+    a tiny dimension — the per-row kernel downstream (the 8-salt md5
+    minhash, winnowing window mins) runs on ONE core while the rest
+    idle. Pay one row-preserving round-robin shuffle to spread it.
+
+    A real at-scale scan already carries >= parallelism partitions, so
+    this is a NO-OP exactly where the extra shuffle would be corpus-
+    sized — the condition, not a constant, makes it safe to leave on.
+    Batch-only: never call on a streaming relation (micro-batch plans
+    must stay stateless projections), and never upstream of a plan
+    whose Exchange count is pinned."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()  # plan-only, no job
+    except Exception:
+        return df
+    return df.repartition(target) if current < target else df
+
+
 def tokenize(df: DataFrame, line_col: str, word_col: str = "word") -> DataFrame:
     """Whitespace tokenize + explode; drops empty tokens (StringTokenizer
     semantics in TokenCountMapper)."""

@@ -68,6 +68,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
+    # Ad-hoc conf overrides for A/B measurement (optimization rounds):
+    # SPARK_GRAFT_CONF="k1=v1;k2=v2". Only read at first JVM launch.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    if env_conf:
+        for pair in env_conf.split(";"):
+            if "=" in pair:
+                k, v = pair.split("=", 1)
+                builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
