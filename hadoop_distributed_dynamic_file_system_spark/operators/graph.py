@@ -75,6 +75,7 @@ def connected_components(
     dst: str,
     max_iter: int = 25,
     driver_max_edges: int = 1_000_000,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Components of the undirected graph given by `edges`: returns
     (node, component) for every node that appears in an edge, where
@@ -85,14 +86,23 @@ def connected_components(
     `driver_max_edges` caps the quotient size solved centrally
     (union-find on collected quotient edges); set 0 to force the
     distributed loop (the property tests exercise both paths).
-    """
-    e = cache.tracked_persist(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .filter(F.col("s") != F.col("d"))
-        .distinct(),
-        eager=False,
+
+    `dedup_edges=False` skips the symmetrized edge list's
+    self-loop filter + distinct — a full extra shuffle of the edge
+    relation at any scale. The RESULT is identical either way (every
+    stage here is min/exists-style and multigraph-tolerant; the
+    quotient still dedups itself before the solve); the knob exists
+    because the dedup pays off only when the input actually carries
+    duplicates. Callers that feed oriented candidate pairs (id_a <
+    id_b, already distinct — every LSH/SimHash pair producer here)
+    should pass False: their symmetrized union is provably
+    duplicate- and loop-free."""
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
+    if dedup_edges:
+        sym = sym.filter(F.col("s") != F.col("d")).distinct()
+    e = cache.tracked_persist(sym, eager=False)
     # seed comp = min(node, min direct neighbor). The eager
     # localCheckpoint action fills e's persist as a side effect —
     # without it the SEED, then BOTH contract joins, would each re-run

@@ -83,7 +83,16 @@ def assign_to_centroids(
     centroid_id: str = "centroid_id",
 ) -> DataFrame:
     """Route each vector to its nearest centroid (max cosine; ties →
-    lowest centroid id). Broadcast the centroids — one corpus pass."""
+    lowest centroid id). Broadcast the centroids — one corpus pass.
+
+    The argmax is a map-side-partial max_by aggregation, not a window:
+    after the broadcast join every candidate row of a vector sits in
+    the SAME task, so the partial agg resolves the winner locally and
+    the exchange moves ONE row per vector — a window would shuffle
+    the full embedding payload once per centroid (K× the bytes) and
+    sort it (guide §2.3: shuffle keys/metadata, not payloads). Tie
+    order identical: max on (cscore, -centroid_id) = highest cosine,
+    lowest centroid id."""
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
     cen = centroids.select(
         F.col(centroid_id), _as_double(F.col(vec_col)).alias("zv")
@@ -94,12 +103,13 @@ def assign_to_centroids(
         centroid_id,
         F.round(cosine(F.col("cv"), F.col("zv")), 6).alias("cscore"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cscore"), F.asc(centroid_id))
-    return (
-        scored.withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") == 1)
-        .select(id_col, "cv", centroid_id)
-    )
+    return scored.groupBy(id_col).agg(
+        F.first("cv").alias("cv"),
+        F.max_by(
+            F.col(centroid_id),
+            F.struct(F.col("cscore"), (-F.col(centroid_id)).alias("_neg")),
+        ).alias(centroid_id),
+    ).select(id_col, "cv", centroid_id)
 
 
 def ivf_topk(

@@ -350,8 +350,15 @@ def dsir_bucket_weights(
             .agg(F.count("*").alias("_c"))
         )
 
-    tb = counts(target, tcol)
-    rb = counts(df, text_col)
+    # each count relation feeds its total aggregate AND the weight
+    # join — unpersisted, every corpus explode+groupBy ran TWICE
+    # (four corpus passes per model build instead of two; the same
+    # fix dsir_importance already carries). The relations are
+    # <= `buckets` rows, so the cache is constant-sized at any scale.
+    from ..cache import tracked_persist
+
+    tb = tracked_persist(counts(target, tcol))
+    rb = tracked_persist(counts(df, text_col))
     tt = tb.agg(F.sum("_c").alias("_tt"))
     rt = rb.agg(F.sum("_c").alias("_tr"))
     return (

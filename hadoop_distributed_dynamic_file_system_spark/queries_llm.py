@@ -1147,7 +1147,9 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dups(spark, sf_dir)
     sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
-    cc = graph.connected_components(pairs, "id_a", "id_b")
+    # LSH pairs are oriented (id_a < id_b) and distinct: skip CC's
+    # edge-dedup shuffle (identical result, one pass less)
+    cc = graph.connected_components(pairs, "id_a", "id_b", dedup_edges=False)
     return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
 
 
@@ -1163,7 +1165,9 @@ def components_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dups(spark, sf_dir)
     sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
-    cc = graph.connected_components(pairs, "id_a", "id_b", driver_max_edges=0)
+    cc = graph.connected_components(
+        pairs, "id_a", "id_b", driver_max_edges=0, dedup_edges=False
+    )
     return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
 
 
@@ -1430,7 +1434,7 @@ def multi_signal_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fps, "doc_id", max_hamming=3, band_shift=8, rotations=2, bits=16
     ).select("id_a", "id_b")
     edges = mh_pairs.select("id_a", "id_b").unionByName(sh_pairs).distinct()
-    cc = graph.connected_components(edges, "id_a", "id_b")
+    cc = graph.connected_components(edges, "id_a", "id_b", dedup_edges=False)
     return cc.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
