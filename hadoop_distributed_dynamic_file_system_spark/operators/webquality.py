@@ -55,8 +55,15 @@ def gopher_quality(
     text_col: str,
     min_words: int = 50,
     max_words: int = 100_000,
+    keep_doc_cols: bool = False,
 ) -> DataFrame:
     """Per-document Gopher quality metrics + rule flags + overall pass.
+
+    `keep_doc_cols=True` returns the ORIGINAL columns alongside the
+    metrics instead of the narrow (id, metrics) projection — a caller
+    gating a corpus can then FILTER in the same single pass instead of
+    joining the metric relation back onto the corpus (one scan + one
+    join fewer; the metrics stay a pure projection either way).
 
     Metrics/thresholds per Rae et al. 2021 Appendix A: word count in
     [min_words, max_words]; mean word length in [3, 10]; symbol-to-word
@@ -120,7 +127,10 @@ def gopher_quality(
         & (F.col("alpha_frac") > 0.8)
         & (F.col("stop_hits") >= 2)
     )
-    return out.withColumn("passes", F.coalesce(passes, F.lit(False))).select(
+    out = out.withColumn("passes", F.coalesce(passes, F.lit(False)))
+    if keep_doc_cols:
+        return out.drop("_w", "_l")
+    return out.select(
         id_col,
         "n_words",
         "mean_word_len",

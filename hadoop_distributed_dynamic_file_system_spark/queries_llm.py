@@ -3715,16 +3715,20 @@ def web_curation(docs: DataFrame, ref: DataFrame) -> DataFrame:
     (typically the un-amplified originals)."""
     from .operators import classifier, webquality
 
-    g = webquality.gopher_quality(docs, "doc_id", "text", min_words=20)
+    # single-pass gate: metrics computed WITH the doc columns and
+    # filtered in place — the old shape scanned the corpus twice and
+    # joined the metric relation back on (doc_id unique, so filter ==
+    # join exactly)
     gate = (
-        docs.join(
-            g.filter(
-                (F.col("n_words") >= 20)
-                & (F.col("alpha_frac") > 0.8)
-                & F.col("mean_word_len").between(2, 12)
-            ).select("doc_id"),
-            "doc_id",
+        webquality.gopher_quality(
+            docs, "doc_id", "text", min_words=20, keep_doc_cols=True
         )
+        .filter(
+            (F.col("n_words") >= 20)
+            & (F.col("alpha_frac") > 0.8)
+            & F.col("mean_word_len").between(2, 12)
+        )
+        .select("doc_id", "text", "source")
     )
     from pyspark.sql import Window
 
