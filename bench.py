@@ -617,6 +617,14 @@ def main() -> None:
     io_stats["mrbench_avg_ms"] = round(1000 * sum(mr_times) / n_runs, 1)
 
     total = round(sum(timings.values()), 3)
+    # Contamination flag (r11 VERDICT ask: both driver records started
+    # at loadavg 14.0/11.5 on 32 cores and untouched entries swung
+    # 0.36-0.46x): ambient 1-min load above a quarter of the core count
+    # BEFORE this session spun up means per-query statuses at +-20% are
+    # noise, and the record should say so itself instead of reading as
+    # code regressions.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    contaminated = loadavg_start[0] > cpus / 4
     record = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -629,6 +637,7 @@ def main() -> None:
         "queries_spread": spreads,
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "contaminated": contaminated,
         "io": io_stats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -665,21 +674,40 @@ def main() -> None:
     except OSError:
         pass  # bench numbers still printed below
 
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:12]
-    )
-    print(json.dumps({
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": slowest,
-        "n_queries": len(timings),
-        "io": io_stats,
-        "sf": record["sf"],
-        "round_label": label,
-        "full_record": os.path.basename(full_path),
-    }))
+    # Widest per-query window that survives the driver's stdout
+    # tail-capture (r11 VERDICT ask #2: the old top-12 window hid 138
+    # of 150 entries, manufactured phantom "dropped" lists, and made
+    # PERF's n_common 9). All 150 entries would be a ~4.2 KB line and
+    # the driver records only the LAST 2000 chars of stdout — r5/r6
+    # showed an overflowing line lands as "parsed": null — so the line
+    # is packed greedily, slowest entries first, under an 1800-char
+    # budget (compact separators): ~55 entries instead of 12.
+    # Additions-only: the old top-12 is always a prefix of this window,
+    # and the complete dict stays in BENCH_LOCAL_r{N}.json.
+    ordered = sorted(timings.items(), key=lambda kv: -kv[1])
+
+    def _stdout_line(k: int) -> str:
+        return json.dumps({
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": dict(ordered[:k]),
+            "n_queries": len(timings),
+            "contaminated": contaminated,
+            "loadavg_start": loadavg_start,
+            "io": io_stats,
+            "sf": record["sf"],
+            "round_label": label,
+            "full_record": os.path.basename(full_path),
+        }, separators=(",", ":"))
+
+    k = len(ordered)
+    while k > 12 and len(_stdout_line(k)) > 1800:
+        k -= 1
+    # stop BEFORE printing: the JSON line must be the last bytes of the
+    # driver's tail capture, and session shutdown can emit log lines
     spark.stop()
+    print(_stdout_line(k))
 
 
 if __name__ == "__main__":

@@ -882,6 +882,13 @@ def ngram_jaccard_pairs(
     per shingle. Exact up to 64-bit collisions (P ≈ n²/2⁶⁵ — for a
     billion distinct shingles, ~3%·ε; disable for a provably exact
     answer).
+
+    `cache` governs the GUARDED (max_doc_freq) path's eager persists
+    only. The unguarded path ALWAYS installs one lazy persist per side
+    — it is a pushdown barrier against the O(words²) filter-inlining
+    trap, not a reuse cache (see _pairwise_shingle_stats), fills
+    inside the join job, and is strictly smaller than the exploded
+    stream the guarded path persists.
     """
     stats = _pairwise_shingle_stats(
         df_a, df_b, id_col, text_col, shingle_n, cache, hash_shingles,
@@ -920,7 +927,9 @@ def ngram_containment_pairs(
     side (8-byte xxhash64 keys under `hash_shingles`), one equi-join
     for the intersection, per-doc counts joined back — only pairs
     sharing ≥1 shingle ever materialize; pairs survive when EITHER
-    direction reaches `threshold`."""
+    direction reaches `threshold`. `cache` likewise affects only the
+    guarded path; the unguarded path's per-side lazy persist is a
+    pushdown barrier, not a reuse cache (see ngram_jaccard_pairs)."""
     stats = _pairwise_shingle_stats(
         df_a, df_b, id_col, text_col, shingle_n, cache, hash_shingles,
         max_doc_freq,

@@ -91,8 +91,11 @@ def assign_to_centroids(
     the exchange moves ONE row per vector — a window would shuffle
     the full embedding payload once per centroid (K× the bytes) and
     sort it (guide §2.3: shuffle keys/metadata, not payloads). Tie
-    order identical: max on (cscore, -centroid_id) = highest cosine,
-    lowest centroid id."""
+    order identical: min on (-cscore, centroid_id) = highest cosine,
+    lowest centroid id — only cscore (always double) is negated, so
+    centroid ids of ANY orderable type keep the window form's
+    tie-break (negating the id itself would raise CAST_INVALID_INPUT
+    under ANSI for string ids)."""
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
     cen = centroids.select(
         F.col(centroid_id), _as_double(F.col(vec_col)).alias("zv")
@@ -105,9 +108,9 @@ def assign_to_centroids(
     )
     return scored.groupBy(id_col).agg(
         F.first("cv").alias("cv"),
-        F.max_by(
+        F.min_by(
             F.col(centroid_id),
-            F.struct(F.col("cscore"), (-F.col(centroid_id)).alias("_neg")),
+            F.struct((-F.col("cscore")).alias("_neg"), F.col(centroid_id)),
         ).alias(centroid_id),
     ).select(id_col, "cv", centroid_id)
 

@@ -43,9 +43,20 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     sized — the condition, not a constant, makes it safe to leave on.
     Batch-only: never call on a streaming relation (micro-batch plans
     must stay stateless projections), and never upstream of a plan
-    whose Exchange count is pinned."""
+    whose Exchange count is pinned.
+
+    Cost/precision caveats (ADVICE r11): the partition probe via
+    df.rdd forces one analysis+physical-planning pass of the upstream
+    plan even when the result is a no-op — call this once per batch
+    entry point, not inside loops; and on a POST-SHUFFLE input the
+    probe reads the static spark.sql.shuffle.partitions, not AQE's
+    runtime-coalesced count, so it can see "enough" partitions that
+    AQE later collapses (conservative: it declines to add an exchange,
+    never adds a corpus-sized one)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    if target <= 1:
+        return df  # nothing to spread onto; skip the plan-compile probe
     try:
         current = df.rdd.getNumPartitions()  # plan-only, no job
     except Exception:

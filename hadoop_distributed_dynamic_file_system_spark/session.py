@@ -68,17 +68,26 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
-    # Ad-hoc conf overrides for A/B measurement (optimization rounds):
-    # SPARK_GRAFT_CONF="k1=v1;k2=v2". Only read at first JVM launch.
-    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
-    if env_conf:
-        for pair in env_conf.split(";"):
-            if "=" in pair:
-                k, v = pair.split("=", 1)
-                builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # Ad-hoc conf overrides for A/B measurement (optimization rounds):
+    # SPARK_GRAFT_CONF="k1=v1;k2=v2". Only read at first JVM launch.
+    # Applied LAST — an A/B override must beat a caller's extra_conf or
+    # the measurement silently compares identical configs — and logged
+    # loudly so a leftover env var from a finished A/B can't skew a
+    # benchmark/correctness run without a trace (ADVICE r11).
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    if env_conf:
+        import logging
+
+        for pair in env_conf.split(";"):
+            if "=" in pair:
+                k, v = pair.split("=", 1)
+                logging.getLogger(__name__).warning(
+                    "SPARK_GRAFT_CONF override: %s=%s", k.strip(), v.strip()
+                )
+                builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
