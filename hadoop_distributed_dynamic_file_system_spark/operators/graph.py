@@ -265,9 +265,12 @@ def pagerank(
     - the edge⋈degree relation and node set are built once and
       persisted; each round re-reads the materialized relation;
     - dangling mass rides a broadcast 1-row aggregate (no collect);
-    - rank lineage is truncated per round with localCheckpoint (swap
-      for checkpoint() on a reliable dir at cluster scale);
-    - the only driver-side value is N (one count job at start).
+    - rank lineage is truncated per round with a LAZY localCheckpoint
+      (plan truncation is immediate, materialization rides the next
+      consuming job — no per-round barrier; swap for checkpoint() on a
+      reliable dir at cluster scale);
+    - the only driver-side values are N and the dangling-set
+      existence, both from ONE setup job.
 
     `weight` names an edge-weight column: contributions become
     rank·w/Σ_out w (weighted out-mass normalization; unweighted is the
@@ -313,21 +316,45 @@ def pagerank(
         .distinct(),
         eager=False,
     )
-    n = nodes.count()
+    # ONE setup job answers both driver-side scalars — node count and
+    # whether a dangling node exists — and fills the nodes cache as its
+    # side effect (the old shape paid a second count job for the
+    # dangling probe). The dangling SET is fixed across rounds (only
+    # its mass changes), so when it is empty — every symmetrized graph
+    # — the term drops from the loop entirely.
+    setup = (
+        nodes.join(
+            deg.select(F.col("src").alias("node"), F.lit(1).alias("_o")),
+            "node",
+            "left",
+        )
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.when(F.col("_o").isNull(), 1).otherwise(0)).alias("_nd"),
+        )
+        .first()
+    )
+    n = setup["_n"]
     if n == 0:
         # empty edge set -> empty rank relation, not a ZeroDivisionError
         # (same tolerance convention as the zero-word/zero-char text ops)
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    ed = cache.tracked_persist(e.join(deg, "src"), eager=False)
-    # the dangling SET is fixed across rounds (only its mass changes):
-    # resolve it once, and when it's empty — every symmetrized graph —
-    # drop the term from the loop entirely instead of paying a
-    # per-round anti-join for a provable zero
-    dang_nodes = cache.tracked_persist(
-        nodes.join(deg.select(F.col("src").alias("node")), "node", "left_anti"),
-        eager=False,
+    has_dangling = (setup["_nd"] or 0) > 0
+    # EAGER: with the per-round checkpoints lazy (below), every round's
+    # edge-side shuffle stage of the SAME final job is independent of
+    # the previous round's output — a lazy ed cache would race its own
+    # fill across rounds and recompute the e⋈deg join per round.
+    ed = cache.tracked_persist(e.join(deg, "src"))
+    dang_nodes = (
+        cache.tracked_persist(
+            nodes.join(
+                deg.select(F.col("src").alias("node")), "node", "left_anti"
+            ),
+            eager=False,
+        )
+        if has_dangling
+        else None
     )
-    has_dangling = dang_nodes.count() > 0
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
@@ -352,10 +379,17 @@ def pagerank(
             )
             it = it.join(F.broadcast(dang))
             new_mass = new_mass + F.col("dmass") / n
+        # lazy per-round checkpoint: the logical plan is truncated to a
+        # LogicalRDD IMMEDIATELY (so round N+1's join is planned from
+        # the same truncated statistics as the old eager form — the
+        # 13x misplan A/B pinned in the docstring stays defeated), but
+        # materialization happens inside the first consuming job, so
+        # the rounds pipeline into ONE action instead of paying one
+        # barrier job each (the connected_components loop's pattern).
         ranks = it.select(
             "node",
             (F.lit(base) + F.lit(damping) * new_mass).alias("rank"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         if tol is not None:
             delta = (
                 ranks.join(

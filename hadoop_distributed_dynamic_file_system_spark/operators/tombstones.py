@@ -334,7 +334,7 @@ def health(
       recommend_compact  dead_frac >= compact_threshold — the cadence
                      signal for the modality's compact_* call
 
-    Scale shape: two scans of the frozen base (row census, live key
+    Scale shape: two scans of the frozen base (row census + live key
     census — bucketed layout intact; the tombstone join broadcasts,
     adding no Exchange). The per-key grouped count rides the existing
     bucketing when key_cols lead with the bucket column (adjacent
@@ -343,7 +343,11 @@ def health(
     the distinct-live-id rewrite (doc-count-sized), and the three
     1-row aggregates join by broadcast. A single-pass rollup would
     trade the second scan for an index-sized distinct shuffle — worse
-    at 100 TB, where scans are cheaper than shuffles.
+    at 100 TB, where scans are cheaper than shuffles; caching the
+    flagged relation instead LOSES the bucketed partitioning through
+    the InMemoryRelation and re-acquires that same shuffle (measured
+    r12 — the zero-bk-Exchange pin failed), so the two-scan shape
+    stands.
 
     Reference parity: the ops-visibility analog of fsck + `dfs -count`
     (src/hdfs/org/apache/hadoop/hdfs/server/namenode/NamenodeFsck.java,
@@ -364,6 +368,15 @@ def health(
     ).select(
         *key_cols, id_col, F.col("_tid").isNotNull().alias("dead")
     )
+    # NOT persisted across the two aggregates, deliberately (measured
+    # r12): an InMemoryRelation of `flagged` loses the bucketed scan's
+    # HashPartitioning(bk) (the cached plan reports unknown
+    # partitioning under AQE), so the live-key census re-acquires an
+    # index-sized Exchange hashpartitioning(bk…) — the exact shuffle
+    # the two-scan shape exists to avoid at 100 TB, and the
+    # zero-bk-Exchange pin in test_scale_types failed the moment the
+    # cache went in. Two bucketed scans + broadcast flag joins stay
+    # the cheaper trade.
     row_stats = flagged.agg(
         F.count("*").alias("index_rows"),
         F.coalesce(

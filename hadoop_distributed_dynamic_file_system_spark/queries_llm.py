@@ -1425,8 +1425,16 @@ def multi_signal_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each signal stays its scale-clean self (banded equi-joins); the
     union is pair-id traffic only."""
     from .operators import graph
+    from .operators.transforms import spread_for_compute
 
     corpus = _docs_with_dups(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    # ONE spread+persisted corpus relation feeds BOTH signal producers
+    # (r11 VERDICT ask #3): unpersisted, the minhash and simhash
+    # branches each re-scanned and re-derived the union corpus inside
+    # the same action, and the simhash word-explode kernel ran on the
+    # raw scan's partitions. Eager — the two branches are sibling
+    # shuffle-map stages of one job and would race a lazy fill.
+    corpus = tracked_persist(spread_for_compute(corpus))
     sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=8)
     mh_pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     fps = dedup.simhash(corpus, "doc_id", "text", bits=16)
@@ -3714,14 +3722,21 @@ def web_curation(docs: DataFrame, ref: DataFrame) -> DataFrame:
     `ref` is the corpus the DSIR weight relation is trained on
     (typically the un-amplified originals)."""
     from .operators import classifier, webquality
+    from .operators.transforms import spread_for_compute
 
     # single-pass gate: metrics computed WITH the doc columns and
     # filtered in place — the old shape scanned the corpus twice and
     # joined the metric relation back on (doc_id unique, so filter ==
-    # join exactly)
+    # join exactly). The input is spread first: the gopher word-metric
+    # kernel runs PRE-shuffle on the scan's partitions (3 for the
+    # tripled fixture corpus — 3 cores against 32), and everything
+    # downstream re-shuffles anyway; at scale the spread is a no-op by
+    # its partition-count condition. Batch-only (the streaming gate
+    # keeps its own pinned stateless shape).
     gate = (
         webquality.gopher_quality(
-            docs, "doc_id", "text", min_words=20, keep_doc_cols=True
+            spread_for_compute(docs), "doc_id", "text",
+            min_words=20, keep_doc_cols=True,
         )
         .filter(
             (F.col("n_words") >= 20)
