@@ -108,8 +108,11 @@ def fit_logreg(
     vectorized weight update, localCheckpoint to keep the plan flat.
     The features relation is persisted once — every iteration rescans
     the materialized frame, not the corpus."""
+    # lazy: the n_docs count below is the first consumer and fills the
+    # cache; every GD iteration then reads the materialized frame
     feats = tracked_persist(
-        features.join(labels.select(id_col, label_col), id_col)
+        features.join(labels.select(id_col, label_col), id_col),
+        eager=False,
     )
     n_docs = feats.select(id_col).distinct().count()
     if n_docs == 0:

@@ -682,7 +682,11 @@ def length_bucketed_batches(
         rank_col="_grank",
     )
     from ..cache import tracked_persist
-    ranked = tracked_persist(ranked)
+    # lazy: the broadcast(base) build below is the first consumer and
+    # references ranked exactly once — it fills the cache before the
+    # main stage's join side reads it (no sibling race; the old eager
+    # count was one extra pass over the ranked relation)
+    ranked = tracked_persist(ranked, eager=False)
     base = ranked.groupBy("bucket").agg(F.min("_grank").alias("_bmin"))
     pos0 = F.col("_grank") - F.col("_bmin")
     return ranked.join(F.broadcast(base), "bucket").select(

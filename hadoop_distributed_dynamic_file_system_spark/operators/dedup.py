@@ -413,7 +413,12 @@ def near_dedup(
     exact unguarded semantics; the primitives (lsh_candidate_pairs
     et al.) stay exact-by-default."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    sigs = tracked_persist(sigs)
+    # lazy: the FIRST consumer is lsh_candidate_pairs' eager banded
+    # count, which references sigs exactly once — that job fills this
+    # cache, and the two minhash_estimate join sides then read it (the
+    # old eager count here was one extra materialization of the whole
+    # signature pipeline per funnel run)
+    sigs = tracked_persist(sigs, eager=False)
     pairs = lsh_candidate_pairs(
         sigs, id_col, num_hashes, bands,
         max_bucket_size=max_bucket_size, bucket_census="lazy",

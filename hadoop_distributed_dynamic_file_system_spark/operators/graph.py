@@ -438,10 +438,14 @@ def hits(
     e = cache.tracked_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
+    # lazy: the n count below is the first consumer and fills the
+    # cache (e stays eager — its two union branches race inside the
+    # count job otherwise), same shape as pagerank's setup
     nodes = cache.tracked_persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     n = nodes.count()
     if n == 0:

@@ -736,7 +736,13 @@ def lm_quality_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the scored relation is persisted so the cut pass and the assign
     pass share one computation. At 100 TB swap percentile ->
     approx_percentile: same plan shape, sketch-sized partials."""
-    scores = tracked_persist(unigram_lm_scores(df, id_col, text_col))
+    # lazy: the broadcast(cuts) build is the first consumer and
+    # references scores exactly once — it fills the cache before the
+    # assign pass's scan reads it (no sibling race; the old eager
+    # count was one extra pass over the scored relation)
+    scores = tracked_persist(
+        unigram_lm_scores(df, id_col, text_col), eager=False
+    )
     cuts = scores.agg(
         F.round(F.expr("percentile(avg_logprob, cast(1.0/3 as double))"), 6).alias("__c1"),
         F.round(F.expr("percentile(avg_logprob, cast(2.0/3 as double))"), 6).alias("__c2"),

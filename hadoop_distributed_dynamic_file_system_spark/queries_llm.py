@@ -6906,7 +6906,11 @@ def web_graph_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("host"),
         html.alias("html"),
     )
-    pages = tracked_persist(pages)
+    # lazy: the first consumer is pagerank's eager edge-relation count
+    # (one reference via `edges`), whose job fills this cache; the
+    # report leg then reads the materialized pages (the old eager
+    # count was one extra pass over the HTML synthesis)
+    pages = tracked_persist(pages, eager=False)
     gated = pages.select(
         "host",
         F.size(F.split(_wt.strip_html(F.col("html")), " "))
@@ -6931,11 +6935,15 @@ def web_graph_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pass"),
         F.sum("n_words").cast("long").alias("total_words"),
     )
+    # lazy: the broadcast(avg_r) build is the first consumer and
+    # references ranked exactly once — it fills the cache before the
+    # final join's scan reads it (no sibling race)
     ranked = tracked_persist(
         rep.join(ranks, rep["host"] == ranks["node"]).select(
             "host", "n_docs", "n_pass", "total_words",
             F.round("rank", 6).alias("rank"),
-        )
+        ),
+        eager=False,
     )
     avg_r = ranked.agg(F.avg("rank").alias("ar"))
     return ranked.join(F.broadcast(avg_r)).select(
