@@ -335,9 +335,10 @@ def line_dedup_global(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def dsir_bucket_weights(
     df: DataFrame,
     text_col: str,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col_target: str | None = None,
     buckets: int = 1024,
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """(b, w) naive-Bayes weight relation: per hashed-unigram-bucket
     log-likelihood ratio ln p_target(b) - ln p_raw(b) (add-one
@@ -346,11 +347,60 @@ def dsir_bucket_weights(
     left-joins this relation never needs a fallback for raw-corpus
     docs. This is the model `classifier.quality_classifier_scores`
     consumes directly (NB-weighted linear scoring ≈ the fasttext
-    quality-classifier stage without a gradient step)."""
-    tcol = text_col_target or text_col
+    quality-classifier stage without a gradient step).
+
+    Two input forms: `target` as a separate DataFrame (two corpus
+    passes — target counts, raw counts), or, when the target is a
+    SUBSET of `df` selectable by a boolean column expression,
+    `target_flag` (ONE corpus pass: both count columns ride the same
+    explode+groupBy, guide §1.2-1). The fused form is exact: a bucket
+    unseen in the target carries tc = 0 and ln((0+1)/(tt+B)) is
+    bit-identical to the two-pass form's coalesce floor
+    ln(1/(tt+B))."""
 
     def bucket(w: Column) -> Column:
         return F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long") % buckets
+
+    from ..cache import tracked_persist
+
+    if (target is None) == (target_flag is None):
+        raise ValueError(
+            "dsir_bucket_weights: pass exactly one of target / target_flag"
+        )
+
+    if target_flag is not None:
+        # fused single pass: the raw and target bucket counts come out
+        # of ONE explode+groupBy (the flag rides each token row as a
+        # 0/1; NULL flags count as non-target, matching a filter).
+        # Persisted: the relation feeds its two total aggregates AND
+        # the weight projection, and is <= `buckets` rows.
+        stats = tracked_persist(
+            df.select(
+                F.explode(_words_of(F.col(text_col))).alias("_w"),
+                F.when(target_flag, 1).otherwise(0).alias("_t"),
+            )
+            .select(bucket(F.col("_w")).alias("b"), "_t")
+            .groupBy("b")
+            .agg(
+                F.count("*").alias("_rc"),
+                F.sum("_t").alias("_tc"),
+            )
+        )
+        tt = stats.agg(F.sum("_tc").alias("_tt"))
+        rt = stats.agg(F.sum("_rc").alias("_tr"))
+        return (
+            stats.crossJoin(F.broadcast(tt))
+            .crossJoin(F.broadcast(rt))
+            .select(
+                "b",
+                (
+                    F.log((F.col("_tc") + 1) / (F.col("_tt") + buckets))
+                    - F.log((F.col("_rc") + 1) / (F.col("_tr") + buckets))
+                ).alias("w"),
+            )
+        )
+
+    tcol = text_col_target or text_col
 
     def counts(src: DataFrame, col: str) -> DataFrame:
         return (
@@ -365,8 +415,6 @@ def dsir_bucket_weights(
     # (four corpus passes per model build instead of two; the same
     # fix dsir_importance already carries). The relations are
     # <= `buckets` rows, so the cache is constant-sized at any scale.
-    from ..cache import tracked_persist
-
     tb = tracked_persist(counts(target, tcol))
     rb = tracked_persist(counts(df, text_col))
     tt = tb.agg(F.sum("_c").alias("_tt"))
@@ -393,9 +441,10 @@ def dsir_importance(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col_target: str | None = None,
     buckets: int = 1024,
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """DSIR importance weight per document (Xie et al. 2023): score =
     Σ_tokens [ln p_target(b(w)) - ln p_raw(b(w))] over hashed unigram
@@ -417,6 +466,50 @@ def dsir_importance(
 
     def bucket(w: Column) -> Column:
         return F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long") % buckets
+
+    if (target is None) == (target_flag is None):
+        raise ValueError(
+            "dsir_importance: pass exactly one of target / target_flag"
+        )
+
+    if target_flag is not None:
+        # fused single-pass model build (same move as
+        # dsir_bucket_weights' target_flag form): when the target is a
+        # flaggable SUBSET of `df`, both bucket-count columns ride one
+        # explode+groupBy — TWO corpus passes total (model + score)
+        # instead of three. Exact: an unseen-target bucket carries
+        # tc = 0 and ln((0+1)/(tt+B)) equals the two-pass coalesce
+        # floor ln(1/(tt+B)) bit for bit.
+        stats = tracked_persist(
+            df.select(
+                F.explode(_words_of(F.col(text_col))).alias("_w"),
+                F.when(target_flag, 1).otherwise(0).alias("_t"),
+            )
+            .select(bucket(F.col("_w")).alias("_b"), "_t")
+            .groupBy("_b")
+            .agg(F.count("*").alias("_rc"), F.sum("_t").alias("_tc"))
+        )
+        tot_t = stats.agg(F.sum("_tc").alias("_tt"))
+        tot_r = stats.agg(F.sum("_rc").alias("_tr"))
+        occ = df.select(
+            F.col(id_col), F.explode(_words_of(F.col(text_col))).alias("_w")
+        ).select(F.col(id_col), bucket(F.col("_w")).alias("_b"))
+        scored = (
+            occ.join(F.broadcast(stats), "_b")  # every occ bucket is in stats
+            .crossJoin(F.broadcast(tot_t))
+            .crossJoin(F.broadcast(tot_r))
+            .select(
+                F.col(id_col),
+                (
+                    F.log((F.col("_tc") + 1) / (F.col("_tt") + buckets))
+                    - F.log((F.col("_rc") + 1) / (F.col("_tr") + buckets))
+                ).alias("_llr"),
+            )
+        )
+        return scored.groupBy(id_col).agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("_llr"), 6).alias("avg_llr"),
+        )
 
     def counts(src: DataFrame, col: str) -> DataFrame:
         return tracked_persist(

@@ -3486,10 +3486,12 @@ def dsir_importance_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import webquality
 
     return webquality.dsir_importance(
-        d.select("doc_id", "text"),
+        d.select("doc_id", "text", "source"),
         "doc_id",
         "text",
-        target=d.filter(F.col("source") == "src0").select("doc_id", "text"),
+        # fused single-pass model build: the target is the src0 subset
+        # of the same corpus, so both bucket counts ride one explode
+        target_flag=F.col("source") == "src0",
         buckets=1024,
     )
 
@@ -3605,8 +3607,11 @@ def classifier_source_recovery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     docs = d.select("doc_id", "text")
+    # fused single-pass model build (target = src0 subset of the same
+    # corpus): one explode+groupBy instead of two
     wt = webquality.dsir_bucket_weights(
-        docs, "text", target=d.filter(F.col("source") == "src0").select("text")
+        d.select("text", "source"), "text",
+        target_flag=F.col("source") == "src0",
     )
     scores = classifier.quality_classifier_scores(
         docs, "doc_id", "text", wt, buckets=1024
@@ -3761,10 +3766,12 @@ def web_curation(docs: DataFrame, ref: DataFrame) -> DataFrame:
     spans = dedup.remove_duplicated_spans(exact, "doc_id", "text", n=5).filter(
         F.col("n_kept") >= 10
     )
+    # fused single-pass model build (target = src0 subset of the same
+    # ref corpus): one explode+groupBy instead of two
     wt = webquality.dsir_bucket_weights(
-        ref.select("doc_id", "text"),
+        ref.select("text", "source"),
         "text",
-        target=ref.filter(F.col("source") == "src0").select("text"),
+        target_flag=F.col("source") == "src0",
     )
     spans = tracked_persist(spans)
     scores = classifier.quality_classifier_scores(
