@@ -1086,8 +1086,17 @@ def remove_duplicated_spans(
     64-bit gram-key collisions would over-remove a span (P ≈ n²/2⁶⁵
     — the standing hashed-key trade; pass the gram text instead for a
     provably exact variant at 4x shuffle width)."""
-    words = df.select(
-        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_w")
+    # The word-array relation feeds THREE sibling subtrees of the one
+    # consuming action (gram occurrences, position explode, totals) —
+    # unpersisted, every document's text is regex-split three times
+    # (and a lazy persist would race the sibling stages). Eager: one
+    # split pass, three cached reads. Batch-only operator (both
+    # callers are batch pipelines); the cache is the tokenized corpus,
+    # MEMORY_AND_DISK like every corpus-sized persist here.
+    words = tracked_persist(
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_w")
+        )
     )
     occ = words.select(
         F.col(id_col),
